@@ -1,0 +1,19 @@
+from voter_gateway_spark.functions.registry import (
+    EXTENSIONS,
+    election_name,
+    coerce_to_date_or_null,
+    is_email_address_valid,
+    needs_geocoding,
+    location_point,
+    register_all,
+)
+
+__all__ = [
+    "EXTENSIONS",
+    "election_name",
+    "coerce_to_date_or_null",
+    "is_email_address_valid",
+    "needs_geocoding",
+    "location_point",
+    "register_all",
+]

@@ -1,0 +1,139 @@
+"""Scalar function surface (reference F1–F7, SURVEY §2.6).
+
+The reference registers three PL/pgSQL UDFs lazily on first use and
+keeps an extension registry raising NameError for unknown names
+(lib/voter_file/csv_driver.rb:8-49, :69-74, :170-175). Here each is a
+pure built-in Column composition — no Python UDFs, so everything stays
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def election_name(date_col: Column | str, type_col: Column | str) -> Column:
+    """`nb_parse_election_name(date, type)` → "2014_general".
+
+    Reference: lib/voter_file/csv_driver.rb:8-27 — EXTRACT(YEAR) plus a
+    code→word map (pr→primary, ge→general, pp→presidential_primary,
+    sp→special, else pass through lowercased).
+    """
+    d = F.col(date_col) if isinstance(date_col, str) else date_col
+    t = F.col(type_col) if isinstance(type_col, str) else type_col
+    code = F.lower(t)
+    word = (
+        F.when(code == "pr", "primary")
+        .when(code == "ge", "general")
+        .when(code == "pp", "presidential_primary")
+        .when(code == "sp", "special")
+        .otherwise(code)
+    )
+    year = F.year(F.to_date(d)).cast("string")
+    return F.concat_ws("_", year, word)
+
+
+def coerce_to_date_or_null(col: Column | str) -> Column:
+    """`nb_coerce_to_date_or_null(text)` — cast to DATE, NULL on failure.
+
+    Reference: lib/voter_file/csv_driver.rb:28-38. Spark 4 runs ANSI
+    mode by default, where `to_date`/CAST throw on malformed input —
+    `try_cast` restores the reference's NULL-on-failure contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast("date")
+
+
+EMAIL_RE = r"^\S*\.[a-zA-Z][a-zA-Z\.]*[a-zA-Z]$"
+
+
+def is_email_address_valid(col: Column | str) -> Column:
+    """`nb_is_email_address_valid(text)`.
+
+    Reference: lib/voter_file/csv_driver.rb:39-49 — NULL/empty is valid;
+    otherwise length 3..100 AND contains '@' AND matches EMAIL_RE.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNull()
+        | (F.trim(c) == "")
+        | (
+            F.length(c).between(3, 100)
+            & c.contains("@")
+            & c.rlike(EMAIL_RE)
+        )
+    )
+
+
+def needs_geocoding(addr_col: Column | str, lat_col: Column | str) -> Column:
+    """F7 geocoding flag: nonblank address AND (lat IS NULL OR lat = 0.0)
+    (reference working_table.rb:72-85)."""
+    a = F.col(addr_col) if isinstance(addr_col, str) else addr_col
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    return (
+        a.isNotNull()
+        & (F.trim(a.cast("string")) != "")
+        & (lat.isNull() | (lat.cast("double") == 0.0))
+    )
+
+
+def location_point(lng_col: Column | str, lat_col: Column | str) -> Column:
+    """F7 geometry build: POINT(lng lat) where both non-null, else NULL
+    (reference working_table.rb:86-94). Geometry → struct<lng,lat>
+    (SURVEY §1.2: point construction + null checks are the only geo ops)."""
+    lng = F.col(lng_col) if isinstance(lng_col, str) else lng_col
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lngd, latd = lng.cast("double"), lat.cast("double")
+    return F.when(
+        lngd.isNotNull() & latd.isNotNull(),
+        F.struct(lngd.alias("lng"), latd.alias("lat")),
+    )
+
+
+# Extension registry (F4): name → builder. Unknown name raises NameError,
+# matching the reference's lazy registry contract (csv_driver.rb:170-175).
+EXTENSIONS: dict[str, Callable[..., Column]] = {
+    "election_name": election_name,
+    "coerce_to_date_or_null": coerce_to_date_or_null,
+    "is_email_address_valid": is_email_address_valid,
+    "needs_geocoding": needs_geocoding,
+    "location_point": location_point,
+}
+
+
+def load_extension(name: str) -> Callable[..., Column]:
+    if name not in EXTENSIONS:
+        raise NameError(f"unknown extension: {name}")
+    return EXTENSIONS[name]
+
+
+def register_all(spark: SparkSession) -> None:
+    """Expose the extensions to SQL-string users as temp views of SQL
+    macros is not supported pre-Spark-4 SQL UDFs; instead register SQL
+    user functions (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN`).
+    DataFrame users should call the Python builders directly.
+    """
+    stmts = {
+        "vg_election_name": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION vg_election_name(d STRING, t STRING) "
+            "RETURNS STRING RETURN concat_ws('_', cast(year(to_date(d)) as string), "
+            "CASE lower(t) WHEN 'pr' THEN 'primary' WHEN 'ge' THEN 'general' "
+            "WHEN 'pp' THEN 'presidential_primary' WHEN 'sp' THEN 'special' "
+            "ELSE lower(t) END)"
+        ),
+        "vg_coerce_to_date_or_null": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION vg_coerce_to_date_or_null(s STRING) "
+            "RETURNS DATE RETURN try_cast(s AS DATE)"
+        ),
+        "vg_is_email_address_valid": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION vg_is_email_address_valid(s STRING) "
+            "RETURNS BOOLEAN RETURN s IS NULL OR trim(s) = '' OR "
+            "(length(s) BETWEEN 3 AND 100 AND contains(s, '@') AND s RLIKE "
+            f"'{EMAIL_RE.replace(chr(92), chr(92) * 2)}')"
+        ),
+    }
+    for sql in stmts.values():
+        spark.sql(sql)

@@ -1,0 +1,14 @@
+from voter_gateway_spark.plans.staging import WorkingFrame
+from voter_gateway_spark.plans.matching import MatchRule, MatchPlan
+from voter_gateway_spark.plans.merging import MergePlan, MergeResult
+from voter_gateway_spark.plans.dedup import DedupPlan, MergeInvariantError
+
+__all__ = [
+    "WorkingFrame",
+    "MatchRule",
+    "MatchPlan",
+    "MergePlan",
+    "MergeResult",
+    "DedupPlan",
+    "MergeInvariantError",
+]

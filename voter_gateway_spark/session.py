@@ -1,0 +1,124 @@
+"""GatewaySession — SparkSession wrapper with a working-view registry.
+
+Reference parity: ``CSVDriver`` owns a connection, a working-table
+registry with randomized names for concurrent isolation, and cleanup
+(reference: lib/voter_file/csv_driver.rb:52-94). Here working tables
+are named temp views over (optionally cached) DataFrames; cleanup
+drops the views and unpersists.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def build_spark(
+    app_name: str = "voter_gateway_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Scale posture: AQE on (runtime coalesce + skew-join handling),
+    explicit shuffle-partition sizing, Arrow enabled for the few
+    pandas-UDF paths. On a real cluster, master/shuffle partitions
+    come from spark-submit; this helper is for local runs and tests.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+class GatewaySession:
+    """Owns a SparkSession, a registry of named working DataFrames, and
+    cleanup. The random infix isolates concurrent sessions sharing one
+    Spark catalog (reference: csv_driver.rb:5,59-60,76-82).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._infix = uuid.uuid4().hex[:8]
+        self._counter = 0
+        self._working: dict[str, DataFrame] = {}
+
+    # -- working table registry (S8, S10, S11) --------------------------------
+
+    def working_name(self, base: str = "working") -> str:
+        self._counter += 1
+        return f"tmp_{base}_{self._infix}_{self._counter}"
+
+    def register(self, df: DataFrame, name: str | None = None, cache: bool = False) -> str:
+        """Register a DataFrame as a named working view (≈ CREATE TEMPORARY TABLE)."""
+        name = name or self.working_name()
+        if cache:
+            df = df.cache()
+        df.createOrReplaceTempView(name)
+        self._working[name] = df
+        return name
+
+    def working(self, name: str) -> DataFrame:
+        return self._working[name]
+
+    def table(self, name: str) -> DataFrame:
+        """Bind an existing table/view by name; raises if missing
+        (reference: csv_driver.rb:132-145 raises for unknown tables)."""
+        if name in self._working:
+            return self._working[name]
+        if not self.spark.catalog.tableExists(name):
+            raise NameError(f"table does not exist: {name}")
+        return self.spark.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw SQL escape hatch (reference S13: csv_driver.rb:177-179)."""
+        return self.spark.sql(query)
+
+    def clean_up(self) -> None:
+        """Drop all working views and unpersist (reference: csv_driver.rb:84-94)."""
+        for name, df in self._working.items():
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._working.clear()
+
+    # -- context manager -----------------------------------------------------
+
+    def __enter__(self) -> "GatewaySession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.clean_up()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterator[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's parquet fixture tables from an sf directory."""
+    names = list(names) if names else [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
