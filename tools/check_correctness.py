@@ -1,0 +1,89 @@
+"""Local mirror of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB, compare row count,
+schema (column names), and order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from voter_gateway_spark.queries import ORACLES, QUERIES  # noqa: E402
+from voter_gateway_spark.session import build_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        spark_t = time.time() - t0
+        if name not in ORACLES:
+            print(f"ROWS  {name}: {len(got)} rows (no oracle)  [{spark_t:.1f}s]")
+            continue
+        t0 = time.time()
+        try:
+            exp = con.sql(ORACLES[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle error: {exc}")
+            failures += 1
+            continue
+        duck_t = time.time() - t0
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL  {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL  {name}: rowcount {len(got)} vs {len(exp)}")
+            failures += 1
+            continue
+        g, e = canon(got), canon(exp)
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            print(f"OK    {name}: {len(got)} rows  [spark {spark_t:.1f}s, duck {duck_t:.1f}s]")
+        except AssertionError as exc:
+            print(f"FAIL  {name}: value mismatch: {str(exc)[:300]}")
+            failures += 1
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,3 @@
+from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
+
+__all__ = ["dedup_ops", "fuzzy", "similarity", "text"]

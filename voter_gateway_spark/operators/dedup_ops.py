@@ -1,0 +1,268 @@
+"""Deduplication operator family for training-data pipelines.
+
+- exact_dedup: hash-groupBy keep-one (generalizes the reference's
+  dedup_driver lowest-pk-survivor semantics to arbitrary keys).
+- ngram_jaccard_pairs: near-dup candidate pairs by word n-gram Jaccard
+  via an inverted-index join (shared-shingle blocking) — no cross join.
+- minhash_lsh_pairs: MinHash + banded LSH. Hashes are md5-derived →
+  deterministic and engine-portable (the DuckDB oracle can reproduce
+  signatures bit-for-bit).
+- simhash64: 64-bit SimHash over word shingles, plus hamming-distance
+  candidate pairing on band keys.
+
+Scale notes: every family avoids the quadratic cross join by blocking
+(shared shingle / LSH band / simhash band). Shingle explosion is the
+dominant shuffle; band width trades recall for fanout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def exact_dedup(df: DataFrame, keys: list[str], pk: str) -> DataFrame:
+    """Keep the lowest-pk row per key group (deterministic survivor,
+    matching DedupPlan's default orientation)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(pk).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# -- word shingles ------------------------------------------------------------
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized lowercase text."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " "))), " "),
+        lambda w: w != "",
+    )
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(shingles)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via
+    inverted-index blocking on shared shingles. Lossless for
+    threshold > 0: any qualifying pair shares ≥1 shingle.
+
+    The (id, shingles) projection feeds three plan branches (sizes +
+    both sides of the self-join); `materialize` checkpoints it so the
+    shingle expressions compute once, not per branch."""
+    base = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    )
+    if materialize:
+        base = base.localCheckpoint(eager=False)
+    # intersection size = pair count in the inverted-index join (arrays
+    # are distinct); only (id, id) tuples shuffle, never the arrays
+    sizes = base.select("_id", F.size("_sh").alias("_n"))
+    ex = base.select("_id", F.explode("_sh").alias("_s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- MinHash + LSH -------------------------------------------------------------
+
+def _salted_md5(seed: int):
+    # NB: a plain `lambda s, seed=seed:` would be treated by Spark's
+    # higher-order functions as an (element, index) lambda — the index
+    # column would silently replace the seed. Closure factory avoids it.
+    return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary"))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """n-permutation MinHash: per seed, min over md5(seed || ':' || shingle)
+    hex strings. Lexicographic min over md5 hex == min over the 128-bit
+    integer — deterministic and portable to the SQL oracle."""
+    sigs = [
+        F.array_min(F.transform(shingles, _salted_md5(seed)))
+        for seed in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 LSH band, verified
+    with exact shingle Jaccard ≥ threshold.
+
+    n_hashes/bands=4 rows per band → collision prob = 1-(1-j^4)^4,
+    steep around j≈0.5.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes)).localCheckpoint(
+        eager=False
+    )
+    # band keys shuffle as compact strings; candidate pairs carry ids
+    # only, then the (small, blocked) candidate set joins the shingle
+    # arrays back for exact verification
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._k") == F.col("b._k"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("_id", "_sh")
+    return (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .select(
+            "id_a", "id_b", F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+
+def simhash64(col: Column | str, k: int = 2) -> Column:
+    """64-bit SimHash over word k-shingles: per bit, sum of ±1 across
+    shingle md5 bits, sign → bit. md5-derived → portable.
+
+    Implemented with native array exprs: for each of 64 bit positions,
+    count shingles whose md5 bit is 1 vs total.
+    """
+    sh = word_shingles(col, k)
+    # per shingle: 64-bit integer from the first 16 hex chars of md5
+    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint"))
+    n = F.size(sh)
+
+    def bit_set(bit: int):
+        # closure factory — see _salted_md5 for why not a default-arg lambda
+        return lambda h: h.bitwiseAND(F.lit(1 << bit)) != 0
+
+    bits = []
+    for bit in range(60):  # 15 hex chars = 60 bits
+        ones = F.size(F.filter(hashes, bit_set(bit)))
+        bits.append(F.when(ones * 2 >= n, F.lit(1 << bit)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    k: int = 2,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming,
+    blocked on band equality (pigeonhole: distance ≤ n_bands-1 implies
+    ≥1 equal band when bands = max_hamming+1)."""
+    band_width = 60 // n_bands
+    base = df.select(F.col(id_col).alias("_id"), simhash64(text_col, k).alias("_h"))
+    banded = base.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_h", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._k") == F.col("b._k"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,201 @@
+"""Trigram fuzzy matching (J7–J9) — pg_trgm semantics, Spark-first.
+
+Reference: lib/voter_file/csv_driver/fuzzy_merger.rb — per unmatched
+source row, the nearest target by trigram distance (`<->`) under a
+0.5 threshold (fuzzy_merger.rb:5), one pass per fuzzy column, with
+claimed targets leaving the candidate pool (fuzzy_merger.rb:38-67).
+
+pg_trgm trigram model reproduced exactly: lowercase; split into
+alphanumeric words; each word padded with two leading and one trailing
+space; all 3-grams of the padded word; de-duplicated set; similarity =
+|A ∩ B| / |A ∪ B|; distance = 1 − similarity.
+
+Scale design: the GiST index probe becomes an **inverted-index join**
+— explode each side's trigram set, join on the trigram, and compute
+exact similarity only on candidate pairs that share ≥1 trigram. Any
+pair passing `similarity > threshold` (> 0) necessarily shares a
+trigram, so the candidate set is lossless for the reference's 0.5
+threshold. A per-trigram frequency cap (stop-trigram pruning) bounds
+the worst-case explosion at 100 TB; capped trigrams only shrink the
+candidate pool for pathological tokens.
+
+All expressions are native Catalyst (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_THRESHOLD = 0.5  # fuzzy_merger.rb:5
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def trigrams(col: Column | str) -> Column:
+    """pg_trgm trigram set of a string (array<string>)."""
+    cleaned = F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9]+", " ")
+    words = F.filter(F.split(cleaned, " "), lambda w: w != "")
+    per_word = F.transform(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w) + 1),
+            lambda i: F.substring(F.concat(F.lit("  "), w, F.lit(" ")), i, 3),
+        ),
+    )
+    return F.array_distinct(F.flatten(per_word))
+
+
+def trigram_similarity(a: Column | str, b: Column | str) -> Column:
+    """similarity() over two raw strings (builds both trigram sets)."""
+    return trigram_set_similarity(trigrams(a), trigrams(b))
+
+
+def trigram_set_similarity(ta: Column, tb: Column) -> Column:
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def candidate_pairs(
+    source: DataFrame,
+    target: DataFrame,
+    source_col: str,
+    target_col: str,
+    source_id: str,
+    target_id: str,
+    max_trigram_freq: int | None = None,
+) -> DataFrame:
+    """Inverted-index candidate join: pairs sharing ≥1 trigram, with
+    exact similarity attached. Output: (source_id, target_id, similarity).
+
+    `max_trigram_freq` drops trigrams occurring in more than N target
+    rows (stop-trigram pruning) — at scale this bounds the join fanout
+    like pg_trgm's index selectivity does.
+    """
+    s = source.select(
+        F.col(source_id).alias("_sid"), trigrams(source_col).alias("_stg")
+    )
+    t = target.select(
+        F.col(target_id).alias("_tid"), trigrams(target_col).alias("_ttg")
+    )
+    # Set-similarity join: |A ∩ B| falls out of the inverted-index join
+    # as a pair count (arrays are distinct per side), so the shuffle
+    # carries only (sid, tid) tuples — never the trigram arrays.
+    s_sizes = s.select("_sid", F.size("_stg").alias("_sn"))
+    t_sizes = t.select("_tid", F.size("_ttg").alias("_tn"))
+    s_ex = s.select("_sid", F.explode("_stg").alias("_tg"))
+    t_ex = t.select("_tid", F.explode("_ttg").alias("_tg"))
+    if max_trigram_freq:
+        freq = t_ex.groupBy("_tg").count().where(F.col("count") <= max_trigram_freq)
+        t_ex = t_ex.join(F.broadcast(freq.select("_tg")), "_tg")
+    inter = (
+        s_ex.join(t_ex, "_tg")
+        .groupBy("_sid", "_tid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(s_sizes, "_sid")
+        .join(t_sizes, "_tid")
+        .select(
+            "_sid",
+            "_tid",
+            (F.col("_inter") / (F.col("_sn") + F.col("_tn") - F.col("_inter"))).alias(
+                "similarity"
+            ),
+        )
+    )
+
+
+def top1_fuzzy_match(
+    source: DataFrame,
+    target: DataFrame,
+    column: str,
+    source_id: str,
+    target_id: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    target_column: str | None = None,
+    exclude_self: bool = False,
+    max_trigram_freq: int | None = None,
+) -> DataFrame:
+    """J8: per-source top-1 nearest target with distance < threshold.
+
+    Returns (source_id, matched_<target_id>, similarity). Deterministic
+    tie-break: highest similarity, then lowest target id (the reference
+    inherits arbitrary choice from Postgres — SURVEY §4.3.2).
+    """
+    pairs = candidate_pairs(
+        source, target, column, target_column or column, source_id, target_id,
+        max_trigram_freq=max_trigram_freq,
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col("_sid") != F.col("_tid"))
+    qualified = pairs.where(F.col("similarity") > F.lit(1.0 - threshold))
+    w = Window.partitionBy("_sid").orderBy(
+        F.col("similarity").desc(), F.col("_tid").asc()
+    )
+    return (
+        qualified.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_sid").alias(source_id),
+            F.col("_tid").alias(f"matched_{target_id}"),
+            F.round("similarity", 6).alias("similarity"),
+        )
+    )
+
+
+def fuzzy_claiming_rounds(
+    unmatched: DataFrame,
+    pool: DataFrame,
+    columns: list[str],
+    source_id: str,
+    target_id: str,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """J8+J9: the reference's sequential per-column fuzzy rounds with
+    at-most-once target claiming.
+
+    Round per fuzzy column: unmatched sources take their top-1 target;
+    when several sources claim one target, the best (similarity, then
+    lowest source id) wins — a deterministic version of the reference's
+    arbitrary within-round claiming (deviation documented, SURVEY
+    §4.3.2). Claimed targets leave the pool; matched sources leave the
+    unmatched set; per-round materialization truncates lineage exactly
+    like the reference's temp-table refinement (fuzzy_merger.rb:38-67).
+
+    Returns (source_id, matched_<target_id>, similarity, _fuzzy_column).
+    """
+    results = []
+    for col in columns:
+        best = top1_fuzzy_match(
+            unmatched, pool, col, source_id, target_id, threshold
+        )
+        # at-most-once claiming: one source per target
+        w = Window.partitionBy(f"matched_{target_id}").orderBy(
+            F.col("similarity").desc(), F.col(source_id).asc()
+        )
+        claimed = (
+            best.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_fuzzy_column", F.lit(col))
+            .localCheckpoint(eager=True)
+        )
+        results.append(claimed)
+        unmatched = unmatched.join(
+            claimed.select(F.col(source_id).alias("_m")),
+            unmatched[source_id] == F.col("_m"),
+            "left_anti",
+        )
+        pool = pool.join(
+            claimed.select(F.col(f"matched_{target_id}").alias("_m")),
+            pool[target_id] == F.col("_m"),
+            "left_anti",
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out

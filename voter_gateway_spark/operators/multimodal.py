@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode/feature steps that need codec libraries are STUBBED (the
+container has no image/audio libs): `decode_image` raises
+NotImplementedError unless `fake=True`, which produces a deterministic
+fake decode so the Spark-side plumbing — schema, Arrow batching,
+mapInPandas signatures, partition shape — is real and testable.
+
+At scale: binary payloads ride in their own column so column pruning
+keeps them out of metadata-only queries; `repartition` by size budget
+before decode bounds per-task memory; Arrow batch size is capped via
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("payload", BinaryType()),    # opaque encoded bytes
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),     # typed metadata (nullable)
+        StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests/benches: payload bytes
+    derived from the id."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media:{i}".encode()).digest() * (1 + i % 4)
+        rows.append((i, ["image", "audio", "video"][i % 3], bytearray(payload),
+                     "application/octet-stream", 64 + i % 32, 48 + i % 32, float(i % 30)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an encoded image to a feature vector.
+
+    REAL implementation requires an image codec (PIL/opencv) — not in
+    this container; `fake=True` derives a deterministic 8-dim vector
+    from the payload bytes so the distributed plumbing is exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL/opencv); "
+            "run with fake=True for plumbing tests"
+        )
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def extract_features(media: DataFrame, fake: bool = True, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow-batched; one Python worker pass, vectorized per batch. The
+    fake path hashes payloads (deterministic); a real deployment swaps
+    `decode_image` only.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))).astype("int64"),
+                    "features": pdf["payload"].map(lambda b: decode_image(bytes(b), fake=fake)),
+                }
+            )
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame-sampling plan: emits (media_id, frame_ts) rows from
+    duration metadata WITHOUT decoding — pure native exprs; the decode
+    of each sampled frame is the stubbed step."""
+    n_frames = F.greatest(F.floor(F.col("duration_s") / every_s).cast("int"), F.lit(0))
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames)).alias("_i"),
+        )
+        .select("media_id", (F.col("_i") * every_s).alias("frame_ts"))
+    )

@@ -1,0 +1,171 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+- `cosine` / `dot`: native fold expressions (zip_with + aggregate) —
+  JVM-side, no Python.
+- `brute_force_topk`: exact baseline — query-set × corpus join (the
+  query side is broadcast), window top-k.
+- `lsh_bucketed_topk`: the scale path — deterministic random-hyperplane
+  LSH (signs of dot products with md5-derived pseudo-random planes)
+  buckets the corpus; candidates come from matching buckets only.
+  Planes are derived from md5, so results are reproducible across runs
+  and engines.
+
+At 100 TB the corpus side stays partitioned; only queries broadcast.
+An IVF variant (k-means coarse quantizer) can replace the hash planes
+without changing the query plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def as_double_array(col: Column | str) -> Column:
+    """Normalize array<float> → array<double> so arithmetic is stable
+    and oracle-comparable."""
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cos_sim). Deterministic:
+    ordered by rounded similarity desc then neighbor id asc, so engine
+    ulp differences can't reorder ranks.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _plane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    everywhere, no RNG state."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane:{seed}:{i}".encode()).hexdigest()
+        # map 8 hex chars to [-1, 1)
+        out.append(int(h[:8], 16) / float(2**31) - 1.0)
+    return out
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one sign bit per plane, packed into
+    a string bucket key."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. ~2^n_planes-fold candidate reduction at scale; recall
+    depends on n_planes (8 planes ≈ 256 buckets).
+    """
+    planes = [_plane(s, dim) for s in range(n_planes)]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    ).withColumn("_bucket", lsh_signature(F.col("_qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cv")
+    ).withColumn("_bucket", lsh_signature(F.col("_cv"), planes))
+    pairs = F.broadcast(q).join(c, "_bucket")
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Exact all-pairs for modest corpora; at scale, route through
+    `lsh_bucketed_topk` buckets first (same threshold applied after).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+All are pure built-in Column expressions — JVM-side, whole-stage
+codegen, no Python in the hot path. Every formula is deliberately
+expressible in portable ANSI SQL so the DuckDB oracle can replicate it
+exactly (the md5-based fingerprints are engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- token counting -----------------------------------------------------------
+
+def normalized(col: Column | str) -> Column:
+    """Whitespace-collapsed, trimmed text."""
+    return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    n = normalized(col)
+    return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " ")))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish proxy: count of word/number/punctuation units
+    (`\\w+` runs or single non-space symbols), the standard pre-tokenizer
+    regex family. Portable: implemented as length arithmetic."""
+    # number of matches of [A-Za-z0-9]+ plus count of other non-space chars
+    s = _c(col)
+    words = F.size(F.filter(F.split(F.regexp_replace(s, r"[^A-Za-z0-9]+", " "), " "), lambda x: x != ""))
+    symbols = F.length(F.regexp_replace(s, r"[A-Za-z0-9\s]", ""))
+    return words + symbols
+
+
+# -- quality scoring ----------------------------------------------------------
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def occurrence_count(col: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrence count via length arithmetic —
+    identical semantics in Spark and ANSI SQL (portable oracle)."""
+    s = _c(col)
+    return (F.length(s) - F.length(F.replace(s, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    padded = F.concat(F.lit(" "), normalized(col), F.lit(" "))
+    total = F.lit(0)
+    for w in stopwords or STOPWORDS:
+        total = total + occurrence_count(padded, f" {w} ")
+    return total.cast("int")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    s = _c(col)
+    punct = F.length(F.regexp_replace(s, r"[A-Za-z0-9\s]", ""))
+    return F.round(punct / F.greatest(F.length(s), F.lit(1)), 6)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite heuristic quality in [0,1]: length factor, stopword
+    presence, low punctuation — the classic cheap pre-filter trio."""
+    s = _c(col)
+    toks = token_count(s)
+    length_factor = F.least(toks / F.lit(100.0), F.lit(1.0))
+    stop_ratio = F.least(stopword_count(s) / F.greatest(toks, F.lit(1)), F.lit(1.0))
+    return F.round(
+        0.4 * length_factor + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio(s)), 6
+    )
+
+
+# -- language ID --------------------------------------------------------------
+
+# marker-word profiles (n-gram heuristic): deterministic scoring, not
+# linguistic truth. Tie-break = alphabetical language code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die", "nicht"],
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "que", "los"],
+    "fr": ["le", "la", "et", "les"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def padded_lower(col: Column | str) -> Column:
+    """' ' || lower(normalized) || ' ' — project this ONCE (withColumn)
+    before scoring: marker counting references the padded string ~40
+    times, and inlining the whole normalize subtree per reference blows
+    up codegen (observed 40s+ for 500 rows vs <2s staged)."""
+    return F.concat(F.lit(" "), F.lower(normalized(col)), F.lit(" "))
+
+
+def lang_scores(col: Column | str, pre_padded: bool = False) -> dict[str, Column]:
+    padded = _c(col) if pre_padded else padded_lower(col)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        score = F.lit(0)
+        for w in words:
+            score = score + occurrence_count(padded, f" {w} ")
+        out[lang] = score.cast("int")
+    return out
+
+
+def lang_id(col: Column | str, pre_padded: bool = False) -> Column:
+    """argmax language with deterministic alphabetical tie-break;
+    'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(col, pre_padded)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reverse-alphabetical chain so earlier (alphabetical) wins last
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+# -- fingerprinting -----------------------------------------------------------
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of lowercase normalized text.
+    md5 hex strings are engine-portable (same in DuckDB)."""
+    return F.md5(F.lower(normalized(col)).cast("binary"))
+
+
+def lower_words(col: Column | str) -> Column:
+    """split(lower(normalized), ' ') — project once before shingling."""
+    return F.split(F.lower(normalized(col)), " ")
+
+
+def shingle_fingerprint(col: Column | str, k: int = 3, words_col: Column | None = None) -> Column:
+    """Document fingerprint robust to local edits: the minimum md5 over
+    word k-shingles (a 1-permutation minhash). Portable to SQL.
+
+    Pass `words_col` (a projected lower_words column) to keep the
+    split subtree out of the per-shingle lambda (codegen size)."""
+    words = words_col if words_col is not None else lower_words(col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]),
+    )
+    return F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
+
+
+# -- DataFrame-level convenience ---------------------------------------------
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile of a documents table."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        content_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,699 @@
+"""Query catalog: every operator exposed as a (spark_fn, oracle_sql)
+pair for the driver's correctness harness.
+
+Each spark_fn(spark, sf_dir) returns a DataFrame; oracle_sql is the
+equivalent ANSI SQL DuckDB runs over the same parquet fixtures (views:
+region nation customer supplier part orders lineitem events documents
+embeddings). Column names AND types are aligned on both sides; floating
+aggregates are rounded identically; every ordering has a deterministic
+tie-break so value-hashes compare equal.
+
+Non-SQL-expressible entries (streaming, mapInPandas multimodal,
+simhash's hex→int conv) carry oracle=None → rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from voter_gateway_spark.audit import column_coverage, value_distribution
+from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
+from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
+from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
+from voter_gateway_spark.streaming.events import hourly_counts, sessionize
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to a microsecond timestamp.
+
+    The fixture stores TIMESTAMP(NANOS); with nanosAsLong it arrives as
+    bigint nanos. Integer `div 1000` (not float division — ns epochs
+    exceed double's 53-bit mantissa) floors to µs exactly like DuckDB's
+    epoch_us, so both engines see identical instants."""
+    raw = _t(spark, sf_dir, "events")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# =============================================================================
+# TPC-H-style relational core
+# =============================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1997-01-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# =============================================================================
+# Audits (A1–A6)
+# =============================================================================
+
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def audit_coverage_customer(spark, sf_dir):
+    return column_coverage(_t(spark, sf_dir, "customer"), CUSTOMER_COLS)
+
+
+def _coverage_sql(table: str, cols: list[str]) -> str:
+    covered = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count(*) FILTER (WHERE {c} IS NOT NULL "
+        f"AND trim(CAST({c} AS VARCHAR)) <> '') AS covered FROM {table}"
+        for c in cols
+    )
+    return f"""
+WITH tot AS (SELECT count(*) AS total FROM {table}),
+cov AS ({covered})
+SELECT cov."column", cov.covered, tot.total,
+       round(cov.covered * 100.0 / tot.total, 2) AS percent
+FROM cov, tot
+"""
+
+
+def audit_value_dist_mktsegment(spark, sf_dir):
+    return value_distribution(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+DIST_SQL = """
+SELECT c_mktsegment AS value, count(*) AS count
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def audit_duplicate_custkeys(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+DUPKEY_SQL = """
+SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1
+"""
+
+
+def audit_flag_distribution_events(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", (F.col("value") > 100).alias("high_value")
+    ).agg(F.count(F.lit(1)).alias("count"))
+
+
+FLAG_SQL = """
+SELECT event_type, value > 100 AS high_value, count(*) AS count
+FROM events GROUP BY event_type, value > 100
+"""
+
+
+# =============================================================================
+# Record linkage: match cascade, merge/upsert, dedup, fuzzy (J*, M*)
+# =============================================================================
+
+def match_cascade_orders_customers(spark, sf_dir):
+    """Cascade: rule 1 links an order to its customer only when the
+    customer is high-balance; rule 2 (lower priority) when the customer
+    is in the BUILDING segment; otherwise unmatched."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    mp = MatchPlan(orders, cust, target_pk="c_custkey", source_id="o_orderkey")
+    mp.foreign_key_match([("o_custkey", "c_custkey")], raw_condition="t.c_acctbal > 5000")
+    mp.foreign_key_match(
+        [("o_custkey", "c_custkey")], raw_condition="t.c_mktsegment = 'BUILDING'"
+    )
+    return mp.matches().select(
+        "o_orderkey",
+        F.col("_target_id").alias("matched_custkey"),
+        F.col("_match_rule").alias("match_rule"),
+    )
+
+
+MATCH_SQL = """
+SELECT o_orderkey,
+       CASE WHEN c_acctbal > 5000 THEN c_custkey
+            WHEN c_mktsegment = 'BUILDING' THEN c_custkey END AS matched_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 1
+            WHEN c_mktsegment = 'BUILDING' THEN 2 END AS match_rule
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def merge_upsert_customers(spark, sf_dir):
+    """Upsert: per-customer order revenue folds into c_acctbal (update
+    branch); ~1% of keys are displaced to unseen ids to exercise the
+    insert branch. Reference M1–M5 column routing in one plan."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    src = (
+        orders.groupBy(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 100 == 7, 100000).otherwise(0)
+            ).alias("c_custkey")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+    )
+    mp = MatchPlan(src, cust, target_pk="c_custkey", source_id="c_custkey")
+    mp.find_exact_matches(["c_custkey"])
+    plan = MergePlan(target_pk="c_custkey").merge_column_as(
+        "c_acctbal", "round($T + $S, 2)"
+    )
+    return plan.execute(mp.matches(), cust).target
+
+
+MERGE_SQL = """
+WITH src AS (
+  SELECT o_custkey + CASE WHEN o_custkey % 100 = 7 THEN 100000 ELSE 0 END AS k,
+         round(sum(o_totalprice), 2) AS delta
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey,
+       CASE WHEN s.k IS NOT NULL THEN round(c.c_acctbal + s.delta, 2)
+            ELSE c.c_acctbal END AS c_acctbal,
+       c.c_mktsegment
+FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+UNION ALL
+SELECT s.k, NULL, NULL, s.delta, NULL
+FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+WHERE c.c_custkey IS NULL
+"""
+
+
+def dedup_documents_lang_source(spark, sf_dir):
+    """Self-dedup by (lang, source): lowest doc_id survives; the
+    lowest-pk duplicate's n_chars folds into the survivor (M9/M10
+    semantics with deterministic fan-in)."""
+    docs = _t(spark, sf_dir, "documents")
+    plan = DedupPlan(docs, pk="doc_id")
+    plan.find_duplicates(["lang", "source"])
+    plan.merge_column_as("n_chars", "$T + $S")
+    return plan.execute()
+
+
+DEDUP_SQL = """
+SELECT doc_id, text, lang, source,
+       CASE WHEN cnt > 1 THEN n_chars + next_chars ELSE n_chars END AS n_chars
+FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY lang, source) AS cnt,
+         lead(n_chars) OVER w AS next_chars
+  FROM documents
+  WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id)
+)
+WHERE rn = 1
+"""
+
+
+def fuzzy_top1_documents(spark, sf_dir):
+    """J8 fuzzy top-1: for each of the first 100 docs, the nearest
+    other doc by pg_trgm similarity of the first 60 chars (threshold
+    0.5), via the inverted trigram-index join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("prefix")
+    )
+    src = docs.where(F.col("doc_id") < 100)
+    return fuzzy.top1_fuzzy_match(
+        src, docs, "prefix", source_id="doc_id", target_id="doc_id",
+        exclude_self=True,
+    )
+
+
+_TRGM = """
+list_distinct(flatten(list_transform(
+  list_filter(string_split(regexp_replace(lower(substr(text, 1, 60)), '[^a-z0-9]+', ' ', 'g'), ' '), w -> w != ''),
+  w -> list_transform(generate_series(1, length(w) + 1), i -> substr('  ' || w || ' ', i, 3))
+)))
+"""
+
+FUZZY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TRGM} AS tg FROM documents),
+s AS (SELECT * FROM t WHERE doc_id < 100),
+pairs AS (
+  SELECT s.doc_id AS doc_id, t.doc_id AS matched_doc_id,
+         len(list_intersect(s.tg, t.tg)) * 1.0
+           / (len(s.tg) + len(t.tg) - len(list_intersect(s.tg, t.tg))) AS sim
+  FROM s, t WHERE s.doc_id <> t.doc_id
+)
+SELECT doc_id, matched_doc_id, round(sim, 6) AS similarity
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, matched_doc_id) AS rn
+  FROM pairs WHERE sim > 0.5
+) WHERE rn = 1
+"""
+
+
+# =============================================================================
+# Text analysis
+# =============================================================================
+
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        F.length(text.normalized("text")).cast("bigint").alias("n_chars_norm"),
+        text.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+TOKEN_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+            ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+       length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n_chars_norm,
+       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_padded", text.padded_lower("text")
+    )
+    scores = text.lang_scores(F.col("_padded"), pre_padded=True)
+    return docs.select(
+        "doc_id",
+        text.lang_id(F.col("_padded"), pre_padded=True).alias("lang_guess"),
+        F.greatest(*scores.values()).alias("best_score"),
+    )
+
+
+def _langid_sql() -> str:
+    norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+    padded = f"(' ' || lower({norm}) || ' ')"
+    score_exprs = {}
+    for lang, words in text.LANG_MARKERS.items():
+        parts = [
+            f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
+            for w in words
+        ]
+        score_exprs[lang] = "CAST(" + " + ".join(parts) + " AS INTEGER)"
+    scores = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in score_exprs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in sorted(score_exprs)
+    )
+    return f"""
+WITH sc AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, CASE {case} ELSE 'und' END AS lang_guess, {best} AS best_score
+FROM sc
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_words", text.lower_words("text")
+    )
+    return docs.select(
+        "doc_id",
+        text.content_fingerprint("text").alias("fingerprint"),
+        text.shingle_fingerprint("text", 3, words_col=F.col("_words")).alias("shingle_fp"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents
+), w AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n
+)
+SELECT doc_id,
+       md5(norm) AS fingerprint,
+       list_min(list_transform(
+         generate_series(1, greatest(len(words) - 2, 1)),
+         i -> md5(concat_ws(' ', words[i], words[i+1], words[i+2]))
+       )) AS shingle_fp
+FROM w
+"""
+
+
+# =============================================================================
+# Dedup families over documents
+# =============================================================================
+
+def dedup_exact_fingerprint(spark, sf_dir):
+    """Exact dedup by content fingerprint — keep lowest doc_id."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fp", text.content_fingerprint("text")
+    )
+    return dedup_ops.exact_dedup(docs, ["fp"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+    ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.12
+    )
+
+
+_SHINGLES = r"""
+list_distinct(list_transform(
+  generate_series(1, greatest(len(wl) - 2, 1)),
+  i -> concat_ws(' ', wl[i], wl[i+1], wl[i+2])
+))
+"""
+
+NGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s)) * 1.0
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.12
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, n_hashes=16, bands=4, threshold=0.1,
+    )
+
+
+def _minhash_sql() -> str:
+    n_hashes, bands, rows = 16, 4, 4
+    shingles = _SHINGLES
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{seed}:' || x))) AS h{seed}"
+        for seed in range(n_hashes)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        + "(" + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows)) + ") AS k FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (SELECT doc_id, {shingles} AS s FROM w),
+sig AS (SELECT doc_id, s, {sig} FROM sh),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(x.s, y.s)) * 1.0
+             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+WHERE len(list_intersect(x.s, y.s)) * 1.0
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.1
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs — no SQL oracle (hex→int conv is not
+    portable); rows-only check."""
+    return dedup_ops.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2
+    )
+
+
+# =============================================================================
+# Embedding similarity
+# =============================================================================
+
+def embed_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.brute_force_topk(queries, emb, k=5)
+
+
+TOPK_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+  FROM q, c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM p
+) WHERE rn <= 5
+"""
+
+
+def embed_near_dup(spark, sf_dir):
+    return similarity.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
+def embed_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN — approximate by design; rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.lsh_bucketed_topk(queries, emb, k=5)
+
+
+# =============================================================================
+# Events: windowed + sessionized
+# =============================================================================
+
+def events_hourly(spark, sf_dir):
+    return hourly_counts(_events(spark, sf_dir))
+
+
+HOURLY_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionized(spark, sf_dir):
+    return sessionize(_events(spark, sf_dir), "30 minutes")
+
+
+SESSION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), g AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(us) AS session_start_us, max(us) + 1800000000 AS session_end_us,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM g GROUP BY user_id, sid
+"""
+
+# =============================================================================
+# Multimodal plumbing (rows-only: payloads built in Python, decode stubbed)
+# =============================================================================
+
+def multimodal_features(spark, sf_dir):
+    media = synthetic_media(spark, 64)
+    return extract_features(media, fake=True)
+
+
+# =============================================================================
+# Catalog
+# =============================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "audit_coverage_customer": audit_coverage_customer,
+    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
+    "audit_duplicate_custkeys": audit_duplicate_custkeys,
+    "audit_flag_distribution_events": audit_flag_distribution_events,
+    "match_cascade_orders_customers": match_cascade_orders_customers,
+    "merge_upsert_customers": merge_upsert_customers,
+    "dedup_documents_lang_source": dedup_documents_lang_source,
+    "fuzzy_top1_documents": fuzzy_top1_documents,
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "embed_topk_cosine": embed_topk_cosine,
+    "embed_near_dup": embed_near_dup,
+    "embed_lsh_topk": embed_lsh_topk,
+    "events_hourly": events_hourly,
+    "events_sessionized": events_sessionized,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "audit_coverage_customer": _coverage_sql("customer", CUSTOMER_COLS),
+    "audit_value_dist_mktsegment": DIST_SQL,
+    "audit_duplicate_custkeys": DUPKEY_SQL,
+    "audit_flag_distribution_events": FLAG_SQL,
+    "match_cascade_orders_customers": MATCH_SQL,
+    "merge_upsert_customers": MERGE_SQL,
+    "dedup_documents_lang_source": DEDUP_SQL,
+    "fuzzy_top1_documents": FUZZY_SQL,
+    "text_token_stats": TOKEN_SQL,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": FINGERPRINT_SQL,
+    "dedup_exact_fingerprint": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "embed_topk_cosine": TOPK_SQL,
+    "embed_near_dup": NEARDUP_SQL,
+    "events_hourly": HOURLY_SQL,
+    "events_sessionized": SESSION_SQL,
+    # rows-only (non-SQL-expressible): dedup_simhash, embed_lsh_topk,
+    # multimodal_features
+}
