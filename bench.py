@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from voter_gateway_spark.queries import QUERIES  # noqa: E402
+from voter_gateway_spark.session import build_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "audit_coverage_customer",
+    "match_cascade_orders_customers",
+    "merge_upsert_customers",
+    "dedup_documents_lang_source",
+    "fuzzy_top1_documents",
+    "text_token_stats",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_topk_cosine",
+    "events_hourly",
+    "events_sessionized",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_spark(app_name="vgs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + codegen warmup so per-query numbers measure the plan, not
+    # first-job class loading
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        # count() forces full evaluation of every operator's plan
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,3 +17,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for hypothesis tests (function-scoped @given bodies
+    reuse the session-scoped SparkSession)."""
+    return spark

@@ -1,0 +1,68 @@
+"""CSV mess-handling behavioral tests — the reference's only real-file
+tests, reproduced in spirit (spec/csv_driver_csv_file_spec.rb:48-108):
+regex strip preprocessing, malformed-row removal, custom quote chars,
+embedded delimiters, Latin-1."""
+
+import pytest
+
+
+def _write(tmp_path, name, body, encoding="utf-8"):
+    p = tmp_path / name
+    p.write_bytes(body.encode(encoding))
+    return str(p)
+
+
+def test_regex_strip(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "a.csv", "id,name\n1,foo~X~bar\n2,plain\n")
+    df = CSVSource(path, quote='"', remove_expression="~X~").read(spark)
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {"1": "foobar", "2": "plain"}
+
+
+def test_malformed_rows_dropped_and_counted(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(
+        tmp_path,
+        "b.csv",
+        "id,name,email\n1,a,a@x.co\ngarbage line\n2,b,b@x.co\nonly,two\n",
+    )
+    src = CSVSource(path, quote='"', remove_malformed=True)
+    df = src.read(spark)
+    assert df.count() == 2
+    assert src.malformed_count() == 2
+
+
+def test_custom_quote_embedded_delimiter(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "c.csv", "id,name\n1,^Smith, John^\n2,^O'Neil, Jane^\n")
+    df = CSVSource(path).read(spark)  # default quote is ^ like the reference
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {"1": "Smith, John", "2": "O'Neil, Jane"}
+
+
+def test_latin1_encoding(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "d.csv", "id,name\n1,Muñoz\n", encoding="latin-1")
+    df = CSVSource(path, quote='"', encoding="ISO-8859-1").read(spark)
+    assert df.collect()[0].name == "Muñoz"
+
+
+def test_custom_delimiter(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "e.csv", "id|name\n1|x\n2|y\n")
+    df = CSVSource(path, delimiter="|", quote='"').read(spark)
+    assert df.columns == ["id", "name"]
+    assert df.count() == 2
+
+
+def test_header_sniffing(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "f.csv", "a,b,c\n1,2,3\n")
+    assert CSVSource(path, quote='"').headers(spark) == ["a", "b", "c"]

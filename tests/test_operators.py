@@ -1,0 +1,235 @@
+"""Behavioral tests for the operator families: fuzzy trigram (pg_trgm
+parity), dedup families, vector similarity, text analysis, multimodal
+plumbing, streaming parity with batch."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
+from voter_gateway_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from voter_gateway_spark.streaming.events import hourly_counts, stream_hourly_counts
+
+
+# -- fuzzy / trigram -----------------------------------------------------------
+
+def test_trigrams_pg_trgm_semantics(spark):
+    df = spark.createDataFrame([("Hello, world",)], ["s"])
+    got = set(df.select(fuzzy.trigrams("s").alias("t")).collect()[0].t)
+    # pg_trgm: lowercase, alnum words padded '  w ', distinct 3-grams
+    assert got == {
+        "  h", " he", "hel", "ell", "llo", "lo ",
+        "  w", " wo", "wor", "orl", "rld", "ld ",
+    }
+
+
+def test_trigram_similarity_values(spark):
+    df = spark.createDataFrame([("ab", "abc"), ("ab", "ab"), ("xy", "qz")], ["a", "b"])
+    rows = df.select(fuzzy.trigram_similarity("a", "b").alias("s")).collect()
+    assert rows[0].s == pytest.approx(0.4)   # {  a, ab} ∩ over union of 5
+    assert rows[1].s == 1.0
+    assert rows[2].s == 0.0
+
+
+def test_top1_fuzzy_match_threshold_and_tiebreak(spark):
+    target = spark.createDataFrame(
+        [Row(id=1, name="jonathan smith"), Row(id=2, name="jonathan smith"),
+         Row(id=3, name="zzz qqq vvv")],
+        "id int, name string",
+    )
+    source = spark.createDataFrame([Row(id=10, name="jonathon smith")], "id int, name string")
+    out = fuzzy.top1_fuzzy_match(source, target, "name", "id", "id").collect()
+    assert len(out) == 1
+    assert out[0].matched_id == 1  # tie between 1/2 → lowest pk
+    assert out[0].similarity > 0.5
+    # no match above threshold → empty
+    far = spark.createDataFrame([Row(id=11, name="totally different")], "id int, name string")
+    assert fuzzy.top1_fuzzy_match(far, target.where("id=3"), "name", "id", "id").count() == 0
+
+
+def test_fuzzy_claiming_at_most_once(spark):
+    # two sources close to the same single target: only one may claim it
+    pool = spark.createDataFrame([Row(id=1, name="jonathan smith")], "id int, name string")
+    srcs = spark.createDataFrame(
+        [Row(id=10, name="jonathan smith"), Row(id=11, name="jonathan smyth")],
+        "id int, name string",
+    )
+    out = fuzzy.fuzzy_claiming_rounds(srcs, pool, ["name"], "id", "id").collect()
+    assert len(out) == 1
+    assert out[0].id == 10  # exact similarity wins the claim
+
+
+# -- dedup families ------------------------------------------------------------
+
+def test_exact_dedup_keeps_lowest_pk(spark):
+    df = spark.createDataFrame(
+        [Row(id=3, k="a"), Row(id=1, k="a"), Row(id=2, k="b")], "id int, k string"
+    )
+    out = {r.id for r in dedup_ops.exact_dedup(df, ["k"], "id").collect()}
+    assert out == {1, 2}
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("the quick brown fox jumps",)], ["t"])
+    sh = df.select(dedup_ops.word_shingles("t", 3).alias("s")).collect()[0].s
+    assert sh == ["the quick brown", "quick brown fox", "brown fox jumps"]
+
+
+def test_ngram_jaccard_pairs_finds_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma delta epsilon zeta"),
+            Row(id=2, t="alpha beta gamma delta epsilon eta"),
+            Row(id=3, t="one two three four five six"),
+        ],
+        "id bigint, t string",
+    )
+    pairs = dedup_ops.ngram_jaccard_pairs(df, "id", "t", k=3, threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == pytest.approx(3 / 5)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(id=2, t="alpha beta gamma delta epsilon zeta eta iota"),
+            Row(id=3, t="one two three four five six seven eight"),
+        ],
+        "id bigint, t string",
+    )
+    pairs = dedup_ops.minhash_lsh_pairs(df, "id", "t", k=2, threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            Row(id=2, t="alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            Row(id=3, t="totally different words everywhere unrelated content here now"),
+        ],
+        "id bigint, t string",
+    )
+    pairs = dedup_ops.simhash_pairs(df, "id", "t", max_hamming=20, k=2).collect()
+    assert (1, 2) in [(p.id_a, p.id_b) for p in pairs]
+
+
+# -- similarity ----------------------------------------------------------------
+
+def test_cosine_and_topk(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.brute_force_topk(df.where("vec_id=1"), df, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+    assert out[0].cos_sim == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+
+
+def test_lsh_bucket_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float((i * 3) % 5), 1.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = similarity.lsh_bucketed_topk(df, df, k=3, n_planes=4, dim=3).collect()
+    b = similarity.lsh_bucketed_topk(df, df, k=3, n_planes=4, dim=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- text -----------------------------------------------------------------------
+
+def test_token_and_quality(spark):
+    df = spark.createDataFrame([("  the quick   brown fox  ",), ("",)], ["t"])
+    rows = df.select(
+        text.token_count("t").alias("n"),
+        text.bpe_ish_token_count("t").alias("b"),
+        text.punct_ratio("t").alias("p"),
+    ).collect()
+    assert rows[0].n == 4
+    assert rows[0].b == 4
+    assert rows[0].p == 0.0
+    assert rows[1].n == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("el gato y la casa que los perros",),
+         ("xyz qqq",)],
+        ["t"],
+    )
+    rows = df.select(text.lang_id("t").alias("lang")).collect()
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "es"
+    assert rows[2].lang == "und"
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    df = spark.createDataFrame([("a b  c",), ("a   b c ",)], ["t"])
+    fps = df.select(text.content_fingerprint("t").alias("f")).collect()
+    assert fps[0].f == fps[1].f
+
+
+# -- multimodal -----------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 12)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(len(r.sha256) == 64 for r in rows)
+    # decode without fake → NotImplementedError (stub is explicit)
+    from voter_gateway_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media(spark, 9)
+    out = frame_sample_plan(media, every_s=1.0)
+    rows = out.groupBy("media_id").count().collect()
+    assert len(rows) > 0  # only video rows survive
+
+
+# -- streaming ------------------------------------------------------------------
+
+def test_stream_hourly_matches_batch(spark, sf_dir, tmp_path):
+    batch = hourly_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    )
+    # the streaming file source wants a directory of files
+    import shutil
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    stream = stream_hourly_counts(spark, str(stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stream_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.value_sum)
+        for r in spark.table("t_stream_hourly").collect()
+    }
+    exp = {
+        (r.window_start_us, r.event_type): (r.n_events, r.value_sum)
+        for r in batch.collect()
+    }
+    assert got == exp

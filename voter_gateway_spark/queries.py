@@ -642,6 +642,201 @@ def multimodal_features(spark, sf_dir):
 
 
 # =============================================================================
+# Staging / projection operators (P1–P7, S9)
+# =============================================================================
+
+def staging_lineitem(spark, sf_dir):
+    """WorkingFrame staging: cast/expr converters (P1/P2), literal (P3),
+    added column (P4), constraint (P5), group-keep-one (P6) — one
+    declarative insert-select plan (S9)."""
+    from voter_gateway_spark.plans import WorkingFrame
+
+    li = _t(spark, sf_dir, "lineitem")
+    wf = (
+        WorkingFrame(li)
+        .map_column("okey", from_col="l_orderkey", type="BIGINT")
+        .map_column("ship_year", from_col="l_shipdate", as_expr="CAST(year($S) AS INT)")
+        .map_column("qty", from_col="l_quantity", as_expr="CAST($S AS INT)")
+        .map_literal("batch", "r1")
+        .add_column("geocode_status", "TEXT")
+        .constrain_column("l_quantity", "$S > 10")
+        .group_records_by("`okey`")
+    )
+    return wf.build()
+
+
+STAGING_SQL = """
+WITH proj AS (
+  SELECT l_orderkey AS okey,
+         CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+         CAST(round(l_quantity) AS INTEGER) AS qty,
+         'r1' AS batch,
+         CAST(NULL AS VARCHAR) AS geocode_status
+  FROM lineitem WHERE l_quantity > 10
+)
+SELECT okey, ship_year, qty, batch, geocode_status
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY okey ORDER BY okey, ship_year, qty, batch, geocode_status) AS rn
+  FROM proj
+) WHERE rn = 1
+"""
+
+
+def copy_column_nation_name(spark, sf_dir):
+    """P7 cross-table copy_column: enrich customer with its nation name
+    via a correlated-update-as-join rewrite."""
+    from voter_gateway_spark.plans.staging import copy_column
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "nation_name", F.lit(None).cast("string")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    out = copy_column(
+        cust, nation, [("c_nationkey", "n_nationkey")], "nation_name",
+        source_value_col="n_name",
+    )
+    return out.select("c_custkey", "c_name", "nation_name")
+
+
+COPYCOL_SQL = """
+SELECT c_custkey, c_name, n_name AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def match_join_table_constraint(spark, sf_dir):
+    """J4 theta join-table + J6 constraints: rule 1 matches an order to
+    its customer only when the customer's nation is in region 2 (via an
+    extra joined nation table); rule 2 is the plain FK fallback."""
+    from voter_gateway_spark.plans.matching import JoinTable
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    mp = MatchPlan(orders, cust, target_pk="c_custkey", source_id="o_orderkey")
+    rule1 = mp.foreign_key_match([("o_custkey", "c_custkey")])
+    rule1.join_tables.append(
+        JoinTable(nation, "nat", "t.c_nationkey = nat.n_nationkey AND nat.n_regionkey = 2")
+    )
+    mp.foreign_key_match([("o_custkey", "c_custkey")])
+    return mp.matches().select(
+        "o_orderkey",
+        F.col("_target_id").alias("matched_custkey"),
+        F.col("_match_rule").alias("match_rule"),
+    )
+
+
+MATCH_JT_SQL = """
+SELECT o_orderkey,
+       c_custkey AS matched_custkey,
+       CASE WHEN n_regionkey = 2 THEN 1
+            WHEN c_custkey IS NOT NULL THEN 2 END AS match_rule
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def geo_prep_customers(spark, sf_dir):
+    """F7 geocoding prep: flag + point construction over synthesized
+    lat/lng (fixtures carry no coordinates; derivation is deterministic)."""
+    from voter_gateway_spark.functions import location_point, needs_geocoding
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("addr"),
+        # raw IEEE division (no rounding): bit-identical across engines,
+        # while round() at half-way points is not
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal") / 100.0)
+        .alias("lat"),
+        (F.col("c_acctbal") / 200.0).alias("lng"),
+    )
+    pt = location_point("lng", "lat")
+    return cust.select(
+        "c_custkey",
+        needs_geocoding("addr", "lat").alias("needs_geocoding"),
+        pt["lng"].alias("point_lng"),
+        pt["lat"].alias("point_lat"),
+    )
+
+
+GEO_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_name AS addr,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE c_acctbal / 100.0 END AS lat,
+         c_acctbal / 200.0 AS lng
+  FROM customer
+)
+SELECT c_custkey,
+       (addr IS NOT NULL AND trim(addr) <> '' AND (lat IS NULL OR lat = 0.0)) AS needs_geocoding,
+       CASE WHEN lng IS NOT NULL AND lat IS NOT NULL THEN lng END AS point_lng,
+       CASE WHEN lng IS NOT NULL AND lat IS NOT NULL THEN lat END AS point_lat
+FROM c
+"""
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: composite score, BPE-ish token count, stopword
+    count — the cheap pre-filter trio for training-data curation."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.quality_score("text").alias("quality"),
+        text.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+        text.stopword_count("text").alias("n_stopwords"),
+    )
+
+
+def _quality_sql() -> str:
+    norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+    padded = f"(' ' || {norm} || ' ')"
+    stop_parts = " + ".join(
+        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in text.STOPWORDS
+    )
+    toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
+    punct = r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {toks} AS toks,
+         CAST({stop_parts} AS INTEGER) AS stops,
+         {punct} AS pr,
+         len(list_filter(string_split(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'), ' '), x -> x <> ''))
+           + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(toks / 100.0, 1.0)
+             + 0.4 * least(stops / greatest(toks, 1), 1.0)
+             + 0.2 * (1.0 - pr), 6) AS quality,
+       bpe AS n_bpe_tokens,
+       stops AS n_stopwords
+FROM s
+"""
+
+
+def fuzzy_claiming_documents(spark, sf_dir):
+    """J8+J9: sequential fuzzy rounds with at-most-once target claiming
+    and pool refinement — inherently iterative (order-dependent state),
+    rows-only check (SURVEY §4.3.2)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.substring("text", 1, 50).alias("head"),
+        F.substring("text", 20, 50).alias("mid"),
+    )
+    unmatched = base.where(F.col("doc_id") < 50)
+    pool = base.where(F.col("doc_id") >= 50)
+    return fuzzy.fuzzy_claiming_rounds(
+        unmatched, pool, ["head", "mid"], source_id="doc_id", target_id="doc_id"
+    )
+
+
+# =============================================================================
 # Catalog
 # =============================================================================
 
@@ -670,6 +865,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "events_sessionized": events_sessionized,
     "multimodal_features": multimodal_features,
+    "staging_lineitem": staging_lineitem,
+    "copy_column_nation_name": copy_column_nation_name,
+    "match_join_table_constraint": match_join_table_constraint,
+    "geo_prep_customers": geo_prep_customers,
+    "text_quality": text_quality,
+    "fuzzy_claiming_documents": fuzzy_claiming_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -694,6 +895,11 @@ ORACLES: dict[str, str] = {
     "embed_near_dup": NEARDUP_SQL,
     "events_hourly": HOURLY_SQL,
     "events_sessionized": SESSION_SQL,
+    "staging_lineitem": STAGING_SQL,
+    "copy_column_nation_name": COPYCOL_SQL,
+    "match_join_table_constraint": MATCH_JT_SQL,
+    "geo_prep_customers": GEO_SQL,
+    "text_quality": _quality_sql(),
     # rows-only (non-SQL-expressible): dedup_simhash, embed_lsh_topk,
-    # multimodal_features
+    # multimodal_features, fuzzy_claiming_documents (iterative claiming)
 }

@@ -69,12 +69,15 @@ def stream_hourly_counts(
     watermarking. Returns the streaming DataFrame; callers attach
     writeStream (tests use trigger(availableNow=True) + memory sink).
     """
+    # the fixture stores TIMESTAMP(NANOS): read as bigint nanos (matches
+    # the nanosAsLong session config) and convert to µs exactly
     stream = (
         spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_id bigint, ts bigint, user_id bigint, "
             "event_type string, value double, props string"
         )
         .parquet(parquet_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", watermark)
     )
     return (
