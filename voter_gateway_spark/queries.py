@@ -642,6 +642,163 @@ def multimodal_features(spark, sf_dir):
 
 
 # =============================================================================
+# Merge variants (M6, M7) + rule-count audit (A6) + scalar functions (F1–F3)
+# =============================================================================
+
+def merge_returning_to_source(spark, sf_dir):
+    """M6 return_value_to_source: after upserting order-revenue rows
+    into customer, each source row receives the merged target's
+    c_acctbal (the RETURNING-equivalent join-back)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    src = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("c_acctbal")
+    )
+    mp = MatchPlan(src, cust, target_pk="c_custkey", source_id="c_custkey")
+    mp.find_exact_matches(["c_custkey"])
+    plan = (
+        MergePlan(target_pk="c_custkey")
+        .merge_column_as("c_acctbal", "round($T + $S, 2)")
+        .return_value_to_source("merged_acctbal", "$T.c_acctbal")
+    )
+    res = plan.execute(mp.matches(), cust)
+    return res.source.select(
+        F.col("c_custkey").alias("src_custkey"), "merged_acctbal"
+    )
+
+
+MERGE_RET_SQL = """
+WITH src AS (
+  SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS delta
+  FROM orders GROUP BY o_custkey
+)
+SELECT s.k AS src_custkey,
+       CASE WHEN c.c_custkey IS NOT NULL THEN round(c.c_acctbal + s.delta, 2)
+            ELSE s.delta END AS merged_acctbal
+FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+"""
+
+
+def merge_update_only(spark, sf_dir):
+    """M7 update_only: unmatched source rows are NOT inserted."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    src = (
+        orders.groupBy(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 100 == 7, 100000).otherwise(0)
+            ).alias("c_custkey")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+    )
+    mp = MatchPlan(src, cust, target_pk="c_custkey", source_id="c_custkey")
+    mp.find_exact_matches(["c_custkey"])
+    plan = (
+        MergePlan(target_pk="c_custkey")
+        .merge_column_as("c_acctbal", "round($T + $S, 2)")
+        .set_update_only()
+    )
+    return plan.execute(mp.matches(), cust).target
+
+
+MERGE_UPD_SQL = """
+WITH src AS (
+  SELECT o_custkey + CASE WHEN o_custkey % 100 = 7 THEN 100000 ELSE 0 END AS k,
+         round(sum(o_totalprice), 2) AS delta
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey,
+       CASE WHEN s.k IS NOT NULL THEN round(c.c_acctbal + s.delta, 2)
+            ELSE c.c_acctbal END AS c_acctbal,
+       c.c_mktsegment
+FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+"""
+
+
+def audit_match_rule_counts(spark, sf_dir):
+    """A6: per-rule match counts over the tagged cascade (the merge
+    dry-run audit)."""
+    from voter_gateway_spark.audit import match_rule_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    mp = MatchPlan(orders, cust, target_pk="c_custkey", source_id="o_orderkey")
+    mp.foreign_key_match([("o_custkey", "c_custkey")], raw_condition="t.c_acctbal > 5000")
+    mp.foreign_key_match(
+        [("o_custkey", "c_custkey")], raw_condition="t.c_mktsegment = 'BUILDING'"
+    )
+    return match_rule_counts(mp.matches())
+
+
+RULE_COUNT_SQL = """
+SELECT CASE WHEN c_acctbal > 5000 THEN 1
+            WHEN c_mktsegment = 'BUILDING' THEN 2 END AS _match_rule,
+       count(*) AS count
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def functions_scalar_suite(spark, sf_dir):
+    """F1–F3 scalar functions over fixture-derived inputs: election
+    naming, forgiving date coercion, email validation."""
+    from voter_gateway_spark.functions import (
+        coerce_to_date_or_null,
+        election_name,
+        is_email_address_valid,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dstr"),
+        F.element_at(
+            F.array(F.lit("pr"), F.lit("ge"), F.lit("pp"), F.lit("sp"), F.lit("xx")),
+            (F.col("o_orderkey") % 5 + 1).cast("int"),
+        ).alias("etype"),
+        F.when(F.col("o_orderkey") % 7 == 0, "not a date").otherwise(
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+        ).alias("maybe_date"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("user"), F.col("o_orderkey").cast("string"), F.lit("@mail.com")))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("not-an-email"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("email"),
+    )
+    return base.select(
+        "o_orderkey",
+        election_name("dstr", "etype").alias("election"),
+        coerce_to_date_or_null("maybe_date").cast("string").alias("coerced_date"),
+        is_email_address_valid("email").alias("email_ok"),
+    )
+
+
+FUNCTIONS_SQL = r"""
+WITH base AS (
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS dstr,
+         (['pr','ge','pp','sp','xx'])[CAST(o_orderkey % 5 + 1 AS INTEGER)] AS etype,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'not a date'
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS maybe_date,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'user' || CAST(o_orderkey AS VARCHAR) || '@mail.com'
+              WHEN o_orderkey % 3 = 1 THEN 'not-an-email'
+              ELSE NULL END AS email
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(year(CAST(dstr AS DATE)) AS VARCHAR) || '_' ||
+         CASE etype WHEN 'pr' THEN 'primary' WHEN 'ge' THEN 'general'
+                    WHEN 'pp' THEN 'presidential_primary' WHEN 'sp' THEN 'special'
+                    ELSE lower(etype) END AS election,
+       CAST(TRY_CAST(maybe_date AS DATE) AS VARCHAR) AS coerced_date,
+       (email IS NULL OR trim(email) = ''
+        OR (length(email) BETWEEN 3 AND 100 AND contains(email, '@')
+            AND regexp_matches(email, '^\S*\.[a-zA-Z][a-zA-Z\.]*[a-zA-Z]$'))) AS email_ok
+FROM base
+"""
+
+
+# =============================================================================
 # Staging / projection operators (P1–P7, S9)
 # =============================================================================
 
@@ -871,6 +1028,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_prep_customers": geo_prep_customers,
     "text_quality": text_quality,
     "fuzzy_claiming_documents": fuzzy_claiming_documents,
+    "merge_returning_to_source": merge_returning_to_source,
+    "merge_update_only": merge_update_only,
+    "audit_match_rule_counts": audit_match_rule_counts,
+    "functions_scalar_suite": functions_scalar_suite,
 }
 
 ORACLES: dict[str, str] = {
@@ -900,6 +1061,10 @@ ORACLES: dict[str, str] = {
     "match_join_table_constraint": MATCH_JT_SQL,
     "geo_prep_customers": GEO_SQL,
     "text_quality": _quality_sql(),
+    "merge_returning_to_source": MERGE_RET_SQL,
+    "merge_update_only": MERGE_UPD_SQL,
+    "audit_match_rule_counts": RULE_COUNT_SQL,
+    "functions_scalar_suite": FUNCTIONS_SQL,
     # rows-only (non-SQL-expressible): dedup_simhash, embed_lsh_topk,
     # multimodal_features, fuzzy_claiming_documents (iterative claiming)
 }
