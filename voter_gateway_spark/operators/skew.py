@@ -1,0 +1,70 @@
+"""Skew-handling utilities for heavy-key joins and aggregations.
+
+AQE's skew-join splitting (enabled in build_spark) covers sort-merge
+joins at runtime; these helpers cover the cases AQE can't: skewed
+broadcast-ineligible aggregations and explicit salt-and-replicate
+joins where the skew is known ahead of time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
+    """Append a deterministic salt derived from a hash of the whole row
+    (stable across retries, unlike rand())."""
+    return df.withColumn(
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial agg on
+    (key, salt) spreads a hot key over `salt_buckets` reducers, final
+    agg recombines. Only algebraic aggregates decompose this way.
+
+    aggs: output_name -> (partial aggregate Column, combiner) where
+    combiner ∈ {"sum", "min", "max"} — counts combine with "sum".
+    """
+    combiners = {"sum": F.sum, "min": F.min, "max": F.max}
+    partial = (
+        salted(df, salt_buckets)
+        .groupBy(*keys, "_salt")
+        .agg(*[c.alias(f"_p_{name}") for name, (c, _) in aggs.items()])
+    )
+    finals = [
+        combiners[comb](f"_p_{name}").alias(name) for name, (_, comb) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*finals)
+
+
+def replicate_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt-and-replicate equi-join for a skewed big side joining a
+    non-broadcastable-but-smallish side: the big side gets a random-ish
+    deterministic salt, the small side is replicated across all salt
+    values, and the join key becomes (key, salt) — hot keys spread over
+    `salt_buckets` tasks.
+    """
+    b = big.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -68,6 +68,22 @@ class WorkingFrame:
         self._columns.append(spec)
         return self
 
+    def map_column_py(
+        self, name: str, fn, from_col: str | None = None, type: str = "TEXT"
+    ) -> "WorkingFrame":
+        """P3/F5 escape hatch: arbitrary Python converter, the analog of
+        the reference's per-column `Proc(row)` (csv_file.rb:93-99).
+
+        Runs as an Arrow-optimized Python UDF (batched Arrow transfer) —
+        still the slow path vs native exprs; use only for true closures.
+        """
+        spec = ColumnSpec(name=name, type=type, source=from_col or name)
+        conv = F.udf(fn, spec.spark_type, useArrow=True)
+        self._py_columns = getattr(self, "_py_columns", [])
+        self._py_columns.append((name, spec.source, conv))
+        self._columns.append(spec)  # placeholder keeps declared order
+        return self
+
     def add_column(self, name: str, type: str = "TEXT") -> "WorkingFrame":
         """P4: append a typed, data-less column."""
         self._columns.append(ColumnSpec(name=name, type=type, source=None))
@@ -94,9 +110,13 @@ class WorkingFrame:
             )
             df = df.where(pred)
         if self._columns:
+            py_cols = {name: (src, udf) for name, src, udf in getattr(self, "_py_columns", [])}
             exprs = []
             for spec in self._columns:
-                if spec.source == "__lit__":
+                if spec.name in py_cols:
+                    src, udf = py_cols[spec.name]
+                    exprs.append(udf(F.col(f"`{src}`")).alias(spec.name))
+                elif spec.source == "__lit__":
                     exprs.append(render_expr(spec.as_expr).alias(spec.name))
                 else:
                     exprs.append(spec.converter())

@@ -1,0 +1,78 @@
+"""Write-side: parquet sinks with the layout controls that matter at
+100 TB — partition columns for pruning, bucketing for co-located joins,
+target file sizing, and atomic overwrite.
+
+Reference analogs: S9 table materialization and S12 transactional load
+(the reference leans on Postgres transactions; Spark's file committer
+gives write-then-rename atomicity per job, and dynamic partition
+overwrite limits the blast radius to touched partitions).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_rows_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Parquet sink.
+
+    - partition_by: hive-style partition dirs → partition pruning on read
+    - target_rows_per_file: repartition so files land near a target size
+      (avoids the tiny-file problem when upstream parallelism is high)
+    - sort_within_partitions: clustered layout → better min/max skipping
+    """
+    out = df
+    if target_rows_per_file:
+        # cheap row estimate from the optimizer when available; else one
+        # pass — at scale prefer passing an explicit estimate
+        n = df.count()
+        out = out.repartition(max(1, math.ceil(n / target_rows_per_file)))
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: equi-joins and aggregations on
+    `bucket_cols` across tables with matching bucketing need NO shuffle
+    (the 100 TB co-location strategy for repeated merge targets).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Dynamic partition overwrite: replace only the partitions present
+    in `df` (the idempotent re-import pattern — re-running a day's load
+    rewrites that day only)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
