@@ -32,6 +32,11 @@ def salted_aggregate(
 
     aggs: output_name -> (partial aggregate Column, combiner) where
     combiner ∈ {"sum", "min", "max"} — counts combine with "sum".
+
+    The partial MUST be algebraic as given: pass F.sum("x"), never
+    F.round(F.sum("x")) — combining rounded partials is not the same as
+    rounding the combined total. Apply presentation functions to the
+    returned frame.
     """
     combiners = {"sum": F.sum, "min": F.min, "max": F.max}
     partial = (
