@@ -27,7 +27,21 @@ from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
 from voter_gateway_spark.streaming.events import hourly_counts, sessionize
 
 
+def _tune(spark: SparkSession) -> None:
+    """Make a caller-provided SparkSession safe for these queries: the
+    driver harness builds its own session, which won't carry our
+    build_spark configs. Both are runtime-settable SQL confs; UTC keeps
+    window/epoch math aligned with the DuckDB oracle, nanosAsLong lets
+    the TIMESTAMP(NANOS) events fixture load at all."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked conf — build_spark sessions already carry these
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
