@@ -233,3 +233,11 @@ def test_stream_hourly_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == exp
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.component for r in dedup_ops.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 10: 10, 11: 10}

@@ -187,6 +187,57 @@ def minhash_lsh_pairs(
     )
 
 
+# -- connected components ------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, component) where
+    component = min id reachable through the pair graph. Pairs alone
+    don't dedupe — groups of mutual near-dups must collapse to ONE
+    representative; this is the standard min-label propagation loop
+    (iterations ≈ graph diameter, each a join + min-aggregate; per-round
+    localCheckpoint truncates lineage like the reference's temp tables).
+
+    At 100 TB scale this is the alternating-min formulation that
+    MapReduce CC algorithms (e.g. large-star/small-star) refine; near-dup
+    graphs are shallow (diameter ≪ 10), so the simple loop holds.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.expr("n.id = o.id"))
+            .where(F.expr("n.label != o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
 # -- SimHash -------------------------------------------------------------------
 
 def word_hashes(col: Column | str, k: int = 2) -> Column:

@@ -555,6 +555,35 @@ WHERE len(list_intersect(x.s, y.s)) * 1.0
 """
 
 
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup pairs → connected components: every doc in a mutual
+    near-dup group maps to the group's minimum doc_id (the
+    representative a dedup pipeline keeps)."""
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.12
+    )
+    return dedup_ops.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({NGRAM_SQL.replace(';', '')}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges)
+, walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a
+)
+SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs — no SQL oracle (hex→int conv is not
     portable); rows-only check."""
@@ -1029,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash": dedup_simhash,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_near_dup": embed_near_dup,
@@ -1066,6 +1096,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_fingerprint": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_cluster_components": COMPONENTS_SQL,
     "embed_topk_cosine": TOPK_SQL,
     "embed_near_dup": NEARDUP_SQL,
     "events_hourly": HOURLY_SQL,
