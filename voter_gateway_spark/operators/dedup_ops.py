@@ -17,8 +17,12 @@ dominant shuffle; band width trades recall for fanout.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from voter_gateway_spark.operators.skew import widen
 
 
 def _c(col: Column | str) -> Column:
@@ -39,9 +43,14 @@ def exact_dedup(df: DataFrame, keys: list[str], pk: str) -> DataFrame:
 # -- word shingles ------------------------------------------------------------
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles of normalized lowercase text."""
+    """Distinct word k-shingles of normalized lowercase text.
+
+    Splitting on \\s+ directly (instead of regexp_replace-then-split)
+    saves a full regex pass over the text; empty fragments from
+    leading/trailing whitespace are filtered, so the word list is
+    identical to the normalize-first formulation the oracle uses."""
     words = F.filter(
-        F.split(F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " "))), " "),
+        F.split(F.lower(_c(col)), r"\s+"),
         lambda w: w != "",
     )
     n = F.size(words)
@@ -73,18 +82,27 @@ def ngram_jaccard_pairs(
     inverted-index blocking on shared shingles. Lossless for
     threshold > 0: any qualifying pair shares ≥1 shingle.
 
-    The (id, shingles) projection feeds three plan branches (sizes +
+    The (id, hashes) projection feeds three plan branches (sizes +
     both sides of the self-join); `materialize` checkpoints it so the
-    shingle expressions compute once, not per branch."""
-    base = df.select(
+    shingle expressions compute once, not per branch.
+
+    Shingles ride as 60-bit md5-derived ints (`shingle_hash60`), not
+    strings: the exploded inverted-index join shuffles 8-byte keys
+    instead of multi-word text, and Jaccard over the distinct hash sets
+    equals Jaccard over the shingle sets (the oracle hashes the same
+    way, so even a collision — ~n²/2^60 — is mirrored)."""
+    base = widen(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    )
+    ).select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
     if materialize:
-        base = base.localCheckpoint(eager=False)
+        # eager: three branches read this (sizes + both explode sides);
+        # a lazy checkpoint lets them race and recompute the shingle
+        # pass per branch
+        base = base.localCheckpoint(eager=True)
     # intersection size = pair count in the inverted-index join (arrays
     # are distinct); only (id, id) tuples shuffle, never the arrays
-    sizes = base.select("_id", F.size("_sh").alias("_n"))
-    ex = base.select("_id", F.explode("_sh").alias("_s"))
+    sizes = base.select("_id", F.size("_hh").alias("_n"))
+    ex = base.select("_id", F.explode("_hh").alias("_s"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
@@ -107,20 +125,45 @@ def ngram_jaccard_pairs(
 
 # -- MinHash + LSH -------------------------------------------------------------
 
-def _salted_md5(seed: int):
-    # NB: a plain `lambda s, seed=seed:` would be treated by Spark's
-    # higher-order functions as an (element, index) lambda — the index
-    # column would silently replace the seed. Closure factory avoids it.
-    return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s).cast("binary"))
+_MINHASH_P = 2147483647  # 2^31 - 1: a*h + b stays under 2^63 in BIGINT
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """n-permutation MinHash: per seed, min over md5(seed || ':' || shingle)
-    hex strings. Lexicographic min over md5 hex == min over the 128-bit
-    integer — deterministic and portable to the SQL oracle."""
+def _affine_consts(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation, derived from md5 so the
+    SQL oracle can bake the identical literals."""
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (_MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _affine(a: int, b: int):
+    # closure factory — see the word_hashes docstring for why not a
+    # default-arg lambda. Reduce h mod p first so a*(h%p) stays under
+    # 2^62 (ANSI mode errors on BIGINT overflow).
+    return lambda h: ((h % F.lit(_MINHASH_P)) * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+
+def shingle_hash60(s: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 — portable:
+    DuckDB reproduces it as ('0x' || substring(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(hashes: Column, n_hashes: int = 16) -> Column:
+    """n-permutation MinHash over pre-computed shingle hashes: one md5
+    per shingle (NOT per seed — 16× cheaper), then n affine permutations
+    (a_i*h + b_i) mod 2^31-1, min per permutation.
+
+    `hashes` must be a REFERENCE to a projected column of
+    `shingle_hash60` values (array<bigint>), not the hash expression
+    inline: CollapseProject keeps a non-cheap multi-referenced alias
+    staged, so the md5 pass runs once per row instead of n times."""
     sigs = [
-        F.array_min(F.transform(shingles, _salted_md5(seed)))
-        for seed in range(n_hashes)
+        F.array_min(F.transform(hashes, _affine(a, b)))
+        for a, b in _affine_consts(n_hashes)
     ]
     return F.array(*sigs)
 
@@ -141,10 +184,15 @@ def minhash_lsh_pairs(
     steep around j≈0.5.
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes)).localCheckpoint(
-        eager=False
+    base = (
+        widen(df)
+        .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
+        .select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
+        .select("_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"))
+        # eager: three downstream branches (both band sides + the
+        # verification join) read this — a lazy checkpoint lets them
+        # race and recompute the signature pass per branch
+        .localCheckpoint(eager=True)
     )
     # band keys shuffle as compact strings; candidate pairs carry ids
     # only, then the (small, blocked) candidate set joins the shingle
@@ -176,10 +224,12 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base.select("_id", "_sh")
+    # exact verification on the distinct hash sets (== shingle-set
+    # Jaccard; the oracle hashes identically)
+    sh = base.select("_id", "_hh")
     return (
-        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_hh").alias("_sha")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_hh").alias("_shb")), "id_b")
         .select(
             "id_a", "id_b", F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard")
         )
@@ -287,7 +337,7 @@ def simhash_pairs(
     blocked on band equality (pigeonhole: distance ≤ n_bands-1 implies
     ≥1 equal band when bands = max_hamming+1)."""
     band_width = 60 // n_bands
-    base = df.select(
+    base = widen(df).select(
         F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh")
     ).select("_id", simhash64(hashes_col=F.col("_hh")).alias("_h"))
     banded = base.select(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from voter_gateway_spark.operators.skew import widen
+
 DEFAULT_THRESHOLD = 0.5  # fuzzy_merger.rb:5
 
 
@@ -75,10 +77,10 @@ def candidate_pairs(
     rows (stop-trigram pruning) — at scale this bounds the join fanout
     like pg_trgm's index selectivity does.
     """
-    s = source.select(
+    s = widen(source).select(
         F.col(source_id).alias("_sid"), trigrams(source_col).alias("_stg")
     )
-    t = target.select(
+    t = widen(target).select(
         F.col(target_id).alias("_tid"), trigrams(target_col).alias("_ttg")
     )
     # Set-similarity join: |A ∩ B| falls out of the inverted-index join

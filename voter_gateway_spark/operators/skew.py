@@ -12,6 +12,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise a narrow input to at least the session's default
+    parallelism before an expression-heavy stage.
+
+    Small files scan as one or two partitions (parquet splits at the
+    row-group, not the row), which serializes per-row-expensive stages
+    (shingling, md5 signatures, trigram sets, vector math) onto a
+    couple of cores no matter how wide the cluster is. A round-robin
+    repartition up-front costs one cheap shuffle of the raw rows and
+    buys full-width compute. No-op — no shuffle — when the input is
+    already at least that wide, so cluster-scale inputs with thousands
+    of scan partitions pass through untouched.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
     """Append a deterministic salt derived from a hash of the whole row
     (stable across retries, unlike rand())."""

@@ -499,19 +499,27 @@ list_distinct(list_transform(
 ))
 """
 
+# Shingles compared as 60-bit md5-derived ints, mirroring
+# dedup_ops.shingle_hash60 exactly — Jaccard over the distinct hash
+# sets is Jaccard over the shingle sets on both engines.
+_HASHED = r"""
+list_distinct(list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT))
+"""
+
 NGRAM_SQL = f"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
   FROM documents
-), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w)
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a, sh b
+       round(len(list_intersect(a.hl, b.hl)) * 1.0
+             / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))), 6) AS jaccard
+FROM hh a, hh b
 WHERE a.doc_id < b.doc_id
-  AND len(list_intersect(a.s, b.s)) * 1.0
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.12
+  AND len(list_intersect(a.hl, b.hl)) * 1.0
+      / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))) >= 0.12
 """
 
 
@@ -523,15 +531,16 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_sql() -> str:
+    from voter_gateway_spark.operators.dedup_ops import _MINHASH_P, _affine_consts
+
     n_hashes, bands, rows = 16, 4, 4
-    shingles = _SHINGLES
     sig = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{seed}:' || x))) AS h{seed}"
-        for seed in range(n_hashes)
+        f"list_min(list_transform(hl, h -> ((h % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P})) AS h{seed}"
+        for seed, (a, b) in enumerate(_affine_consts(n_hashes))
     )
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS b, "
-        + "(" + " || '|' || ".join(f"h{b * rows + r}" for r in range(rows)) + ") AS k FROM sig"
+        + "(" + " || '|' || ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)) + ") AS k FROM sig"
         for b in range(bands)
     )
     return f"""
@@ -539,19 +548,20 @@ WITH w AS (
   SELECT doc_id,
          list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
   FROM documents
-), sh AS (SELECT doc_id, {shingles} AS s FROM w),
-sig AS (SELECT doc_id, s, {sig} FROM sh),
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh),
+sig AS (SELECT doc_id, hl, {sig} FROM hh),
 bands AS ({band_union}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       round(len(list_intersect(x.s, y.s)) * 1.0
-             / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
-FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
-WHERE len(list_intersect(x.s, y.s)) * 1.0
-      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.1
+       round(len(list_intersect(x.hl, y.hl)) * 1.0
+             / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) AS jaccard
+FROM cand JOIN hh x ON cand.id_a = x.doc_id JOIN hh y ON cand.id_b = y.doc_id
+WHERE len(list_intersect(x.hl, y.hl)) * 1.0
+      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))) >= 0.1
 """
 
 
