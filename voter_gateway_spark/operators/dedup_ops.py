@@ -48,20 +48,28 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     Splitting on \\s+ directly (instead of regexp_replace-then-split)
     saves a full regex pass over the text; empty fragments from
     leading/trailing whitespace are filtered, so the word list is
-    identical to the normalize-first formulation the oracle uses."""
-    words = F.filter(
-        F.split(F.lower(_c(col)), r"\s+"),
-        lambda w: w != "",
-    )
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.array_distinct(shingles)
+    identical to the normalize-first formulation the oracle uses.
+
+    The word list is BOUND as a lambda variable (transform over a
+    one-element array) before the shingle loop. Referencing the
+    split+filter subtree directly inside the per-shingle lambda
+    re-evaluates it per shingle — O(words²) per row, measured 5× slower
+    on the documents fixture."""
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+                ),
+            )
+        )
+
+    words = F.filter(F.split(F.lower(_c(col)), r"\s+"), lambda w: w != "")
+    return F.element_at(F.transform(F.array(words), build), 1)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -335,11 +343,34 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming,
     blocked on band equality (pigeonhole: distance ≤ n_bands-1 implies
-    ≥1 equal band when bands = max_hamming+1)."""
+    ≥1 equal band when bands = max_hamming+1).
+
+    The per-bit majority vote runs as explode + 60 codegen'd SUM
+    aggregates (one shuffle, keyed by id), not 60 interpreted
+    higher-order filter passes per row — ~10× on wide docs. Documents
+    with no shingles drop out at the explode (they can't pair anyway).
+    """
     band_width = 60 // n_bands
-    base = widen(df).select(
-        F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh")
-    ).select("_id", simhash64(hashes_col=F.col("_hh")).alias("_h"))
+    ones = [
+        F.sum(F.shiftrightunsigned("_wh", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        for b in range(60)
+    ]
+    votes = (
+        widen(df)
+        .select(F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh"))
+        .select("_id", F.explode("_hh").alias("_wh"))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"), *ones)
+    )
+    sim = F.aggregate(
+        F.array(*[
+            F.when(F.col(f"_o{b}") * 2 >= F.col("_n"), F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(60)
+        ]),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    base = votes.select("_id", sim.alias("_h"))
     banded = base.select(
         "_id",
         "_h",

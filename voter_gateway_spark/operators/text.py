@@ -140,16 +140,24 @@ def shingle_fingerprint(col: Column | str, k: int = 3, words_col: Column | None 
     """Document fingerprint robust to local edits: the minimum md5 over
     word k-shingles (a 1-permutation minhash). Portable to SQL.
 
-    Pass `words_col` (a projected lower_words column) to keep the
-    split subtree out of the per-shingle lambda (codegen size)."""
+    The word list is bound as a lambda variable (transform over a
+    one-element array) so the split subtree evaluates once per row,
+    not once per shingle (see dedup_ops.word_shingles). `words_col`
+    optionally supplies an already-projected word list."""
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        shingles = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+            ),
+        )
+        return F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
+
     words = words_col if words_col is not None else lower_words(col)
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]),
-    )
-    return F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
+    return F.element_at(F.transform(F.array(words), build), 1)
 
 
 # -- DataFrame-level convenience ---------------------------------------------

@@ -595,11 +595,49 @@ SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs — no SQL oracle (hex→int conv is not
-    portable); rows-only check."""
     return dedup_ops.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2
     )
+
+
+def _simhash_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Bit-for-bit mirror of simhash_pairs: 60-bit md5-derived shingle
+    hashes (('0x' || md5-prefix)::BIGINT == Spark's conv(...,16,10)),
+    per-bit majority vote, 15-bit band blocking, xor+bit_count hamming."""
+    band_width = 60 // n_bands
+    mask = (1 << band_width) - 1
+    sim_bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hl, h -> (h >> {b}) & 1 = 1)) >= len(hl)"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(60)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, h, {b} AS b, (h >> {b * band_width}) & {mask} AS k FROM sim"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(wl) - 1, 1)),
+           i -> concat_ws(' ', wl[i], wl[i+1])
+         )) AS s
+  FROM w
+), hh AS (SELECT doc_id, list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hl FROM sh),
+sim AS (SELECT doc_id, {sim_bits} AS h FROM hh WHERE len(hl) > 0),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
 
 
 # =============================================================================
@@ -645,10 +683,38 @@ WHERE a.vec_id < b.vec_id
 
 
 def embed_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN — approximate by design; rows-only check."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
     return similarity.lsh_bucketed_topk(queries, emb, k=5)
+
+
+def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """Mirror of lsh_bucketed_topk: the md5-derived hyperplanes are
+    baked as literals, bucket = concatenated dot-product sign bits."""
+    from voter_gateway_spark.operators.similarity import _plane
+
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in _plane(s, dim))
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for s in range(n_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bits} AS bucket FROM e),
+q AS (SELECT * FROM b WHERE vec_id % 10 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+  FROM q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM p
+) WHERE rn <= {k}
+"""
 
 
 # =============================================================================
@@ -1120,6 +1186,9 @@ ORACLES: dict[str, str] = {
     "merge_update_only": MERGE_UPD_SQL,
     "audit_match_rule_counts": RULE_COUNT_SQL,
     "functions_scalar_suite": FUNCTIONS_SQL,
-    # rows-only (non-SQL-expressible): dedup_simhash, embed_lsh_topk,
-    # multimodal_features, fuzzy_claiming_documents (iterative claiming)
+    "dedup_simhash": _simhash_sql(),
+    "embed_lsh_topk": _lsh_topk_sql(),
+    # rows-only (non-SQL-expressible): multimodal_features (sha256 over
+    # binary via mapInPandas), fuzzy_claiming_documents (iterative
+    # order-dependent claiming)
 }
