@@ -241,3 +241,51 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.component for r in dedup_ops.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 10: 10, 11: 10}
+
+
+def test_stream_dedup_events_drops_duplicates(spark, sf_dir, tmp_path):
+    """Duplicated source files → exactly one output row per event_id,
+    across micro-batches (keyed state) and within one batch."""
+    import shutil
+
+    from voter_gateway_spark.streaming.events import stream_dedup_events
+
+    stream_dir = tmp_path / "events_dup"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-1.parquet")
+    q = (
+        stream_dedup_events(spark, str(stream_dir))
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_stream_dedup")
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").distinct().count()
+    )
+    assert got.count() == n_distinct
+    assert got.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
+    """AllPairs prefix filtering must not change the result set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_ops.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, prefix_filter=False
+        ).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup_ops.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, prefix_filter=True
+        ).collect()
+    }
+    assert full == pruned
+    assert len(full) > 0

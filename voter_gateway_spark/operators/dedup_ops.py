@@ -85,10 +85,21 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     materialize: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via
     inverted-index blocking on shared shingles. Lossless for
     threshold > 0: any qualifying pair shares ≥1 shingle.
+
+    `prefix_filter` (default: auto, on when threshold ≥ 0.5) applies
+    the AllPairs/PPJoin prefix principle: order tokens by global rarity
+    and index only each set's first |s| - ceil(t*|s|) + 1 tokens — any
+    pair with J ≥ t must collide inside those prefixes, so the join
+    fanout of a token with frequency f drops from f² toward
+    ((1-t)f)², which is what keeps hot shingles (boilerplate headers,
+    common phrases) from exploding the shuffle at corpus scale. Costs
+    one extra frequency aggregate + per-doc rank; exact Jaccard is then
+    verified on the candidate pairs' full hash sets.
 
     The (id, hashes) projection feeds three plan branches (sizes +
     both sides of the self-join); `materialize` checkpoints it so the
@@ -107,10 +118,40 @@ def ngram_jaccard_pairs(
         # a lazy checkpoint lets them race and recompute the shingle
         # pass per branch
         base = base.localCheckpoint(eager=True)
-    # intersection size = pair count in the inverted-index join (arrays
-    # are distinct); only (id, id) tuples shuffle, never the arrays
     sizes = base.select("_id", F.size("_hh").alias("_n"))
     ex = base.select("_id", F.explode("_hh").alias("_s"))
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
+    if prefix_filter:
+        freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+        w = Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("_s").asc())
+        prefix = (
+            ex.join(freq, "_s")
+            .withColumn("_rn", F.row_number().over(w))
+            .join(sizes, "_id")
+            .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+            .select("_id", "_s")
+        )
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # exact verification on the (small, blocked) candidate set
+        return (
+            cand.join(base.select(F.col("_id").alias("id_a"), F.col("_hh").alias("_sha")), "id_a")
+            .join(base.select(F.col("_id").alias("id_b"), F.col("_hh").alias("_shb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    # low thresholds: full inverted-index join; intersection size = pair
+    # count (arrays are distinct), so only (id, id) tuples shuffle —
+    # never the arrays
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))

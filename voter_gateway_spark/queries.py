@@ -8,8 +8,10 @@ embeddings). Column names AND types are aligned on both sides; floating
 aggregates are rounded identically; every ordering has a deterministic
 tie-break so value-hashes compare equal.
 
-Non-SQL-expressible entries (streaming, mapInPandas multimodal,
-simhash's hex→int conv) carry oracle=None → rows-only check.
+Non-SQL-expressible entries (mapInPandas multimodal, iterative fuzzy
+claiming) carry oracle=None → rows-only check; everything else —
+including simhash, minhash and LSH buckets via md5-derived integer
+hashes — is value-hash-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -169,6 +171,104 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+"""
+
+
+# -----------------------------------------------------------------------------
+# Spark-inherited relational ops the reference lacks (SURVEY §2.5 note):
+# grouping sets / rollup, window functions, set operators — exposed as
+# first-class catalog queries so the coverage is oracle-verified.
+# -----------------------------------------------------------------------------
+
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP over (priority, returnflag): subtotals + grand total.
+    grouping_id disambiguates NULL-as-subtotal from NULL data."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .rollup("o_orderpriority", "l_returnflag")
+        .agg(
+            F.grouping_id("o_orderpriority", "l_returnflag").alias("gid"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("o_orderpriority", "l_returnflag", "gid", "revenue", "n_items")
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderpriority, l_returnflag,
+       grouping(o_orderpriority) * 2 + grouping(l_returnflag) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+"""
+
+
+def window_customer_orders(spark, sf_dir):
+    """Window-function suite over each customer's order history:
+    running total, order sequence number, gap to the previous order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def set_ops_nations(spark, sf_dir):
+    """Set operators: nations with customers INTERSECT nations with
+    suppliers, minus (EXCEPT) nations of BUILDING-segment customers,
+    then UNION the AUTOMOBILE ones back — exercises all three."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    both = (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supp.select(F.col("s_nationkey").alias("nationkey")))
+    )
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return both.exceptAll(building.distinct()).union(auto).distinct()
+
+
+SETOPS_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+  )
+  EXCEPT ALL
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
 """
 
 
@@ -506,7 +606,9 @@ _HASHED = r"""
 list_distinct(list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT))
 """
 
-NGRAM_SQL = f"""
+
+def _ngram_sql(threshold: float) -> str:
+    return f"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
@@ -519,8 +621,20 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM hh a, hh b
 WHERE a.doc_id < b.doc_id
   AND len(list_intersect(a.hl, b.hl)) * 1.0
-      / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))) >= 0.12
+      / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))) >= {threshold}
 """
+
+
+NGRAM_SQL = _ngram_sql(0.12)
+
+
+def dedup_ngram_prefix_filtered(spark, sf_dir):
+    """High-threshold set-similarity join — exercises the lossless
+    AllPairs prefix filter (rarest-token prefixes bound candidate
+    fanout; see dedup_ops.ngram_jaccard_pairs)."""
+    return dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -1131,8 +1245,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "rollup_revenue": rollup_revenue,
+    "window_customer_orders": window_customer_orders,
+    "set_ops_nations": set_ops_nations,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash": dedup_simhash,
@@ -1169,8 +1287,12 @@ ORACLES: dict[str, str] = {
     "text_token_stats": TOKEN_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "window_customer_orders": WINDOW_SQL,
+    "set_ops_nations": SETOPS_SQL,
     "dedup_exact_fingerprint": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_ngram_prefix_filtered": _ngram_sql(0.8),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_cluster_components": COMPONENTS_SQL,
     "embed_topk_cosine": TOPK_SQL,

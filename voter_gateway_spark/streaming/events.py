@@ -93,3 +93,72 @@ def stream_hourly_counts(
             "value_sum",
         )
     )
+
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _event_stream(spark: SparkSession, parquet_dir: str, watermark: str):
+    """Streaming read of the events fixture layout with ts normalized
+    to µs (fixture stores TIMESTAMP(NANOS) → bigint under nanosAsLong)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    parquet_dir: str,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 24 * 3600 * 1000,
+):
+    """Streaming exact-dedup on event_id via applyInPandasWithState —
+    the custom-stateful-operator escape hatch (the reference has no
+    streaming at all; Spark's built-in dropDuplicates covers the simple
+    case, this shows the general keyed-state machinery a bespoke op
+    would use).
+
+    Keyed state = one boolean per seen event_id, expired by EVENT-TIME
+    timeout `state_ttl_ms` past the watermark: at 100 TB/day the state
+    store stays bounded by the dedup horizon instead of growing with
+    the full key history. Emits the first occurrence of each key;
+    duplicates inside one micro-batch and across batches both drop.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_type = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    state_type = "seen boolean"
+
+    def first_only(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted = state.exists
+        for pdf in pdfs:
+            if not emitted and len(pdf):
+                yield pdf.iloc[[0]]
+                emitted = True
+        if not state.exists:
+            state.update((True,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+
+    return (
+        _event_stream(spark, parquet_dir, watermark)
+        .groupBy("event_id")
+        .applyInPandasWithState(
+            first_only,
+            outputStructType=out_type,
+            stateStructType=state_type,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
