@@ -289,3 +289,20 @@ def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
     }
     assert full == pruned
     assert len(full) > 0
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF with 4/16 probes must recover most of the exact top-5 on the
+    fixture (deterministic: seeded centroids, fixed rounds)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(qs, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(qs, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: lock in the plan properties the
+engine is designed around (SCALING.md) so a refactor that silently
+de-optimizes a query fails loudly.
+
+- No row-at-a-time Python (`BatchEvalPython`) anywhere in the catalog;
+  Python appears only as Arrow-batched nodes in the deliberate escape
+  hatches (multimodal mapInPandas).
+- Parquet filters reach the scan (`PushedFilters`), and expression
+  pipelines run inside WholeStageCodegen.
+- Small dimension sides broadcast instead of shuffling.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from voter_gateway_spark.queries import QUERIES
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# Iterative operators run real jobs while BUILDING the frame
+# (checkpointed rounds); exercising them here would re-run whole
+# pipelines, so plan-shape checks cover the single-plan queries.
+_ITERATIVE = {"dedup_cluster_components", "fuzzy_claiming_documents", "embed_ivf_topk"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in QUERIES if n not in _ITERATIVE]
+)
+def test_no_row_python_in_catalog(spark, sf_dir, name):
+    plan = _plan(QUERIES[name](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in plan, f"{name} fell off the Arrow path"
+
+
+def test_q1_pushdown_and_codegen(spark, sf_dir):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the shipdate predicate must reach the parquet scan, not sit in a
+    # post-scan Filter only
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # vectorized columnar scan (AQE hides WholeStageCodegen spans until
+    # execution, so assert the batched read instead)
+    assert "Batched: true" in plan
+
+
+def test_q1_schema_pruning(spark, sf_dir):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # q1 aggregates 7 measure columns + 2 keys + the filter column; the
+    # scan must not read the join/id columns it never touches
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(QUERIES["q3_top_revenue_orders"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_match_cascade_is_one_plan_with_pruned_scans(spark, sf_dir):
+    plan = _plan(QUERIES["match_cascade_orders_customers"](spark, sf_dir))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, "expected parquet scans"
+    # rule-side scans of orders must prune to the join columns: none of
+    # them needs o_totalprice
+    assert all("o_totalprice" not in l or "struct<o_orderkey" not in l
+               for l in read_schemas)
+
+
+def test_merge_upsert_single_wide_shuffle(spark, sf_dir):
+    # the merge plan should not shuffle the target more than once per
+    # branch: count exchanges as a coarse regression bound
+    plan = _plan(QUERIES["merge_upsert_customers"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")

@@ -164,6 +164,105 @@ def lsh_bucketed_topk(
     )
 
 
+def _vector_mean(assigned: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean of vectors per group, computed distributed:
+    posexplode → (group, pos) partial sums → re-assemble ordered array.
+    No collect, no UDF; shuffle carries scalars."""
+    return (
+        assigned.select(group_col, F.posexplode(vec_col).alias("_pos", "_x"))
+        .groupBy(group_col, "_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+            ).alias("_centroid")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse
+    quantizer partitions the corpus into cells; each query probes only
+    its `n_probe` nearest cells — candidate work drops by
+    ~n_probe/n_centroids versus brute force.
+
+    Deterministic end to end: centroids seed from the corpus vectors
+    with the smallest md5(id) (a reproducible pseudo-random sample),
+    Lloyd rounds are fixed-count, ties break on ascending cell id.
+    Iterative → no SQL oracle (rows-only check); recall vs brute force
+    is pinned by a test instead.
+
+    At scale the cell id is the natural partition key for a persisted
+    index table: `corpus.writeTo(...).partitionedBy("_cell")` makes a
+    query's probe list prune to n_probe partitions at the scan
+    (`AND _cell IN (...)` → partition pruning, no shuffle).
+    """
+    c = widen(corpus).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).localCheckpoint(eager=True)
+    # deterministic seed sample: n_centroids smallest md5(id)
+    seeds = (
+        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    centroids = seeds.select(
+        F.row_number().over(Window.orderBy("_h")).alias("_cell"), F.col("_cv").alias("_centroid")
+    ).drop("_h").localCheckpoint(eager=True)
+
+    def nearest(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) -> DataFrame:
+        """cells ranked by cosine distance; rank ≤ rank_n kept."""
+        pairs = vecs.crossJoin(F.broadcast(cents))
+        sim = cosine(F.col(vcol), F.col("_centroid"))
+        w = Window.partitionBy(vecs.columns[0]).orderBy(
+            sim.desc(), F.col("_cell").asc()
+        )
+        return (
+            pairs.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= rank_n)
+            .drop("_centroid", "_rank")
+        )
+
+    for _ in range(iters):
+        assigned = nearest(c, "_cv", centroids, 1)
+        centroids = _vector_mean(assigned, "_cell", "_cv").select(
+            "_cell", F.col("_centroid")
+        ).localCheckpoint(eager=True)
+
+    cells = nearest(c, "_cv", centroids, 1).select("_cid", "_cv", "_cell")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    probes = nearest(q, "_qv", centroids, n_probe).select("query_id", "_qv", "_cell")
+    cand = probes.join(cells, "_cell")
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("_cid"))
+    sims = cand.select(
+        "query_id",
+        F.col("_cid").alias("neighbor_id"),
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

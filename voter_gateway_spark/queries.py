@@ -802,6 +802,15 @@ def embed_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucketed_topk(queries, emb, k=5)
 
 
+def embed_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + n_probe cell probing —
+    iterative (Lloyd rounds), so rows-only; recall vs brute force is
+    pinned by test_ivf_recall_floor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk(queries, emb, k=5)
+
+
 def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
     """Mirror of lsh_bucketed_topk: the md5-derived hyperplanes are
     baked as literals, bucket = concatenated dot-product sign bits."""
@@ -1255,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash": dedup_simhash,
     "embed_topk_cosine": embed_topk_cosine,
+    "embed_ivf_topk": embed_ivf_topk,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
