@@ -8,10 +8,10 @@ embeddings). Column names AND types are aligned on both sides; floating
 aggregates are rounded identically; every ordering has a deterministic
 tie-break so value-hashes compare equal.
 
-Non-SQL-expressible entries (mapInPandas multimodal, iterative fuzzy
-claiming) carry oracle=None → rows-only check; everything else —
-including simhash, minhash and LSH buckets via md5-derived integer
-hashes — is value-hash-checked against DuckDB.
+Every entry except embed_ivf_topk (iterative Lloyd rounds — pinned by
+a recall-floor test instead) is value-hash-checked against a DuckDB
+oracle, including simhash/minhash/LSH via md5-derived integer hashes,
+the unrolled fuzzy claiming rounds, and multimodal sha256 features.
 """
 
 from __future__ import annotations
@@ -875,12 +875,35 @@ FROM g GROUP BY user_id, sid
 """
 
 # =============================================================================
-# Multimodal plumbing (rows-only: payloads built in Python, decode stubbed)
+# Multimodal plumbing (decode stubbed; features oracle-checked)
 # =============================================================================
 
 def multimodal_features(spark, sf_dir):
-    media = synthetic_media(spark, 64)
+    """Multimodal plumbing over REAL fixture bytes: documents.text as
+    the opaque binary payload → Arrow mapInPandas feature extraction.
+    Oracle-checkable because DuckDB reproduces sha256/byte-features of
+    the same UTF-8 payloads (synthetic_media stays for unit tests)."""
+    media = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
     return extract_features(media, fake=True)
+
+
+MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS h, octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id < 64
+)
+SELECT media_id, h AS sha256, n_bytes,
+       list_transform(generate_series(0, 7),
+                      i -> ('0x' || substring(h, 2 * i + 1, 2))::INT / 255.0) AS features
+FROM m
+"""
 
 
 # =============================================================================
@@ -1220,8 +1243,9 @@ FROM s
 
 def fuzzy_claiming_documents(spark, sf_dir):
     """J8+J9: sequential fuzzy rounds with at-most-once target claiming
-    and pool refinement — inherently iterative (order-dependent state),
-    rows-only check (SURVEY §4.3.2)."""
+    and pool refinement. The Spark side is iterative (per-round state),
+    but with a FIXED column list the rounds unroll into windowed CTEs —
+    so the oracle checks the full claiming semantics (SURVEY §4.3.2)."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -1233,6 +1257,64 @@ def fuzzy_claiming_documents(spark, sf_dir):
     return fuzzy.fuzzy_claiming_rounds(
         unmatched, pool, ["head", "mid"], source_id="doc_id", target_id="doc_id"
     )
+
+
+def _fuzzy_claiming_sql(threshold: float = 0.5) -> str:
+    """The two claiming rounds of fuzzy_claiming_documents unrolled:
+    per round, best target per source (window 1), then best source per
+    claimed target (window 2); claimed ids leave both sides before the
+    next round. Trigram model == operators.fuzzy.trigrams (pg_trgm)."""
+    tg = (
+        "list_distinct(flatten(list_transform("
+        "list_filter(string_split(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'), ' '), w -> w <> ''), "
+        "w -> list_transform(generate_series(1, len(w) + 1), i -> substring('  ' || w || ' ', i, 3)))))"
+    )
+
+    def round_cte(rnd: str, col: str, src: str, tgt: str) -> str:
+        return f"""
+p_{rnd} AS (
+  SELECT s.doc_id AS sid, t.doc_id AS tid,
+         len(list_intersect(s.tg_{col}, t.tg_{col})) * 1.0
+         / (len(s.tg_{col}) + len(t.tg_{col}) - len(list_intersect(s.tg_{col}, t.tg_{col}))) AS sim
+  FROM {src} s, {tgt} t
+),
+q_{rnd} AS (SELECT * FROM p_{rnd} WHERE sim > {1.0 - threshold}),
+b_{rnd} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid ASC) AS rn
+    FROM q_{rnd}
+  ) WHERE rn = 1
+),
+c_{rnd} AS (
+  SELECT sid, tid, sim FROM (
+    SELECT sid, tid, sim, row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid ASC) AS rn
+    FROM b_{rnd}
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, substring(text, 1, 50) AS head, substring(text, 20, 50) AS mid
+  FROM documents
+),
+src1 AS (
+  SELECT doc_id, {tg.format(col='head')} AS tg_head, {tg.format(col='mid')} AS tg_mid
+  FROM base WHERE doc_id < 50
+),
+tgt1 AS (
+  SELECT doc_id, {tg.format(col='head')} AS tg_head, {tg.format(col='mid')} AS tg_mid
+  FROM base WHERE doc_id >= 50
+),
+{round_cte('1', 'head', 'src1', 'tgt1')},
+src2 AS (SELECT * FROM src1 WHERE doc_id NOT IN (SELECT sid FROM c_1)),
+tgt2 AS (SELECT * FROM tgt1 WHERE doc_id NOT IN (SELECT tid FROM c_1)),
+{round_cte('2', 'mid', 'src2', 'tgt2')}
+SELECT sid AS doc_id, tid AS matched_doc_id, round(sim, 6) AS similarity,
+       'head' AS _fuzzy_column
+FROM c_1
+UNION ALL
+SELECT sid, tid, round(sim, 6), 'mid' FROM c_2
+"""
 
 
 # =============================================================================
@@ -1320,7 +1402,9 @@ ORACLES: dict[str, str] = {
     "functions_scalar_suite": FUNCTIONS_SQL,
     "dedup_simhash": _simhash_sql(),
     "embed_lsh_topk": _lsh_topk_sql(),
-    # rows-only (non-SQL-expressible): multimodal_features (sha256 over
-    # binary via mapInPandas), fuzzy_claiming_documents (iterative
-    # order-dependent claiming)
+    "multimodal_features": MULTIMODAL_SQL,
+    "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
+    # rows-only (genuinely iterative, no closed SQL form):
+    # dedup_cluster_components' recursive oracle covers CC; embed_ivf_topk
+    # (Lloyd rounds) is recall-tested instead
 }
