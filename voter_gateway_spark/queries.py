@@ -174,6 +174,39 @@ GROUP BY n_name
 """
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """Q14-style: ECONOMY-type share of revenue per brand — broadcast
+    dim join + conditional aggregate (every fixture table now has
+    catalog coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
+                * 100.0 / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT p_brand,
+       round(sum(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(sum(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # -----------------------------------------------------------------------------
 # Spark-inherited relational ops the reference lacks (SURVEY §2.5 note):
 # grouping sets / rollup, window functions, set operators — exposed as
@@ -1325,6 +1358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
     "audit_coverage_customer": audit_coverage_customer,
     "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
     "audit_duplicate_custkeys": audit_duplicate_custkeys,
@@ -1368,6 +1402,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "audit_coverage_customer": _coverage_sql("customer", CUSTOMER_COLS),
     "audit_value_dist_mktsegment": DIST_SQL,
     "audit_duplicate_custkeys": DUPKEY_SQL,
