@@ -110,16 +110,67 @@ def ngram_jaccard_pairs(
     instead of multi-word text, and Jaccard over the distinct hash sets
     equals Jaccard over the shingle sets (the oracle hashes the same
     way, so even a collision — ~n²/2^60 — is mirrored)."""
-    base = widen(df).select(
+    full = widen(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
     ).select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
     if materialize:
-        # eager: three branches read this (sizes + both explode sides);
-        # a lazy checkpoint lets them race and recompute the shingle
-        # pass per branch
-        base = base.localCheckpoint(eager=True)
+        # eager: several branches read this; a lazy checkpoint lets
+        # them race and recompute the shingle pass per branch
+        full = full.localCheckpoint(eager=True)
+    # Collapse exact-duplicate shingle SETS to one representative before
+    # the similarity join. On crawl-style corpora where a document has d
+    # identical copies, the candidate join otherwise does d² the work
+    # PER GROUP (measured: 10-way duplication turned a 3s join into
+    # minutes); representatives restore corpus-unique cost. Pairs expand
+    # back afterwards: members of one group pair at jaccard 1.0, and a
+    # cross-group member pair has exactly its representatives' jaccard
+    # (the sets are identical), so the result is unchanged.
+    fp = F.md5(F.concat_ws(",", F.transform("_hh", lambda h: h.cast("string"))).cast("binary"))
+    members = full.select("_id", fp.alias("_fp"), F.size("_hh").alias("_n"))
+    if materialize:
+        members = members.localCheckpoint(eager=True)
+    reps = (
+        members.groupBy("_fp").agg(F.min("_id").alias("_id"))
+        .join(full, "_id")
+        .select("_id", "_fp", "_hh")
+    )
+    if materialize:
+        reps = reps.localCheckpoint(eager=True)
+    base = reps.select("_id", "_hh")
     sizes = base.select("_id", F.size("_hh").alias("_n"))
     ex = base.select("_id", F.explode("_hh").alias("_s"))
+
+    def expand(rep_pairs: DataFrame) -> DataFrame:
+        """Representative pairs → all member pairs, plus intra-group
+        pairs (identical non-empty sets: jaccard exactly 1.0)."""
+        rfa = reps.select(F.col("_id").alias("_ra"), F.col("_fp").alias("_fpa"))
+        rfb = reps.select(F.col("_id").alias("_rb"), F.col("_fp").alias("_fpb"))
+        mem_a = members.select(F.col("_id").alias("_ma"), F.col("_fp").alias("_fpa"))
+        mem_b = members.select(F.col("_id").alias("_mb"), F.col("_fp").alias("_fpb"))
+        cross = (
+            rep_pairs.join(rfa, rep_pairs["id_a"] == rfa["_ra"])
+            .join(rfb, rep_pairs["id_b"] == rfb["_rb"])
+            .join(mem_a, "_fpa")
+            .join(mem_b, "_fpb")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        intra = (
+            members.where(F.col("_n") > 0).alias("x")
+            .join(
+                members.where(F.col("_n") > 0).alias("y"),
+                (F.col("x._fp") == F.col("y._fp")) & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(intra)
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
     if prefix_filter:
@@ -139,7 +190,7 @@ def ngram_jaccard_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
         # exact verification on the (small, blocked) candidate set
-        return (
+        rep_pairs = (
             cand.join(base.select(F.col("_id").alias("id_a"), F.col("_hh").alias("_sha")), "id_a")
             .join(base.select(F.col("_id").alias("id_b"), F.col("_hh").alias("_shb")), "id_b")
             .select(
@@ -149,6 +200,7 @@ def ngram_jaccard_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
+        return expand(rep_pairs)
     # low thresholds: full inverted-index join; intersection size = pair
     # count (arrays are distinct), so only (id, id) tuples shuffle —
     # never the arrays
@@ -158,7 +210,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return (
+    rep_pairs = (
         inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
@@ -170,6 +222,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return expand(rep_pairs)
 
 
 # -- MinHash + LSH -------------------------------------------------------------
