@@ -78,6 +78,67 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_value):
+    """Collapse rows whose `_hh` hash lists are IDENTICAL to one
+    representative before a pair-producing join, and return
+    (members, reps, expand).
+
+    Crawl-style corpora carry d identical copies of a document; every
+    blocking scheme (shared shingle, LSH band, simhash band) keys the
+    copies into the same buckets, costing d² candidate work per group
+    (measured: 10-way duplication turned a 3s join into minutes).
+    Joining one representative per fingerprint restores corpus-unique
+    cost; `expand` then rebuilds the full pair set losslessly —
+    intra-group pairs get `intra_value` (jaccard 1.0 / hamming 0 by
+    definition of identical inputs), cross-group member pairs inherit
+    their representatives' value (identical inputs ⇒ identical
+    similarity). Rows with empty hash lists never pair.
+    """
+    fp = F.md5(F.concat_ws(",", F.transform("_hh", lambda h: h.cast("string"))).cast("binary"))
+    members = full.select("_id", fp.alias("_fp"), F.size("_hh").alias("_n"))
+    if materialize:
+        members = members.localCheckpoint(eager=True)
+    reps = (
+        members.groupBy("_fp").agg(F.min("_id").alias("_id"))
+        .join(full, "_id")
+        .select("_id", "_fp", "_hh")
+    )
+    if materialize:
+        reps = reps.localCheckpoint(eager=True)
+
+    def expand(rep_pairs: DataFrame) -> DataFrame:
+        rfa = reps.select(F.col("_id").alias("_ra"), F.col("_fp").alias("_fpa"))
+        rfb = reps.select(F.col("_id").alias("_rb"), F.col("_fp").alias("_fpb"))
+        mem_a = members.select(F.col("_id").alias("_ma"), F.col("_fp").alias("_fpa"))
+        mem_b = members.select(F.col("_id").alias("_mb"), F.col("_fp").alias("_fpb"))
+        cross = (
+            rep_pairs.join(rfa, rep_pairs["id_a"] == rfa["_ra"])
+            .join(rfb, rep_pairs["id_b"] == rfb["_rb"])
+            .join(mem_a, "_fpa")
+            .join(mem_b, "_fpb")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                value_col,
+            )
+        )
+        intra = (
+            members.where(F.col("_n") > 0).alias("x")
+            .join(
+                members.where(F.col("_n") > 0).alias("y"),
+                (F.col("x._fp") == F.col("y._fp")) & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(intra_value).alias(value_col),
+            )
+        )
+        return cross.unionByName(intra)
+
+    return members, reps, expand
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -117,60 +178,10 @@ def ngram_jaccard_pairs(
         # eager: several branches read this; a lazy checkpoint lets
         # them race and recompute the shingle pass per branch
         full = full.localCheckpoint(eager=True)
-    # Collapse exact-duplicate shingle SETS to one representative before
-    # the similarity join. On crawl-style corpora where a document has d
-    # identical copies, the candidate join otherwise does d² the work
-    # PER GROUP (measured: 10-way duplication turned a 3s join into
-    # minutes); representatives restore corpus-unique cost. Pairs expand
-    # back afterwards: members of one group pair at jaccard 1.0, and a
-    # cross-group member pair has exactly its representatives' jaccard
-    # (the sets are identical), so the result is unchanged.
-    fp = F.md5(F.concat_ws(",", F.transform("_hh", lambda h: h.cast("string"))).cast("binary"))
-    members = full.select("_id", fp.alias("_fp"), F.size("_hh").alias("_n"))
-    if materialize:
-        members = members.localCheckpoint(eager=True)
-    reps = (
-        members.groupBy("_fp").agg(F.min("_id").alias("_id"))
-        .join(full, "_id")
-        .select("_id", "_fp", "_hh")
-    )
-    if materialize:
-        reps = reps.localCheckpoint(eager=True)
+    members, reps, expand = _collapse_exact(full, materialize, "jaccard", 1.0)
     base = reps.select("_id", "_hh")
     sizes = base.select("_id", F.size("_hh").alias("_n"))
     ex = base.select("_id", F.explode("_hh").alias("_s"))
-
-    def expand(rep_pairs: DataFrame) -> DataFrame:
-        """Representative pairs → all member pairs, plus intra-group
-        pairs (identical non-empty sets: jaccard exactly 1.0)."""
-        rfa = reps.select(F.col("_id").alias("_ra"), F.col("_fp").alias("_fpa"))
-        rfb = reps.select(F.col("_id").alias("_rb"), F.col("_fp").alias("_fpb"))
-        mem_a = members.select(F.col("_id").alias("_ma"), F.col("_fp").alias("_fpa"))
-        mem_b = members.select(F.col("_id").alias("_mb"), F.col("_fp").alias("_fpb"))
-        cross = (
-            rep_pairs.join(rfa, rep_pairs["id_a"] == rfa["_ra"])
-            .join(rfb, rep_pairs["id_b"] == rfb["_rb"])
-            .join(mem_a, "_fpa")
-            .join(mem_b, "_fpb")
-            .select(
-                F.least("_ma", "_mb").alias("id_a"),
-                F.greatest("_ma", "_mb").alias("id_b"),
-                "jaccard",
-            )
-        )
-        intra = (
-            members.where(F.col("_n") > 0).alias("x")
-            .join(
-                members.where(F.col("_n") > 0).alias("y"),
-                (F.col("x._fp") == F.col("y._fp")) & (F.col("x._id") < F.col("y._id")),
-            )
-            .select(
-                F.col("x._id").alias("id_a"),
-                F.col("y._id").alias("id_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-        )
-        return cross.unionByName(intra)
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
     if prefix_filter:
@@ -286,10 +297,17 @@ def minhash_lsh_pairs(
     steep around j≈0.5.
     """
     rows_per_band = n_hashes // bands
-    base = (
+    full = (
         widen(df)
         .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
         .select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
+        .localCheckpoint(eager=True)
+    )
+    # exact-dup collapse: identical shingle sets share all bands, so d
+    # copies would cost d² in the band join — see _collapse_exact
+    members, reps, expand = _collapse_exact(full, True, "jaccard", 1.0)
+    base = (
+        reps.select("_id", "_hh")
         .select("_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"))
         # eager: three downstream branches (both band sides + the
         # verification join) read this — a lazy checkpoint lets them
@@ -329,7 +347,7 @@ def minhash_lsh_pairs(
     # exact verification on the distinct hash sets (== shingle-set
     # Jaccard; the oracle hashes identically)
     sh = base.select("_id", "_hh")
-    return (
+    rep_pairs = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_hh").alias("_sha")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_hh").alias("_shb")), "id_b")
         .select(
@@ -337,6 +355,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return expand(rep_pairs)
 
 
 # -- connected components ------------------------------------------------------
@@ -445,14 +464,21 @@ def simhash_pairs(
     with no shingles drop out at the explode (they can't pair anyway).
     """
     band_width = 60 // n_bands
+    full = (
+        widen(df)
+        .select(F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh"))
+        .localCheckpoint(eager=True)
+    )
+    # exact-dup collapse: identical hash lists → identical simhash →
+    # identical bands, so d copies cost d² in the band join without it.
+    # Intra-group hamming is 0 by definition — see _collapse_exact
+    members, reps, expand = _collapse_exact(full, True, "hamming", 0)
     ones = [
         F.sum(F.shiftrightunsigned("_wh", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
         for b in range(60)
     ]
     votes = (
-        widen(df)
-        .select(F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh"))
-        .select("_id", F.explode("_hh").alias("_wh"))
+        reps.select("_id", F.explode("_hh").alias("_wh"))
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("_n"), *ones)
     )
@@ -499,7 +525,8 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
+    rep_pairs = (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+    return expand(rep_pairs)
