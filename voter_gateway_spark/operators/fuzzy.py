@@ -83,9 +83,17 @@ def candidate_pairs(
     t = widen(target).select(
         F.col(target_id).alias("_tid"), trigrams(target_col).alias("_ttg")
     )
-    # Set-similarity join: |A ∩ B| falls out of the inverted-index join
-    # as a pair count (arrays are distinct per side), so the shuffle
-    # carries only (sid, tid) tuples — never the trigram arrays.
+    return _pairs_from_trigram_frames(s, t, max_trigram_freq)
+
+
+def _pairs_from_trigram_frames(
+    s: DataFrame, t: DataFrame, max_trigram_freq: int | None = None
+) -> DataFrame:
+    """(_sid,_stg) × (_tid,_ttg) → (_sid,_tid,similarity).
+
+    Set-similarity join: |A ∩ B| falls out of the inverted-index join
+    as a pair count (arrays are distinct per side), so the shuffle
+    carries only (sid, tid) tuples — never the trigram arrays."""
     s_sizes = s.select("_sid", F.size("_stg").alias("_sn"))
     t_sizes = t.select("_tid", F.size("_ttg").alias("_tn"))
     s_ex = s.select("_sid", F.explode("_stg").alias("_tg"))
@@ -121,26 +129,89 @@ def top1_fuzzy_match(
     target_column: str | None = None,
     exclude_self: bool = False,
     max_trigram_freq: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """J8: per-source top-1 nearest target with distance < threshold.
 
     Returns (source_id, matched_<target_id>, similarity). Deterministic
     tie-break: highest similarity, then lowest target id (the reference
     inherits arbitrary choice from Postgres — SURVEY §4.3.2).
+
+    `collapse_exact` (default on; auto-disabled under `exclude_self`,
+    where per-member self-exclusion breaks uniform expansion) joins one
+    representative per identical trigram SET on each side — voter-file
+    columns repeat values thousands of times (same street, same city),
+    and every repeat multiplies the inverted-index fanout. All members
+    of a source group share the same best target, and the rep-ranked
+    winner (sim desc, rep tid asc) IS the globally lowest-tid
+    max-similarity target, so results are unchanged (oracle-checked).
     """
-    pairs = candidate_pairs(
-        source, target, column, target_column or column, source_id, target_id,
-        max_trigram_freq=max_trigram_freq,
+    if exclude_self or not collapse_exact:
+        pairs = candidate_pairs(
+            source, target, column, target_column or column, source_id, target_id,
+            max_trigram_freq=max_trigram_freq,
+        )
+        if exclude_self:
+            pairs = pairs.where(F.col("_sid") != F.col("_tid"))
+        qualified = pairs.where(F.col("similarity") > F.lit(1.0 - threshold))
+        w = Window.partitionBy("_sid").orderBy(
+            F.col("similarity").desc(), F.col("_tid").asc()
+        )
+        return (
+            qualified.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col("_sid").alias(source_id),
+                F.col("_tid").alias(f"matched_{target_id}"),
+                F.round("similarity", 6).alias("similarity"),
+            )
+        )
+
+    s = widen(source).select(
+        F.col(source_id).alias("_sid"), trigrams(column).alias("_stg")
+    ).localCheckpoint(eager=True)
+    t = widen(target).select(
+        F.col(target_id).alias("_tid"), trigrams(target_column or column).alias("_ttg")
+    ).localCheckpoint(eager=True)
+    s_fp = F.md5(F.concat_ws("", "_stg").cast("binary"))
+    t_fp = F.md5(F.concat_ws("", "_ttg").cast("binary"))
+    s_members = s.select("_sid", s_fp.alias("_sfp"))
+    t_reps = (
+        t.select("_tid", t_fp.alias("_tfp"), "_ttg")
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_tfp").orderBy(F.col("_tid").asc())
+        ))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    if exclude_self:
-        pairs = pairs.where(F.col("_sid") != F.col("_tid"))
+    s_reps = (
+        s.select("_sid", s_fp.alias("_sfp"), "_stg")
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_sfp").orderBy(F.col("_sid").asc())
+        ))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = _pairs_from_trigram_frames(
+        s_reps.select("_sid", "_stg"),
+        t_reps.select("_tid", "_ttg"),
+        max_trigram_freq,
+    )
     qualified = pairs.where(F.col("similarity") > F.lit(1.0 - threshold))
     w = Window.partitionBy("_sid").orderBy(
         F.col("similarity").desc(), F.col("_tid").asc()
     )
-    return (
+    best = (
         qualified.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
+        .select(F.col("_sid").alias("_rsid"), "_tid", "similarity")
+    )
+    # expand to every member of the source group (identical trigram
+    # sets → identical best target)
+    rep_fp = s_reps.select(F.col("_sid").alias("_rsid"), "_sfp")
+    return (
+        best.join(rep_fp, "_rsid")
+        .join(s_members, "_sfp")
         .select(
             F.col("_sid").alias(source_id),
             F.col("_tid").alias(f"matched_{target_id}"),
