@@ -1,0 +1,95 @@
+"""Scale-stress harness: replicate the sf0.1 fixtures N× with
+key-offsetting (so FK joins stay valid and every document gains N-1
+exact duplicates — the crawl-duplication worst case every blocking
+scheme must survive), then time the heavy operators.
+
+This is the experiment behind SCALING.md's measured numbers (the d²
+candidate blowup and its collapse fix). Usage:
+
+    python tools/stress_scale.py [N] [dest_dir]
+
+Writes to /tmp (never the read-only fixtures) and prints one line per
+query. A timing that grows faster than ~N× versus `bench.py` at sf0.1
+is a scale regression.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from voter_gateway_spark.queries import QUERIES  # noqa: E402
+from voter_gateway_spark.session import build_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+STRESS_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "match_cascade_orders_customers",
+    "merge_upsert_customers",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix_filtered",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fuzzy_top1_documents",
+    "fuzzy_claiming_documents",
+    "text_langid",
+]
+
+
+def replicate(spark, n: int, dst: str) -> None:
+    def offset_union(name: str, key_cols: list[str]):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        maxes = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in key_cols}
+        parts = []
+        for i in range(n):
+            p = df
+            for k, m in maxes.items():
+                p = p.withColumn(k, F.col(k) + F.lit(i * m))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+    # orders/lineitem share the orderkey offset; custkeys stay in the
+    # original customer range so the FK holds
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    ok_max = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    for name, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = [df.withColumn(key, F.col(key) + F.lit(i * ok_max)) for i in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    offset_union("documents", ["doc_id"])
+    offset_union("embeddings", ["vec_id"])
+    for t in ["customer", "supplier", "part", "nation", "region", "events"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{n}"
+    spark = build_spark(app_name="vgs-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    replicate(spark, n, dst)
+    print(f"built {dst} (x{n}) in {time.time() - t0:.0f}s", flush=True)
+    for name in STRESS_QUERIES:
+        t0 = time.time()
+        rows = QUERIES[name](spark, dst).count()
+        print(f"{name}: {rows} rows  {time.time() - t0:.1f}s", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
