@@ -79,3 +79,13 @@ def test_map_column_py_closure(spark):
         .build()
     )
     assert {(r.n, r.word) for r in out.collect()} == {(3, "three"), (4, "four")}
+
+
+def test_widen_raises_narrow_inputs_only(spark):
+    from voter_gateway_spark.operators.skew import widen
+
+    narrow = spark.range(100).coalesce(1)
+    assert widen(narrow).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(64)
+    # already-wide inputs pass through without a shrink (no-op, no shuffle)
+    assert widen(wide) is wide
