@@ -81,3 +81,48 @@ def test_merge_idempotent_reimport(spark_prop, rows):
     once = merge_once(tgt).cache()
     twice = merge_once(once)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=8), min_size=2, max_size=8
+    ),
+    st.integers(1, 4),
+)
+def test_ngram_pairs_match_naive_all_pairs(spark_prop, texts, dup_factor):
+    """Blocked + collapsed + (maybe) prefix-filtered pair finding must
+    equal the naive O(n²) definition, including injected exact
+    duplicates (the collapse path) and shared-shingle near-dups."""
+    from voter_gateway_spark.operators import dedup_ops
+
+    docs = [" ".join(t) for t in texts for _ in range(dup_factor)]
+    df = spark_prop.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ops.ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.3
+        ).collect()
+    }
+
+    def shingles(d):
+        w = d.split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    exp = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+            if j >= 0.3:
+                exp[(a, b)] = round(j, 6)
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
