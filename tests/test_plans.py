@@ -30,7 +30,12 @@ def _plan(df, mode: str = "formatted") -> str:
 # Iterative operators run real jobs while BUILDING the frame
 # (checkpointed rounds); exercising them here would re-run whole
 # pipelines, so plan-shape checks cover the single-plan queries.
-_ITERATIVE = {"dedup_cluster_components", "fuzzy_claiming_documents", "embed_ivf_topk"}
+_ITERATIVE = {
+    "dedup_cluster_components",
+    "dedup_corpus_pruned",
+    "fuzzy_claiming_documents",
+    "embed_ivf_topk",
+}
 
 
 @pytest.mark.parametrize(

@@ -41,6 +41,9 @@ STRESS_QUERIES = [
     "fuzzy_top1_documents",
     "fuzzy_claiming_documents",
     "text_langid",
+    "events_hourly",
+    "events_sessionized",
+    "dedup_corpus_pruned",
 ]
 
 
@@ -72,7 +75,21 @@ def replicate(spark, n: int, dst: str) -> None:
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     offset_union("documents", ["doc_id"])
     offset_union("embeddings", ["vec_id"])
-    for t in ["customer", "supplier", "part", "nation", "region", "events"]:
+    # events: offset ids AND shift each replica by a day of nanos so
+    # windowed/sessionized state grows with data (not just row counts)
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    eid_max = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    day_ns = 86_400_000_000_000
+    parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * eid_max))
+        .withColumn("ts", F.col("ts") + F.lit(i * day_ns))
+        for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    for t in ["customer", "supplier", "part", "nation", "region"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
 
 

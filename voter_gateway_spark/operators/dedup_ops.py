@@ -412,38 +412,15 @@ def connected_components(
 # -- SimHash -------------------------------------------------------------------
 
 def word_hashes(col: Column | str, k: int = 2) -> Column:
-    """Per word-k-shingle: 60-bit integer from the first 15 hex chars
-    of md5. Project this ONCE before simhash64 — the bit loop
-    references it 60 times, and inlining the md5 subtree per bit
-    re-hashes every shingle 60× per row (observed 84s → 3s staged)."""
+    """Per distinct word-k-shingle: 60-bit integer from the first 15
+    hex chars of md5. simhash_pairs explodes this once and aggregates
+    the per-bit majority with codegen'd SUMs; never inline it into a
+    per-bit expression loop (that re-hashes every shingle 60× per
+    row — observed 84s → 3s when staged)."""
     sh = word_shingles(col, k)
     return F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
     )
-
-
-def simhash64(col: Column | str | None = None, k: int = 2, hashes_col: Column | None = None) -> Column:
-    """64-bit-family SimHash over word k-shingles: per bit, majority of
-    shingle md5 bits → bit. md5-derived → portable.
-
-    Implemented with native array exprs: for each of 60 bit positions,
-    count shingles whose md5 bit is 1 vs total.
-    """
-    hashes = hashes_col if hashes_col is not None else word_hashes(col, k)
-    n = F.size(hashes)
-
-    def bit_set(bit: int):
-        # closure factory — see _salted_md5 for why not a default-arg lambda
-        return lambda h: h.bitwiseAND(F.lit(1 << bit)) != 0
-
-    bits = []
-    for bit in range(60):  # 15 hex chars = 60 bits
-        ones = F.size(F.filter(hashes, bit_set(bit)))
-        bits.append(F.when(ones * 2 >= n, F.lit(1 << bit)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("bigint")
 
 
 def simhash_pairs(

@@ -741,6 +741,30 @@ SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id
 """
 
 
+def dedup_corpus_pruned(spark, sf_dir):
+    """The complete near-dup dedup pipeline, end to end: candidate
+    pairs → connected components → drop every non-representative →
+    pruned corpus. This is the operator a training-data pipeline
+    actually runs; the intermediate queries exist for auditability."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
+    comp = dedup_ops.connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+PRUNED_SQL = f"""
+WITH comp AS ({COMPONENTS_SQL})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup_ops.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2
@@ -1378,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_corpus_pruned": dedup_corpus_pruned,
     "dedup_simhash": dedup_simhash,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
@@ -1422,6 +1447,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_prefix_filtered": _ngram_sql(0.8),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_cluster_components": COMPONENTS_SQL,
+    "dedup_corpus_pruned": PRUNED_SQL,
     "embed_topk_cosine": TOPK_SQL,
     "embed_near_dup": NEARDUP_SQL,
     "events_hourly": HOURLY_SQL,
