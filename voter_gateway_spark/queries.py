@@ -951,6 +951,35 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media, fake=True)
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan over fixture-derived video metadata: every
+    third document acts as a video with duration n_chars mod 30 — the
+    sampling schedule is pure metadata math, no decode (the decode of
+    each (media_id, frame_ts) is the stubbed step)."""
+    from voter_gateway_spark.operators.multimodal import frame_sample_plan
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            (F.col("n_chars") % 30).cast("double").alias("duration_s"),
+        )
+    )
+    return frame_sample_plan(media, every_s=2.0)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT media_id, i * 2.0 AS frame_ts
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(generate_series(0, greatest(CAST(floor((n_chars % 30) / 2.0) AS INT), 0))) AS i
+  FROM documents WHERE doc_id % 3 = 0
+)
+"""
+
+
 MULTIMODAL_SQL = """
 WITH m AS (
   SELECT doc_id AS media_id, sha256(text) AS h, octet_length(encode(text)) AS n_bytes
@@ -1411,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "events_sessionized": events_sessionized,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "staging_lineitem": staging_lineitem,
     "copy_column_nation_name": copy_column_nation_name,
     "match_join_table_constraint": match_join_table_constraint,
@@ -1464,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "embed_lsh_topk": _lsh_topk_sql(),
     "multimodal_features": MULTIMODAL_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
     # rows-only (genuinely iterative, no closed SQL form):
     # dedup_cluster_components' recursive oracle covers CC; embed_ivf_topk
