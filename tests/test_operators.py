@@ -306,3 +306,25 @@ def test_ivf_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """Persisted IVF index (partitioned by cell) must return exactly
+    what the in-memory ivf_topk computes with the same seeding, and the
+    probe scan must prune partitions."""
+    import contextlib
+    import io
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path)
+    got = similarity.query_ivf_index(spark, path, qs, k=5)
+    exp = similarity.ivf_topk(qs, emb, k=5)
+    g = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in exp.collect()}
+    assert g == e and len(g) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "_cell" in buf.getvalue()  # cell filter reaches the scan side

@@ -164,6 +164,19 @@ def lsh_bucketed_topk(
     )
 
 
+def _nearest_cells(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) -> DataFrame:
+    """Attach the `rank_n` nearest centroid cells to each vector row
+    (cosine; ties broken on ascending cell id). Centroids broadcast."""
+    pairs = vecs.crossJoin(F.broadcast(cents))
+    sim = cosine(F.col(vcol), F.col("_centroid"))
+    w = Window.partitionBy(vecs.columns[0]).orderBy(sim.desc(), F.col("_cell").asc())
+    return (
+        pairs.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= rank_n)
+        .drop("_centroid", "_rank")
+    )
+
+
 def _vector_mean(assigned: DataFrame, group_col: str, vec_col: str) -> DataFrame:
     """Element-wise mean of vectors per group, computed distributed:
     posexplode → (group, pos) partial sums → re-assemble ordered array.
@@ -221,36 +234,109 @@ def ivf_topk(
         F.row_number().over(Window.orderBy("_h")).alias("_cell"), F.col("_cv").alias("_centroid")
     ).drop("_h").localCheckpoint(eager=True)
 
-    def nearest(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) -> DataFrame:
-        """cells ranked by cosine distance; rank ≤ rank_n kept."""
-        pairs = vecs.crossJoin(F.broadcast(cents))
-        sim = cosine(F.col(vcol), F.col("_centroid"))
-        w = Window.partitionBy(vecs.columns[0]).orderBy(
-            sim.desc(), F.col("_cell").asc()
-        )
-        return (
-            pairs.withColumn("_rank", F.row_number().over(w))
-            .where(F.col("_rank") <= rank_n)
-            .drop("_centroid", "_rank")
-        )
-
     for _ in range(iters):
-        assigned = nearest(c, "_cv", centroids, 1)
+        assigned = _nearest_cells(c, "_cv", centroids, 1)
         centroids = _vector_mean(assigned, "_cell", "_cv").select(
             "_cell", F.col("_centroid")
         ).localCheckpoint(eager=True)
 
-    cells = nearest(c, "_cv", centroids, 1).select("_cid", "_cv", "_cell")
+    cells = _nearest_cells(c, "_cv", centroids, 1).select("_cid", "_cv", "_cell")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
     )
-    probes = nearest(q, "_qv", centroids, n_probe).select("query_id", "_qv", "_cell")
+    probes = _nearest_cells(q, "_qv", centroids, n_probe).select("query_id", "_qv", "_cell")
     cand = probes.join(cells, "_cell")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("_cid"))
     sims = cand.select(
         "query_id",
         F.col("_cid").alias("neighbor_id"),
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist an IVF index: the corpus written PARTITIONED BY its
+    k-means cell, plus the centroid table alongside. A probe then reads
+    only `n_probe` cell directories — partition pruning at the file
+    level, the disk analogue of ivf_topk's candidate restriction.
+
+    Returns the centroid DataFrame (cell, centroid vector)."""
+    c = widen(corpus).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).localCheckpoint(eager=True)
+    seeds = (
+        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    centroids = seeds.select(
+        F.row_number().over(Window.orderBy("_h")).alias("_cell"),
+        F.col("_cv").alias("_centroid"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _nearest_cells(c, "_cv", centroids, 1)
+        centroids = _vector_mean(assigned, "_cell", "_cv").select(
+            "_cell", "_centroid"
+        ).localCheckpoint(eager=True)
+    cells = _nearest_cells(c, "_cv", centroids, 1)
+    (
+        cells.select(F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col), "_cell")
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(f"{path}/vectors")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k against a persisted IVF index. The probe filter is
+    `_cell IN (...)` over the partition column, so the parquet scan
+    prunes to n_probe directories (check `.explain`: PartitionFilters)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    probes = _nearest_cells(q, "_qv", centroids, n_probe)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cand = probes.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("_cv"),
+            "_cell",
+        ),
+        "_cell",
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
         F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
