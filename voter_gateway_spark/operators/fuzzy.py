@@ -37,17 +37,30 @@ def _c(col: Column | str) -> Column:
 
 
 def trigrams(col: Column | str) -> Column:
-    """pg_trgm trigram set of a string (array<string>)."""
+    """pg_trgm trigram set of a string (array<string>).
+
+    The padded word is bound as a lambda variable before the per-index
+    slice — concatenating it inside the slice lambda would redo the pad
+    per trigram, O(len²) per token (same hazard as
+    dedup_ops.word_shingles; pathological tokens like URLs make it
+    real)."""
     cleaned = F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9]+", " ")
     words = F.filter(F.split(cleaned, " "), lambda w: w != "")
-    per_word = F.transform(
-        words,
-        lambda w: F.transform(
-            F.sequence(F.lit(1), F.length(w) + 1),
-            lambda i: F.substring(F.concat(F.lit("  "), w, F.lit(" ")), i, 3),
-        ),
-    )
-    return F.array_distinct(F.flatten(per_word))
+
+    def word_trigrams(w: Column) -> Column:
+        padded = F.array(F.concat(F.lit("  "), w, F.lit(" ")))
+        return F.element_at(
+            F.transform(
+                padded,
+                lambda p: F.transform(
+                    F.sequence(F.lit(1), F.length(p) - 2),
+                    lambda i: F.substring(p, i, 3),
+                ),
+            ),
+            1,
+        )
+
+    return F.array_distinct(F.flatten(F.transform(words, word_trigrams)))
 
 
 def trigram_similarity(a: Column | str, b: Column | str) -> Column:
