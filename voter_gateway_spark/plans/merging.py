@@ -158,7 +158,13 @@ class MergePlan:
                     new_val = F.col(f"`{src_of_move}`")  # target's own current value
                 elif c in self.merge_exprs:
                     new_val = render_expr(self.merge_exprs[c], source=f"_s_{c}", target=c)
-                elif c in upd_cols and c not in self.moved:
+                elif c in upd_cols:
+                    # moved-FROM columns still receive the source value:
+                    # the reference's correlated_update_columns subtracts
+                    # only column_map.VALUES (the destinations), not the
+                    # keys (record_merger.rb:134-136) — the old target
+                    # value is preserved in the destination, then the
+                    # source overwrites the origin
                     new_val = F.col(f"_s_{c}")
                 else:
                     new_val = None
