@@ -1030,6 +1030,31 @@ FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
 """
 
 
+def merge_move_columns(spark, sf_dir):
+    """M3 move_columns, oracle-pinned: on update the destination column
+    receives the TARGET's old value and the moved-from column then
+    takes the source value (record_merger.rb:118-136 routing)."""
+    cust = _t(spark, sf_dir, "customer")
+    src = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.upper("c_name").alias("c_name")
+    )
+    mp = MatchPlan(src, cust, target_pk="c_custkey", source_id="c_custkey")
+    mp.find_exact_matches(["c_custkey"])
+    plan = MergePlan(target_pk="c_custkey").move_columns(
+        {"c_name": "c_mktsegment"}
+    ).set_update_only()
+    res = plan.execute(mp.matches(), cust)
+    return res.target.select("c_custkey", "c_name", "c_mktsegment")
+
+
+MERGE_MOVE_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 7 = 0 THEN c_name ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
 def merge_update_only(spark, sf_dir):
     """M7 update_only: unmatched source rows are NOT inserted."""
     orders = _t(spark, sf_dir, "orders")
@@ -1448,6 +1473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "fuzzy_claiming_documents": fuzzy_claiming_documents,
     "merge_returning_to_source": merge_returning_to_source,
+    "merge_move_columns": merge_move_columns,
     "merge_update_only": merge_update_only,
     "audit_match_rule_counts": audit_match_rule_counts,
     "functions_scalar_suite": functions_scalar_suite,
@@ -1488,6 +1514,7 @@ ORACLES: dict[str, str] = {
     "geo_prep_customers": GEO_SQL,
     "text_quality": _quality_sql(),
     "merge_returning_to_source": MERGE_RET_SQL,
+    "merge_move_columns": MERGE_MOVE_SQL,
     "merge_update_only": MERGE_UPD_SQL,
     "audit_match_rule_counts": RULE_COUNT_SQL,
     "functions_scalar_suite": FUNCTIONS_SQL,
