@@ -79,6 +79,51 @@ def test_word_shingles_and_jaccard(spark):
     assert sh == ["the quick brown", "quick brown fox", "brown fox jumps"]
 
 
+def test_word_shingles_short_and_empty_docs_dont_crash(spark):
+    """ANSI mode (Spark 4 default) throws on out-of-bounds element_at;
+    docs with < k words must yield truncated shingles (NULL slots
+    skipped by concat_ws), matching DuckDB's wl[i+j] → NULL."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, "   "), (5, None)],
+        "id bigint, t string",
+    )
+    rows = {r.id: r.s for r in df.select("id", dedup_ops.word_shingles("t", 3).alias("s")).collect()}
+    assert rows[1] == ["one two"]
+    assert rows[2] == ["solo"]
+    assert rows[3] == [""]
+    assert rows[4] == [""]
+    assert rows[5] == [""]  # NULL text degrades to the empty-doc shingle
+
+
+def test_pair_producers_survive_short_docs(spark):
+    """Regression: short/empty docs crashed every pair producer under
+    ANSI mode before the try_element_at fix."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma delta epsilon zeta"),
+            Row(id=2, t="alpha beta gamma delta epsilon eta"),
+            Row(id=3, t="x"),
+            Row(id=4, t=""),
+        ],
+        "id bigint, t string",
+    )
+    j = dedup_ops.ngram_jaccard_pairs(df, "id", "t", k=3, threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in j] == [(1, 2)]
+    m = dedup_ops.minhash_lsh_pairs(df, "id", "t", k=2, threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in m] == [(1, 2)]
+    s = dedup_ops.simhash_pairs(df, "id", "t", max_hamming=20, k=2).collect()
+    assert (1, 2) in [(p.id_a, p.id_b) for p in s]
+
+
+def test_shingle_fingerprint_short_docs(spark):
+    from voter_gateway_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "one two"), (2, ""), (3, "a b c d")], "id bigint, t string")
+    rows = df.select("id", text_ops.shingle_fingerprint("t", 3).alias("fp")).collect()
+    fps = {r.id: r.fp for r in rows}
+    assert all(v is not None for v in fps.values())
+
+
 def test_ngram_jaccard_pairs_finds_near_dups(spark):
     df = spark.createDataFrame(
         [
@@ -120,6 +165,25 @@ def test_simhash_near_dups(spark):
 
 
 # -- similarity ----------------------------------------------------------------
+
+def test_near_dup_blocked_is_verified_subset_of_exact(spark, sf_dir):
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.near_dup_pairs(emb, threshold=0.3, exact=True).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    # every blocked pair is a true pair with the exact cosine value
+    for pair, sim in blocked.items():
+        assert pair in exact
+        assert sim == exact[pair]
+        assert sim >= 0.3
+
 
 def test_cosine_and_topk(spark):
     df = spark.createDataFrame(

@@ -82,6 +82,26 @@ def test_match_cascade_is_one_plan_with_pruned_scans(spark, sf_dir):
                for l in read_schemas)
 
 
+def test_embed_near_dup_is_blocked_not_cartesian(spark, sf_dir):
+    # default near_dup_pairs must candidate-generate via a band-key
+    # EQUI-join; an all-pairs regression shows up as CartesianProduct /
+    # BroadcastNestedLoopJoin in the plan
+    plan = _plan(QUERIES["embed_near_dup"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, "near_dup_pairs fell back to all-pairs"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_near_dup_exact_flag_still_available(spark, sf_dir):
+    from voter_gateway_spark.operators import similarity
+    from voter_gateway_spark.queries import _t
+
+    emb = _t(spark, sf_dir, "embeddings").limit(50)
+    exact = similarity.near_dup_pairs(emb, threshold=0.35, exact=True)
+    plan = _plan(exact, "simple")
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_merge_upsert_single_wide_shuffle(spark, sf_dir):
     # the merge plan should not shuffle the target more than once per
     # branch: count exchanges as a coarse regression bound

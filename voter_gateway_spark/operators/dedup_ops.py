@@ -62,8 +62,13 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         return F.array_distinct(
             F.transform(
                 idx,
+                # try_element_at: docs with < k words index past the
+                # array — ANSI mode (Spark 4 default) makes element_at
+                # THROW there; try_element_at yields NULL, which
+                # concat_ws skips, matching the oracle's out-of-bounds
+                # wl[i+j] → NULL behavior in DuckDB bit-for-bit.
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+                    " ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
                 ),
             )
         )

@@ -150,8 +150,11 @@ def shingle_fingerprint(col: Column | str, k: int = 3, words_col: Column | None 
         idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
         shingles = F.transform(
             idx,
+            # try_element_at, not element_at: short docs (< k words)
+            # index past the array and ANSI mode throws; NULL is
+            # skipped by concat_ws, matching DuckDB's wl[i+j] → NULL.
             lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(k)]
+                " ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
             ),
         )
         return F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))

@@ -838,18 +838,44 @@ FROM (
 
 
 def embed_near_dup(spark, sf_dir):
+    """Embedding near-dup via the DEFAULT LSH-band-blocked path (bucket
+    equi-join + exact cosine re-verification — never a cross join); the
+    oracle bakes the identical md5-derived plane literals, so the
+    blocked candidate set is reproduced bit-for-bit."""
     return similarity.near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 
-NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-FROM e a, e b
-WHERE a.vec_id < b.vec_id
-  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+def _near_dup_sql(
+    threshold: float = 0.35, n_planes: int = 16, bands: int = 4, dim: int = 64
+) -> str:
+    """Mirror of the blocked near_dup_pairs: same plane literals, same
+    band split of the sign-bit signature, same exact verification."""
+    from voter_gateway_spark.operators.similarity import _plane
+
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in _plane(s, dim))
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for s in range(n_planes)
+    )
+    r = n_planes // bands
+    band_union = "\nUNION ALL ".join(
+        f"SELECT vec_id, {b} AS b, substring(sig, {b * r + 1}, {r}) AS k FROM s"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, {bits} AS sig FROM e),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cand JOIN e ea ON cand.id_a = ea.vec_id JOIN e eb ON cand.id_b = eb.vec_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
 """
 
 
@@ -948,7 +974,17 @@ def multimodal_features(spark, sf_dir):
             F.encode("text", "UTF-8").alias("payload"),
         )
     )
-    return extract_features(media, fake=True)
+    feat = extract_features(media, fake=True)
+    # The raw operator returns features as array<double>; the oracle
+    # harness canonicalizes rows via pandas, which cannot hash/sort
+    # list-valued cells — project the fixed 8-dim vector to scalar
+    # columns f0..f7 (bit-identical byte/255.0 doubles on both engines).
+    return feat.select(
+        "media_id",
+        "sha256",
+        "n_bytes",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )
 
 
 def multimodal_frame_sample(spark, sf_dir):
@@ -986,8 +1022,14 @@ WITH m AS (
   FROM documents WHERE doc_id < 64
 )
 SELECT media_id, h AS sha256, n_bytes,
-       list_transform(generate_series(0, 7),
-                      i -> ('0x' || substring(h, 2 * i + 1, 2))::INT / 255.0) AS features
+       ('0x' || substring(h,  1, 2))::INT / 255.0 AS f0,
+       ('0x' || substring(h,  3, 2))::INT / 255.0 AS f1,
+       ('0x' || substring(h,  5, 2))::INT / 255.0 AS f2,
+       ('0x' || substring(h,  7, 2))::INT / 255.0 AS f3,
+       ('0x' || substring(h,  9, 2))::INT / 255.0 AS f4,
+       ('0x' || substring(h, 11, 2))::INT / 255.0 AS f5,
+       ('0x' || substring(h, 13, 2))::INT / 255.0 AS f6,
+       ('0x' || substring(h, 15, 2))::INT / 255.0 AS f7
 FROM m
 """
 
@@ -1505,7 +1547,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_components": COMPONENTS_SQL,
     "dedup_corpus_pruned": PRUNED_SQL,
     "embed_topk_cosine": TOPK_SQL,
-    "embed_near_dup": NEARDUP_SQL,
+    "embed_near_dup": _near_dup_sql(),
     "events_hourly": HOURLY_SQL,
     "events_sessionized": SESSION_SQL,
     "staging_lineitem": STAGING_SQL,
