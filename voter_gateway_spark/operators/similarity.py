@@ -166,9 +166,13 @@ def lsh_bucketed_topk(
 
 def _nearest_cells(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) -> DataFrame:
     """Attach the `rank_n` nearest centroid cells to each vector row
-    (cosine; ties broken on ascending cell id). Centroids broadcast."""
+    (cosine rounded to 6 places; ties broken on ascending cell id).
+    Rounding before ordering makes the assignment reproducible across
+    engines (fold-order ulp differences can't flip a rank), which is
+    what lets the fixed-centroid IVF variant be oracle-checked.
+    Centroids broadcast."""
     pairs = vecs.crossJoin(F.broadcast(cents))
-    sim = cosine(F.col(vcol), F.col("_centroid"))
+    sim = F.round(cosine(F.col(vcol), F.col("_centroid")), 6)
     w = Window.partitionBy(vecs.columns[0]).orderBy(sim.desc(), F.col("_cell").asc())
     return (
         pairs.withColumn("_rank", F.row_number().over(w))
@@ -213,8 +217,10 @@ def ivf_topk(
     Deterministic end to end: centroids seed from the corpus vectors
     with the smallest md5(id) (a reproducible pseudo-random sample),
     Lloyd rounds are fixed-count, ties break on ascending cell id.
-    Iterative → no SQL oracle (rows-only check); recall vs brute force
-    is pinned by a test instead.
+    `iters=0` keeps the seed vectors as fixed centroids — no Lloyd
+    rounds, so the whole query is SQL-expressible and oracle-checked
+    (queries._ivf_sql); Lloyd (`iters>0`, the production default) is
+    iterative, its recall vs brute force pinned by a pytest floor.
 
     At scale the cell id is the natural partition key for a persisted
     index table: `corpus.writeTo(...).partitionedBy("_cell")` makes a

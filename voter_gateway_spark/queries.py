@@ -8,10 +8,11 @@ embeddings). Column names AND types are aligned on both sides; floating
 aggregates are rounded identically; every ordering has a deterministic
 tie-break so value-hashes compare equal.
 
-Every entry except embed_ivf_topk (iterative Lloyd rounds — pinned by
-a recall-floor test instead) is value-hash-checked against a DuckDB
-oracle, including simhash/minhash/LSH via md5-derived integer hashes,
-the unrolled fuzzy claiming rounds, and multimodal sha256 features.
+Every entry is value-hash-checked against a DuckDB oracle, including
+simhash/minhash/LSH via md5-derived integer hashes, the unrolled fuzzy
+claiming rounds, multimodal sha256 features, and the fixed-centroid IVF
+variant (the Lloyd production path is additionally pinned by a
+recall-floor test).
 """
 
 from __future__ import annotations
@@ -886,12 +887,56 @@ def embed_lsh_topk(spark, sf_dir):
 
 
 def embed_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer + n_probe cell probing —
-    iterative (Lloyd rounds), so rows-only; recall vs brute force is
-    pinned by test_ivf_recall_floor."""
+    """IVF ANN, fixed-centroid variant (iters=0): the deterministic
+    md5-seeded coarse quantizer without Lloyd refinement, so every step
+    (seed sample → cell assignment → n_probe probing → top-k) is
+    SQL-expressible and the oracle reproduces it exactly. The Lloyd
+    production path (iters>0) shares all of this plan except centroid
+    refinement; its recall floor is pinned by test_ivf_recall_floor."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    return similarity.ivf_topk(queries, emb, k=5)
+    return similarity.ivf_topk(queries, emb, k=5, iters=0)
+
+
+def _ivf_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Mirror of the fixed-centroid ivf_topk: md5-ordered seed sample,
+    nearest-cell assignment (cosine rounded to 6, ties → ascending
+    cell), n_probe probing, exact top-k within probed cells."""
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {n_centroids}
+),
+cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, v FROM c WHERE vec_id % 10 = 0),
+probes AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT q.vec_id, q.v, cents.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM q, cents
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.v, a.v), 6) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""
 
 
 def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
@@ -1565,7 +1610,5 @@ ORACLES: dict[str, str] = {
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
-    # rows-only (genuinely iterative, no closed SQL form):
-    # dedup_cluster_components' recursive oracle covers CC; embed_ivf_topk
-    # (Lloyd rounds) is recall-tested instead
+    "embed_ivf_topk": _ivf_sql(),
 }
