@@ -66,3 +66,54 @@ def test_header_sniffing(spark, tmp_path):
 
     path = _write(tmp_path, "f.csv", "a,b,c\n1,2,3\n")
     assert CSVSource(path, quote='"').headers(spark) == ["a", "b", "c"]
+
+
+def test_trailing_empty_field_is_well_formed(spark, tmp_path):
+    """'1,a,' has three present fields (the last empty) — the reference
+    drops only on raw field-count mismatch, so this row must survive
+    remove_malformed (regression: the old last-column-NULL heuristic
+    dropped it)."""
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(
+        tmp_path,
+        "g.csv",
+        "id,name,email\n1,a,\n2,b,b@x.co\nonly,two\n",
+    )
+    src = CSVSource(path, quote='"', remove_malformed=True)
+    df = src.read(spark)
+    rows = {r.id: (r.name, r.email) for r in df.collect()}
+    assert rows == {"1": ("a", None), "2": ("b", "b@x.co")}
+    assert src.malformed_count() == 1
+
+
+def test_header_identical_data_row_is_kept(spark, tmp_path):
+    """Header removal is positional: a data row byte-identical to the
+    header line is data, not a repeated header."""
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(
+        tmp_path,
+        "h.csv",
+        "id,name\n1,x\nid,name\n2,y\n",
+    )
+    src = CSVSource(path, quote='"', remove_malformed=True)
+    df = src.read(spark)
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {"1": "x", "id": "name", "2": "y"}
+    assert src.malformed_count() == 0
+
+
+def test_quoted_delimiter_not_counted_as_field_break(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(
+        tmp_path,
+        "i.csv",
+        "id,name\n1,^Smith, John^\nbad,row,extra\n",
+    )
+    src = CSVSource(path, remove_malformed=True)
+    df = src.read(spark)
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {"1": "Smith, John"}
+    assert src.malformed_count() == 1

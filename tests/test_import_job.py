@@ -77,3 +77,60 @@ def test_voter_import_walkthrough(spark, tmp_path):
     inserted = merged.where("id IS NULL").collect()
     assert len(inserted) == 1 and inserted[0].last_name == "PERSON"
     assert inserted[0].phone is None  # excluded column never copied
+
+
+def test_fuzzy_wired_into_match_cascade(spark):
+    """FuzzyMerger contract: exact rules run first and their targets
+    leave the fuzzy pool; fuzzy rounds fill TARGET_ID on the remaining
+    sources (MATCH_RULE numbered after the exact rules); the combined
+    match state feeds MergePlan.execute unchanged."""
+    source = spark.createDataFrame(
+        [
+            Row(sid=1, key="K1", name="jonathan smith", bal=10),
+            Row(sid=2, key=None, name="elizabeth jones", bal=20),
+            Row(sid=3, key=None, name="zzzz qqqq vvvv", bal=30),
+        ],
+        "sid int, key string, name string, bal int",
+    )
+    target = spark.createDataFrame(
+        [
+            Row(id=100, key="K1", name="jonathan smith", bal=1),
+            Row(id=200, key=None, name="elizabeth joness", bal=2),
+        ],
+        "id int, key string, name string, bal int",
+    )
+    mp = MatchPlan(source, target, target_pk="id", source_id="sid")
+    mp.find_exact_matches(["key"])
+    mp.fuzzy_match_column("name")
+    matches = mp.matches()
+    got = {r.sid: (r._target_id, r._match_rule) for r in matches.collect()}
+    # sid=1 exact on key (rule 1); sid=2 fuzzy on name (rule 2 = after
+    # the 1 exact rule); sid=3 no match anywhere.
+    # target 100 left the fuzzy pool after the exact claim: sid=2 can
+    # only fuzzy-match target 200.
+    assert got[1] == (100, 1)
+    assert got[2] == (200, 2)
+    assert got[3] == (None, None)
+
+    res = MergePlan(target_pk="id").merge_column_as("bal", "$T + $S").execute(
+        matches, target
+    )
+    rows = {r.id: r for r in res.target.where("id IS NOT NULL").collect()}
+    assert rows[100].bal == 11 and rows[200].bal == 22
+    inserted = res.target.where("id IS NULL").collect()
+    assert len(inserted) == 1 and inserted[0].name == "zzzz qqqq vvvv"
+
+
+def test_fuzzy_only_match_plan_no_exact_rules(spark):
+    """Fuzzy columns work with zero exact rules (the no-pair-frames
+    branch must still route through the claiming rounds)."""
+    source = spark.createDataFrame(
+        [Row(sid=1, name="aaaa bbbb cccc")], "sid int, name string"
+    )
+    target = spark.createDataFrame(
+        [Row(id=9, name="aaaa bbbb cccd")], "id int, name string"
+    )
+    mp = MatchPlan(source, target, target_pk="id", source_id="sid")
+    mp.fuzzy_match_column("name")
+    got = mp.matches().collect()[0]
+    assert got._target_id == 9 and got._match_rule == 1

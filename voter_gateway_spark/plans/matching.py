@@ -106,6 +106,8 @@ class MatchPlan:
         self.target_pk_type = target_pk_type
         self.source_id = source_id  # existing unique source column, else synthesized
         self.rules: list[MatchRule] = []
+        self.fuzzy_columns: list[str] = []
+        self.fuzzy_threshold: float | None = None
 
     # -- DSL -----------------------------------------------------------------
 
@@ -118,6 +120,21 @@ class MatchPlan:
         rule = MatchRule(fk_pairs=pairs, **kw)
         self.rules.append(rule)
         return rule
+
+    def fuzzy_match_column(self, *cols: str, threshold: float | None = None) -> "MatchPlan":
+        """J7–J9 wired into the cascade (FuzzyMerger contract,
+        fuzzy_merger.rb:13-15 splicing into match_commands at :17-19):
+        after the exact rules, one fuzzy round per column runs over the
+        RESIDUAL target pool — exact-matched targets leave the pool
+        (the reference's working-target DELETE, fuzzy_merger.rb:38-45,
+        62-67) and each remaining target is claimed at most once.
+        Fuzzy matches land in the same `matches()` output (TARGET_ID +
+        MATCH_RULE numbered after the exact rules), so
+        `MergePlan.execute` consumes exact+fuzzy state unchanged."""
+        self.fuzzy_columns.extend(cols)
+        if threshold is not None:
+            self.fuzzy_threshold = threshold
+        return self
 
     # -- lowering ------------------------------------------------------------
 
@@ -159,27 +176,83 @@ class MatchPlan:
             pair_frames.append(pairs)
 
         if not pair_frames:
-            out = ws.withColumn(TARGET_ID, F.lit(None))
+            pk_dtype = pk_t.simpleString() if pk_t else dict(self.target.dtypes)[self.target_pk]
+            out = (
+                ws.withColumn(TARGET_ID, F.lit(None).cast(pk_dtype))
+                .withColumn(MATCH_RULE, F.lit(None).cast("int"))
+            )
+        else:
+            all_pairs = reduce(DataFrame.unionByName, pair_frames)
+            w = Window.partitionBy(SOURCE_ID).orderBy(
+                F.col(MATCH_RULE).asc(), F.col("_cand_pk").asc()
+            )
+            best = (
+                all_pairs.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(SOURCE_ID, F.col("_cand_pk"), MATCH_RULE)
+            )
+            cand = F.col("_cand_pk")
             if pk_t:
-                out = out.withColumn(TARGET_ID, F.col(TARGET_ID).cast(pk_t))
-            return out.withColumn(MATCH_RULE, F.lit(None).cast("int"))
+                cand = cand.cast(pk_t)
+            out = (
+                ws.join(best, SOURCE_ID, "left")
+                .withColumn(TARGET_ID, cand)
+                .drop("_cand_pk")
+            )
+        if self.fuzzy_columns:
+            out = self._with_fuzzy_rounds(out)
+        return out
 
-        all_pairs = reduce(DataFrame.unionByName, pair_frames)
-        w = Window.partitionBy(SOURCE_ID).orderBy(
-            F.col(MATCH_RULE).asc(), F.col("_cand_pk").asc()
+    def _with_fuzzy_rounds(self, out: DataFrame) -> DataFrame:
+        """Splice fuzzy claiming rounds after the exact cascade: the
+        residual pool = target minus exact-matched pks; fuzzy winners
+        fill TARGET_ID/MATCH_RULE on the still-unmatched sources."""
+        from voter_gateway_spark.operators.fuzzy import (
+            DEFAULT_THRESHOLD,
+            fuzzy_claiming_rounds,
         )
-        best = (
-            all_pairs.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(SOURCE_ID, F.col("_cand_pk"), MATCH_RULE)
+
+        # the claiming rounds iterate over this frame (per-round
+        # refinement); checkpoint so the cascade computes once
+        out = out.localCheckpoint(eager=True)
+        unmatched = out.where(F.col(TARGET_ID).isNull())
+        claimed_pks = (
+            out.where(F.col(TARGET_ID).isNotNull())
+            .select(F.col(TARGET_ID).alias("_claimed"))
+            .distinct()
         )
-        cand = F.col("_cand_pk")
-        if pk_t:
-            cand = cand.cast(pk_t)
+        pool = self.target.join(
+            claimed_pks,
+            self.target[self.target_pk] == F.col("_claimed"),
+            "left_anti",
+        )
+        fz = fuzzy_claiming_rounds(
+            unmatched,
+            pool,
+            self.fuzzy_columns,
+            source_id=SOURCE_ID,
+            target_id=self.target_pk,
+            threshold=self.fuzzy_threshold or DEFAULT_THRESHOLD,
+        )
+        n_exact = len(self.rules)
+        rule_idx = F.lit(None).cast("int")
+        for i, c in enumerate(self.fuzzy_columns):
+            rule_idx = F.when(
+                F.col("_fuzzy_column") == c, F.lit(n_exact + i + 1)
+            ).otherwise(rule_idx)
+        fz = fz.select(
+            F.col(SOURCE_ID).alias("_fsid"),
+            F.col(f"matched_{self.target_pk}").alias("_ftid"),
+            rule_idx.alias("_frule"),
+        )
+        cand = F.coalesce(F.col(TARGET_ID), F.col("_ftid"))
+        if self.target_pk_type:
+            cand = cand.cast(spark_type(self.target_pk_type))
         return (
-            ws.join(best, SOURCE_ID, "left")
+            out.join(fz, out[SOURCE_ID] == F.col("_fsid"), "left")
             .withColumn(TARGET_ID, cand)
-            .drop("_cand_pk")
+            .withColumn(MATCH_RULE, F.coalesce(F.col(MATCH_RULE), F.col("_frule")))
+            .drop("_fsid", "_ftid", "_frule")
         )
 
     # -- J10/J11 convenience views --------------------------------------------

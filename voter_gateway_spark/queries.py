@@ -1515,6 +1515,99 @@ SELECT sid, tid, round(sim, 6), 'mid' FROM c_2
 """
 
 
+def merge_fuzzy_upsert_documents(spark, sf_dir):
+    """M8 + J7–J9 end-to-end: ONE plan composing the exact cascade,
+    fuzzy claiming rounds over the residual pool, and the upsert —
+    the reference's FuzzyMerger flow (fuzzy_merger.rb:17-19 splicing
+    match_commands into record_merger.rb merge_commands:54-58).
+
+    Docs < 50 import into docs ≥ 50: every third source exact-matches
+    on (lang, source) against low-id targets; the rest fuzzy-match on
+    the text head with at-most-once claiming; matched targets fold
+    n_chars ($T + $S) with `source` preserved, unmatched sources
+    insert."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, 50).alias("head"),
+    )
+    src = base.where(F.col("doc_id") < 50)
+    tgt = base.where(F.col("doc_id") >= 50)
+    mp = MatchPlan(src, tgt, target_pk="doc_id", source_id="doc_id")
+    mp.find_exact_matches(
+        ["lang", "source"], raw_condition="s.doc_id % 3 = 0 AND t.doc_id < 70"
+    )
+    mp.fuzzy_match_column("head")
+    plan = (
+        MergePlan(target_pk="doc_id")
+        .merge_column_as("n_chars", "$T + $S")
+        .preserve_column("source")
+    )
+    res = plan.execute(mp.matches(), tgt)
+    return res.target.select("doc_id", "lang", "source", "n_chars")
+
+
+def _merge_fuzzy_sql(threshold: float = 0.5) -> str:
+    """The FuzzyMerger flow unrolled: exact rule → residual pool →
+    one fuzzy claiming round on `head` → lowest-source-id update +
+    unmatched insert. Trigram model == operators.fuzzy.trigrams."""
+    tg = (
+        "list_distinct(flatten(list_transform("
+        "list_filter(string_split(regexp_replace(lower(head), '[^a-z0-9]+', ' ', 'g'), ' '), w -> w <> ''), "
+        "w -> list_transform(generate_series(1, len(w) + 1), i -> substring('  ' || w || ' ', i, 3)))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars, substring(text, 1, 50) AS head
+  FROM documents
+),
+src AS (SELECT * FROM base WHERE doc_id < 50),
+tgt AS (SELECT * FROM base WHERE doc_id >= 50),
+exact AS (
+  SELECT s.doc_id AS sid, min(t.doc_id) AS tid
+  FROM src s JOIN tgt t ON s.lang = t.lang AND s.source = t.source
+  WHERE s.doc_id % 3 = 0 AND t.doc_id < 70
+  GROUP BY s.doc_id
+),
+src2 AS (
+  SELECT doc_id, {tg} AS tg FROM src
+  WHERE doc_id NOT IN (SELECT sid FROM exact)
+),
+tgt2 AS (
+  SELECT doc_id, {tg} AS tg FROM tgt
+  WHERE doc_id NOT IN (SELECT tid FROM exact)
+),
+p AS (
+  SELECT s.doc_id AS sid, t.doc_id AS tid,
+         len(list_intersect(s.tg, t.tg)) * 1.0
+         / (len(s.tg) + len(t.tg) - len(list_intersect(s.tg, t.tg))) AS sim
+  FROM src2 s, tgt2 t
+),
+b AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid ASC) AS rn
+    FROM p WHERE sim > {1.0 - threshold}
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT sid, tid FROM (
+    SELECT sid, tid, row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid ASC) AS rn
+    FROM b
+  ) WHERE rn = 1
+),
+matches AS (SELECT sid, tid FROM exact UNION ALL SELECT sid, tid FROM c),
+upd AS (SELECT tid, min(sid) AS sid FROM matches GROUP BY tid)
+SELECT t.doc_id,
+       CASE WHEN u.sid IS NOT NULL THEN s.lang ELSE t.lang END AS lang,
+       t.source AS source,
+       CASE WHEN u.sid IS NOT NULL THEN t.n_chars + s.n_chars ELSE t.n_chars END AS n_chars
+FROM tgt t LEFT JOIN upd u ON t.doc_id = u.tid LEFT JOIN src s ON u.sid = s.doc_id
+UNION ALL
+SELECT s.doc_id, s.lang, s.source, s.n_chars
+FROM src s WHERE s.doc_id NOT IN (SELECT sid FROM matches)
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -1547,6 +1640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
+    "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -1611,4 +1705,5 @@ ORACLES: dict[str, str] = {
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
     "embed_ivf_topk": _ivf_sql(),
+    "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
 }

@@ -79,13 +79,30 @@ class CSVSource:
                 .csv(self.path)
             )
 
+        import re as _re
+
         cols = self.headers(spark)
         schema_ddl = ", ".join(f"`{c}` STRING" for c in cols)
         lines = spark.read.option("encoding", self.encoding).text(self.path)
         if self.header:
-            # drop the physical header line by value-match on its raw text
-            first = lines.limit(1).collect()[0][0]
-            lines = lines.where(F.col("value") != F.lit(first))
+            # drop the header POSITIONALLY (first physical line per
+            # file), never by value: a data row textually identical to
+            # the header must survive. monotonically_increasing_id
+            # follows file order (split offsets ascend with partition
+            # index); the per-file min is found with a cheap partial
+            # aggregate + broadcast anti-condition — no full-file
+            # window sort, so this holds at scale.
+            lines = lines.select(
+                "value",
+                F.input_file_name().alias("_f"),
+                F.monotonically_increasing_id().alias("_lid"),
+            )
+            firsts = lines.groupBy("_f").agg(F.min("_lid").alias("_first"))
+            lines = (
+                lines.join(F.broadcast(firsts), "_f")
+                .where(F.col("_lid") != F.col("_first"))
+                .select("value")
+            )
         value = F.col("value")
         if self.remove_expression:
             value = F.regexp_replace(value, self.remove_expression, "")
@@ -96,20 +113,31 @@ class CSVSource:
             "mode": "PERMISSIVE",
             "columnNameOfCorruptRecord": self._corrupt_col,
         }
-        parsed = lines.select(
-            F.from_csv(value, f"{schema_ddl}, `{self._corrupt_col}` STRING", opts).alias("r")
-        ).select("r.*")
-        # from_csv PERMISSIVE fills missing trailing fields with NULL and
-        # flags overflow/parse failures in the corrupt column. The
-        # reference drops any row whose raw field count != header count
-        # (csv_file.rb:40-63); emulate by also counting delimiters outside
-        # quotes via a re-serialize check: a row is malformed iff corrupt
-        # column is set OR any parsed field is NULL while the raw line had
-        # fewer delimiters than needed. We approximate with corrupt-flag
-        # OR last-column NULL+short-line, which covers the reference's
-        # spec cases (spec/csv_driver_csv_file_spec.rb:48-108).
-        malformed = F.col(self._corrupt_col).isNotNull() | F.col(f"`{cols[-1]}`").isNull()
-        flagged = parsed.withColumn("_malformed", malformed)
+        # The reference drops exactly the rows whose RAW field count
+        # differs from the header's (csv_file.rb:40-63) — a trailing
+        # empty field is a present field, so 'a,b,' with a 3-column
+        # header is well-formed. Count delimiters outside quoted
+        # segments on the raw line and compare to len(cols)-1; the
+        # corrupt-record flag still catches quote/parse failures.
+        qe = _re.escape(self.quote)
+        unquoted = F.regexp_replace(value, f"{qe}[^{qe}]*{qe}", "")
+        n_delims = F.length(unquoted) - F.length(
+            F.replace(unquoted, F.lit(self.delimiter), F.lit(""))
+        )
+        staged = lines.select(
+            value.alias("_raw"),
+            (n_delims / len(self.delimiter)).cast("int").alias("_n_delims"),
+        )
+        parsed = staged.select(
+            F.from_csv(
+                F.col("_raw"), f"{schema_ddl}, `{self._corrupt_col}` STRING", opts
+            ).alias("r"),
+            "_n_delims",
+        ).select("r.*", "_n_delims")
+        malformed = F.col(self._corrupt_col).isNotNull() | (
+            F.col("_n_delims") != F.lit(len(cols) - 1)
+        )
+        flagged = parsed.withColumn("_malformed", malformed).drop("_n_delims")
         if self.remove_malformed:
             flagged = flagged.cache()
             self._flagged = flagged
