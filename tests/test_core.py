@@ -204,3 +204,40 @@ def test_functions(spark):
     assert row.e == "2014_general"
     assert row.ok is True
     assert row.ng is True
+
+
+def test_csv_audit_report(spark, tmp_path):
+    from voter_gateway_spark.audit import csv_audit
+    from voter_gateway_spark.sources import CSVSource
+
+    p = tmp_path / "audit.csv"
+    p.write_text(
+        "id,name,email\n"
+        "1,a,a@x.co\n"
+        "2,b,\n"
+        "2,c,c@x.co\n"
+        "garbage line\n"
+    )
+    res = csv_audit(CSVSource(str(p), quote='"'), spark, keys=["id", "email"])
+    assert res.total_count == 3
+    assert res.malformed_count == 1
+    assert res.keys == {"id": False, "email": True}
+    assert res.coverage["id"] == (3, 1.0)
+    assert res.coverage["email"][0] == 2
+    text = str(res)
+    assert "Valid rows: 3" in text and "[id] DUPLICATES" in text
+    assert "UNIQUE KEY" in text and "email:" in text
+
+
+def test_database_audit_report(spark):
+    from voter_gateway_spark.audit import database_audit
+
+    df = spark.createDataFrame(
+        [Row(k=1, seg="A"), Row(k=2, seg="A"), Row(k=3, seg=None)],
+        "k int, seg string",
+    )
+    res = database_audit(df, distribution_columns=["seg"], limit=5)
+    assert res.total_records == 3
+    assert res.coverage["seg"][0] == 2
+    assert res.distributions["seg"] == [("A", 2), (None, 1)]
+    assert "Total records: 3" in str(res)

@@ -392,3 +392,25 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         got.explain("formatted")
     assert "_cell" in buf.getvalue()  # cell filter reaches the scan side
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 6-node chain has diameter 5; min-label propagation needs ~5
+    # rounds, so max_iter=2 must fail loudly, not return wrong labels
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_ops.connected_components(pairs, max_iter=2)
+
+
+def test_replicate_join_salt_is_row_stable(spark):
+    from voter_gateway_spark.operators.skew import replicate_broadcast_join
+
+    big = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(20)], "k int, v int"
+    )
+    small = spark.createDataFrame([Row(k=1, name="hot")], "k int, name string")
+    out = replicate_broadcast_join(big, small, "k", salt_buckets=4)
+    assert out.count() == 20
+    assert out.select("v").distinct().count() == 20

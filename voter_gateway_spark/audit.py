@@ -109,6 +109,104 @@ class MergeAuditResult:
         return "\n".join(lines)
 
 
+@dataclass
+class CSVAuditResult:
+    """A8 file-profile report (csv_audit.rb:69-100 AuditResult): valid
+    and malformed row counts, key-uniqueness verdicts, per-column
+    coverage. `coverage` maps column -> (covered_count, fraction)."""
+
+    total_count: int
+    malformed_count: int
+    keys: dict[str, bool] = field(default_factory=dict)
+    coverage: dict[str, tuple[int, float]] = field(default_factory=dict)
+
+    def __str__(self) -> str:
+        report = "CSV Audit Report"
+        report += f"\n\nValid rows: {self.total_count}"
+        report += f"\nInvalid rows: {self.malformed_count}"
+        report += "\n\nKeys:"
+        for key, unique in self.keys.items():
+            verdict = "UNIQUE KEY" if unique else "DUPLICATES (NOT UNIQUE)"
+            report += f"\n\t[{key}] {verdict}"
+        report += "\n\nCoverage:"
+        for col, (covered, frac) in self.coverage.items():
+            report += "\n\t" + f"{col}:".ljust(30) + f" {round(frac * 100, 2)}% ({covered})"
+        return report
+
+
+@dataclass
+class DatabaseAuditResult:
+    """A8 table-profile report (database_audit.rb:99-114 AuditResult):
+    row count, per-column coverage, top-k value distributions."""
+
+    total_records: int
+    coverage: dict[str, tuple[int, float]] = field(default_factory=dict)
+    distributions: dict[str, list[tuple[object, int]]] = field(default_factory=dict)
+
+    def __str__(self) -> str:
+        report = "Database Audit Report"
+        report += f"\n\nTotal records: {self.total_records}"
+        report += "\n\nCoverage:"
+        for col, (covered, frac) in self.coverage.items():
+            report += "\n\t" + f"{col}:".ljust(30) + f" {round(frac * 100, 2)}% ({covered})"
+        for col, dist in self.distributions.items():
+            report += f"\n\n{col} distribution:"
+            for value, n in dist:
+                report += f"\n\t{value}: {n}"
+        return report
+
+
+def _coverage_dict(df: DataFrame, cols: list[str]) -> tuple[int, dict[str, tuple[int, float]]]:
+    """One aggregation pass for total + all-column coverage (the
+    reference scans once per column — N scans vs our 1)."""
+    row = df.agg(F.count(F.lit(1)).alias("_total"), *coverage_exprs(cols)).collect()[0]
+    total = row["_total"]
+    return total, {
+        c: (row[c], (row[c] / total) if total else 0.0) for c in cols
+    }
+
+
+def csv_audit(
+    source,
+    spark,
+    keys: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> CSVAuditResult:
+    """Profile a CSV file: load with malformed-row accounting, then one
+    coverage pass + per-key uniqueness probes (csv_audit.rb:30-58
+    perform_audit). `source` is a CSVSource; a copy with
+    remove_malformed=True is used so the invalid-row count is real."""
+    from dataclasses import replace
+
+    src = replace(source, remove_malformed=True)
+    df = src.read(spark).cache()
+    total, coverage = _coverage_dict(df, columns or df.columns)
+    result = CSVAuditResult(
+        total_count=total,
+        malformed_count=src.malformed_count(),
+        coverage=coverage,
+    )
+    for key in keys or []:
+        result.keys[key] = key_is_unique(df, key)
+    return result
+
+
+def database_audit(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    distribution_columns: list[str] | None = None,
+    limit: int | None = 10,
+) -> DatabaseAuditResult:
+    """Profile a table: count + coverage in one pass, then a top-k
+    distribution per requested column (database_audit.rb:10-48)."""
+    total, coverage = _coverage_dict(df, columns or df.columns)
+    result = DatabaseAuditResult(total_records=total, coverage=coverage)
+    for col in distribution_columns or []:
+        rows = value_distribution(df, col, limit=limit).collect()
+        result.distributions[col] = [(r["value"], r["count"]) for r in rows]
+    return result
+
+
 def merge_audit(matches: DataFrame) -> MergeAuditResult:
     """Dry-run match audit: run the cascade, count, write nothing
     (merge_audit.rb:13-34)."""

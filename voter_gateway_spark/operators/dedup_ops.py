@@ -381,12 +381,18 @@ def connected_components(
     At 100 TB scale this is the alternating-min formulation that
     MapReduce CC algorithms (e.g. large-star/small-star) refine; near-dup
     graphs are shallow (diameter ≪ 10), so the simple loop holds.
+
+    Raises RuntimeError if labels are still changing after `max_iter`
+    rounds — silently returning non-converged labels would let
+    dedup_corpus_pruned keep documents whose cluster already has a
+    representative, with no signal anything went wrong.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -410,7 +416,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds max_iter); raise max_iter or switch to "
+            "large-star/small-star for deep graphs"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

@@ -82,9 +82,12 @@ def replicate_broadcast_join(
     values, and the join key becomes (key, salt) — hot keys spread over
     `salt_buckets` tasks.
     """
-    b = big.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    # salt from the row-content hash (like salted()), NOT from
+    # monotonically_increasing_id: mid depends on task/partition layout,
+    # so a task retry could re-salt rows differently mid-job; the row
+    # hash is stable across retries while still spreading hot keys
+    # (identical rows co-locating is fine — they'd collide anyway).
+    b = salted(big, salt_buckets)
     s = small.crossJoin(
         F.broadcast(
             big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
