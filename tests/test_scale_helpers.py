@@ -89,3 +89,57 @@ def test_widen_raises_narrow_inputs_only(spark):
     wide = spark.range(100).repartition(64)
     # already-wide inputs pass through without a shrink (no-op, no shuffle)
     assert widen(wide) is wide
+
+
+def test_lower_merge_routing_matches_functional_plan():
+    """The MERGE-sink lowering applies the same column routing as
+    MergePlan.execute: excluded/preserved skip the update, moved-to
+    columns take the target's own moved-from value, $S/$T templates
+    bind to the aliases, preserved columns still insert."""
+    from voter_gateway_spark.plans import MergePlan
+    from voter_gateway_spark.sources.merge_sink import lower_merge
+
+    plan = (
+        MergePlan(target_pk="id")
+        .exclude_column("never")
+        .preserve_column("keep")
+        .move_columns({"old_name": "prev_name"})
+        .merge_column_as("bal", "round($T + $S, 2)")
+        .insert_column_as("tag", "upper($S)")
+    )
+    source_cols = ["id", "name", "bal", "keep", "never", "tag", "old_name"]
+    target_cols = ["id", "name", "bal", "keep", "never", "tag", "old_name", "prev_name"]
+    cond, upd, ins = lower_merge(plan, source_cols, target_cols)
+    assert cond == "t.`id` = s.`_target_id`"
+    assert upd["name"] == "s.`name`"
+    assert upd["bal"] == "round(`t`.`bal` + `s`.`bal`, 2)"
+    assert upd["prev_name"] == "t.`old_name`"   # move: target's own value
+    assert upd["old_name"] == "s.`old_name`"    # moved-from still updated
+    assert "never" not in upd and "keep" not in upd and "id" not in upd
+    assert ins["keep"] == "s.`keep`"            # preserved inserts
+    assert ins["tag"] == "upper(`s`.`tag`)"
+    assert "never" not in ins and "prev_name" not in ins
+
+
+def test_lower_merge_modes():
+    from voter_gateway_spark.plans import MergePlan
+    from voter_gateway_spark.sources.merge_sink import lower_merge
+
+    upd_only = MergePlan(target_pk="id").set_update_only()
+    _, upd, ins = lower_merge(upd_only, ["id", "x"], ["id", "x"])
+    assert upd is not None and ins is None
+    ins_only = MergePlan(target_pk="id").set_insert_only()
+    _, upd, ins = lower_merge(ins_only, ["id", "x"], ["id", "x"])
+    assert upd is None and ins is not None
+
+
+def test_merge_into_delta_gated(spark):
+    import pytest
+
+    from voter_gateway_spark.plans import MergePlan
+    from voter_gateway_spark.sources.merge_sink import delta_available, merge_into_delta
+
+    if delta_available():
+        pytest.skip("delta installed; gate test is for the missing-package path")
+    with pytest.raises(RuntimeError, match="delta-spark is not installed"):
+        merge_into_delta(spark, "/tmp/nope", None, MergePlan(target_pk="id"))
