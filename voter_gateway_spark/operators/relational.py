@@ -1,0 +1,141 @@
+"""Relational operators Spark lacks as built-ins, re-expressed as
+shuffle-efficient DataFrame plans: as-of joins and point-in-interval
+(range) joins — the time-alignment primitives of event/feature
+pipelines.
+
+Both avoid the naive O(n·m) theta join:
+
+- `as_of_join` is the union-marker/window formulation: one shuffle on
+  the key, a running `last(ignorenulls)` carries the most recent right
+  row forward — no range condition ever reaches the join, so there is
+  no BroadcastNestedLoop/cartesian fallback regardless of size.
+- `interval_join` banded-buckets time: intervals explode to the coarse
+  buckets they cover, points join on (key, bucket) equi-keys, and the
+  exact containment predicate filters after. Bucket width trades
+  duplication (interval_span/width rows per interval) against bucket
+  occupancy — the classic banded range-join strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    LARGEST right_time <= left_time for the same key (inclusive, the
+    ASOF JOIN convention); right columns are NULL when no prior right
+    row exists.
+
+    `right` must be unique per (on, right_time) — pre-aggregate
+    otherwise (ambiguous picks are the caller's modeling bug, not a
+    tie-break to hide).
+
+    Plan: union both sides with a marker, one window per key ordered by
+    (time, marker — right rows first so equal timestamps match), then
+    `last(payload, ignorenulls=True)` over the running frame. ONE
+    shuffle on the key; scales as a sort within partitions.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as_of_join right columns {sorted(clash)} collide with left "
+            "columns; alias the right payload first"
+        )
+    l = left.withColumn("_asof_t", F.col(left_time)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c) for c in right_cols],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_t").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in right_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return carried.where(F.col("_is_left") == 1).drop("_asof_t", "_is_left")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+    time_unit_expr=None,
+) -> DataFrame:
+    """Point-in-interval equi-bucketed join: rows of `points` matched to
+    every row of `intervals` with the same key and
+    start <= point_time <= end (inclusive both ends).
+
+    `bucket_width` is in the units of the time columns after
+    `time_unit_expr` (default: unix seconds via unix_timestamp for
+    timestamp columns, identity for numerics). Intervals explode to
+    ceil(span/width)+1 bucket rows; points hash to one bucket; the join
+    is a plain (key, bucket) equi-join followed by the exact range
+    filter — Catalyst never sees a range join, so no nested-loop
+    fallback at any scale.
+    """
+    to_units = time_unit_expr or (
+        lambda c: F.unix_timestamp(c).cast("bigint")
+    )
+
+    p_units = to_units(F.col(point_time))
+    s_units = to_units(F.col(start))
+    e_units = to_units(F.col(end))
+
+    p = points.withColumn("_bucket", F.floor(p_units / bucket_width))
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_units / bucket_width), F.floor(e_units / bucket_width)
+            )
+        ),
+    )
+    joined = p.join(i, [on, "_bucket"]).where(
+        (F.col(point_time) >= F.col(start)) & (F.col(point_time) <= F.col(end))
+    )
+    return joined.drop("_bucket")
+
+
+def hash_mod_sample(
+    df: DataFrame, key: str | Column, percent: int, buckets: int = 100
+) -> DataFrame:
+    """Deterministic, engine-portable sampling: keep rows whose
+    md5-derived bucket of `key` falls below `percent` (of `buckets`).
+
+    Unlike df.sample(), the kept set is a pure function of the key —
+    stable across runs, engines (the DuckDB oracle reproduces it), and
+    cluster layouts, and consistent across tables sharing the key
+    (sample customers and their orders with the same predicate). This
+    is the reproducible-split primitive for train/eval carves.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(buckets),
+    )
+    return df.where(bucket < percent)

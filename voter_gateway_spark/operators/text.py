@@ -163,6 +163,54 @@ def shingle_fingerprint(col: Column | str, k: int = 3, words_col: Column | None 
     return F.element_at(F.transform(F.array(words), build), 1)
 
 
+# -- vocabulary ---------------------------------------------------------------
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    doc_freq: bool = True,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: (token, count[, doc_count]) over lowercase
+    whitespace tokens — the BPE-training / stopword-mining precursor.
+
+    One explode + one aggregation; `doc_count` (documents containing
+    the token) rides the same shuffle as a count(distinct doc marker)
+    replaced by a pre-distinct per doc, so no second pass over text.
+
+    Pass `id_col` when the table has a row identity. Otherwise an id is
+    synthesized in a projection BELOW the explode — putting
+    monotonically_increasing_id in the same select as the generator
+    evaluates it per generated row (every token gets its own "doc"),
+    which silently turns doc_count into count.
+    """
+    if id_col is None:
+        base = df.select(
+            F.monotonically_increasing_id().alias("_doc"), F.col(text_col)
+        )
+    else:
+        base = df.select(F.col(id_col).alias("_doc"), F.col(text_col))
+    toks = base.select(
+        "_doc",
+        F.explode(
+            F.filter(F.split(F.lower(normalized(text_col)), " "), lambda w: w != "")
+        ).alias("token"),
+    )
+    if doc_freq:
+        # distinct (doc, token) first: the doc-frequency aggregate then
+        # needs no count(distinct) (two-phase shuffle) downstream
+        per_doc = toks.groupBy("_doc", "token").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        out = per_doc.groupBy("token").agg(
+            F.sum("_n").alias("count"), F.count(F.lit(1)).alias("doc_count")
+        )
+    else:
+        out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    return out.where(F.col("count") >= min_count)
+
+
 # -- DataFrame-level convenience ---------------------------------------------
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1609,6 +1609,147 @@ FROM src s WHERE s.doc_id NOT IN (SELECT sid FROM matches)
 
 
 # =============================================================================
+# Relational time-alignment + sampling + vocabulary + stats
+# =============================================================================
+
+def asof_order_revenue_events(spark, sf_dir):
+    """Backward as-of join (union-marker/window plan — one shuffle on
+    the key, no range predicate in any join): each event picks the
+    user's most recent order-day revenue at or before the event time."""
+    from voter_gateway_spark.operators.relational import as_of_join
+
+    events = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    day_rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("_od")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("last_order_total"))
+    )
+    out = as_of_join(
+        events, day_rev, on="user_id", left_time="ts", right_time="_od"
+    )
+    return out.select("event_id", "user_id", "last_order_total")
+
+
+ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS od,
+         round(sum(o_totalprice), 2) AS last_order_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.last_order_total
+FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.od
+"""
+
+
+def interval_join_events_windows(spark, sf_dir):
+    """Banded point-in-interval join: every event of a user landing in
+    the 2-hour window opened by each of that user's sampled anchor
+    events. Intervals explode to 2-hour buckets; the join Catalyst sees
+    is a (key, bucket) equi-join — no BroadcastNestedLoop at any scale."""
+    from voter_gateway_spark.operators.relational import interval_join
+
+    events = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    intervals = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") % 199 == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").alias("win_start"),
+            F.expr("ts + INTERVAL 2 HOUR").alias("win_end"),
+        )
+    )
+    out = interval_join(
+        events, intervals, on="user_id", point_time="ts",
+        start="win_start", end="win_end", bucket_width=7200,
+    )
+    return out.select("event_id", "anchor_id")
+
+
+INTERVAL_SQL = """
+SELECT e.event_id, a.event_id AS anchor_id
+FROM events e JOIN events a
+  ON e.user_id = a.user_id
+ AND e.ts >= a.ts
+ AND e.ts <= a.ts + INTERVAL 2 HOUR
+WHERE a.event_id % 199 = 0
+"""
+
+
+def sample_customers_deterministic(spark, sf_dir):
+    """Hash-mod sampling: a pure function of the key — reproducible
+    across runs/engines/cluster layouts, and consistent across tables
+    sharing the key (the train/eval split primitive)."""
+    from voter_gateway_spark.operators.relational import hash_mod_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    return hash_mod_sample(cust, "c_custkey", percent=10).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
+SAMPLE_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+FROM customer
+WHERE ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+"""
+
+
+def text_vocabulary(spark, sf_dir):
+    """Corpus vocabulary with doc frequencies — explode + two-level
+    aggregation (per-doc distinct first, so no count(distinct) shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_frequencies(docs, "text", min_count=5, id_col="doc_id").select(
+        "token", F.col("count").cast("bigint").alias("count"),
+        F.col("doc_count").cast("bigint").alias("doc_count"),
+    )
+
+
+VOCAB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           w -> w <> '')) AS token
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT token, CAST(sum(n) AS BIGINT) AS count, CAST(count(*) AS BIGINT) AS doc_count
+FROM per_doc GROUP BY token HAVING sum(n) >= 5
+"""
+
+
+def stats_quantiles_lineitem(spark, sf_dir):
+    """Exact continuous-interpolation quartiles per return flag — the
+    numeric-profile building block (both engines implement the same
+    type-7 quantile, so values hash-match after rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_q", 1), 4).alias("q25"),
+            F.round(F.element_at("_q", 2), 4).alias("q50"),
+            F.round(F.element_at("_q", 3), 4).alias("q75"),
+        )
+    )
+
+
+QUANTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# =============================================================================
 # Catalog
 # =============================================================================
 
@@ -1641,6 +1782,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
+    "asof_order_revenue_events": asof_order_revenue_events,
+    "interval_join_events_windows": interval_join_events_windows,
+    "sample_customers_deterministic": sample_customers_deterministic,
+    "text_vocabulary": text_vocabulary,
+    "stats_quantiles_lineitem": stats_quantiles_lineitem,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -1706,4 +1852,9 @@ ORACLES: dict[str, str] = {
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
     "embed_ivf_topk": _ivf_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
+    "asof_order_revenue_events": ASOF_SQL,
+    "interval_join_events_windows": INTERVAL_SQL,
+    "sample_customers_deterministic": SAMPLE_SQL,
+    "text_vocabulary": VOCAB_SQL,
+    "stats_quantiles_lineitem": QUANTILE_SQL,
 }
