@@ -414,3 +414,19 @@ def test_replicate_join_salt_is_row_stable(spark):
     out = replicate_broadcast_join(big, small, "k", salt_buckets=4)
     assert out.count() == 20
     assert out.select("v").distinct().count() == 20
+
+
+def test_multimodal_decoder_registry(spark):
+    """The decoder contract: a registered callable flows through the
+    Arrow mapInPandas path; unregistered kinds fail with guidance."""
+    from voter_gateway_spark.operators import multimodal
+
+    media = synthetic_media(spark, n=6)
+    multimodal.register_decoder("len4", lambda b: [float(len(b))] * 4)
+    try:
+        out = extract_features(media, kind="len4").collect()
+        assert all(r.features == [float(r.n_bytes)] * 4 for r in out)
+    finally:
+        multimodal._DECODERS.pop("len4", None)
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        multimodal.get_decoder("image")

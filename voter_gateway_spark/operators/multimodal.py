@@ -65,29 +65,72 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode an encoded image to a feature vector.
+# -- decoder contract ---------------------------------------------------------
+#
+# Decoding is the ONLY step that needs codec libraries, so it is a
+# plug-in: a decoder is a plain picklable callable `bytes -> list[float]`
+# registered per media kind. The Spark-side plumbing (schema, Arrow
+# batching, mapInPandas signature, partition shape) is identical for
+# every decoder; a deployment with PIL/torchvision/ffmpeg installs its
+# real decoders at startup:
+#
+#     from PIL import Image; import io
+#     def pil_decode(b):
+#         im = Image.open(io.BytesIO(b)).convert("L").resize((8, 1))
+#         return [p / 255.0 for p in im.getdata()]
+#     multimodal.register_decoder("image", pil_decode)
+#
+# The callable must be importable/picklable (it ships to executors
+# inside the mapInPandas closure). The built-in "fake" decoder is a
+# deterministic sha256-derived 8-dim vector so tests and the oracle
+# exercise the full distributed path without codecs.
 
-    REAL implementation requires an image codec (PIL/opencv) — not in
-    this container; `fake=True` derives a deterministic 8-dim vector
-    from the payload bytes so the distributed plumbing is exercised.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec library (PIL/opencv); "
-            "run with fake=True for plumbing tests"
-        )
+def fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in decoder: 8 dims from the payload sha256."""
     h = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in h[:8]]
 
 
-def extract_features(media: DataFrame, fake: bool = True, batch_size_hint: int = 256) -> DataFrame:
+_DECODERS: dict[str, object] = {"fake": fake_decode}
+
+
+def register_decoder(kind: str, fn) -> None:
+    """Install a real decoder (`bytes -> list[float]`) for a media kind."""
+    _DECODERS[kind] = fn
+
+
+def get_decoder(kind: str):
+    if kind not in _DECODERS:
+        raise NotImplementedError(
+            f"no decoder registered for kind={kind!r}: real decoding needs a "
+            "codec library (PIL/opencv/ffmpeg) — register one with "
+            "multimodal.register_decoder(kind, fn); the 'fake' decoder "
+            "exercises the distributed plumbing without codecs"
+        )
+    return _DECODERS[kind]
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode an encoded image to a feature vector via the registry
+    (`fake=True` forces the deterministic stand-in)."""
+    decoder = fake_decode if fake else get_decoder("image")
+    return decoder(payload)
+
+
+def extract_features(
+    media: DataFrame,
+    fake: bool = True,
+    batch_size_hint: int = 256,
+    kind: str | None = None,
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow-batched; one Python worker pass, vectorized per batch. The
-    fake path hashes payloads (deterministic); a real deployment swaps
-    `decode_image` only.
+    decoder is resolved from the registry (see the decoder contract
+    above): `kind` selects a registered decoder; default is the
+    deterministic fake (`fake=True`) or the registered "image" decoder.
     """
+    decoder = get_decoder(kind) if kind else (fake_decode if fake else get_decoder("image"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,7 +139,7 @@ def extract_features(media: DataFrame, fake: bool = True, batch_size_hint: int =
                     "media_id": pdf["media_id"],
                     "sha256": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
                     "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))).astype("int64"),
-                    "features": pdf["payload"].map(lambda b: decode_image(bytes(b), fake=fake)),
+                    "features": pdf["payload"].map(lambda b: decoder(bytes(b))),
                 }
             )
             yield out

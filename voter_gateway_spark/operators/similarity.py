@@ -164,6 +164,36 @@ def lsh_bucketed_topk(
     )
 
 
+def l2_normalize(col: Column | str) -> Column:
+    """Unit-normalize a vector column (zero vectors stay zero instead
+    of dividing by zero — ANSI mode would error, and NULLs poison
+    downstream folds)."""
+    v = _c(col)
+    n = norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def vector_mean(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean vector per group (centroid), computed
+    distributed: posexplode → (group, pos) partial sums → re-assemble
+    the ordered array. No collect, no UDF; the shuffle carries scalars
+    only — the group-centroid primitive for pooling / cluster features.
+
+    Returns (group_col, centroid array<double>).
+    """
+    return (
+        df.select(group_col, F.posexplode(vec_col).alias("_pos", "_x"))
+        .groupBy(group_col, "_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+            ).alias("centroid")
+        )
+    )
+
+
 def _nearest_cells(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) -> DataFrame:
     """Attach the `rank_n` nearest centroid cells to each vector row
     (cosine rounded to 6 places; ties broken on ascending cell id).
@@ -182,19 +212,9 @@ def _nearest_cells(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) ->
 
 
 def _vector_mean(assigned: DataFrame, group_col: str, vec_col: str) -> DataFrame:
-    """Element-wise mean of vectors per group, computed distributed:
-    posexplode → (group, pos) partial sums → re-assemble ordered array.
-    No collect, no UDF; shuffle carries scalars."""
-    return (
-        assigned.select(group_col, F.posexplode(vec_col).alias("_pos", "_x"))
-        .groupBy(group_col, "_pos")
-        .agg(F.avg("_x").alias("_m"))
-        .groupBy(group_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
-            ).alias("_centroid")
-        )
+    """vector_mean with the IVF-internal `_centroid` alias."""
+    return vector_mean(assigned, group_col, vec_col).select(
+        group_col, F.col("centroid").alias("_centroid")
     )
 
 

@@ -1749,6 +1749,90 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def embed_normalize(spark, sf_dir):
+    """L2 normalization (zero-safe) — norms and leading unit components
+    as scalars (the oracle harness cannot hash array cells)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    unit = similarity.l2_normalize(v)
+    return emb.select(
+        "vec_id",
+        F.round(similarity.norm(v), 6).alias("l2_norm"),
+        *[F.round(F.element_at(unit, i + 1), 6).alias(f"u{i}") for i in range(4)],
+    )
+
+
+NORMALIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+)
+SELECT vec_id, round(n, 6) AS l2_norm,
+       round(CASE WHEN n > 0 THEN v[1] / n ELSE v[1] END, 6) AS u0,
+       round(CASE WHEN n > 0 THEN v[2] / n ELSE v[2] END, 6) AS u1,
+       round(CASE WHEN n > 0 THEN v[3] / n ELSE v[3] END, 6) AS u2,
+       round(CASE WHEN n > 0 THEN v[4] / n ELSE v[4] END, 6) AS u3
+FROM e
+"""
+
+
+def embed_group_centroids(spark, sf_dir):
+    """Distributed group centroids (mean pooling): posexplode →
+    (group, pos) partial averages — shuffle carries scalars only.
+    Emitted exploded as (grp, pos, mean) so every cell is hashable."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 8).alias("grp"), similarity.as_double_array("embedding").alias("_v")
+    )
+    cents = similarity.vector_mean(emb, "grp", "_v")
+    return cents.select(
+        "grp", F.posexplode("centroid").alias("pos", "_m")
+    ).select("grp", "pos", F.round("_m", 6).alias("mean"))
+
+
+CENTROID_SQL = """
+WITH u AS (
+  SELECT vec_id % 8 AS grp,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos
+  FROM embeddings
+)
+SELECT grp, CAST(pos AS INTEGER) AS pos, round(avg(x), 6) AS mean
+FROM u GROUP BY grp, pos
+"""
+
+
+def q_late_ship_orders(spark, sf_dir):
+    """TPC-H q4-style EXISTS semi-join: priority counts of orders with
+    at least one line shipped > 60 days after the order date. Catalyst
+    plans the EXISTS as a LeftSemi hash join — no duplication of the
+    order row however many lines qualify."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = orders.join(
+        li.alias("l"),
+        (orders["o_orderkey"] == F.col("l.l_orderkey"))
+        & (F.col("l.l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        qualifying.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+LATE_SHIP_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -1787,6 +1871,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_customers_deterministic": sample_customers_deterministic,
     "text_vocabulary": text_vocabulary,
     "stats_quantiles_lineitem": stats_quantiles_lineitem,
+    "embed_normalize": embed_normalize,
+    "embed_group_centroids": embed_group_centroids,
+    "q_late_ship_orders": q_late_ship_orders,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -1857,4 +1944,7 @@ ORACLES: dict[str, str] = {
     "sample_customers_deterministic": SAMPLE_SQL,
     "text_vocabulary": VOCAB_SQL,
     "stats_quantiles_lineitem": QUANTILE_SQL,
+    "embed_normalize": NORMALIZE_SQL,
+    "embed_group_centroids": CENTROID_SQL,
+    "q_late_ship_orders": LATE_SHIP_SQL,
 }
