@@ -430,3 +430,47 @@ def test_multimodal_decoder_registry(spark):
         multimodal._DECODERS.pop("len4", None)
     with pytest.raises(NotImplementedError, match="register_decoder"):
         multimodal.get_decoder("image")
+
+
+def test_stream_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment parity: the same join on the
+    batch frame and on a file stream produce identical rows."""
+    import shutil
+
+    from voter_gateway_spark.streaming.events import EVENT_SCHEMA, enrich_events
+
+    dim = spark.createDataFrame(
+        [Row(event_type=t, weight=i) for i, t in enumerate(
+            ["click", "view", "purchase", "scroll", "share"]
+        )],
+        "event_type string, weight int",
+    )
+    batch_events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    exp = {
+        (r.event_id, r.weight)
+        for r in enrich_events(batch_events, dim, "event_type").collect()
+    }
+    stream_dir = tmp_path / "events_enrich"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        enrich_events(stream, dim, "event_type")
+        .writeStream.format("memory")
+        .queryName("t_stream_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.weight) for r in spark.table("t_stream_enrich").collect()
+    }
+    assert got == exp

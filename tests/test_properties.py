@@ -126,3 +126,71 @@ def test_ngram_pairs_match_naive_all_pairs(spark_prop, texts, dup_factor):
     assert got.keys() == exp.keys()
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
+
+
+@st.composite
+def timeline_data(draw):
+    n_l = draw(st.integers(1, 10))
+    n_r = draw(st.integers(0, 10))
+    ks = st.integers(1, 3)
+    ts = st.integers(0, 50)
+    left = [(i, draw(ks), draw(ts)) for i in range(n_l)]
+    # right unique per (k, t): dedupe draws
+    seen = set()
+    right = []
+    for i in range(n_r):
+        k, t = draw(ks), draw(ts)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((k, t, i * 10))
+    return left, right
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(timeline_data())
+def test_as_of_join_matches_naive(spark_prop, data):
+    """as_of_join (union-marker window plan) == the naive per-row
+    argmax over right_time <= left_time."""
+    from voter_gateway_spark.operators.relational import as_of_join
+
+    spark = spark_prop
+    left_rows, right_rows = data
+    left = spark.createDataFrame(left_rows, "lid int, k int, t int")
+    right = spark.createDataFrame(right_rows or [(99, -1, -1)], "k int, rt int, px int")
+    if not right_rows:
+        right = right.where("k < -100")  # empty frame with schema
+    got = {r.lid: r.px for r in as_of_join(left, right, "k", "t", "rt").collect()}
+    naive = {}
+    for lid, k, t in left_rows:
+        cands = [(rt, px) for (rk, rt, px) in right_rows if rk == k and rt <= t]
+        naive[lid] = max(cands)[1] if cands else None
+    assert got == naive
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(timeline_data())
+def test_interval_join_matches_naive(spark_prop, data):
+    """Banded interval_join == the naive theta join, for every bucket
+    width (width must not change results, only the plan)."""
+    from voter_gateway_spark.operators.relational import interval_join
+
+    spark = spark_prop
+    point_rows, iv_rows = data
+    points = spark.createDataFrame(point_rows, "pid int, k int, t int")
+    ivs = [(k, t, t + (px % 17), i) for i, (k, t, px) in enumerate(iv_rows)]
+    intervals = spark.createDataFrame(ivs or [(0, 0, 0, 0)], "k int, s int, e int, ivid int")
+    if not ivs:
+        intervals = intervals.where("k < -100")
+    naive = sorted(
+        (pid, ivid)
+        for (pid, k, t) in point_rows
+        for (ik, s, e, ivid) in ivs
+        if ik == k and s <= t <= e
+    )
+    for width in (1, 7, 100):
+        out = interval_join(
+            points, intervals, "k", "t", "s", "e",
+            bucket_width=width, time_unit_expr=lambda c: c,
+        )
+        got = sorted((r.pid, r.ivid) for r in out.collect())
+        assert got == naive, f"width={width}"

@@ -112,6 +112,18 @@ def _event_stream(spark: SparkSession, parquet_dir: str, watermark: str):
     )
 
 
+def enrich_events(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment: join each event to a (small) dimension
+    table. Works identically on a batch or streaming `events` frame —
+    Spark re-plans the static side per micro-batch, and the explicit
+    broadcast keeps it a map-side hash join (no shuffle of the stream).
+
+    The batch form is the oracle; the streaming form is the deployment
+    path (parity pinned by test_stream_enrich_matches_batch).
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stream_dedup_events(
     spark: SparkSession,
     parquet_dir: str,
