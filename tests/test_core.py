@@ -241,3 +241,26 @@ def test_database_audit_report(spark):
     assert res.coverage["seg"][0] == 2
     assert res.distributions["seg"] == [("A", 2), (None, 1)]
     assert "Total records: 3" in str(res)
+
+
+def test_dedup_audit_report(spark):
+    from voter_gateway_spark.audit import dedup_audit
+
+    df = spark.createDataFrame(
+        [Row(id=1, k="a"), Row(id=2, k="a"), Row(id=3, k="b")],
+        "id int, k string",
+    )
+    plan = DedupPlan(df, pk="id")
+    plan.find_duplicates(["k"])
+    res = dedup_audit(plan)
+    # id=2 is flagged as duplicate of id=1 (orientation $T < $S)
+    assert res.total == 3 and res.matched == 1
+    assert res.reflexive_merges == 0 and res.symmetric_merges == 0
+    assert "rule 1: 1" in str(res)
+    # break the orientation: every row pairs with every same-k row →
+    # the audit REPORTS symmetric violations instead of raising
+    bad = DedupPlan(df, pk="id", orientation="$T != $S")
+    bad.find_duplicates(["k"])
+    res_bad = dedup_audit(bad)
+    assert res_bad.symmetric_merges > 0
+    assert "SYMMETRIC MERGE ERROR" in str(res_bad)

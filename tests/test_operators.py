@@ -474,3 +474,35 @@ def test_stream_enrich_matches_batch(spark, sf_dir, tmp_path):
         (r.event_id, r.weight) for r in spark.table("t_stream_enrich").collect()
     }
     assert got == exp
+
+
+def test_chunk_text_overlap_and_short_docs(spark):
+    from voter_gateway_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
+            Row(doc_id=2, text="a b"),
+            Row(doc_id=3, text=""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_text(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.n_chunk_tokens))
+    # 10 tokens, step 3 → ceil(9/3)=3 chunks; consecutive chunks share 1 token
+    assert [c[1] for c in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    # every token appears in some chunk (lossless coverage)
+    covered = set()
+    for _, chunk, _ in by_doc[1]:
+        covered.update(chunk.split())
+    assert covered == {f"w{i}" for i in range(10)}
+    assert by_doc[2] == [(0, "a b", 2)]
+    assert by_doc[3] == [(0, "", 0)]  # empty doc keeps one empty chunk
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, chunk_tokens=4, overlap=4)

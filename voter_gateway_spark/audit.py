@@ -216,3 +216,43 @@ def merge_audit(matches: DataFrame) -> MergeAuditResult:
     total = sum(r["n"] for r in rows)
     per_rule = {r["_match_rule"]: r["n"] for r in rows if r["_match_rule"] is not None}
     return MergeAuditResult(total=total, matched=sum(per_rule.values()), per_rule=per_rule)
+
+
+@dataclass
+class DedupAuditResult(MergeAuditResult):
+    """A8 dedup-audit report (dedup_audit.rb:19-55): the merge audit
+    plus reflexive/symmetric violation counts, flagged loudly in the
+    report instead of aborting (the audit is the dry run; execute()
+    still hard-fails)."""
+
+    reflexive_merges: int = 0
+    symmetric_merges: int = 0
+
+    def __str__(self) -> str:
+        report = super().__str__()
+        if self.reflexive_merges:
+            report += (
+                f"\nREFLEXIVE MERGE ERROR: {self.reflexive_merges} records "
+                "are flagged as their own duplicate."
+            )
+        if self.symmetric_merges:
+            report += (
+                f"\nSYMMETRIC MERGE ERROR: {self.symmetric_merges} records "
+                "are flagged as both a duplicate and original."
+            )
+        return report
+
+
+def dedup_audit(plan) -> DedupAuditResult:
+    """Dry-run a DedupPlan: per-rule duplicate counts + invariant
+    violation counts, writing nothing (dedup_audit.rb:12-38)."""
+    matches = plan.match.matches().cache()
+    base = merge_audit(matches)
+    reflexive, symmetric = plan.invariant_counts(matches)
+    return DedupAuditResult(
+        total=base.total,
+        matched=base.matched,
+        per_rule=base.per_rule,
+        reflexive_merges=reflexive,
+        symmetric_merges=symmetric,
+    )

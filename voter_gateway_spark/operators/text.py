@@ -163,6 +163,52 @@ def shingle_fingerprint(col: Column | str, k: int = 3, words_col: Column | None 
     return F.element_at(F.transform(F.array(words), build), 1)
 
 
+# -- chunking -----------------------------------------------------------------
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window packing step of an LLM data pipeline.
+
+    Output: (id, chunk_idx, chunk, n_chunk_tokens), chunk_idx 0-based;
+    consecutive chunks share `overlap` tokens. Pure column expressions:
+    the word list is projected ONCE, chunk indices come from `sequence`,
+    and each chunk is a `slice` + `concat_ws` — one explode, no Python,
+    no shuffle at all (narrow transformation; chunks stay co-partitioned
+    with their documents, which is exactly what a downstream
+    per-document aggregation wants).
+
+    Empty/short docs yield one (possibly short or empty) chunk, so no
+    document silently disappears.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.filter(
+        F.split(F.lower(normalized(text_col)), " "), lambda w: w != ""
+    )
+    base = df.select(F.col(id_col), words.alias("_words"))
+    n = F.size("_words")
+    n_chunks = F.greatest(F.ceil((n - overlap) / F.lit(step)), F.lit(1)).cast("int")
+    chunks = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "_words",
+    )
+    piece = F.slice(F.col("_words"), F.col("chunk_idx") * step + 1, chunk_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 # -- vocabulary ---------------------------------------------------------------
 
 def token_frequencies(

@@ -60,10 +60,10 @@ class DedupPlan:
 
     # -- invariants (M11/M12) --------------------------------------------------
 
-    def check_invariants(self, matches: DataFrame) -> None:
+    def invariant_counts(self, matches: DataFrame) -> tuple[int, int]:
+        """(reflexive, symmetric) violation counts — the audit form of
+        the invariants (merge_audit_sql.rb:21-36 counts, no abort)."""
         reflexive = matches.where(F.col(TARGET_ID) == F.col(f"`{self.pk}`")).count()
-        if reflexive:
-            raise MergeInvariantError(f"{reflexive} reflexive merge(s): row would merge into itself")
         m = matches.where(F.col(TARGET_ID).isNotNull())
         a, b = m.alias("a"), m.alias("b")
         symmetric = (
@@ -71,6 +71,12 @@ class DedupPlan:
             .where(F.expr(f"b.{TARGET_ID} IS NOT NULL"))
             .count()
         )
+        return reflexive, symmetric
+
+    def check_invariants(self, matches: DataFrame) -> None:
+        reflexive, symmetric = self.invariant_counts(matches)
+        if reflexive:
+            raise MergeInvariantError(f"{reflexive} reflexive merge(s): row would merge into itself")
         if symmetric:
             raise MergeInvariantError(f"{symmetric} symmetric merge(s): row is both duplicate and survivor")
 

@@ -1802,6 +1802,32 @@ FROM u GROUP BY grp, pos
 """
 
 
+def text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (context packing) — one
+    explode, zero shuffles; chunks stay co-partitioned with their
+    documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_text(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
+
+
+CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS wl
+  FROM documents
+), n AS (
+  SELECT doc_id, wl,
+         CAST(greatest(ceil((len(wl) - 8) / 56.0), 1) AS INT) AS n_chunks
+  FROM w
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(wl[i * 56 + 1 : i * 56 + 64], ' ') AS chunk,
+       CAST(len(wl[i * 56 + 1 : i * 56 + 64]) AS INTEGER) AS n_chunk_tokens
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
 def q_late_ship_orders(spark, sf_dir):
     """TPC-H q4-style EXISTS semi-join: priority counts of orders with
     at least one line shipped > 60 days after the order date. Catalyst
@@ -1874,6 +1900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_normalize": embed_normalize,
     "embed_group_centroids": embed_group_centroids,
     "q_late_ship_orders": q_late_ship_orders,
+    "text_chunks": text_chunks,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -1947,4 +1974,5 @@ ORACLES: dict[str, str] = {
     "embed_normalize": NORMALIZE_SQL,
     "embed_group_centroids": CENTROID_SQL,
     "q_late_ship_orders": LATE_SHIP_SQL,
+    "text_chunks": CHUNK_SQL,
 }
