@@ -1859,6 +1859,92 @@ GROUP BY o_orderpriority
 """
 
 
+def pipeline_corpus_prep(spark, sf_dir):
+    """End-to-end LLM corpus preparation in ONE declarative plan:
+    quality scoring → language filter → exact dedup by content
+    fingerprint → overlapping token-window chunking. Everything stays
+    in Catalyst: the only shuffles are the dedup window and nothing
+    else (chunking is narrow); filters sit before the dedup so the
+    window shuffles only surviving docs."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_padded", text.padded_lower("text")
+    )
+    scored = docs.select(
+        "doc_id",
+        "text",
+        text.quality_score("text").alias("quality"),
+        text.lang_id(F.col("_padded"), pre_padded=True).alias("lang_guess"),
+        text.content_fingerprint("text").alias("_fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
+    deduped = dedup_ops.exact_dedup(kept, ["_fp"], "doc_id")
+    chunks = text.chunk_text(deduped, "text", "doc_id", chunk_tokens=64, overlap=8)
+    return chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
+
+
+def _pipeline_sql() -> str:
+    """Composed oracle: the quality, langid, fingerprint, dedup, and
+    chunking formulas of the individual oracles chained as CTEs."""
+    norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+    padded = f"(' ' || {norm} || ' ')"
+    stop_parts = " + ".join(
+        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in text.STOPWORDS
+    )
+    toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
+    punct = r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
+    lpad = f"(' ' || lower({norm}) || ' ')"
+    score_exprs = {}
+    for lang, words in text.LANG_MARKERS.items():
+        parts = [
+            f"(length({lpad}) - length(replace({lpad}, ' {w} ', ''))) / {len(w) + 2}"
+            for w in words
+        ]
+        score_exprs[lang] = "CAST(" + " + ".join(parts) + " AS INTEGER)"
+    scores = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in score_exprs) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in sorted(score_exprs)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {toks} AS toks,
+         CAST({stop_parts} AS INTEGER) AS stops,
+         {punct} AS pr,
+         {scores},
+         md5(lower({norm})) AS fp
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, fp,
+         round(0.4 * least(toks / 100.0, 1.0)
+               + 0.4 * least(stops / greatest(toks, 1), 1.0)
+               + 0.2 * (1.0 - pr), 6) AS quality,
+         CASE {case} ELSE 'und' END AS lang_guess
+  FROM s
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess <> 'und'
+), dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower({norm}), ' '), x -> x <> '') AS wl
+  FROM dd
+), n AS (
+  SELECT doc_id, wl,
+         CAST(greatest(ceil((len(wl) - 8) / 56.0), 1) AS INT) AS n_chunks
+  FROM w
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(wl[i * 56 + 1 : i * 56 + 64]) AS INTEGER) AS n_chunk_tokens
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -1901,6 +1987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_group_centroids": embed_group_centroids,
     "q_late_ship_orders": q_late_ship_orders,
     "text_chunks": text_chunks,
+    "pipeline_corpus_prep": pipeline_corpus_prep,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -1975,4 +2062,5 @@ ORACLES: dict[str, str] = {
     "embed_group_centroids": CENTROID_SQL,
     "q_late_ship_orders": LATE_SHIP_SQL,
     "text_chunks": CHUNK_SQL,
+    "pipeline_corpus_prep": _pipeline_sql(),
 }
