@@ -208,6 +208,44 @@ GROUP BY p_brand
 """
 
 
+def q10_returned_items(spark, sf_dir):
+    """Q10-style four-table join: revenue of R-flagged lines per
+    customer in a date window, top 20. Fact-fact join shuffles on the
+    orderkey; customer and nation dims broadcast; the date filter sits
+    on orders BEFORE its join so the pushed-down scan bounds the
+    shuffle, and AQE is free to re-plan the post-filter sizes."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # -----------------------------------------------------------------------------
 # Spark-inherited relational ops the reference lacks (SURVEY §2.5 note):
 # grouping sets / rollup, window functions, set operators — exposed as
@@ -1954,6 +1992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
     "q14_promo_revenue": q14_promo_revenue,
+    "q10_returned_items": q10_returned_items,
     "audit_coverage_customer": audit_coverage_customer,
     "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
     "audit_duplicate_custkeys": audit_duplicate_custkeys,
@@ -2012,6 +2051,7 @@ ORACLES: dict[str, str] = {
     "q3_top_revenue_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q10_returned_items": Q10_SQL,
     "audit_coverage_customer": _coverage_sql("customer", CUSTOMER_COLS),
     "audit_value_dist_mktsegment": DIST_SQL,
     "audit_duplicate_custkeys": DUPKEY_SQL,
