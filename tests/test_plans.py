@@ -107,3 +107,29 @@ def test_merge_upsert_single_wide_shuffle(spark, sf_dir):
     # branch: count exchanges as a coarse regression bound
     plan = _plan(QUERIES["merge_upsert_customers"](spark, sf_dir), "simple")
     assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+
+def test_asof_is_single_key_shuffle_no_range_join(spark, sf_dir):
+    # the union-marker as-of plan must contain NO join of any kind for
+    # the range condition — one window over the key shuffle
+    plan = _plan(QUERIES["asof_order_revenue_events"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_catalog_query_is_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["interval_join_events_windows"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_filter_reaches_scan(spark, sf_dir):
+    # hash_mod_sample is a pure filter — nothing between it and the scan
+    plan = _plan(QUERIES["sample_customers_deterministic"](spark, sf_dir))
+    assert "Exchange" not in plan  # no shuffle at all
+
+
+def test_q10_broadcasts_dims(spark, sf_dir):
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation

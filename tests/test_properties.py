@@ -194,3 +194,33 @@ def test_interval_join_matches_naive(spark_prop, data):
         )
         got = sorted((r.pid, r.ivid) for r in out.collect())
         assert got == naive, f"width={width}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=6),
+    st.integers(2, 8),
+    st.integers(0, 3),
+)
+def test_chunking_covers_every_token_in_order(spark_prop, doc_lens, chunk_tokens, overlap):
+    """Every token of every document appears in some chunk, and
+    re-concatenating chunks (dropping the overlap prefix of each
+    non-first chunk) reconstructs the document exactly."""
+    from voter_gateway_spark.operators.text import chunk_text
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    spark = spark_prop
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_text(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+    for i, n in enumerate(doc_lens):
+        chunks = [by_doc[i][k] for k in sorted(by_doc[i])]
+        rebuilt = []
+        for ci, ch in enumerate(chunks):
+            toks = ch.split() if ch else []
+            rebuilt.extend(toks if ci == 0 else toks[overlap:])
+        assert rebuilt == [f"t{i}x{j}" for j in range(n)], (i, n, chunks)
