@@ -1897,6 +1897,53 @@ GROUP BY o_orderpriority
 """
 
 
+def audit_distinct_users_by_type(spark, sf_dir):
+    """Distinct-cardinality audit: users per event type. Exact
+    count(distinct) — Spark plans it as the two-phase expand/partial
+    distinct, no driver-side work."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def audit_orphan_orders(spark, sf_dir):
+    """Referential-integrity audit: orders whose customer key has no
+    customer row — a left-anti join (the J10 shape as a data-quality
+    check), counted per order priority."""
+    orders = _t(spark, sf_dir, "orders")
+    # the fixture has no true orphans; audit against a restricted
+    # reference set (simulating a partially-loaded customer table) so
+    # the anti-join path is actually exercised
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 3)
+    orphans = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    )
+    return orphans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("orphan_count")
+    )
+
+
+ORPHAN_SQL = """
+SELECT o_orderpriority, count(*) AS orphan_count
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 10 <> 3
+)
+GROUP BY o_orderpriority
+"""
+
+
 def pipeline_corpus_prep(spark, sf_dir):
     """End-to-end LLM corpus preparation in ONE declarative plan:
     quality scoring → language filter → exact dedup by content
@@ -2027,6 +2074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_late_ship_orders": q_late_ship_orders,
     "text_chunks": text_chunks,
     "pipeline_corpus_prep": pipeline_corpus_prep,
+    "audit_distinct_users_by_type": audit_distinct_users_by_type,
+    "audit_orphan_orders": audit_orphan_orders,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -2103,4 +2152,6 @@ ORACLES: dict[str, str] = {
     "q_late_ship_orders": LATE_SHIP_SQL,
     "text_chunks": CHUNK_SQL,
     "pipeline_corpus_prep": _pipeline_sql(),
+    "audit_distinct_users_by_type": DISTINCT_USERS_SQL,
+    "audit_orphan_orders": ORPHAN_SQL,
 }
