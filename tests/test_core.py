@@ -264,3 +264,33 @@ def test_dedup_audit_report(spark):
     res_bad = dedup_audit(bad)
     assert res_bad.symmetric_merges > 0
     assert "SYMMETRIC MERGE ERROR" in str(res_bad)
+
+
+def test_scd2_merge_versions(spark):
+    from voter_gateway_spark.plans.merging import scd2_merge
+
+    target = spark.createDataFrame(
+        [
+            # closed historical version + open current version for id=1
+            Row(id=1, v="old", valid_from="2019-01-01", valid_to="2020-01-01", is_current=False),
+            Row(id=1, v="a", valid_from="2020-01-01", valid_to=None, is_current=True),
+            Row(id=2, v="b", valid_from="2020-01-01", valid_to=None, is_current=True),
+            Row(id=3, v=None, valid_from="2020-01-01", valid_to=None, is_current=True),
+        ],
+        "id int, v string, valid_from string, valid_to string, is_current boolean",
+    ).select("id", "v", F.col("valid_from").cast("date").alias("valid_from"),
+             F.col("valid_to").cast("date").alias("valid_to"), "is_current")
+    src = spark.createDataFrame(
+        [Row(id=1, v="a2"), Row(id=2, v="b"), Row(id=3, v=None), Row(id=9, v="new")],
+        "id int, v string",
+    )
+    out = scd2_merge(target, src, "id", ["v"], "2024-06-01").collect()
+    rows = sorted(((r.id, r.v, str(r.valid_from), str(r.valid_to), r.is_current) for r in out))
+    assert rows == sorted([
+        (1, "old", "2019-01-01", "2020-01-01", False),   # history untouched
+        (1, "a", "2020-01-01", "2024-06-01", False),     # changed → closed
+        (1, "a2", "2024-06-01", "None", True),           # changed → new version
+        (2, "b", "2020-01-01", "None", True),            # unchanged → kept
+        (3, None, "2020-01-01", "None", True),           # NULL == NULL (null-safe)
+        (9, "new", "2024-06-01", "None", True),          # new key → first version
+    ])

@@ -223,3 +223,64 @@ class MergePlan:
         return MergeResult(
             target=new_target, source=new_source, matched=matched, unmatched=unmatched
         )
+
+
+def scd2_merge(
+    target: DataFrame,
+    source: DataFrame,
+    pk: str,
+    change_cols: list[str],
+    load_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing upsert: instead of overwriting matched
+    rows (the reference's M1 UPDATE), history is preserved — the
+    current version of a changed key is CLOSED (`valid_to` = load_date,
+    flag off) and a new open version is inserted; unchanged keys are
+    untouched; new keys open their first version. The comparison is
+    null-safe (`<=>`) per change column.
+
+    `source` must be unique per pk (pre-aggregate otherwise). One plan:
+    history rows pass through untouched; the current slice joins the
+    source once (full outer on the pk); every branch (close / keep /
+    open) is a projection of that single join — no per-branch rescans
+    of the target.
+    """
+    cur = target.where(F.col(current_flag))
+    hist = target.where(~F.col(current_flag))
+    biz_cols = [c for c in target.columns if c not in (valid_from, valid_to, current_flag)]
+
+    s = source.select(
+        F.col(pk).alias("_s_pk"),
+        *[F.col(c).alias(f"_s_{c}") for c in biz_cols if c != pk],
+    )
+    j = cur.join(s, F.col(f"`{pk}`") == F.col("_s_pk"), "full_outer")
+    changed = reduce(
+        Column.__or__,
+        [~F.col(f"`{c}`").eqNullSafe(F.col(f"_s_{c}")) for c in change_cols],
+    )
+    in_target = F.col(f"`{pk}`").isNotNull()
+    in_source = F.col("_s_pk").isNotNull()
+
+    closed = j.where(in_target & in_source & changed).select(
+        *[F.col(f"`{c}`").alias(c) for c in biz_cols],
+        F.col(valid_from).alias(valid_from),
+        F.lit(load_date).cast("date").alias(valid_to),
+        F.lit(False).alias(current_flag),
+    )
+    kept = j.where(in_target & (~in_source | ~changed)).select(
+        *[F.col(f"`{c}`").alias(c) for c in biz_cols],
+        F.col(valid_from).alias(valid_from),
+        F.col(valid_to).alias(valid_to),
+        F.col(current_flag).alias(current_flag),
+    )
+    opened = j.where(in_source & (~in_target | changed)).select(
+        F.coalesce(F.col("_s_pk"), F.col(f"`{pk}`")).alias(pk),
+        *[F.col(f"_s_{c}").alias(c) for c in biz_cols if c != pk],
+        F.lit(load_date).cast("date").alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )
+    return hist.unionByName(closed).unionByName(kept).unionByName(opened)

@@ -1944,6 +1944,66 @@ GROUP BY o_orderpriority
 """
 
 
+def scd2_customers(spark, sf_dir):
+    """SCD2 versioned upsert: the current customer table (one open
+    version per key, valid from 2020-01-01) receives a load where ~1/7
+    of keys changed balance and ~1/50 are brand new — changed keys
+    close their old version and open a new one; history is preserved,
+    never rewritten."""
+    from voter_gateway_spark.plans.merging import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    target = cust.select(
+        "*",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    src = cust.select(
+        (F.col("c_custkey") + F.when(F.col("c_custkey") % 50 == 0, 200000).otherwise(0)).alias("c_custkey"),
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    out = scd2_merge(target, src, "c_custkey", ["c_acctbal"], "2024-01-01")
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal, DATE '2020-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM customer
+), src AS (
+  SELECT c_custkey + CASE WHEN c_custkey % 50 = 0 THEN 200000 ELSE 0 END AS c_custkey,
+         c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 100, 2) ELSE c_acctbal END AS c_acctbal
+  FROM customer
+), j AS (
+  SELECT cur.c_custkey AS t_pk, cur.c_name AS t_name, cur.c_acctbal AS t_bal,
+         cur.valid_from, src.c_custkey AS s_pk, src.c_name AS s_name, src.c_acctbal AS s_bal
+  FROM cur FULL OUTER JOIN src ON cur.c_custkey = src.c_custkey
+)
+SELECT t_pk AS c_custkey, t_name AS c_name, t_bal AS c_acctbal,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(DATE '2024-01-01', '%Y-%m-%d') AS valid_to, FALSE AS is_current
+FROM j WHERE t_pk IS NOT NULL AND s_pk IS NOT NULL AND t_bal IS DISTINCT FROM s_bal
+UNION ALL
+SELECT t_pk, t_name, t_bal, strftime(valid_from, '%Y-%m-%d'), CAST(NULL AS VARCHAR), TRUE
+FROM j WHERE t_pk IS NOT NULL AND (s_pk IS NULL OR t_bal IS NOT DISTINCT FROM s_bal)
+UNION ALL
+SELECT coalesce(s_pk, t_pk), s_name, s_bal, strftime(DATE '2024-01-01', '%Y-%m-%d'),
+       CAST(NULL AS VARCHAR), TRUE
+FROM j WHERE s_pk IS NOT NULL AND (t_pk IS NULL OR t_bal IS DISTINCT FROM s_bal)
+"""
+
+
 def pipeline_corpus_prep(spark, sf_dir):
     """End-to-end LLM corpus preparation in ONE declarative plan:
     quality scoring → language filter → exact dedup by content
@@ -2076,6 +2136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "audit_orphan_orders": audit_orphan_orders,
+    "scd2_customers": scd2_customers,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "events_hourly": events_hourly,
@@ -2154,4 +2215,5 @@ ORACLES: dict[str, str] = {
     "pipeline_corpus_prep": _pipeline_sql(),
     "audit_distinct_users_by_type": DISTINCT_USERS_SQL,
     "audit_orphan_orders": ORPHAN_SQL,
+    "scd2_customers": SCD2_SQL,
 }
