@@ -224,6 +224,17 @@ def test_token_and_quality(spark):
     assert rows[1].n == 0
 
 
+def test_token_set_count_consecutive_duplicates(spark):
+    # token counting (not padded-replace): consecutive duplicate marker
+    # words each count — ' the the the ' is 3 stopword tokens, where a
+    # non-overlapping replace of ' the ' would only find 2
+    df = spark.createDataFrame([("the the the",), ("The THE the",), ("",)], ["t"])
+    rows = df.select(text.stopword_count("t").alias("n")).collect()
+    assert rows[0].n == 3
+    assert rows[1].n == 1  # case-sensitive on normalized (unlowered) text
+    assert rows[2].n == 0
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [("the cat and the dog is here",), ("el gato y la casa que los perros",),

@@ -24,9 +24,14 @@ def normalized(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
 
 
-def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
-    n = normalized(col)
+def token_count(col: Column | str, norm_col: Column | None = None) -> Column:
+    """Whitespace token count. `norm_col` optionally supplies an
+    already-projected `normalized()` column: composite plans that score
+    quality + language + fingerprint in one filter must stage the
+    normalize pass once, or each consumer inlines the regexp subtree
+    and the fused whole-stage method outgrows janino's limits (observed:
+    codegen falls back to interpreted on pipeline_corpus_prep)."""
+    n = norm_col if norm_col is not None else normalized(col)
     return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " ")))
 
 
@@ -53,12 +58,42 @@ def occurrence_count(col: Column | str, needle: str) -> Column:
     return (F.length(s) - F.length(F.replace(s, F.lit(needle), F.lit("")))) / len(needle)
 
 
-def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    padded = F.concat(F.lit(" "), normalized(col), F.lit(" "))
-    total = F.lit(0)
-    for w in stopwords or STOPWORDS:
-        total = total + occurrence_count(padded, f" {w} ")
-    return total.cast("int")
+def tokens(col: Column | str, lower: bool = False, norm_col: Column | None = None) -> Column:
+    """Whitespace tokens of normalized text (array<string>, empties
+    dropped). `norm_col` optionally supplies a projected `normalized()`
+    column — see token_count."""
+    n = norm_col if norm_col is not None else normalized(col)
+    s = F.lower(n) if lower else n
+    return F.filter(F.split(s, " "), lambda w: w != "")
+
+
+def token_set_count(words: Column, needles: list[str]) -> Column:
+    """Count of tokens that belong to `needles`.
+
+    This is the marker-counting primitive for stopword and language
+    scoring. It is deliberately a higher-order filter over a token
+    array, NOT a padded-string replace loop: each needle's
+    length-minus-replace pass scans the full text and duplicates its
+    input subtree twice, so a composite score inlined into a pushed
+    filter predicate generated > 64 KB per method and knocked the whole
+    stage out of codegen (janino hard limit; observed on
+    pipeline_corpus_prep). One split + one array filter generates
+    constant-size code no matter how many needles, and scans the text
+    once. DuckDB mirror:
+    len(list_filter(string_split(norm, ' '), x -> x IN (...)))."""
+    return F.size(F.filter(words, lambda w: w.isin(*needles))).cast("int")
+
+
+def stopword_count(
+    col: Column | str,
+    stopwords: list[str] | None = None,
+    norm_col: Column | None = None,
+    words_col: Column | None = None,
+) -> Column:
+    """Count of tokens equal to a stopword (case-sensitive, like the
+    rest of the engine's normalized-text vocabulary)."""
+    ws = words_col if words_col is not None else tokens(col, norm_col=norm_col)
+    return token_set_count(ws, list(stopwords or STOPWORDS))
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -67,13 +102,22 @@ def punct_ratio(col: Column | str) -> Column:
     return F.round(punct / F.greatest(F.length(s), F.lit(1)), 6)
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(
+    col: Column | str,
+    norm_col: Column | None = None,
+    words_col: Column | None = None,
+) -> Column:
     """Composite heuristic quality in [0,1]: length factor, stopword
-    presence, low punctuation — the classic cheap pre-filter trio."""
+    presence, low punctuation — the classic cheap pre-filter trio.
+    `norm_col`/`words_col`: see token_count / stopword_count."""
     s = _c(col)
-    toks = token_count(s)
+    toks = token_count(s, norm_col=norm_col)
     length_factor = F.least(toks / F.lit(100.0), F.lit(1.0))
-    stop_ratio = F.least(stopword_count(s) / F.greatest(toks, F.lit(1)), F.lit(1.0))
+    stop_ratio = F.least(
+        stopword_count(s, norm_col=norm_col, words_col=words_col)
+        / F.greatest(toks, F.lit(1)),
+        F.lit(1.0),
+    )
     return F.round(
         0.4 * length_factor + 0.4 * stop_ratio + 0.2 * (1.0 - punct_ratio(s)), 6
     )
@@ -92,29 +136,28 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def padded_lower(col: Column | str) -> Column:
-    """' ' || lower(normalized) || ' ' — project this ONCE (withColumn)
-    before scoring: marker counting references the padded string ~40
-    times, and inlining the whole normalize subtree per reference blows
-    up codegen (observed 40s+ for 500 rows vs <2s staged)."""
-    return F.concat(F.lit(" "), F.lower(normalized(col)), F.lit(" "))
+def lower_tokens(col: Column | str) -> Column:
+    """Lowercase whitespace tokens — project this ONCE (withColumn)
+    when several scores reference it, so the split runs once per row
+    (CollapseProject keeps a non-cheap multi-referenced alias staged)."""
+    return tokens(col, lower=True)
 
 
-def lang_scores(col: Column | str, pre_padded: bool = False) -> dict[str, Column]:
-    padded = _c(col) if pre_padded else padded_lower(col)
-    out = {}
-    for lang, words in LANG_MARKERS.items():
-        score = F.lit(0)
-        for w in words:
-            score = score + occurrence_count(padded, f" {w} ")
-        out[lang] = score.cast("int")
-    return out
+def lang_scores(
+    col: Column | str, words_col: Column | None = None
+) -> dict[str, Column]:
+    """Per-language marker-token counts over lowercase tokens.
+    `words_col` optionally supplies a projected `lower_tokens()`
+    column. Token counting, not padded-replace: see token_set_count
+    for why (codegen size + single text scan)."""
+    ws = words_col if words_col is not None else lower_tokens(col)
+    return {lang: token_set_count(ws, words) for lang, words in LANG_MARKERS.items()}
 
 
-def lang_id(col: Column | str, pre_padded: bool = False) -> Column:
+def lang_id(col: Column | str, words_col: Column | None = None) -> Column:
     """argmax language with deterministic alphabetical tie-break;
     'und' (undetermined) when all scores are 0."""
-    scores = lang_scores(col, pre_padded)
+    scores = lang_scores(col, words_col=words_col)
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     # build reverse-alphabetical chain so earlier (alphabetical) wins last
@@ -125,10 +168,12 @@ def lang_id(col: Column | str, pre_padded: bool = False) -> Column:
 
 # -- fingerprinting -----------------------------------------------------------
 
-def content_fingerprint(col: Column | str) -> Column:
+def content_fingerprint(col: Column | str, norm_col: Column | None = None) -> Column:
     """Exact-content fingerprint: md5 of lowercase normalized text.
-    md5 hex strings are engine-portable (same in DuckDB)."""
-    return F.md5(F.lower(normalized(col)).cast("binary"))
+    md5 hex strings are engine-portable (same in DuckDB).
+    `norm_col`: see token_count."""
+    n = norm_col if norm_col is not None else normalized(col)
+    return F.md5(F.lower(n).cast("binary"))
 
 
 def lower_words(col: Column | str) -> Column:

@@ -571,26 +571,30 @@ FROM documents
 
 def text_langid(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "_padded", text.padded_lower("text")
+        "_lwords", text.lower_tokens("text")
     )
-    scores = text.lang_scores(F.col("_padded"), pre_padded=True)
+    scores = text.lang_scores("text", words_col=F.col("_lwords"))
     return docs.select(
         "doc_id",
-        text.lang_id(F.col("_padded"), pre_padded=True).alias("lang_guess"),
+        text.lang_id("text", words_col=F.col("_lwords")).alias("lang_guess"),
         F.greatest(*scores.values()).alias("best_score"),
     )
 
 
+def _token_set_count_sql(split_expr: str, words: list[str]) -> str:
+    """DuckDB mirror of text.token_set_count: count of tokens in the
+    needle set."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({split_expr}, x -> x IN ({inlist}))) AS INTEGER)"
+
+
 def _langid_sql() -> str:
     norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
-    padded = f"(' ' || lower({norm}) || ' ')"
-    score_exprs = {}
-    for lang, words in text.LANG_MARKERS.items():
-        parts = [
-            f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
-            for w in words
-        ]
-        score_exprs[lang] = "CAST(" + " + ".join(parts) + " AS INTEGER)"
+    lwl = f"string_split(lower({norm}), ' ')"
+    score_exprs = {
+        lang: _token_set_count_sql(lwl, words)
+        for lang, words in text.LANG_MARKERS.items()
+    }
     scores = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in score_exprs) + ")"
     case = " ".join(
@@ -1450,18 +1454,14 @@ def text_quality(spark, sf_dir):
 
 def _quality_sql() -> str:
     norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
-    padded = f"(' ' || {norm} || ' ')"
-    stop_parts = " + ".join(
-        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
-        for w in text.STOPWORDS
-    )
+    stop_parts = _token_set_count_sql(f"string_split({norm}, ' ')", text.STOPWORDS)
     toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
     punct = r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
     return f"""
 WITH s AS (
   SELECT doc_id,
          {toks} AS toks,
-         CAST({stop_parts} AS INTEGER) AS stops,
+         {stop_parts} AS stops,
          {punct} AS pr,
          len(list_filter(string_split(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'), ' '), x -> x <> ''))
            + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS bpe
@@ -2011,15 +2011,33 @@ def pipeline_corpus_prep(spark, sf_dir):
     in Catalyst: the only shuffles are the dedup window and nothing
     else (chunking is narrow); filters sit before the dedup so the
     window shuffles only surviving docs."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "_padded", text.padded_lower("text")
+    # _norm/_words/_lwords are staged ONCE: scoring references them
+    # several times each, and CollapseProject keeps a non-cheap
+    # multi-referenced alias staged, so the normalize + split passes run
+    # once per row. (Predicate pushdown re-inlines them into the filter
+    # condition, but token-set counting generates constant-size code —
+    # the old padded-replace formulation inlined there grew past
+    # janino's 64 KB method limit and kicked the whole stage out of
+    # codegen.)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", text.normalized("text").alias("_norm"))
+        .select(
+            "doc_id",
+            "text",
+            "_norm",
+            text.tokens("text", norm_col=F.col("_norm")).alias("_toks"),
+            text.tokens("text", lower=True, norm_col=F.col("_norm")).alias("_ltoks"),
+        )
     )
     scored = docs.select(
         "doc_id",
         "text",
-        text.quality_score("text").alias("quality"),
-        text.lang_id(F.col("_padded"), pre_padded=True).alias("lang_guess"),
-        text.content_fingerprint("text").alias("_fp"),
+        text.quality_score(
+            "text", norm_col=F.col("_norm"), words_col=F.col("_toks")
+        ).alias("quality"),
+        text.lang_id("text", words_col=F.col("_ltoks")).alias("lang_guess"),
+        text.content_fingerprint("text", norm_col=F.col("_norm")).alias("_fp"),
     )
     kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
     deduped = dedup_ops.exact_dedup(kept, ["_fp"], "doc_id")
@@ -2031,21 +2049,14 @@ def _pipeline_sql() -> str:
     """Composed oracle: the quality, langid, fingerprint, dedup, and
     chunking formulas of the individual oracles chained as CTEs."""
     norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
-    padded = f"(' ' || {norm} || ' ')"
-    stop_parts = " + ".join(
-        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
-        for w in text.STOPWORDS
-    )
+    stop_parts = _token_set_count_sql(f"string_split({norm}, ' ')", text.STOPWORDS)
     toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
     punct = r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
-    lpad = f"(' ' || lower({norm}) || ' ')"
-    score_exprs = {}
-    for lang, words in text.LANG_MARKERS.items():
-        parts = [
-            f"(length({lpad}) - length(replace({lpad}, ' {w} ', ''))) / {len(w) + 2}"
-            for w in words
-        ]
-        score_exprs[lang] = "CAST(" + " + ".join(parts) + " AS INTEGER)"
+    lwl = f"string_split(lower({norm}), ' ')"
+    score_exprs = {
+        lang: _token_set_count_sql(lwl, words)
+        for lang, words in text.LANG_MARKERS.items()
+    }
     scores = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in score_exprs) + ")"
     case = " ".join(
@@ -2056,7 +2067,7 @@ def _pipeline_sql() -> str:
 WITH s AS (
   SELECT doc_id, text,
          {toks} AS toks,
-         CAST({stop_parts} AS INTEGER) AS stops,
+         {stop_parts} AS stops,
          {punct} AS pr,
          {scores},
          md5(lower({norm})) AS fp
