@@ -517,3 +517,86 @@ def test_chunk_text_overlap_and_short_docs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_text(df, chunk_tokens=4, overlap=4)
+
+
+def test_repetition_stats(spark):
+    from voter_gateway_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),
+            Row(doc_id=2, text="all words here are fully distinct"),
+            Row(doc_id=3, text=""),
+        ],
+        "doc_id bigint, text string",
+    )
+    stats = repetition_stats("text", k=3)
+    rows = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in stats.items()]).collect()
+    }
+    # 6 words -> 4 shingles, all "spam spam spam" -> 1 distinct
+    assert rows[1].n_shingles == 4 and rows[1].n_distinct == 1
+    assert rows[1].repetition == 0.75
+    assert rows[2].repetition == 0.0
+    # empty doc: one empty shingle, repetition 0 (not a div-by-zero)
+    assert rows[3].n_shingles == 1 and rows[3].repetition == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from voter_gateway_spark.operators.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            Row(t="mail a.b+c@ex.org and x@y.io, call 555-867-5309, ssn 123-45-6789"),
+            Row(t="no pii here 1234"),
+        ],
+        "t string",
+    )
+    counts = pii_counts("t")
+    out = df.select(
+        *[v.alias(k) for k, v in counts.items()], pii_scrub("t").alias("s")
+    ).collect()
+    assert (out[0].n_email, out[0].n_ssn, out[0].n_phone) == (2, 1, 1)
+    assert out[0].s == "mail <EMAIL> and <EMAIL>, call <PHONE>, ssn <SSN>"
+    assert (out[1].n_email, out[1].n_ssn, out[1].n_phone) == (0, 0, 0)
+    assert out[1].s == "no pii here 1234"
+
+
+def test_quota_cap_deterministic(spark):
+    from voter_gateway_spark.operators.relational import quota_cap
+
+    df = spark.createDataFrame(
+        [Row(g="a", i=i) for i in range(10)] + [Row(g="b", i=i) for i in range(2)],
+        "g string, i bigint",
+    )
+    out = quota_cap(df, ["g"], "i", cap=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.i)
+    assert sorted(by_g["a"]) == [0, 1, 2]  # lowest-i survivors, capped
+    assert sorted(by_g["b"]) == [0, 1]  # under-cap group untouched
+
+
+def test_cross_corpus_overlap(spark):
+    df_train = spark.createDataFrame(
+        [Row(doc_id=10, text="one two three four five")],
+        "doc_id bigint, text string",
+    )
+    df_eval = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five"),  # fully contained
+            Row(doc_id=2, text="one two three nine ten"),   # 1 of 3 shingles shared
+            Row(doc_id=3, text="alpha beta gamma delta"),   # disjoint
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_ops.cross_corpus_overlap(
+            df_eval, df_train, "doc_id", "text", k=3
+        ).collect()
+    }
+    assert out[1].contamination == 1.0
+    assert out[2].n_shingles == 3 and out[2].n_overlap == 1
+    assert out[3].n_overlap == 0 and out[3].contamination == 0.0

@@ -42,8 +42,10 @@ def exact_dedup(df: DataFrame, keys: list[str], pk: str) -> DataFrame:
 
 # -- word shingles ------------------------------------------------------------
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles of normalized lowercase text.
+def word_shingles(col: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """Distinct word k-shingles of normalized lowercase text
+    (`distinct=False` keeps multiplicity — repetition analysis needs
+    the raw count).
 
     Splitting on \\s+ directly (instead of regexp_replace-then-split)
     saves a full regex pass over the text; empty fragments from
@@ -59,19 +61,18 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     def build(words: Column) -> Column:
         n = F.size(words)
         idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                # try_element_at: docs with < k words index past the
-                # array — ANSI mode (Spark 4 default) makes element_at
-                # THROW there; try_element_at yields NULL, which
-                # concat_ws skips, matching the oracle's out-of-bounds
-                # wl[i+j] → NULL behavior in DuckDB bit-for-bit.
-                lambda i: F.concat_ws(
-                    " ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
-                ),
-            )
+        sh = F.transform(
+            idx,
+            # try_element_at: docs with < k words index past the
+            # array — ANSI mode (Spark 4 default) makes element_at
+            # THROW there; try_element_at yields NULL, which
+            # concat_ws skips, matching the oracle's out-of-bounds
+            # wl[i+j] → NULL behavior in DuckDB bit-for-bit.
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(words, (i + j).cast("int")) for j in range(k)]
+            ),
         )
+        return F.array_distinct(sh) if distinct else sh
 
     words = F.filter(F.split(F.lower(_c(col)), r"\s+"), lambda w: w != "")
     return F.element_at(F.transform(F.array(words), build), 1)
@@ -425,6 +426,80 @@ def connected_components(
             "large-star/small-star for deep graphs"
         )
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+# -- cross-corpus contamination ------------------------------------------------
+
+def cross_corpus_overlap(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval contamination check: for each eval document, how many
+    of its distinct word k-shingles appear anywhere in the training
+    corpus. Output: (id, n_shingles, n_overlap, contamination) with
+    contamination = n_overlap / n_shingles, rounded to 6.
+
+    This is the n-gram-overlap decontamination pass every LLM training
+    pipeline runs against its benchmark suites (the GPT-3/PaLM 13-gram
+    method is this exact shape with a larger k).
+
+    Plan shape: shingles ride as 60-bit ints (shingle_hash60); the
+    train side collapses to a DISTINCT shingle index (one hash per
+    unique shingle corpus-wide, so crawl duplication doesn't inflate
+    the join); eval shingles left-join that index on the 8-byte key and
+    count hits per doc. Both sides shuffle only (id, hash) / (hash)
+    tuples — never text. At 100 TB the train index is the big side:
+    the equi-join partitions by hash and streams, and a bloom filter
+    on the (much smaller) eval shingle set pushed to the train scan
+    would prune it further — the DataFrame plan already lets AQE pick
+    that up via runtime filters when the eval side is small enough.
+
+    Eval docs with zero shingle content (empty text) report
+    n_shingles = 0, contamination 0.0 — they never join but are kept
+    via the left join so no eval doc silently disappears.
+    """
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(word_shingles(text_col, k), shingle_hash60)
+            ).alias("_hh"),
+        )
+
+    ev = hashed(eval_df)
+    # distinct shingle index over the training corpus: the explode is
+    # the big shuffle; distinct happens map-side-partial then merged
+    train_index = (
+        hashed(train_df)
+        .select(F.explode("_hh").alias("_s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev_sh = ev.select("_id", F.explode("_hh").alias("_s"))
+    hits = (
+        ev_sh.join(train_index, "_s", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+    )
+    # left join keeps shingle-less eval docs (explode drops them)
+    return (
+        ev.select("_id")
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap") / F.col("n_shingles"), F.lit(0.0)), 6
+            ).alias("contamination"),
+        )
+    )
 
 
 # -- SimHash -------------------------------------------------------------------

@@ -139,3 +139,28 @@ def hash_mod_sample(
         F.lit(buckets),
     )
     return df.where(bucket < percent)
+
+
+def quota_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    cap: int,
+) -> DataFrame:
+    """Keep at most `cap` rows per group, chosen deterministically by
+    `order_col` — the per-domain/per-source quota step that keeps one
+    hot crawl domain from dominating a training mix.
+
+    One shuffle (hash by group); Spark 4's WindowGroupLimit pushes a
+    partial top-`cap` below the exchange, so each map task forwards at
+    most `cap` rows per local group — the shuffle carries
+    O(groups × cap), not O(rows), which is what makes a quota over a
+    skewed domain distribution (the norm for web crawls) safe at
+    100 TB."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(oc.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -208,6 +208,60 @@ def shingle_fingerprint(col: Column | str, k: int = 3, words_col: Column | None 
     return F.element_at(F.transform(F.array(words), build), 1)
 
 
+# -- repetition / boilerplate -------------------------------------------------
+
+def repetition_stats(col: Column | str, k: int = 3) -> dict[str, Column]:
+    """Intra-document repetition signals from word k-shingles:
+    n_shingles (with multiplicity), n_distinct, and repetition =
+    1 - distinct/total — the cheap boilerplate/degenerate-text filter
+    (repeated headers, keyword stuffing, decoding loops score high).
+
+    Pure column expressions over one shingle pass — no explode, no
+    shuffle; composes into a scan-stage filter like quality_score."""
+    from voter_gateway_spark.operators.dedup_ops import word_shingles
+
+    sh = word_shingles(col, k, distinct=False)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return {
+        "n_shingles": total.cast("bigint"),
+        "n_distinct": distinct.cast("bigint"),
+        "repetition": F.round(1.0 - distinct / total, 6),
+    }
+
+
+# -- PII scrubbing -------------------------------------------------------------
+
+# deliberately simple, engine-portable patterns (Java regex and RE2
+# agree on this subset): the point is the scrub PLAN (count + redact in
+# one scan-stage projection), not regex sophistication
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (on the ORIGINAL text — counts are
+    independent of redaction order)."""
+    s = _c(col)
+    return {
+        f"n_{name}": F.regexp_count(s, F.lit(pat)).cast("bigint")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Text with all PII categories redacted to typed placeholders.
+    Applied in PII_PATTERNS order (email before the digit patterns so
+    an address's digits can't be half-eaten by the phone rule)."""
+    s = _c(col)
+    for pat, repl in PII_PATTERNS.values():
+        s = F.regexp_replace(s, pat, repl)
+    return s
+
+
 # -- chunking -----------------------------------------------------------------
 
 def chunk_text(

@@ -1735,6 +1735,154 @@ WHERE ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100 
 """
 
 
+def sample_source_quota(spark, sf_dir):
+    """Per-source quota cap: at most 8 documents per source, chosen
+    deterministically by doc_id — the per-domain balancing step of a
+    training mix. WindowGroupLimit pushes a partial top-8 below the
+    exchange, so the shuffle carries O(sources × 8), not O(docs)."""
+    from voter_gateway_spark.operators.relational import quota_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_cap(docs, ["source"], "doc_id", cap=8).select(
+        "doc_id", "source", "lang"
+    )
+
+
+SOURCE_QUOTA_SQL = """
+SELECT doc_id, source, lang
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 8
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition ratio from word 3-shingles — the
+    boilerplate / degenerate-text filter. Pure scan-stage expressions,
+    no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = text.repetition_stats("text", k=3)
+    return docs.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(wl) - 2, 1)),
+           i -> concat_ws(' ', wl[i], wl[i+1], wl[i+2])
+         ) AS s
+  FROM w
+)
+SELECT doc_id,
+       len(s) AS n_shingles,
+       len(list_distinct(s)) AS n_distinct,
+       round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 6) AS repetition
+FROM sh
+"""
+
+
+def corpus_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination: eval slice = doc_id % 7 = 0,
+    train = the rest; per eval doc, the share of its distinct
+    3-shingles appearing anywhere in the train corpus (the GPT-3-style
+    decontamination pass). Blocked join on 60-bit shingle hashes —
+    only (id, hash) tuples shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 7 == 0)
+    train_df = docs.where(F.col("doc_id") % 7 != 0)
+    return dedup_ops.cross_corpus_overlap(eval_df, train_df, "doc_id", "text", k=3)
+
+
+CONTAMINATION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(wl) - 2, 1)),
+           i -> concat_ws(' ', wl[i], wl[i+1], wl[i+2])
+         )) AS s
+  FROM w
+), hh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT)) AS hl
+  FROM sh
+), tr AS (
+  SELECT DISTINCT h FROM (SELECT unnest(hl) AS h FROM hh WHERE doc_id % 7 <> 0)
+), ev AS (
+  SELECT doc_id, unnest(hl) AS h FROM hh WHERE doc_id % 7 = 0
+)
+SELECT ev.doc_id,
+       count(*) AS n_shingles,
+       count(tr.h) AS n_overlap,
+       round(count(tr.h) * 1.0 / count(*), 6) AS contamination
+FROM ev LEFT JOIN tr ON ev.h = tr.h
+GROUP BY ev.doc_id
+"""
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII scrub: per-category match counts + redacted text (as md5 —
+    the gate canonicalizes scalars), in one scan-stage projection.
+    The fixtures carry no PII, so deterministic synthetic PII is
+    appended to every 5th document IDENTICALLY on both engines —
+    otherwise the query would pass vacuously."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = text.pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.md5(text.pii_scrub("text").cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from voter_gateway_spark.operators.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for pat, repl in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-867-5309 ssn 123-45-6789'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, md5({scrub}) AS scrubbed_md5
+FROM seeded
+"""
+
+
 def text_vocabulary(spark, sf_dir):
     """Corpus vocabulary with doc frequencies — explode + two-level
     aggregation (per-doc distinct first, so no count(distinct) shuffle)."""
@@ -2165,6 +2313,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_update_only": merge_update_only,
     "audit_match_rule_counts": audit_match_rule_counts,
     "functions_scalar_suite": functions_scalar_suite,
+    "sample_source_quota": sample_source_quota,
+    "text_repetition": text_repetition,
+    "corpus_contamination": corpus_contamination,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -2227,4 +2379,8 @@ ORACLES: dict[str, str] = {
     "audit_distinct_users_by_type": DISTINCT_USERS_SQL,
     "audit_orphan_orders": ORPHAN_SQL,
     "scd2_customers": SCD2_SQL,
+    "sample_source_quota": SOURCE_QUOTA_SQL,
+    "text_repetition": REPETITION_SQL,
+    "corpus_contamination": CONTAMINATION_SQL,
+    "text_pii_scrub": _pii_sql(),
 }
