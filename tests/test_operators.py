@@ -600,3 +600,56 @@ def test_cross_corpus_overlap(spark):
     assert out[1].contamination == 1.0
     assert out[2].n_shingles == 3 and out[2].n_overlap == 1
     assert out[3].n_overlap == 0 and out[3].contamination == 0.0
+
+
+def test_ppm_decode_real_roundtrip():
+    import numpy as np
+    from voter_gateway_spark.operators.multimodal import make_ppm, ppm_decode
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    f = ppm_decode(make_ppm(6, 4, px))
+    assert f[0] == 1.0 and f[1] == 0.0 and f[2] == 0.0
+    assert f[3] == pytest.approx(255 / 765)
+    # quadrants of a uniform image all equal the global gray mean
+    assert f[4] == f[5] == f[6] == f[7] == f[3]
+
+    # header comments and arbitrary whitespace are valid PPM
+    with_comment = b"P6 # a comment\n# another\n 6\t4 \n255\n" + px.tobytes()
+    assert ppm_decode(with_comment) == f
+
+
+def test_ppm_decode_rejects_bad_payloads():
+    import numpy as np
+    from voter_gateway_spark.operators.multimodal import make_ppm, ppm_decode
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = make_ppm(2, 2, px)
+    with pytest.raises(ValueError, match="P6"):
+        ppm_decode(b"P3\n2 2\n255\n" + px.tobytes())
+    with pytest.raises(ValueError, match="truncated"):
+        ppm_decode(good[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        ppm_decode(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_ppm_decode_distributed(spark):
+    import numpy as np
+    from voter_gateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        make_ppm,
+    )
+
+    y, x = np.mgrid[0:4, 0:4]
+    rows = []
+    for m in range(6):
+        px = np.stack([(x + m) % 256, (y + m) % 256, (x * y) % 256], axis=-1)
+        rows.append((m, "image", bytearray(make_ppm(4, 4, px)), "image/x-ppm", 4, 4, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media, kind="ppm").collect()}
+    assert len(out) == 6
+    # spot-check against a local decode of the same image
+    from voter_gateway_spark.operators.multimodal import ppm_decode
+    px0 = np.stack([x % 256, y % 256, (x * y) % 256], axis=-1)
+    assert list(out[0].features) == ppm_decode(make_ppm(4, 4, px0))

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature steps that need codec libraries are STUBBED (the
-container has no image/audio libs): `decode_image` raises
-NotImplementedError unless `fake=True`, which produces a deterministic
-fake decode so the Spark-side plumbing — schema, Arrow batching,
-mapInPandas signatures, partition shape — is real and testable.
+Decoding is pluggable (see the decoder contract below). One REAL
+decoder ships built-in: `ppm_decode` parses binary PPM (P6) images with
+numpy alone — header tokenization, raw pixel demux, channel/quadrant
+statistics — so the decode path is genuinely exercised end-to-end
+without codec libraries. Compressed formats (JPEG/PNG/audio/video)
+still need external codecs and register through the same contract; the
+deterministic `fake_decode` remains for plumbing tests.
 
 At scale: binary payloads ride in their own column so column pruning
 keeps them out of metadata-only queries; `repartition` by size budget
@@ -17,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 from typing import Iterator
+
+import numpy as np
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -91,7 +95,75 @@ def fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
-_DECODERS: dict[str, object] = {"fake": fake_decode}
+# -- real PPM (P6) decode ------------------------------------------------------
+
+def make_ppm(width: int, height: int, pixels: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6) image."""
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixels must be ({height}, {width}, 3), got {pixels.shape}")
+    return f"P6\n{width} {height}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def ppm_decode(payload: bytes) -> list[float]:
+    """REAL image decode for binary PPM (P6) — numpy only, no codec
+    libraries. Parses the header (magic, whitespace/`#`-comment
+    tokenization, width/height/maxval), demuxes the raw RGB plane, and
+    returns an 8-dim feature vector in [0, 1]:
+
+        [mean_r, mean_g, mean_b, mean_gray,
+         q00, q01, q10, q11]   (gray means of the four image quadrants)
+
+    Gray is the channel SUM (0..765) normalized by 765, not the /3
+    average: every intermediate is then an integer-valued double, so
+    the statistics are bit-identical across engines and the DuckDB
+    oracle can recompute them exactly from the generative pixel
+    formula. Quadrant split: rows < h//2 are the top half, cols < w//2
+    the left half (remainder rows/cols fall in the bottom/right
+    quadrants). Raises ValueError on a bad magic, truncated pixel
+    data, or an unsupported maxval — a decode error MUST surface, not
+    produce junk features.
+    """
+    # header: magic + 3 integers, '#' comments run to end of line
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # single whitespace byte after maxval
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError(f"truncated PPM: want {w * h * 3} pixel bytes, got {len(raw)}")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    gray = px.sum(axis=2)  # 0..765, integer-valued
+    hh, wh = h // 2, w // 2
+    return [
+        px[:, :, 0].mean() / 255.0,
+        px[:, :, 1].mean() / 255.0,
+        px[:, :, 2].mean() / 255.0,
+        gray.mean() / 765.0,
+        gray[:hh, :wh].mean() / 765.0,
+        gray[:hh, wh:].mean() / 765.0,
+        gray[hh:, :wh].mean() / 765.0,
+        gray[hh:, wh:].mean() / 765.0,
+    ]
+
+
+_DECODERS: dict[str, object] = {"fake": fake_decode, "ppm": ppm_decode}
 
 
 def register_decoder(kind: str, fn) -> None:
@@ -102,10 +174,11 @@ def register_decoder(kind: str, fn) -> None:
 def get_decoder(kind: str):
     if kind not in _DECODERS:
         raise NotImplementedError(
-            f"no decoder registered for kind={kind!r}: real decoding needs a "
-            "codec library (PIL/opencv/ffmpeg) — register one with "
-            "multimodal.register_decoder(kind, fn); the 'fake' decoder "
-            "exercises the distributed plumbing without codecs"
+            f"no decoder registered for kind={kind!r}: compressed formats need "
+            "a codec library (PIL/opencv/ffmpeg) — register one with "
+            "multimodal.register_decoder(kind, fn). Built-ins: 'ppm' (real "
+            "binary-PPM decode, numpy only) and 'fake' (deterministic "
+            "plumbing stand-in)"
         )
     return _DECODERS[kind]
 

@@ -1121,6 +1121,68 @@ FROM m
 """
 
 
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode end-to-end: 64 binary-PPM images whose pixel
+    content is an analytic function of (media_id, x, y) are encoded on
+    the driver, decoded on executors by the numpy-only ppm_decode
+    (header parse + RGB demux + channel/quadrant statistics), and the
+    oracle recomputes the expected statistics from the same closed-form
+    pixel formula — a header mis-parse, stride bug, or channel swap
+    fails the hash. Gray rides as the integer channel sum so every
+    intermediate is an integer-valued double (bit-identical across
+    engines)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import MEDIA_SCHEMA, make_ppm
+
+    W, H = 16, 12
+    y, x = np.mgrid[0:H, 0:W]
+    rows = []
+    for m in range(64):
+        px = np.stack(
+            [(x + y + 3 * m) % 256, (2 * x + m) % 256, (y + 7 * m) % 256], axis=-1
+        )
+        rows.append(
+            (m, "image", bytearray(make_ppm(W, H, px)),
+             "image/x-portable-pixmap", W, H, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, kind="ppm")
+    return feat.select(
+        "media_id",
+        "n_bytes",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+# header "P6\n16 12\n255\n" = 13 bytes + 16*12*3 pixel bytes
+PPM_DECODE_SQL = """
+WITH px AS (
+  SELECT m, x, y,
+         (x + y + 3*m) % 256 AS r,
+         (2*x + m) % 256 AS g,
+         (y + 7*m) % 256 AS b
+  FROM (SELECT unnest(generate_series(0, 63)) AS m),
+       (SELECT unnest(generate_series(0, 15)) AS x),
+       (SELECT unnest(generate_series(0, 11)) AS y)
+), gr AS (
+  SELECT m, x, y, r, g, b, r + g + b AS gray FROM px
+)
+SELECT m AS media_id,
+       CAST(13 + 16*12*3 AS BIGINT) AS n_bytes,
+       round(avg(r) / 255.0, 6) AS f0,
+       round(avg(g) / 255.0, 6) AS f1,
+       round(avg(b) / 255.0, 6) AS f2,
+       round(avg(gray) / 765.0, 6) AS f3,
+       round(avg(gray) FILTER (y < 6 AND x < 8) / 765.0, 6) AS f4,
+       round(avg(gray) FILTER (y < 6 AND x >= 8) / 765.0, 6) AS f5,
+       round(avg(gray) FILTER (y >= 6 AND x < 8) / 765.0, 6) AS f6,
+       round(avg(gray) FILTER (y >= 6 AND x >= 8) / 765.0, 6) AS f7
+FROM gr
+GROUP BY m
+"""
+
+
 # =============================================================================
 # Merge variants (M6, M7) + rule-count audit (A6) + scalar functions (F1–F3)
 # =============================================================================
@@ -2317,6 +2379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "corpus_contamination": corpus_contamination,
     "text_pii_scrub": text_pii_scrub,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -2383,4 +2446,5 @@ ORACLES: dict[str, str] = {
     "text_repetition": REPETITION_SQL,
     "corpus_contamination": CONTAMINATION_SQL,
     "text_pii_scrub": _pii_sql(),
+    "multimodal_ppm_decode": PPM_DECODE_SQL,
 }
