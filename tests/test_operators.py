@@ -653,3 +653,15 @@ def test_ppm_decode_distributed(spark):
     from voter_gateway_spark.operators.multimodal import ppm_decode
     px0 = np.stack([x % 256, y % 256, (x * y) % 256], axis=-1)
     assert list(out[0].features) == ppm_decode(make_ppm(4, 4, px0))
+
+
+def test_connected_components_deep_chain_converges_fast(spark):
+    # pointer jumping: a 120-link chain (diameter 120) must converge in
+    # O(log n) rounds, far under max_iter=12 — plain min-label
+    # propagation would need ~120 rounds
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(120)], "id_a bigint, id_b bigint"
+    )
+    out = dedup_ops.connected_components(pairs, max_iter=12).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 121

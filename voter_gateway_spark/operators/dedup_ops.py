@@ -375,13 +375,14 @@ def connected_components(
     """Cluster near-dup pairs into components: (id, component) where
     component = min id reachable through the pair graph. Pairs alone
     don't dedupe — groups of mutual near-dups must collapse to ONE
-    representative; this is the standard min-label propagation loop
-    (iterations ≈ graph diameter, each a join + min-aggregate; per-round
-    localCheckpoint truncates lineage like the reference's temp tables).
-
-    At 100 TB scale this is the alternating-min formulation that
-    MapReduce CC algorithms (e.g. large-star/small-star) refine; near-dup
-    graphs are shallow (diameter ≪ 10), so the simple loop holds.
+    representative; each round is neighbor-min propagation (join +
+    min-aggregate) PLUS a pointer-jumping step (label := label of
+    label), so label chains halve every round and convergence takes
+    O(log diameter) rounds instead of O(diameter) — the same
+    round-complexity class as large-star/small-star, with per-round
+    localCheckpoint truncating lineage like the reference's temp
+    tables. A 1000-link chain converges in ~11 rounds; near-dup graphs
+    (diameter ≪ 10) still converge in 2–3.
 
     Raises RuntimeError if labels are still changing after `max_iter`
     rounds — silently returning non-converged labels would let
@@ -400,11 +401,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("_nl"))
         )
+        stepped = labels.join(neigh, labels["id"] == neigh["a"], "left").select(
+            F.col("id"),
+            F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: follow label → label(label). Labels always
+        # point within the component at a lower-or-equal id, so the
+        # jump is safe, and chains halve each round (path halving).
+        jump = stepped.select(F.col("id").alias("_jid"), F.col("label").alias("_jl"))
         new_labels = (
-            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            stepped.join(jump, stepped["label"] == jump["_jid"], "left")
             .select(
                 F.col("id"),
-                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
