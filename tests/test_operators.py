@@ -665,3 +665,29 @@ def test_connected_components_deep_chain_converges_fast(spark):
     out = dedup_ops.connected_components(pairs, max_iter=12).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == 121
+
+
+def test_incremental_minhash_pairs_bipartite_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(id=1, t="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(id=2, t="alpha beta gamma delta epsilon zeta eta iota"),  # dup of 1
+            Row(id=3, t="one two three four five six seven eight"),
+        ],
+        "id bigint, t string",
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=10, t="alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1/2
+            Row(id=11, t="totally fresh unseen content nothing shared here"),
+        ],
+        "id bigint, t string",
+    )
+    out = dedup_ops.incremental_minhash_pairs(
+        new, corpus, "id", "t", k=2, threshold=0.3
+    ).collect()
+    pairs = {(r.new_id, r.corpus_id) for r in out}
+    assert (10, 1) in pairs
+    # corpus-internal dup (1,2) must NOT be recomputed/reported
+    assert all(p[0] == 10 for p in pairs)
+    assert not any(p[0] == 11 for p in pairs)

@@ -287,6 +287,98 @@ def minhash_signature(hashes: Column, n_hashes: int = 16) -> Column:
     return F.array(*sigs)
 
 
+def _minhash_band_rows(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a (_id, _sig) frame into (_id, _b, _k) LSH band rows —
+    band keys ride as compact strings."""
+    return base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+
+
+def minhash_hashed_sigs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 16
+) -> DataFrame:
+    """(_id, _hh, _sig): distinct 60-bit shingle hashes + MinHash
+    signature per row — the reusable front half of every MinHash
+    consumer (self-join LSH, incremental batch-vs-corpus, persisted
+    band index)."""
+    return (
+        widen(df)
+        .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
+        .select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
+        .select("_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEW-batch vs existing-corpus near-dup pairs — the incremental
+    ingestion shape: a continuously-fed pipeline checks each arriving
+    batch against what it already holds WITHOUT recomputing
+    corpus-internal pairs (those were settled when the corpus was
+    built). Output: (new_id, corpus_id, jaccard ≥ threshold).
+
+    The join is bipartite (new bands × corpus bands on the band key),
+    so cost scales with |new| × collision rate, not |corpus|². In
+    production the corpus side is a PERSISTED band index — write
+    `_minhash_band_rows(minhash_hashed_sigs(corpus))` partitioned by
+    band and bucketed by key once, and each batch probe becomes a scan
+    of matching buckets only (same pattern as the persisted IVF index).
+    Candidates are verified with exact Jaccard on the hash sets, so
+    banding only affects recall, never precision — and the DuckDB
+    oracle reproduces the banding bit-for-bit (md5-derived affine
+    constants)."""
+    rows_per_band = n_hashes // bands
+    nb = minhash_hashed_sigs(new_df, id_col, text_col, k, n_hashes)
+    cb = minhash_hashed_sigs(corpus_df, id_col, text_col, k, n_hashes)
+    cand = (
+        _minhash_band_rows(nb, bands, rows_per_band)
+        .alias("a")
+        .join(
+            _minhash_band_rows(cb, bands, rows_per_band).alias("b"),
+            (F.col("a._b") == F.col("b._b")) & (F.col("a._k") == F.col("b._k")),
+        )
+        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return (
+        cand.join(nb.select(F.col("_id").alias("new_id"), F.col("_hh").alias("_sha")), "new_id")
+        .join(cb.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb")), "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -323,22 +415,7 @@ def minhash_lsh_pairs(
     # band keys shuffle as compact strings; candidate pairs carry ids
     # only, then the (small, blocked) candidate set joins the shingle
     # arrays back for exact verification
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select("_id", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+    banded = _minhash_band_rows(base, bands, rows_per_band)
     cand = (
         banded.alias("a")
         .join(

@@ -755,6 +755,63 @@ WHERE len(list_intersect(x.hl, y.hl)) * 1.0
 """
 
 
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingestion dedup: the newest slice of documents
+    (doc_id ≥ 400, 'the arriving batch') checked against the existing
+    corpus (doc_id < 400) via bipartite MinHash-LSH band probing +
+    exact Jaccard verification — corpus-internal pairs are never
+    recomputed. The production corpus side is a persisted band index
+    (see incremental_minhash_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.incremental_minhash_pairs(
+        docs.where(F.col("doc_id") >= 400),
+        docs.where(F.col("doc_id") < 400),
+        "doc_id",
+        "text",
+        k=3,
+        n_hashes=16,
+        bands=4,
+        threshold=0.1,
+    )
+
+
+def _incremental_minhash_sql(split: str = "doc_id >= 400", threshold: float = 0.1) -> str:
+    from voter_gateway_spark.operators.dedup_ops import _MINHASH_P, _affine_consts
+
+    n_hashes, bands, rows = 16, 4, 4
+    sig = ", ".join(
+        f"list_min(list_transform(hl, h -> ((h % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P})) AS h{seed}"
+        for seed, (a, b) in enumerate(_affine_consts(n_hashes))
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        + "(" + " || '|' || ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)) + ") AS k FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh),
+sig AS (SELECT doc_id, hl, {sig} FROM hh),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k
+  WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE {split})
+    AND b.doc_id NOT IN (SELECT doc_id FROM documents WHERE {split})
+)
+SELECT new_id, corpus_id,
+       round(len(list_intersect(x.hl, y.hl)) * 1.0
+             / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) AS jaccard
+FROM cand JOIN hh x ON cand.new_id = x.doc_id JOIN hh y ON cand.corpus_id = y.doc_id
+WHERE len(list_intersect(x.hl, y.hl)) * 1.0
+      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))) >= {threshold}
+"""
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup pairs → connected components: every doc in a mutual
     near-dup group maps to the group's minimum doc_id (the
@@ -2380,6 +2437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_contamination": corpus_contamination,
     "text_pii_scrub": text_pii_scrub,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "dedup_incremental_batch": dedup_incremental_batch,
 }
 
 ORACLES: dict[str, str] = {
@@ -2447,4 +2505,5 @@ ORACLES: dict[str, str] = {
     "corpus_contamination": CONTAMINATION_SQL,
     "text_pii_scrub": _pii_sql(),
     "multimodal_ppm_decode": PPM_DECODE_SQL,
+    "dedup_incremental_batch": _incremental_minhash_sql(),
 }
