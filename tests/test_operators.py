@@ -691,3 +691,45 @@ def test_incremental_minhash_pairs_bipartite_only(spark):
     # corpus-internal dup (1,2) must NOT be recomputed/reported
     assert all(p[0] == 10 for p in pairs)
     assert not any(p[0] == 11 for p in pairs)
+
+
+def test_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join parity: the watermarked two-stream
+    view->purchase attribution emits exactly the batch join's pairs."""
+    import shutil
+
+    from voter_gateway_spark.streaming.events import (
+        attribute_conversions,
+        stream_attributed_purchases,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    exp = {
+        (r.purchase_id, r.view_id)
+        for r in attribute_conversions(
+            ev.where(F.col("event_type") == "purchase"),
+            ev.where(F.col("event_type") == "view"),
+            "1 hour",
+        ).collect()
+    }
+    assert exp  # non-vacuous: the fixture must produce attributed pairs
+
+    stream_dir = tmp_path / "events_attr"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    q = (
+        stream_attributed_purchases(spark, str(stream_dir), "1 hour")
+        .writeStream.format("memory")
+        .queryName("t_stream_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.view_id) for r in spark.table("t_stream_attr").collect()
+    }
+    assert got == exp

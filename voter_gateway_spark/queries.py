@@ -1101,6 +1101,48 @@ SELECT user_id, min(us) AS session_start_us, max(us) + 1800000000 AS session_end
 FROM g GROUP BY user_id, sid
 """
 
+def events_view_purchase_attribution(spark, sf_dir):
+    """Stream-stream interval join, batch form: each purchase paired
+    with the same user's views in the preceding hour (inclusive), then
+    aggregated per purchase. The identical attribute_conversions
+    expressions run as a watermarked stream-stream join in
+    stream_attributed_purchases (parity pinned by
+    test_stream_attribution_matches_batch); the time-range condition is
+    what bounds the streaming join state."""
+    from voter_gateway_spark.streaming.events import attribute_conversions
+
+    ev = _events(spark, sf_dir)
+    pairs = attribute_conversions(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        "1 hour",
+    )
+    return pairs.groupBy("purchase_id", "user_id").agg(
+        F.unix_micros(F.first("p_ts")).alias("purchase_us"),
+        F.round(F.first("purchase_value"), 2).alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_prior_views"),
+        F.unix_micros(F.max("v_ts")).alias("last_view_us"),
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       round(p.value, 2) AS purchase_value,
+       count(*) AS n_prior_views,
+       max(epoch_us(v.ts)) AS last_view_us
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts, p.value
+"""
+
+
 # =============================================================================
 # Multimodal plumbing (decode stubbed; features oracle-checked)
 # =============================================================================
@@ -2438,6 +2480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": text_pii_scrub,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "events_view_purchase_attribution": events_view_purchase_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -2506,4 +2549,5 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": _pii_sql(),
     "multimodal_ppm_decode": PPM_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
+    "events_view_purchase_attribution": ATTRIBUTION_SQL,
 }

@@ -124,6 +124,60 @@ def enrich_events(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def attribute_conversions(
+    purchases: DataFrame,
+    views: DataFrame,
+    window: str = "1 hour",
+) -> DataFrame:
+    """View→purchase attribution pairs: each purchase joined to the
+    same user's views in the preceding `window` (inclusive on both
+    ends). Works identically on static frames (the oracle form) and on
+    two watermarked streams — as a stream-stream join the time-range
+    condition is exactly what lets Spark expire join state (a view
+    older than the window can never match a future purchase once the
+    watermark passes it), so state stays bounded by watermark + window
+    instead of growing with the stream.
+
+    Output: one row per (purchase, attributed view) pair.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return p.join(
+        v,
+        (p["user_id"] == v["v_user_id"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window}"))
+        & (v["v_ts"] <= p["p_ts"]),
+        "inner",
+    ).select("purchase_id", "user_id", "p_ts", "purchase_value", "view_id", "v_ts")
+
+
+def stream_attributed_purchases(
+    spark: SparkSession,
+    parquet_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Stream-stream form: two filtered readers over the same event
+    stream (views vs purchases), both watermarked, joined with the
+    time-range condition. Returns the streaming pair DataFrame."""
+    views = _event_stream(spark, parquet_dir, watermark).where(
+        F.col("event_type") == "view"
+    )
+    purchases = _event_stream(spark, parquet_dir, watermark).where(
+        F.col("event_type") == "purchase"
+    )
+    return attribute_conversions(purchases, views, window)
+
+
 def stream_dedup_events(
     spark: SparkSession,
     parquet_dir: str,
