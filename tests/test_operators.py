@@ -733,3 +733,27 @@ def test_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         (r.purchase_id, r.view_id) for r in spark.table("t_stream_attr").collect()
     }
     assert got == exp
+
+
+def test_incremental_pairs_equal_full_run_cross_pairs(spark, sf_dir):
+    """Band collision is pairwise, so the bipartite incremental probe
+    must find exactly the full self-join's cross-split pairs (same k,
+    hashes, bands, threshold)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    inc = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in dedup_ops.incremental_minhash_pairs(
+            new, corpus, "doc_id", "text", k=3, threshold=0.1
+        ).collect()
+    }
+    full = dedup_ops.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.1
+    ).collect()
+    cross = {
+        (r.id_a, r.id_b, r.jaccard) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.jaccard)
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert inc == cross
