@@ -133,3 +133,23 @@ def test_sample_filter_reaches_scan(spark, sf_dir):
 def test_q10_broadcasts_dims(spark, sf_dir):
     plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir), "simple")
     assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+
+
+def test_contamination_is_blocked_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["corpus_contamination"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_joins_on_user_key_not_nested_loop(spark, sf_dir):
+    # the time-range condition must ride the user_id equi-join as a
+    # post-join filter, not degrade the join to a nested loop
+    plan = _plan(QUERIES["events_view_purchase_attribution"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quota_cap_uses_window_group_limit(spark, sf_dir):
+    # partial top-k below the exchange: shuffle carries O(groups x cap)
+    plan = _plan(QUERIES["sample_source_quota"](spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan
