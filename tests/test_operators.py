@@ -757,3 +757,46 @@ def test_incremental_pairs_equal_full_run_cross_pairs(spark, sf_dir):
         if (r.id_a % 2) != (r.id_b % 2)
     }
     assert inc == cross
+
+
+def test_prefix_sum_matches_global_window(spark):
+    from voter_gateway_spark.operators.relational import prefix_sum
+
+    df = spark.createDataFrame(
+        [Row(id=i, n=(i * 7) % 13) for i in range(200)], "id bigint, n bigint"
+    )
+    got = {r.id: r.offset for r in prefix_sum(df, "id", "n", partitions=8).collect()}
+    acc, exp = 0, {}
+    for i in range(200):
+        exp[i] = acc
+        acc += (i * 7) % 13
+    assert got == exp
+
+
+def test_prefix_sum_plan_has_no_global_window(spark):
+    from voter_gateway_spark.operators.relational import prefix_sum
+
+    df = spark.createDataFrame(
+        [Row(id=i, n=i) for i in range(50)], "id bigint, n bigint"
+    )
+    plan = prefix_sum(df, "id", "n", partitions=4)._jdf.queryExecution().executedPlan().toString()
+    # the window must be partitioned by _pid, never a global
+    # (empty-partition-spec) sort over everything
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_boundaries(spark):
+    from voter_gateway_spark.operators.relational import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(id=1, n=500), Row(id=2, n=20), Row(id=3, n=0), Row(id=4, n=600)],
+        "id bigint, n bigint",
+    )
+    rows = {r.id: r for r in pack_sequences(df, "id", "n", seq_len=512).collect()}
+    assert rows[1].token_offset == 0 and rows[1].seq_start == 0 and rows[1].seq_end == 0
+    # doc 2 straddles the 512 boundary: tokens 500..519
+    assert rows[2].token_offset == 500
+    assert (rows[2].seq_start, rows[2].seq_end) == (0, 1)
+    # empty doc occupies no span but keeps a deterministic position
+    assert rows[3].token_offset == 520 and rows[3].seq_start == rows[3].seq_end == 1
+    assert rows[4].token_offset == 520

@@ -164,3 +164,89 @@ def quota_cap(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "offset",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of `value_col` in `order_col` order — the
+    distributed-scan primitive — WITHOUT the single-partition global
+    window that `sum().over(orderBy(...))` plans (one task holding the
+    entire dataset: the canonical 100 TB killer).
+
+    Classic two-phase scan instead: range-partition by the order column
+    (partition order = range order), cumsum WITHIN each partition, then
+    add each partition's base offset (the cumsum of per-partition
+    totals — `partitions` rows, computed on the driver and joined back
+    broadcast). Wall-clock is two narrow shuffles + an O(partitions)
+    driver step; every window group is one range partition, so size
+    `partitions` to bound rows per task at the target scale.
+
+    `order_col` must be unique (ties could split across range
+    boundaries and receive order-dependent offsets).
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # lazy checkpoint: the totals collect materializes the ranged frame,
+    # the final plan then reuses it — one range shuffle, not two
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranged.withColumn(
+        "_local", F.sum(F.col(value_col)).over(w) - F.col(value_col)
+    )
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("_t"))
+        .orderBy("_pid")
+        .collect()
+    )
+    base, acc = [], 0
+    for r in totals:
+        base.append((r["_pid"], acc))
+        acc += r["_t"] or 0
+    bases = df.sparkSession.createDataFrame(base or [(0, 0)], "_pid int, _base bigint")
+    return (
+        within.join(F.broadcast(bases), "_pid", "left")
+        .withColumn(out_col, (F.coalesce("_base", F.lit(0)) + F.col("_local")).cast("bigint"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    count_col: str,
+    seq_len: int = 512,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence-packing offsets: concatenate documents in `id_col`
+    order into one token stream and map each document to its packed
+    position — the GPT-style training-batch packing layout. Output
+    adds: `token_offset` (exclusive prefix sum), `seq_start`/`seq_end`
+    (the first/last seq_len-sized training sequence the document's
+    tokens land in). Built on prefix_sum, so no single-partition
+    window."""
+    out = prefix_sum(df, id_col, count_col, "token_offset", partitions)
+    return (
+        out.withColumn(
+            "seq_start", F.floor(F.col("token_offset") / seq_len).cast("bigint")
+        )
+        .withColumn(
+            "seq_end",
+            F.floor(
+                (F.col("token_offset") + F.greatest(F.col(count_col) - 1, F.lit(0)))
+                / seq_len
+            ).cast("bigint"),
+        )
+    )

@@ -2044,6 +2044,41 @@ FROM seeded
 """
 
 
+def pack_sequences_documents(spark, sf_dir):
+    """Sequence packing: documents concatenated in doc_id order into a
+    single token stream, each mapped to its global token_offset and
+    first/last 512-token training sequence. The exclusive prefix sum is
+    the two-phase distributed scan (range partition → local cumsum →
+    broadcast base offsets), NOT a global single-partition window."""
+    from voter_gateway_spark.operators.relational import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512).select(
+        "doc_id", "n_tokens", "token_offset", "seq_start", "seq_end"
+    )
+
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, token_offset,
+       CAST(floor(token_offset / 512) AS BIGINT) AS seq_start,
+       CAST(floor((token_offset + greatest(n_tokens - 1, 0)) / 512) AS BIGINT) AS seq_end
+FROM o
+"""
+
+
 def text_vocabulary(spark, sf_dir):
     """Corpus vocabulary with doc frequencies — explode + two-level
     aggregation (per-doc distinct first, so no count(distinct) shuffle)."""
@@ -2481,6 +2516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "dedup_incremental_batch": dedup_incremental_batch,
     "events_view_purchase_attribution": events_view_purchase_attribution,
+    "pack_sequences_documents": pack_sequences_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -2550,4 +2586,5 @@ ORACLES: dict[str, str] = {
     "multimodal_ppm_decode": PPM_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
     "events_view_purchase_attribution": ATTRIBUTION_SQL,
+    "pack_sequences_documents": PACK_SQL,
 }
