@@ -44,6 +44,13 @@ STRESS_QUERIES = [
     "events_hourly",
     "events_sessionized",
     "dedup_corpus_pruned",
+    # round-2 additions: incremental probe, contamination index,
+    # distributed prefix sum, stream-stream batch form, corpus prep
+    "dedup_incremental_batch",
+    "corpus_contamination",
+    "pack_sequences_documents",
+    "events_view_purchase_attribution",
+    "pipeline_corpus_prep",
 ]
 
 
