@@ -631,6 +631,11 @@ def test_ppm_decode_rejects_bad_payloads():
         ppm_decode(good[:-1])
     with pytest.raises(ValueError, match="maxval"):
         ppm_decode(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    # degenerate dims must raise, not return NaN quadrant features
+    with pytest.raises(ValueError, match="too small"):
+        ppm_decode(b"P6\n4 1\n255\n" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="too small"):
+        ppm_decode(b"P6\n0 0\n255\n")
 
 
 def test_ppm_decode_distributed(spark):

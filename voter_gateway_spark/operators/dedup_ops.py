@@ -545,9 +545,12 @@ def cross_corpus_overlap(
     would prune it further — the DataFrame plan already lets AQE pick
     that up via runtime filters when the eval side is small enough.
 
-    Eval docs with zero shingle content (empty text) report
-    n_shingles = 0, contamination 0.0 — they never join but are kept
-    via the left join so no eval doc silently disappears.
+    Every eval doc appears in the output: word_shingles emits at least
+    one shingle per doc (empty/NULL text degrades to the single ''
+    shingle), so no doc drops at the explode. An empty eval doc
+    therefore reports n_shingles = 1, and contamination 1.0 exactly
+    when the train corpus also contains an empty doc — consistent on
+    both engines, since the oracle shingles identically.
     """
     def hashed(df: DataFrame) -> DataFrame:
         return df.select(
@@ -567,25 +570,18 @@ def cross_corpus_overlap(
         .withColumn("_hit", F.lit(1))
     )
     ev_sh = ev.select("_id", F.explode("_hh").alias("_s"))
-    hits = (
+    return (
         ev_sh.join(train_index, "_s", "left")
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
         )
-    )
-    # left join keeps shingle-less eval docs (explode drops them)
-    return (
-        ev.select("_id")
-        .join(hits, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            F.round(
-                F.coalesce(F.col("n_overlap") / F.col("n_shingles"), F.lit(0.0)), 6
-            ).alias("contamination"),
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("contamination"),
         )
     )
 

@@ -144,6 +144,11 @@ def ppm_decode(payload: bytes) -> list[float]:
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w < 2 or h < 2:
+        # the quadrant features need both halves non-empty; an empty
+        # slice would silently yield NaN features, and a decode error
+        # must surface instead of producing junk
+        raise ValueError(f"image too small for quadrant features: {w}x{h}")
     i += 1  # single whitespace byte after maxval
     raw = payload[i : i + w * h * 3]
     if len(raw) != w * h * 3:

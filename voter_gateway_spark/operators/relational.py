@@ -144,12 +144,17 @@ def hash_mod_sample(
 def quota_cap(
     df: DataFrame,
     group_cols: list[str],
-    order_col: str | Column,
+    order_col: str | Column | list[str | Column],
     cap: int,
 ) -> DataFrame:
     """Keep at most `cap` rows per group, chosen deterministically by
     `order_col` — the per-domain/per-source quota step that keeps one
     hot crawl domain from dominating a training mix.
+
+    Determinism requires `order_col` to be a TOTAL order within each
+    group (ties get partition-order-dependent row_numbers). Pass a list
+    ending in a unique key (e.g. ["crawl_date", "doc_id"]) when the
+    primary sort key has ties.
 
     One shuffle (hash by group); Spark 4's WindowGroupLimit pushes a
     partial top-`cap` below the exchange, so each map task forwards at
@@ -157,8 +162,11 @@ def quota_cap(
     O(groups × cap), not O(rows), which is what makes a quota over a
     skewed domain distribution (the norm for web crawls) safe at
     100 TB."""
-    oc = F.col(order_col) if isinstance(order_col, str) else order_col
-    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(oc.asc())
+    ocs = order_col if isinstance(order_col, list) else [order_col]
+    ordering = [
+        (F.col(o) if isinstance(o, str) else o).asc() for o in ocs
+    ]
+    w = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(*ordering)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)

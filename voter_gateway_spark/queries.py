@@ -696,8 +696,8 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))), 6) AS jaccard
 FROM hh a, hh b
 WHERE a.doc_id < b.doc_id
-  AND len(list_intersect(a.hl, b.hl)) * 1.0
-      / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))) >= {threshold}
+  AND round(len(list_intersect(a.hl, b.hl)) * 1.0
+      / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))), 6) >= {threshold}
 """
 
 
@@ -750,8 +750,8 @@ SELECT id_a, id_b,
        round(len(list_intersect(x.hl, y.hl)) * 1.0
              / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) AS jaccard
 FROM cand JOIN hh x ON cand.id_a = x.doc_id JOIN hh y ON cand.id_b = y.doc_id
-WHERE len(list_intersect(x.hl, y.hl)) * 1.0
-      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))) >= 0.1
+WHERE round(len(list_intersect(x.hl, y.hl)) * 1.0
+      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) >= 0.1
 """
 
 
@@ -807,8 +807,8 @@ SELECT new_id, corpus_id,
        round(len(list_intersect(x.hl, y.hl)) * 1.0
              / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) AS jaccard
 FROM cand JOIN hh x ON cand.new_id = x.doc_id JOIN hh y ON cand.corpus_id = y.doc_id
-WHERE len(list_intersect(x.hl, y.hl)) * 1.0
-      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))) >= {threshold}
+WHERE round(len(list_intersect(x.hl, y.hl)) * 1.0
+      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) >= {threshold}
 """
 
 
@@ -1136,8 +1136,8 @@ FROM events p
 JOIN events v
   ON v.user_id = p.user_id
  AND v.event_type = 'view'
- AND v.ts >= p.ts - INTERVAL 1 HOUR
- AND v.ts <= p.ts
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(v.ts) <= epoch_us(p.ts)
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts, p.value
 """
