@@ -805,3 +805,31 @@ def test_pack_sequences_boundaries(spark):
     # empty doc occupies no span but keeps a deterministic position
     assert rows[3].token_offset == 520 and rows[3].seq_start == rows[3].seq_end == 1
     assert rows[4].token_offset == 520
+
+
+def test_char_entropy_signals(spark):
+    import math
+
+    from voter_gateway_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaaaaaa"),          # zero entropy
+            Row(doc_id=2, text="abababab"),          # exactly 1 bit
+            Row(doc_id=3, text="abcd"),              # exactly 2 bits
+            Row(doc_id=4, text=""),                  # empty -> 0, kept
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert rows[1].entropy_bits == 0.0
+    assert rows[2].entropy_bits == 1.0
+    assert rows[3].entropy_bits == 2.0
+    assert rows[4].n_chars_sampled == 0 and rows[4].entropy_bits == 0.0
+    # natural-ish text sits between the degenerate extremes
+    nat = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    h = char_entropy(nat).collect()[0].entropy_bits
+    assert 3.0 < h < 5.0

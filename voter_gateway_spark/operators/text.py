@@ -262,6 +262,60 @@ def pii_scrub(col: Column | str) -> Column:
     return s
 
 
+# -- character entropy ---------------------------------------------------------
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 2048,
+    round_to: int = 4,
+) -> DataFrame:
+    """Shannon entropy (bits/char) of the character distribution over
+    each document's first `prefix_chars` characters — the cheap
+    gibberish / encoding-noise / base64-blob detector (natural text
+    sits ~3.5–4.5 bits; random base64 ≳ 5.7; 'aaaa…' → 0).
+
+    The prefix cap is what makes this scale: entropy stabilizes within
+    a couple of KB, and capping bounds the per-doc explode at
+    `prefix_chars` rows, so the (id, char) shuffle is O(docs × cap),
+    not O(corpus bytes). One explode + two aggregations (map-side
+    combine on (id, char)); H = log2(N) − (Σ c·log2 c)/N avoids
+    computing probabilities per row. Empty docs report entropy 0.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.substring(F.col(text_col), 1, prefix_chars), "")).alias("_ch"),
+    ).where(F.col("_ch") != "")
+    counts = chars.groupBy(id_col, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    log2 = float(__import__("math").log(2.0))
+    stats = (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log("_c")).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            F.col("_n").cast("bigint").alias("n_chars_sampled"),
+            F.round(
+                F.log("_n") / F.lit(log2) - F.col("_clogc") / (F.col("_n") * F.lit(log2)),
+                round_to,
+            ).alias("entropy_bits"),
+        )
+    )
+    # empty docs drop at the explode; join them back at entropy 0
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars_sampled", F.lit(0)).cast("bigint").alias("n_chars_sampled"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+        )
+    )
+
+
 # -- chunking -----------------------------------------------------------------
 
 def chunk_text(

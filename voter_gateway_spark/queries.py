@@ -2079,6 +2079,33 @@ FROM o
 """
 
 
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy gibberish detector over a 2 KB prefix — the
+    explode is bounded per doc, so the (id, char) shuffle is
+    O(docs × cap), not O(corpus bytes)."""
+    return text.char_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_LN2 = 0.6931471805599453
+
+ENTROPY_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(substring(text, 1, 2048), '')) AS c
+  FROM documents
+), f AS (
+  SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c
+), s AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_sampled,
+         round(ln(sum(n)) / {_LN2} - sum(n * ln(n)) / (sum(n) * {_LN2}), 4) AS entropy_bits
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_chars_sampled, 0) AS n_chars_sampled,
+       coalesce(s.entropy_bits, 0.0) AS entropy_bits
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def text_vocabulary(spark, sf_dir):
     """Corpus vocabulary with doc frequencies — explode + two-level
     aggregation (per-doc distinct first, so no count(distinct) shuffle)."""
@@ -2517,6 +2544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "events_view_purchase_attribution": events_view_purchase_attribution,
     "pack_sequences_documents": pack_sequences_documents,
+    "text_char_entropy": text_char_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -2587,4 +2615,5 @@ ORACLES: dict[str, str] = {
     "dedup_incremental_batch": _incremental_minhash_sql(),
     "events_view_purchase_attribution": ATTRIBUTION_SQL,
     "pack_sequences_documents": PACK_SQL,
+    "text_char_entropy": ENTROPY_SQL,
 }
