@@ -833,3 +833,23 @@ def test_char_entropy_signals(spark):
     )
     h = char_entropy(nat).collect()[0].entropy_bits
     assert 3.0 < h < 5.0
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    from voter_gateway_spark.operators.relational import mixture_sample
+
+    df = spark.createDataFrame(
+        [Row(id=i, g="a" if i % 2 == 0 else "b") for i in range(2000)],
+        "id bigint, g string",
+    )
+    full = mixture_sample(df, "id", "g", {"a": 1.0, "b": 0.0})
+    got = {r.g for r in full.collect()}
+    assert got == {"a"}  # rate 1.0 keeps all, rate 0.0 drops all
+
+    # nesting: a group's 10% carve is a subset of its 30% carve
+    s10 = {r.id for r in mixture_sample(df, "id", "g", {"a": 0.1, "b": 0.1}).collect()}
+    s30 = {r.id for r in mixture_sample(df, "id", "g", {"a": 0.3, "b": 0.3}).collect()}
+    assert s10 <= s30
+    # default_rate applies to unlisted groups
+    d = mixture_sample(df, "id", "g", {"a": 0.0}, default_rate=1.0)
+    assert {r.g for r in d.collect()} == {"b"}

@@ -141,6 +141,41 @@ def hash_mod_sample(
     return df.where(bucket < percent)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: str | Column,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Per-group sampling rates — the training-mix weighting step
+    (e.g. wiki at 90%, common-crawl at 15%, everything else dropped).
+
+    Same md5-bucket determinism as hash_mod_sample (reproducible across
+    runs/engines/layouts, consistent across tables sharing the key, and
+    nested: a group's 10% carve ⊆ its 20% carve), with the rate chosen
+    by `group_col` through a broadcast of the rate table — the
+    predicate stays a scan-stage filter, no shuffle. Rates are
+    fractions in [0, 1], resolved to an integer bucket threshold so the
+    cut is exact on both engines.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(buckets),
+    )
+    spark = df.sparkSession
+    rate_rows = [(g, int(round(r * buckets))) for g, r in rates.items()]
+    rdf = spark.createDataFrame(rate_rows, f"{group_col} string, _thresh int")
+    return (
+        df.join(F.broadcast(rdf), group_col, "left")
+        .where(bucket < F.coalesce("_thresh", F.lit(int(round(default_rate * buckets)))))
+        .drop("_thresh")
+    )
+
+
 def quota_cap(
     df: DataFrame,
     group_cols: list[str],

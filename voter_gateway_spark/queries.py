@@ -2079,6 +2079,34 @@ FROM o
 """
 
 
+_MIXTURE_RATES = {"src1": 0.9, "src2": 0.5, "src3": 0.2, "src4": 0.05}
+
+
+def sample_mixture_weighted(spark, sf_dir):
+    """Training-mix weighting: per-source sampling rates resolved
+    through a broadcast rate table over the same md5-bucket determinism
+    as hash_mod_sample; unlisted sources fall to the 10% default."""
+    from voter_gateway_spark.operators.relational import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "doc_id", "source", _MIXTURE_RATES, default_rate=0.1
+    ).select("doc_id", "source", "lang")
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(round(r * 10000))}"
+        for g, r in _MIXTURE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CASE {cases} ELSE 1000 END
+"""
+
+
 def text_char_entropy(spark, sf_dir):
     """Character-entropy gibberish detector over a 2 KB prefix — the
     explode is bounded per doc, so the (id, char) shuffle is
@@ -2545,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_view_purchase_attribution": events_view_purchase_attribution,
     "pack_sequences_documents": pack_sequences_documents,
     "text_char_entropy": text_char_entropy,
+    "sample_mixture_weighted": sample_mixture_weighted,
 }
 
 ORACLES: dict[str, str] = {
@@ -2616,4 +2645,5 @@ ORACLES: dict[str, str] = {
     "events_view_purchase_attribution": ATTRIBUTION_SQL,
     "pack_sequences_documents": PACK_SQL,
     "text_char_entropy": ENTROPY_SQL,
+    "sample_mixture_weighted": _mixture_sql(),
 }
