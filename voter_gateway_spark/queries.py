@@ -865,6 +865,46 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 """
 
 
+def dedup_cluster_rollup(spark, sf_dir):
+    """Metadata propagation through near-dup clusters: every document
+    maps to its cluster (singletons are their own cluster), and the
+    cluster representative inherits the group's provenance — member
+    count, distinct sources, total/max size. This is what a curation
+    pipeline keeps alongside the pruned corpus so downstream mixing
+    still sees how much crawl mass each kept document stands for."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
+    comp = dedup_ops.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    clustered = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    return clustered.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+def _cluster_rollup_sql() -> str:
+    return f"""
+WITH comp AS ({COMPONENTS_SQL}),
+clustered AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         d.source, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT component,
+       count(*) AS n_members,
+       count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS total_chars,
+       max(n_chars) AS max_chars
+FROM clustered GROUP BY component
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup_ops.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2
@@ -2574,6 +2614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_documents": pack_sequences_documents,
     "text_char_entropy": text_char_entropy,
     "sample_mixture_weighted": sample_mixture_weighted,
+    "dedup_cluster_rollup": dedup_cluster_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2646,4 +2687,5 @@ ORACLES: dict[str, str] = {
     "pack_sequences_documents": PACK_SQL,
     "text_char_entropy": ENTROPY_SQL,
     "sample_mixture_weighted": _mixture_sql(),
+    "dedup_cluster_rollup": _cluster_rollup_sql(),
 }
