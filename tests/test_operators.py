@@ -366,6 +366,52 @@ def test_ngram_prefix_filter_is_lossless(spark, sf_dir):
     assert len(full) > 0
 
 
+def test_int8_quantize_roundtrip(spark):
+    """SQ8 codes stay in [-127,127]; dequantize reconstructs within one
+    quantization step (scale); zero vectors round-trip to zero."""
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = df.select(
+        "vec_id",
+        similarity.int8_quantize(F.col("embedding")).alias("q"),
+        similarity.int8_dequantize(
+            similarity.int8_quantize(F.col("embedding"))
+        ).alias("d"),
+        "embedding",
+    ).collect()
+    r1 = next(r for r in rows if r.vec_id == 1)
+    assert r1.q.codes == [64, -127, 32, 0]  # round(0.5*127), -127, round(0.25*127)
+    assert r1.q.scale == pytest.approx(1.0 / 127.0)
+    for orig, deq in zip(r1.embedding, r1.d):
+        assert abs(orig - deq) <= r1.q.scale / 2 + 1e-12
+    r2 = next(r for r in rows if r.vec_id == 2)
+    assert r2.q.codes == [0, 0, 0, 0]
+    assert r2.q.scale == 0.0
+    assert r2.d == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_int8_recall_floor(spark, sf_dir):
+    """Quantized top-k must recover nearly all of the exact full-precision
+    top-5 on the fixture (64-dim SQ8 distortion is small)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(qs, emb, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.int8_topk(qs, emb, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """IVF with 4/16 probes must recover most of the exact top-5 on the
     fixture (deterministic: seeded centroids, fixed rounds)."""

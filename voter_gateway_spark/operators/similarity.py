@@ -375,6 +375,110 @@ def query_ivf_index(
     )
 
 
+def int8_quantize(vec: Column) -> Column:
+    """Per-vector symmetric int8 (SQ8) quantization: scale = max|x|/127,
+    codes[i] = round(x[i] * 127 / max|x|) ∈ [-127, 127].
+
+    Returns struct(codes array<int>, scale double). Dequantize with
+    `int8_dequantize`; for cosine the scale cancels entirely, so
+    similarity runs on the raw codes (see `int8_topk`). A zero vector
+    quantizes to all-zero codes with scale 0 (no ANSI divide-by-zero).
+
+    At 100 TB this is the memory lever for ANN: 1-byte codes + one
+    double scale vs 4-byte floats ≈ 4× smaller corpus scan/broadcast,
+    and the codes column is what a persisted index (build_ivf_index)
+    should store. The max-abs fold is bound once as a lambda variable
+    (transform over a 1-element array) so it is NOT re-evaluated per
+    element — the documented HOF re-evaluation trap.
+    """
+    m = F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    return F.element_at(
+        F.transform(
+            F.array(m),
+            lambda mm: F.struct(
+                F.when(
+                    mm > 0,
+                    F.transform(vec, lambda x: F.round(x * F.lit(127.0) / mm).cast("int")),
+                )
+                .otherwise(F.transform(vec, lambda x: F.lit(0)))
+                .alias("codes"),
+                (mm / F.lit(127.0)).alias("scale"),
+            ),
+        ),
+        1,
+    )
+
+
+def int8_dequantize(quant: Column) -> Column:
+    """Reconstruct array<double> from an `int8_quantize` struct:
+    codes[i] * scale. The scale is bound as a lambda variable (same
+    re-evaluation guard as in int8_quantize)."""
+    return F.element_at(
+        F.transform(
+            F.array(quant["scale"]),
+            lambda s: F.transform(quant["codes"], lambda x: x.cast("double") * s),
+        ),
+        1,
+    )
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Symmetric quantized top-k: both sides reduced to int8 codes, then
+    exact cosine over the codes. Because cosine is scale-invariant, the
+    per-vector scale cancels — the similarity IS the cosine of the
+    quantized vectors, no dequantization in the hot loop.
+
+    Numerically this is the friendliest ANN variant to verify: the
+    codes are small integers, so dot products and squared norms are
+    EXACT in double arithmetic (well under 2^53) — fold order cannot
+    produce engine-dependent ulps, and the oracle reproduces the
+    numbers bit-for-bit before the final rounded division.
+
+    Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
+    brute_force_topk; recall vs the full-precision exact top-k is
+    pinned by test_int8_recall_floor. At scale, compose with LSH/IVF
+    blocking for candidate reduction; quantization cuts the bytes per
+    candidate, blocking cuts the candidate count — independent levers.
+    """
+    def _codes(df: DataFrame, out_id: str) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias(out_id),
+            int8_quantize(as_double_array(vec_col))["codes"].alias("_codes"),
+        )
+        cv = F.transform(F.col("_codes"), lambda x: x.cast("double"))
+        return d.select(out_id, cv.alias("_v")).select(
+            out_id, "_v", norm(F.col("_v")).alias("_n")
+        )
+
+    q = _codes(queries, "query_id").withColumnRenamed("_v", "_qv").withColumnRenamed("_n", "_qn")
+    c = _codes(widen(corpus), "neighbor_id").withColumnRenamed("_v", "_cv").withColumnRenamed("_n", "_cn")
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1107,6 +1107,40 @@ FROM (
 """
 
 
+def embed_int8_topk(spark, sf_dir):
+    """SQ8-quantized top-k (similarity.int8_topk): per-vector symmetric
+    int8 codes, cosine over the codes (scale cancels). Codes are small
+    integers, so dots/norms are EXACT in double arithmetic — the oracle
+    reproduces them bit-for-bit; only the final division is rounded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.int8_topk(queries, emb, k=5)
+
+
+INT8_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(v, x -> CAST(round(x * 127.0 / mx) AS DOUBLE))
+              ELSE list_transform(v, x -> 0.0) END AS cv
+  FROM m
+),
+q AS (SELECT vec_id, cv FROM qz WHERE vec_id % 10 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.cv, c.cv), 6) AS cos_sim
+  FROM q, qz c WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM p
+) WHERE rn <= 5
+"""
+
+
 # =============================================================================
 # Events: windowed + sessionized
 # =============================================================================
@@ -2589,6 +2623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customers": scd2_customers,
     "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
+    "embed_int8_topk": embed_int8_topk,
     "events_hourly": events_hourly,
     "events_sessionized": events_sessionized,
     "multimodal_features": multimodal_features,
@@ -2659,6 +2694,7 @@ ORACLES: dict[str, str] = {
     "functions_scalar_suite": FUNCTIONS_SQL,
     "dedup_simhash": _simhash_sql(),
     "embed_lsh_topk": _lsh_topk_sql(),
+    "embed_int8_topk": INT8_TOPK_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
