@@ -12,6 +12,7 @@ from voter_gateway_spark.operators.multimodal import (
     frame_sample_plan,
     synthetic_media,
 )
+from voter_gateway_spark.sources.fixtures import load_events
 from voter_gateway_spark.streaming.events import hourly_counts, stream_hourly_counts
 
 
@@ -279,11 +280,7 @@ def test_frame_sample_plan(spark):
 # -- streaming ------------------------------------------------------------------
 
 def test_stream_hourly_matches_batch(spark, sf_dir, tmp_path):
-    batch = hourly_counts(
-        spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    )
+    batch = hourly_counts(load_events(spark, sf_dir))
     # the streaming file source wants a directory of files
     import shutil
 
@@ -494,7 +491,8 @@ def test_stream_enrich_matches_batch(spark, sf_dir, tmp_path):
     batch frame and on a file stream produce identical rows."""
     import shutil
 
-    from voter_gateway_spark.streaming.events import EVENT_SCHEMA, enrich_events
+    from voter_gateway_spark.sources.fixtures import events_stream_reader
+    from voter_gateway_spark.streaming.events import enrich_events
 
     dim = spark.createDataFrame(
         [Row(event_type=t, weight=i) for i, t in enumerate(
@@ -502,10 +500,7 @@ def test_stream_enrich_matches_batch(spark, sf_dir, tmp_path):
         )],
         "event_type string, weight int",
     )
-    batch_events = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    batch_events = load_events(spark, sf_dir)
     exp = {
         (r.event_id, r.weight)
         for r in enrich_events(batch_events, dim, "event_type").collect()
@@ -513,11 +508,7 @@ def test_stream_enrich_matches_batch(spark, sf_dir, tmp_path):
     stream_dir = tmp_path / "events_enrich"
     stream_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream_reader(spark, str(stream_dir))
     q = (
         enrich_events(stream, dim, "event_type")
         .writeStream.format("memory")
@@ -754,10 +745,7 @@ def test_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         stream_attributed_purchases,
     )
 
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = load_events(spark, sf_dir)
     exp = {
         (r.purchase_id, r.view_id)
         for r in attribute_conversions(

@@ -30,33 +30,25 @@ from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
 from voter_gateway_spark.streaming.events import hourly_counts, sessionize
 
 
-def _tune(spark: SparkSession) -> None:
-    """Make a caller-provided SparkSession safe for these queries: the
-    driver harness builds its own session, which won't carry our
-    build_spark configs. Both are runtime-settable SQL confs; UTC keeps
-    window/epoch math aligned with the DuckDB oracle, nanosAsLong lets
-    the TIMESTAMP(NANOS) events fixture load at all."""
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # locked conf — build_spark sessions already carry these
+# All fixture IO goes through the dtype-defensive loader boundary
+# (sources/fixtures.py): declared schemas, cast-if-needed per column,
+# loud warnings when a session conf doesn't take. See VERDICT r2.
+from voter_gateway_spark.sources.fixtures import (  # noqa: E402
+    load_events as _events_impl,
+    load_table as _load_table,
+    tune_session as _tune,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _tune(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _load_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalized to a microsecond timestamp.
-
-    The fixture stores TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    bigint nanos. Integer `div 1000` (not float division — ns epochs
-    exceed double's 53-bit mantissa) floors to µs exactly like DuckDB's
-    epoch_us, so both engines see identical instants."""
-    raw = _t(spark, sf_dir, "events")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events with ts normalized to a microsecond timestamp, whatever
+    the fixture's physical encoding (timestamp[us], TIMESTAMP(NANOS)-
+    as-bigint, …). Single shared site: sources/fixtures.load_events."""
+    return _events_impl(spark, sf_dir)
 
 
 # =============================================================================

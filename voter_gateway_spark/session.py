@@ -121,9 +121,9 @@ class GatewaySession:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterator[str] | None = None) -> dict[str, DataFrame]:
-    """Load the driver's parquet fixture tables from an sf directory."""
-    names = list(names) if names else [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+    """Load the driver's parquet fixture tables from an sf directory,
+    normalized to their declared schemas (sources/fixtures)."""
+    from voter_gateway_spark.sources.fixtures import TABLES, load_table
+
+    names = list(names) if names else list(TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}

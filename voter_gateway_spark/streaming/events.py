@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voter_gateway_spark.sources.fixtures import events_stream_reader
+
 
 def hourly_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + value sum.
@@ -69,17 +71,7 @@ def stream_hourly_counts(
     watermarking. Returns the streaming DataFrame; callers attach
     writeStream (tests use trigger(availableNow=True) + memory sink).
     """
-    # the fixture stores TIMESTAMP(NANOS): read as bigint nanos (matches
-    # the nanosAsLong session config) and convert to µs exactly
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .parquet(parquet_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    stream = events_stream_reader(spark, parquet_dir, watermark)
     return (
         stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
@@ -95,21 +87,18 @@ def stream_hourly_counts(
     )
 
 
+# Canonical (post-normalization) event schema; the physical parquet
+# encoding is sniffed per-directory by events_stream_reader.
 EVENT_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
+    "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
 )
 
 
 def _event_stream(spark: SparkSession, parquet_dir: str, watermark: str):
     """Streaming read of the events fixture layout with ts normalized
-    to µs (fixture stores TIMESTAMP(NANOS) → bigint under nanosAsLong)."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .parquet(parquet_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    to µs via the shared dtype-defensive loader (sources/fixtures)."""
+    return events_stream_reader(spark, parquet_dir, watermark)
 
 
 def enrich_events(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
