@@ -34,6 +34,13 @@ BENCH_QUERIES = [
     "embed_topk_cosine",
     "events_hourly",
     "events_sessionized",
+    # r2 operator families (VERDICT r2 item 5: regressions in new code
+    # must show up in wall-clock, not just plan-shape tests)
+    "scd2_customers",
+    "asof_order_revenue_events",
+    "interval_join_events_windows",
+    "dedup_incremental_batch",
+    "pack_sequences_documents",
 ]
 
 

@@ -2,11 +2,18 @@
 entry on Spark and its oracle_sql() on DuckDB, compare row count,
 schema (column names), and order-insensitive values.
 
+Writes CORRECTNESS_local.json at the repo root (driver-gate schema:
+per-query rows/schema/hash match + err) so the full 71-query status is
+a committed artifact every round — the driver samples ~50 of them, and
+a skipped query must never silently rot (VERDICT r2 item 6).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+(query args restrict the run and skip the artifact write)
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -14,7 +21,8 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 from voter_gateway_spark.queries import ORACLES, QUERIES  # noqa: E402
 from voter_gateway_spark.session import build_spark  # noqa: E402
@@ -43,7 +51,19 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    results: dict[str, dict] = {}
     failures = 0
+
+    def record(name, **kw):
+        results[name] = {
+            "rows_match": kw.get("rows_match"),
+            "schema_match": kw.get("schema_match"),
+            "hash_match": kw.get("hash_match"),
+            "spark_rows": kw.get("spark_rows"),
+            "oracle_rows": kw.get("oracle_rows"),
+            "err": kw.get("err"),
+        }
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -52,36 +72,54 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
+            record(name, err=f"spark error: {exc}"[:2000])
             failures += 1
             continue
         spark_t = time.time() - t0
         if name not in ORACLES:
             print(f"ROWS  {name}: {len(got)} rows (no oracle)  [{spark_t:.1f}s]")
+            record(name, spark_rows=len(got))
             continue
         t0 = time.time()
         try:
             exp = con.sql(ORACLES[name]).df()
         except Exception as exc:
             print(f"FAIL  {name}: oracle error: {exc}")
+            record(name, spark_rows=len(got), err=f"oracle error: {exc}"[:2000])
             failures += 1
             continue
         duck_t = time.time() - t0
         if sorted(got.columns) != sorted(exp.columns):
             print(f"FAIL  {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+            record(name, spark_rows=len(got), oracle_rows=len(exp),
+                   rows_match=len(got) == len(exp), schema_match=False)
             failures += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL  {name}: rowcount {len(got)} vs {len(exp)}")
+            record(name, spark_rows=len(got), oracle_rows=len(exp),
+                   rows_match=False, schema_match=True)
             failures += 1
             continue
         g, e = canon(got), canon(exp)
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"OK    {name}: {len(got)} rows  [spark {spark_t:.1f}s, duck {duck_t:.1f}s]")
+            record(name, spark_rows=len(got), oracle_rows=len(exp),
+                   rows_match=True, schema_match=True, hash_match=True)
         except AssertionError as exc:
             print(f"FAIL  {name}: value mismatch: {str(exc)[:300]}")
+            record(name, spark_rows=len(got), oracle_rows=len(exp),
+                   rows_match=True, schema_match=True, hash_match=False,
+                   err=f"value mismatch: {str(exc)[:500]}")
             failures += 1
     spark.stop()
+
+    if not only:
+        out = REPO / "CORRECTNESS_local.json"
+        out.write_text(json.dumps(results, indent=2))
+        n_ok = sum(1 for r in results.values() if r["hash_match"])
+        print(f"wrote {out}: {n_ok}/{len(results)} hash-green, {failures} failures")
     return 1 if failures else 0
 
 

@@ -240,7 +240,11 @@ def ivf_topk(
     `iters=0` keeps the seed vectors as fixed centroids — no Lloyd
     rounds, so the whole query is SQL-expressible and oracle-checked
     (queries._ivf_sql); Lloyd (`iters>0`, the production default) is
-    iterative, its recall vs brute force pinned by a pytest floor.
+    iterative, its recall vs brute force pinned by a pytest floor
+    (≥0.8 at the defaults — the full recall contract, including when
+    to fall back to brute_force_topk, is in SCALING.md §"Recall
+    contract"). Scoring is exact cosine on the candidates; cell
+    pruning is the only approximation.
 
     At scale the cell id is the natural partition key for a persisted
     index table: `corpus.writeTo(...).partitionedBy("_cell")` makes a
@@ -443,7 +447,8 @@ def int8_topk(
 
     Output: (query_id, neighbor_id, rank, cos_sim) — same contract as
     brute_force_topk; recall vs the full-precision exact top-k is
-    pinned by test_int8_recall_floor. At scale, compose with LSH/IVF
+    pinned by test_int8_recall_floor (≥0.8 — full contract in
+    SCALING.md §"Recall contract"). At scale, compose with LSH/IVF
     blocking for candidate reduction; quantization cuts the bytes per
     candidate, blocking cuts the candidate count — independent levers.
     """
