@@ -1,0 +1,208 @@
+"""Behavioral tests for the analytics operator family (funnel,
+retention, tf-idf, knn vote, training shuffle, span contamination)
+and the WKT/WKB geometry export."""
+
+import datetime
+import struct
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from voter_gateway_spark.functions import location_point, point_wkb, point_wkt
+from voter_gateway_spark.operators.analytics import (
+    contamination_spans,
+    funnel_stages,
+    knn_label_vote,
+    retention_cohorts,
+    tfidf_top_terms,
+    training_shuffle,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_type=t, ts=_ts(ts)) for u, t, ts in rows],
+        "user_id int, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_stage_order(spark):
+    ev = _events(spark, [
+        (1, "view", "2024-01-01T10:00"), (1, "click", "2024-01-01T11:00"),
+        (1, "purchase", "2024-01-01T12:00"),
+        # user 2: click BEFORE any view — reaches stage 1 only via the
+        # later view, click never recurs, so stage 2 not reached
+        (2, "click", "2024-01-01T09:00"), (2, "view", "2024-01-01T10:00"),
+        # user 3: view only
+        (3, "view", "2024-01-01T08:00"),
+        # user 4: purchase with no view — reaches nothing
+        (4, "purchase", "2024-01-01T08:00"),
+    ])
+    got = {r.stage: (r.n_users, r.conversion) for r in
+           funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert got["view"][0] == 3
+    assert got["click"][0] == 1
+    assert got["purchase"][0] == 1
+    assert got["view"][1] is None          # no prior stage
+    assert abs(got["click"][1] - 1 / 3) < 1e-6
+    assert got["purchase"][1] == 1.0
+
+
+def test_funnel_same_timestamp_counts(spark):
+    """'At or after' is inclusive: same-instant stage events count."""
+    ev = _events(spark, [
+        (1, "view", "2024-01-01T10:00"), (1, "click", "2024-01-01T10:00"),
+    ])
+    got = {r.stage: r.n_users for r in
+           funnel_stages(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_retention_cohorts(spark):
+    ev = _events(spark, [
+        (1, "view", "2024-01-01T10:00"),   # cohort day 0
+        (1, "view", "2024-01-02T10:00"),   # day 1
+        (1, "view", "2024-01-02T18:00"),   # same day — counted once
+        (2, "view", "2024-01-01T11:00"),   # cohort day 0 only
+        (3, "view", "2024-01-02T09:00"),   # second cohort
+        (3, "view", "2024-01-12T09:00"),   # offset 10 > max — dropped
+    ])
+    got = {(r.cohort_date, r.day_offset): r.n_users
+           for r in retention_cohorts(ev, max_offset_days=7).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_tfidf_ranks_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="banana cherry"),
+            Row(doc_id=3, text="dates dates dates"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, top_k=2)
+    rows = {(r.doc_id, r.rank): (r.term, r.tf) for r in out.collect()}
+    # doc 1: apple tf=2 idf=ln(3) beats banana tf=1 idf=ln(1.5)
+    assert rows[(1, 1)][0] == "apple" and rows[(1, 1)][1] == 2
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: single distinct term
+    assert rows[(3, 1)][0] == "dates"
+    assert (3, 2) not in rows
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=vec(1, 0), label=7),
+            Row(vec_id=2, embedding=vec(0.99, 0.1), label=7),
+            Row(vec_id=3, embedding=vec(0.98, 0.2), label=3),
+            Row(vec_id=4, embedding=vec(0, 1), label=9),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    q = corpus.where(F.col("vec_id") == 1)
+    got = knn_label_vote(q, corpus, k=3).collect()
+    assert len(got) == 1
+    # neighbors of 1 (self excluded): 2 (7), 3 (3), 4 (9) → 7 wins 1-1-1?
+    # no: votes 7:1, 3:1, 9:1 — tie on votes, lowest label wins → 3
+    assert got[0].predicted_label == 3 and got[0].votes == 1
+
+    got2 = knn_label_vote(q, corpus, k=2).collect()
+    # neighbors 2 (7) and 3 (3): tie → lowest label 3
+    assert got2[0].predicted_label == 3
+
+
+def test_training_shuffle_deterministic_and_dense(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id bigint")
+    a = training_shuffle(df, "doc_id", n_shards=4).collect()
+    b = training_shuffle(df, "doc_id", n_shards=4).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in a) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in b
+    )
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # order decorrelated from key order: positions aren't just doc_id order
+    shard0 = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos)) if r.shard == 0]
+    assert shard0 != sorted(shard0)
+
+
+def test_contamination_spans_max_run(spark):
+    # eval doc copies words 4..9 of the train doc verbatim (6 words →
+    # 4 consecutive 3-shingles), plus an isolated match later
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="w1 w2 w3 a b c d e f w4 w5 w6 x y z")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=14, text="a b c d e f q1 q2 q3 q4 x y z")],
+        "doc_id bigint, text string",
+    )
+    got = contamination_spans(ev, train, "doc_id", "text", k=3, min_matched=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.eval_id == 14 and r.train_id == 1
+    # positions 0..3 ('a b c'..'d e f') match consecutively; 'x y z' at
+    # the end matches in isolation
+    assert r.max_run == 4
+    assert r.n_matched == 5
+
+
+def test_contamination_spans_threshold_filters(spark):
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c unrelated words here")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=14, text="a b c different tail")], "doc_id bigint, text string"
+    )
+    assert (
+        contamination_spans(ev, train, "doc_id", "text", min_matched=5).count() == 0
+    )
+
+
+def test_point_wkt_format_and_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, lng=1.5, lat=-2.25), Row(id=2, lng=None, lat=3.0)],
+        "id int, lng double, lat double",
+    )
+    got = {
+        r.id: r.wkt
+        for r in df.select(
+            "id", point_wkt(location_point("lng", "lat")).alias("wkt")
+        ).collect()
+    }
+    assert got[1] == "POINT(1.500000 -2.250000)"
+    assert got[2] is None
+
+
+def test_point_wkb_roundtrip(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, lng=1.5, lat=-2.25), Row(id=2, lng=None, lat=3.0)],
+        "id int, lng double, lat double",
+    )
+    got = {
+        r.id: r.wkb
+        for r in df.select(
+            "id", point_wkb(location_point("lng", "lat")).alias("wkb")
+        ).collect()
+    }
+    assert got[2] is None
+    byte_order, geom_type, x, y = struct.unpack("<BIdd", got[1])
+    assert byte_order == 1 and geom_type == 1
+    assert x == 1.5 and y == -2.25

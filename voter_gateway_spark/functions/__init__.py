@@ -5,6 +5,8 @@ from voter_gateway_spark.functions.registry import (
     is_email_address_valid,
     needs_geocoding,
     location_point,
+    point_wkt,
+    point_wkb,
     register_all,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "is_email_address_valid",
     "needs_geocoding",
     "location_point",
+    "point_wkt",
+    "point_wkb",
     "register_all",
 ]

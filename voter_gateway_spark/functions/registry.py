@@ -93,6 +93,51 @@ def location_point(lng_col: Column | str, lat_col: Column | str) -> Column:
     )
 
 
+def point_wkt(point_col: Column | str, precision: int = 6) -> Column:
+    """WKT export of a `location_point` struct: 'POINT(lng lat)'.
+
+    The reference materializes real PostGIS geometry
+    (working_table.rb:86-94); this engine represents points as
+    struct<lng,lat> (the reference only ever CONSTRUCTS points — no
+    spatial predicates), so interop export is a format_string away.
+    printf-style fixed precision keeps the text identical across
+    engines (raw double formatting differs)."""
+    p = F.col(point_col) if isinstance(point_col, str) else point_col
+    return F.when(
+        p.isNotNull(),
+        F.format_string(f"POINT(%.{precision}f %.{precision}f)", p["lng"], p["lat"]),
+    )
+
+
+def point_wkb(point_col: Column | str) -> Column:
+    """WKB (little-endian, 2D point) export of a location_point struct:
+    21 bytes = 0x01 | uint32(1) | float64(lng) | float64(lat).
+
+    IEEE-754 bit extraction has no Catalyst builtin, so this is an
+    Arrow-batched pandas UDF — geometry export is a sink-side
+    formatting step, never a hot-path predicate, so the Python
+    boundary is acceptable here (same posture as multimodal decode)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _pack(pts):
+        import struct as _s
+
+        def pack(row):
+            if pd.isna(row["lng"]) or pd.isna(row["lat"]):
+                return None
+            return _s.pack("<BIdd", 1, 1, float(row["lng"]), float(row["lat"]))
+
+        return pts.apply(pack, axis=1)
+
+    # explicit annotations (not from-future strings): struct -> binary
+    _pack.__annotations__ = {"pts": pd.DataFrame, "return": pd.Series}
+    _wkb = pandas_udf(_pack, "binary")
+
+    p = F.col(point_col) if isinstance(point_col, str) else point_col
+    return _wkb(p)
+
+
 # Extension registry (F4): name → builder. Unknown name raises NameError,
 # matching the reference's lazy registry contract (csv_driver.rb:170-175).
 EXTENSIONS: dict[str, Callable[..., Column]] = {
@@ -101,6 +146,8 @@ EXTENSIONS: dict[str, Callable[..., Column]] = {
     "is_email_address_valid": is_email_address_valid,
     "needs_geocoding": needs_geocoding,
     "location_point": location_point,
+    "point_wkt": point_wkt,
+    "point_wkb": point_wkb,
 }
 
 

@@ -1,0 +1,278 @@
+"""Behavioral / corpus analytics operators: funnels, retention
+cohorts, TF-IDF, k-NN label voting, deterministic training shuffle,
+span-level contamination.
+
+Beyond-reference additions (the reference is a batch ETL gem with no
+event analytics — SURVEY §1.1); these are the OLAP and training-data
+operators a 100 TB pipeline runs daily. All pure DataFrame
+compositions — no UDFs, every shuffle keyed and commented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from voter_gateway_spark.operators.dedup_ops import shingle_hash60, word_shingles
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: a user reaches stage i when an event of type
+    stages[i] occurs AT OR AFTER their first stage i-1 event. Output is
+    one row per stage: (stage_idx, stage, n_users, conversion) with
+    conversion = n_users / stage-1 users, rounded to 6.
+
+    Plan shape: one pass per stage, each a filter + per-user min — the
+    per-user frame stays (user_id, ts) so N stages cost N small keyed
+    shuffles, not an N-way self-join of the raw events. At 100 TB the
+    events scan happens once per stage with the type filter pushed
+    down; per-user state is one timestamp."""
+    reached: DataFrame | None = None
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = events.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_first"))
+        else:
+            cur = (
+                ev.join(reached, "_u")
+                .where(F.col("_ts") >= F.col("_first"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_first"))
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("stage_idx")
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.lag("n_users", 1, None).over(w), 6
+        ).alias("conversion"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_offset_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily retention triangle: cohort = a user's first active day;
+    for each day offset 0..max, how many of the cohort were active.
+    Output: (cohort_date, day_offset, n_users).
+
+    Two keyed shuffles: per-user first-day (groupBy user), then the
+    distinct (user, day) activity set joins the cohort map and
+    aggregates — activity rows carry only (user, date). Cohort date
+    formats as yyyy-MM-dd text for engine-portable hashing."""
+    day = F.to_date(F.col(ts_col))
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(day).alias("_cohort")
+    )
+    active = events.select(
+        F.col(user_col).alias("_u"), day.alias("_day")
+    ).distinct()
+    return (
+        active.join(first, "_u")
+        .select(
+            "_u",
+            "_cohort",
+            F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),
+        )
+        .where(F.col("day_offset").between(0, max_offset_days))
+        .groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_date"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms over lowercase whitespace
+    tokens of length >= min_len. tfidf = tf * ln(N / df), rounded to 6;
+    ties break on ascending term. Output: (doc_id, term, tf, tfidf,
+    rank).
+
+    Plan shape: one explode → two aggregations. tf = count per
+    (doc, term); df = distinct-doc count per term derived from the tf
+    frame (no second pass over text); N is a broadcast scalar via a
+    cross-joined 1-row aggregate, not a collect. The window top-k uses
+    WindowGroupLimit, so per-doc candidate lists rank partially before
+    the final shuffle."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.filter(
+        F.split(F.lower(norm), " "), lambda t: F.length(t) >= min_len
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("int"))
+    )
+
+
+def knn_label_vote(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification: each query's label predicted by majority
+    vote among its k nearest corpus vectors (cosine; self excluded).
+    Ties break on ascending label. Output: (vec_id, predicted_label,
+    votes).
+
+    Composes brute_force_topk (the exact baseline — swap in ivf_topk /
+    lsh_bucketed_topk for the blocked scale path, same output contract)
+    with a broadcast label join and a per-query vote window."""
+    from voter_gateway_spark.operators.similarity import brute_force_topk
+
+    nn = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy(F.col("query_id").alias(id_col), "_lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("_lbl"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, F.col("_lbl").alias("predicted_label"), "votes")
+    )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every
+    row gets a (shard, pos) address that is a pure function of its key
+    — reproducible across runs, engines, and cluster layouts, and
+    statistically order-destroying (md5 ordering decorrelates from any
+    crawl/source order). Output: original columns + (shard, pos).
+
+    Plan shape: one hash projection + one window per shard partition
+    (the pos numbering shuffles by shard — n_shards partitions, each
+    numbered independently). At 100 TB, write with
+    .repartition("shard").sortWithinPartitions("pos") for
+    sequential-read training shards; no global sort ever happens."""
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy("shard").orderBy("_h")
+    return (
+        df.withColumn("_h", h)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("_h", 1, 15), 16, 10).cast("bigint") % n_shards)
+            .cast("int"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
+def contamination_spans(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_matched: int = 5,
+) -> DataFrame:
+    """Span-level train/eval contamination: for each (eval, train)
+    document pair, how many of the eval doc's shingle POSITIONS match
+    shingles present in that train doc, and the longest consecutive
+    run of matched positions (the verbatim-copy length signal that
+    doc-level overlap ratios blur out). Output: (eval_id, train_id,
+    n_matched, max_run) for pairs with n_matched >= min_matched.
+
+    Plan shape: eval shingles ride positionally (posexplode, hash per
+    position); the train side is a DISTINCT (doc, hash) index. The
+    equi-join on the 60-bit hash shuffles only (ids, pos, hash); runs
+    are gaps-and-islands (pos - row_number) — two keyed aggregations,
+    no self-join. At 100 TB the train index dominates; it partitions
+    by hash and streams, and min_matched prunes the pair fanout before
+    the island window."""
+    ev = eval_df.select(
+        F.col(id_col).alias("_eid"),
+        F.posexplode(word_shingles(text_col, k=k, distinct=False)).alias(
+            "_pos", "_sh"
+        ),
+    ).select("_eid", "_pos", shingle_hash60(F.col("_sh")).alias("_h"))
+    tr = (
+        train_df.select(
+            F.col(id_col).alias("_tid"),
+            F.explode(word_shingles(text_col, k=k, distinct=True)).alias("_sh"),
+        )
+        .select("_tid", shingle_hash60(F.col("_sh")).alias("_h"))
+        .distinct()
+    )
+    matched = ev.join(tr, "_h").select("_eid", "_tid", "_pos").distinct()
+    w = Window.partitionBy("_eid", "_tid").orderBy("_pos")
+    islands = matched.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("_eid", "_tid", "_grp").agg(
+        F.count(F.lit(1)).alias("_run")
+    )
+    return (
+        runs.groupBy("_eid", "_tid")
+        .agg(F.sum("_run").alias("n_matched"), F.max("_run").alias("max_run"))
+        .where(F.col("n_matched") >= min_matched)
+        .select(
+            F.col("_eid").alias("eval_id"),
+            F.col("_tid").alias("train_id"),
+            F.col("n_matched").cast("bigint"),
+            F.col("max_run").cast("bigint"),
+        )
+    )

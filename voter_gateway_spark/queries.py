@@ -2567,6 +2567,223 @@ FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
 
 
 # =============================================================================
+# Behavioral / corpus analytics (round 3: funnel, retention, tf-idf,
+# knn vote, training shuffle, span contamination, WKT export)
+# =============================================================================
+
+def events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel over the events table."""
+    from voter_gateway_spark.operators.analytics import funnel_stages
+
+    return funnel_stages(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id
+), s AS (
+  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT 2, 'click', count(*) FROM c
+  UNION ALL SELECT 3, 'purchase', count(*) FROM p
+)
+SELECT stage_idx, stage, n_users,
+       round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6) AS conversion
+FROM s
+"""
+
+
+def events_retention(spark, sf_dir):
+    """Daily retention triangle: cohort = first active day per user."""
+    from voter_gateway_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), max_offset_days=7)
+
+
+RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(date_diff('day', cohort, day) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+WHERE date_diff('day', cohort, day) BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
+
+
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (lowercase tokens, len >= 3)."""
+    from voter_gateway_spark.operators.analytics import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           x -> length(x) >= 3)) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(n.n / dfc.df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(n.n / dfc.df), 6) DESC, tf.term
+         ) AS rn
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+)
+WHERE rn <= 3
+"""
+
+
+def embed_knn_label(spark, sf_dir):
+    """5-NN majority-vote label prediction for the query slice."""
+    from voter_gateway_spark.operators.analytics import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return knn_label_vote(queries, emb, k=5)
+
+
+KNN_LABEL_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+  FROM q, c WHERE q.vec_id <> c.vec_id
+), nn AS (
+  SELECT query_id, label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM p
+  ) WHERE rn <= 5
+), votes AS (
+  SELECT query_id, label, count(*) AS votes FROM nn GROUP BY 1, 2
+)
+SELECT vec_id, predicted_label, votes FROM (
+  SELECT query_id AS vec_id, label AS predicted_label, votes,
+         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+def docs_training_shuffle(spark, sf_dir):
+    """Deterministic md5 (shard, pos) shuffle addresses for documents."""
+    from voter_gateway_spark.operators.analytics import training_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_shuffle(docs, "doc_id", n_shards=8)
+
+
+SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substring(h, 1, 15))::BIGINT % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY ('0x' || substring(h, 1, 15))::BIGINT % 8 ORDER BY h
+       ) AS INTEGER) AS pos
+FROM h
+"""
+
+
+def contamination_span_pairs(spark, sf_dir):
+    """Span-level contamination: per (eval, train) doc pair, matched
+    shingle-position count + longest consecutive matched run."""
+    from voter_gateway_spark.operators.analytics import contamination_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 7 == 0)
+    train_df = docs.where(F.col("doc_id") % 7 != 0)
+    return contamination_spans(eval_df, train_df, "doc_id", "text", k=3, min_matched=5)
+
+
+SPAN_CONTAM_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substring(md5(concat_ws(' ', wl[i], wl[i+1], wl[i+2])), 1, 15))::BIGINT AS h
+  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+), tr AS (
+  SELECT DISTINCT doc_id AS tid, h FROM sh WHERE doc_id % 7 <> 0
+), ev AS (
+  SELECT doc_id AS eid, pos, h FROM sh WHERE doc_id % 7 = 0
+), m AS (
+  SELECT DISTINCT eid, tid, pos FROM ev JOIN tr USING (h)
+), isl AS (
+  SELECT eid, tid, pos,
+         pos - row_number() OVER (PARTITION BY eid, tid ORDER BY pos) AS grp
+  FROM m
+), runs AS (
+  SELECT eid, tid, grp, count(*) AS run FROM isl GROUP BY 1, 2, 3
+)
+SELECT eid AS eval_id, tid AS train_id,
+       CAST(sum(run) AS BIGINT) AS n_matched,
+       CAST(max(run) AS BIGINT) AS max_run
+FROM runs GROUP BY 1, 2 HAVING sum(run) >= 5
+"""
+
+
+def geo_wkt_export(spark, sf_dir):
+    """WKT interop export of location_point structs (PostGIS-parity
+    note: the reference constructs point geometry, working_table.rb:
+    86-94; this engine's struct<lng,lat> exports as WKT text)."""
+    from voter_gateway_spark.functions import location_point, point_wkt
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal") / 100.0)
+        .alias("lat"),
+        (F.col("c_acctbal") / 200.0).alias("lng"),
+    )
+    return cust.select(
+        "c_custkey", point_wkt(location_point("lng", "lat")).alias("wkt")
+    )
+
+
+WKT_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal / 100.0 END AS lat,
+         c_acctbal / 200.0 AS lng
+  FROM customer
+)
+SELECT c_custkey,
+       CASE WHEN lng IS NOT NULL AND lat IS NOT NULL
+            THEN printf('POINT(%.6f %.6f)', lng, lat) END AS wkt
+FROM c
+"""
+
+
+# =============================================================================
 # Catalog
 # =============================================================================
 
@@ -2642,6 +2859,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_char_entropy": text_char_entropy,
     "sample_mixture_weighted": sample_mixture_weighted,
     "dedup_cluster_rollup": dedup_cluster_rollup,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "embed_knn_label": embed_knn_label,
+    "docs_training_shuffle": docs_training_shuffle,
+    "contamination_span_pairs": contamination_span_pairs,
+    "geo_wkt_export": geo_wkt_export,
 }
 
 ORACLES: dict[str, str] = {
@@ -2716,4 +2940,11 @@ ORACLES: dict[str, str] = {
     "text_char_entropy": ENTROPY_SQL,
     "sample_mixture_weighted": _mixture_sql(),
     "dedup_cluster_rollup": _cluster_rollup_sql(),
+    "events_funnel": FUNNEL_SQL,
+    "events_retention": RETENTION_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
+    "embed_knn_label": KNN_LABEL_SQL,
+    "docs_training_shuffle": SHUFFLE_SQL,
+    "contamination_span_pairs": SPAN_CONTAM_SQL,
+    "geo_wkt_export": WKT_SQL,
 }

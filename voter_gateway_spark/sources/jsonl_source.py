@@ -1,0 +1,72 @@
+"""JSONL (newline-delimited JSON) ingestion — the lingua franca of
+LLM corpus interchange (one document object per line), with the same
+malformed-row accounting contract as CSVSource.
+
+Beyond-reference source (the reference ingests only delimited files,
+csv_file.rb): web-scale text corpora ship as JSONL shards, so a
+training-data pipeline needs this boundary first-class. Design mirrors
+CSVSource (S1/S4/S6 semantics transposed):
+
+- explicit schema (declared columns, all parse failures NULL-safe) or
+  one-pass sampled inference
+- PERMISSIVE parse + corrupt-record accounting: a syntactically bad
+  line never kills the load; the dropped count is auditable
+  (malformed_count, the A7 contract)
+- nested payloads stay queryable (struct/array columns) — flattening
+  is a projection decision, not an ingest decision
+
+Scale posture: a JSONL scan is a distributed text read; schema
+inference samples (`samplingRatio`) instead of scanning twice at
+100 TB. Explicit schemas skip inference entirely — the production
+path, same posture as the reference's declared staging schemas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class JSONLSource:
+    path: str
+    schema: str | None = None      # DDL string; None → sampled inference
+    sampling_ratio: float = 1.0    # inference sample fraction
+    multiline: bool = False        # True for pretty-printed JSON arrays
+    remove_malformed: bool = False
+
+    _corrupt_col: str = field(default="_corrupt_record", repr=False)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", self._corrupt_col)
+            .option("multiLine", str(self.multiline).lower())
+        )
+        if self.schema is not None:
+            # corrupt-record column must be declared in an explicit schema
+            reader = reader.schema(f"{self.schema}, `{self._corrupt_col}` STRING")
+        else:
+            reader = reader.option("samplingRatio", str(self.sampling_ratio))
+        df = reader.json(self.path)
+        if self._corrupt_col not in df.columns:
+            # inferred-schema read of a fully-clean file omits the column
+            df = df.withColumn(self._corrupt_col, F.lit(None).cast("string"))
+        flagged = df.withColumn(
+            "_malformed", F.col(self._corrupt_col).isNotNull()
+        )
+        if self.remove_malformed:
+            flagged = flagged.cache()
+            self._flagged = flagged
+            return flagged.where(~F.col("_malformed")).drop(
+                self._corrupt_col, "_malformed"
+            )
+        return flagged.drop("_malformed")
+
+    def malformed_count(self) -> int:
+        """Dropped-line count for auditing (A7 contract, CSVSource parity)."""
+        if not hasattr(self, "_flagged"):
+            raise ValueError("read() with remove_malformed=True first")
+        return self._flagged.where(F.col("_malformed")).count()
