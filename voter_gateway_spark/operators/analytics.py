@@ -133,6 +133,12 @@ def tfidf_top_terms(
         docs.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # both tf and df derive from this frame; without the checkpoint
+        # Catalyst re-runs the explode+aggregate subtree once per branch
+        # (two full text scans at 100 TB). Lazy local checkpoint: the
+        # first action materializes the (much smaller) aggregated frame
+        # once and both branches share it.
+        .localCheckpoint(eager=False)
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
