@@ -1,6 +1,11 @@
 from voter_gateway_spark.plans.staging import WorkingFrame
 from voter_gateway_spark.plans.matching import MatchRule, MatchPlan
-from voter_gateway_spark.plans.merging import MergePlan, MergeResult
+from voter_gateway_spark.plans.merging import (
+    MergePlan,
+    MergeResult,
+    apply_changes,
+    scd2_merge,
+)
 from voter_gateway_spark.plans.dedup import DedupPlan, MergeInvariantError
 
 __all__ = [
@@ -9,6 +14,8 @@ __all__ = [
     "MatchPlan",
     "MergePlan",
     "MergeResult",
+    "apply_changes",
+    "scd2_merge",
     "DedupPlan",
     "MergeInvariantError",
 ]

@@ -284,3 +284,50 @@ def scd2_merge(
         F.lit(True).alias(current_flag),
     )
     return hist.unionByName(closed).unionByName(kept).unionByName(opened)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    pk: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog apply (Delta-style APPLY CHANGES INTO, the
+    lakehouse generalization of the reference's M1/M2 upsert): fold a
+    stream of keyed (op, seq) change rows into the target — the LATEST
+    change per key wins (highest seq, ties broken by op descending for
+    determinism), upserts (any op != delete_op) replace or insert the
+    row, deletes drop it.
+
+    One plan: per-key latest change via WindowGroupLimit (partial
+    top-1 before the shuffle), then a single full-outer join against
+    the target — never one pass per operation type. The join shuffles
+    on the pk both sides; at 100 TB a bucketed/Delta target turns this
+    into the storage-layer MERGE (sources/merge_sink.py records that
+    decision)."""
+    data_cols = [c for c in target.columns]
+    w = Window.partitionBy(pk).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(pk).alias("_c_pk"),
+            F.col(op_col).alias("_c_op"),
+            *[F.col(c).alias(f"_c_{c}") for c in data_cols if c != pk],
+        )
+    )
+    j = target.join(latest, F.col(f"`{pk}`") == F.col("_c_pk"), "full_outer")
+    has_change = F.col("_c_pk").isNotNull()
+    deleted = has_change & (F.col("_c_op") == delete_op)
+    out_cols = [
+        F.coalesce(F.col("_c_pk"), F.col(f"`{pk}`")).alias(pk)
+    ] + [
+        F.when(has_change, F.col(f"_c_{c}")).otherwise(F.col(f"`{c}`")).alias(c)
+        for c in data_cols
+        if c != pk
+    ]
+    return j.where(~deleted).select(*out_cols)

@@ -2783,6 +2783,166 @@ FROM c
 """
 
 
+def events_value_cap(spark, sf_dir):
+    """Per-user value-budget admission (batch form of the streaming
+    quota controller, streaming/events.py stream_value_cap_admissions)."""
+    from voter_gateway_spark.streaming.events import value_cap_admissions
+
+    out = value_cap_admissions(_events(spark, sf_dir), cap=100.0)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.round("running_total", 6).alias("running_total"),
+    )
+
+
+VALUE_CAP_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, ts, value,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_total
+  FROM events
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+       round(running_total, 6) AS running_total
+FROM c WHERE running_total - value < 100.0
+"""
+
+
+def cdc_apply_orders(spark, sf_dir):
+    """CDC changelog apply: a deterministic synthetic change stream
+    over orders (deletes, price updates, new keys — two sequenced
+    change versions for some keys so last-wins is exercised) folded
+    into the table in one full-outer pass."""
+    from voter_gateway_spark.plans.merging import apply_changes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = orders.where(F.col("o_orderkey") % 10 < 3)
+    ch1 = base.select(
+        "o_orderkey",
+        "o_custkey",
+        # ×2 / ×3 / ÷2 are exact or correctly-rounded IEEE ops —
+        # identical across engines; round() here is NOT (BigDecimal
+        # HALF_UP vs multiply-shift disagree at binary .xx5 edges)
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    # seq 2 supersedes for keys % 10 == 1: final price ×3, proving
+    # last-wins over the seq-1 row
+    ch2 = base.where(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        F.lit("U2").alias("o_orderstatus"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    inserts = base.select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        F.lit("I").alias("o_orderstatus"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = ch1.unionByName(ch2).unionByName(inserts)
+    return apply_changes(orders, changes, pk="o_orderkey", seq_col="seq")
+
+
+CDC_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+), base AS (
+  SELECT * FROM o WHERE o_orderkey % 10 < 3
+), ch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+         'U' AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op, 1 AS seq
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 3, 'U2', 'U', 2
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice / 2, 'I', 'U', 1
+  FROM base
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT coalesce(l.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_custkey ELSE o.o_custkey END AS o_custkey,
+       CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_totalprice ELSE o.o_totalprice END AS o_totalprice,
+       CASE WHEN l.o_orderkey IS NOT NULL THEN l.o_orderstatus ELSE o.o_orderstatus END AS o_orderstatus
+FROM o FULL OUTER JOIN latest l USING (o_orderkey)
+WHERE NOT (l.o_orderkey IS NOT NULL AND l.op = 'D')
+"""
+
+
+def events_daily_pivot(spark, sf_dir):
+    """Pivoted daily event-type counts (explicit value list so the
+    output schema is static — required for a streaming-compatible plan
+    and for plan caching at scale)."""
+    ev = _events(spark, sf_dir)
+    types = ["view", "click", "purchase", "scroll", "share"]
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'scroll') AS scroll,
+       count(*) FILTER (event_type = 'share') AS share
+FROM events GROUP BY 1
+"""
+
+
+def hist_order_totals(spark, sf_dir):
+    """Fixed-bound histogram of order totals: 20 buckets over
+    [0, 600000), under/overflow clamped to the edge buckets. The
+    manual floor formula (not width_bucket) is used on both engines —
+    one scan, one tiny aggregation."""
+    lo, hi, n = 0.0, 600000.0, 20
+    width = (hi - lo) / n
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - lo) / width), F.lit(0)),
+        F.lit(n - 1),
+    ).cast("int")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * width, 2).alias("bucket_lo"),
+            "n_orders",
+        )
+    )
+
+
+HIST_SQL = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor(o_totalprice / 30000.0), 0), 19) AS INTEGER) AS bucket
+  FROM orders
+)
+SELECT bucket, round(bucket * 30000.0, 2) AS bucket_lo, count(*) AS n_orders
+FROM b GROUP BY bucket
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -2866,6 +3026,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_training_shuffle": docs_training_shuffle,
     "contamination_span_pairs": contamination_span_pairs,
     "geo_wkt_export": geo_wkt_export,
+    "events_value_cap": events_value_cap,
+    "cdc_apply_orders": cdc_apply_orders,
+    "events_daily_pivot": events_daily_pivot,
+    "hist_order_totals": hist_order_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -2947,4 +3111,8 @@ ORACLES: dict[str, str] = {
     "docs_training_shuffle": SHUFFLE_SQL,
     "contamination_span_pairs": SPAN_CONTAM_SQL,
     "geo_wkt_export": WKT_SQL,
+    "events_value_cap": VALUE_CAP_SQL,
+    "cdc_apply_orders": CDC_SQL,
+    "events_daily_pivot": PIVOT_SQL,
+    "hist_order_totals": HIST_SQL,
 }

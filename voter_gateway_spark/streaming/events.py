@@ -167,6 +167,83 @@ def stream_attributed_purchases(
     return attribute_conversions(purchases, views, window)
 
 
+def value_cap_admissions(events: DataFrame, cap: float) -> DataFrame:
+    """Batch form of per-user value-budget admission: events are
+    admitted in (ts, event_id) order while the user's running admitted
+    total BEFORE the event is under `cap`. Output: admitted events with
+    the post-admission running total.
+
+    This is the quota-sampling primitive of a streaming corpus ingest
+    (cap each source/user/domain's contribution); the batch form is
+    the oracle for the transformWithState streaming form below."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = F.sum("value").over(w)
+    return (
+        events.withColumn("running_total", cum)
+        .where(F.col("running_total") - F.col("value") < F.lit(cap))
+        .select("user_id", "event_id", "ts", "value", "running_total")
+    )
+
+
+def stream_value_cap_admissions(
+    spark: SparkSession,
+    parquet_dir: str,
+    cap: float,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming per-user value-budget admission: keyed state = ONE
+    double (the running admitted total) per user — the smallest
+    possible footprint for an admission controller at 100 TB/day.
+
+    Implemented with ``applyInPandasWithState``; a micro-batch's rows
+    are processed in (ts, event_id) order, so a single-batch run
+    reproduces the batch oracle exactly and state carries across
+    batches (parity pinned by test_stream_value_cap_matches_batch).
+
+    Note: Spark 4's ``transformWithStateInPandas`` (typed ValueState +
+    state-server timers) is the same shape — `handle.getValueState(
+    "total", "total double")` replacing the state tuple — but its
+    Python worker requires protobuf, unavailable in this environment;
+    the applyInPandasWithState form is functionally equivalent here
+    (no timers needed: the budget never expires)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if total < cap:
+                    total += float(row.value)
+                    out.append(
+                        (row.user_id, row.event_id, row.ts, row.value, total)
+                    )
+        state.update((total,))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "ts", "value", "running_total"],
+            )
+
+    stream = events_stream_reader(spark, parquet_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "value double, running_total double"
+        ),
+        stateStructType="total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession,
     parquet_dir: str,
