@@ -153,3 +153,39 @@ def test_quota_cap_uses_window_group_limit(spark, sf_dir):
     # partial top-k below the exchange: shuffle carries O(groups x cap)
     plan = _plan(QUERIES["sample_source_quota"](spark, sf_dir), "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_single_document_scan(spark, sf_dir):
+    # tf and df both derive from one materialized per-(doc,term)
+    # aggregate; without the shared checkpoint Catalyst re-runs the
+    # explode per branch (two full text scans at 100 TB)
+    plan = _plan(QUERIES["text_tfidf_top_terms"](spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in plan  # partial per-doc top-k
+
+
+def test_training_shuffle_no_global_sort(spark, sf_dir):
+    # (shard, pos) must come from one exchange-by-shard + per-shard
+    # window, never a single-partition global sort
+    plan = _plan(QUERIES["docs_training_shuffle"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_span_contamination_is_blocked_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["contamination_span_pairs"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_apply_is_one_join(spark, sf_dir):
+    # latest-change fold + apply must be ONE outer join, not a pass
+    # per operation type; the per-key top-1 ranks partially
+    plan = _plan(QUERIES["cdc_apply_orders"](spark, sf_dir), "simple")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_vote_broadcasts_labels(spark, sf_dir):
+    plan = _plan(QUERIES["embed_knn_label"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan

@@ -51,6 +51,13 @@ STRESS_QUERIES = [
     "pack_sequences_documents",
     "events_view_purchase_attribution",
     "pipeline_corpus_prep",
+    # round-3 additions: span contamination (positional join),
+    # tf-idf (shared tf materialization), funnel, CDC fold, quota
+    "contamination_span_pairs",
+    "text_tfidf_top_terms",
+    "events_funnel",
+    "cdc_apply_orders",
+    "events_value_cap",
 ]
 
 
@@ -82,14 +89,18 @@ def replicate(spark, n: int, dst: str) -> None:
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     offset_union("documents", ["doc_id"])
     offset_union("embeddings", ["vec_id"])
-    # events: offset ids AND shift each replica by a day of nanos so
-    # windowed/sessionized state grows with data (not just row counts)
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    # events: offset ids AND shift each replica by a day so windowed/
+    # sessionized state grows with data (not just row counts). Load
+    # through the dtype-defensive boundary (ts is a canonical
+    # timestamp whatever the fixture encoding), so the shift is an
+    # INTERVAL, not raw nanos arithmetic.
+    from voter_gateway_spark.sources.fixtures import load_events
+
+    ev = load_events(spark, SRC)
     eid_max = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    day_ns = 86_400_000_000_000
     parts = [
         ev.withColumn("event_id", F.col("event_id") + F.lit(i * eid_max))
-        .withColumn("ts", F.col("ts") + F.lit(i * day_ns))
+        .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} DAYS"))
         for i in range(n)
     ]
     out = parts[0]

@@ -2943,6 +2943,99 @@ FROM b GROUP BY bucket
 """
 
 
+def cube_revenue(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations of returnflag ×
+    linestatus) — the OLAP companion to rollup_revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def ntile_customer_value(spark, sf_dir):
+    """Decile statistics of customer account balances (ntile with a
+    fully deterministic order).
+
+    Scale note: an exact global ntile forces a single-partition sort —
+    fine for dimension-sized tables (customers), wrong for fact-scale
+    input; there, bucket by approx_percentile boundaries instead
+    (stats_quantiles_lineitem shows the sketch path)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+NTILE_SQL = """
+WITH d AS (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+SELECT decile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM d GROUP BY decile
+"""
+
+
+def stratified_split_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split labels (md5-bucket,
+    a pure function of the key — consistent across runs, engines, and
+    any table sharing the key), reported per (lang, split) so the
+    stratification balance is auditable."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SPLIT_SQL = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -3030,6 +3123,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_orders": cdc_apply_orders,
     "events_daily_pivot": events_daily_pivot,
     "hist_order_totals": hist_order_totals,
+    "cube_revenue": cube_revenue,
+    "ntile_customer_value": ntile_customer_value,
+    "stratified_split_documents": stratified_split_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -3115,4 +3211,7 @@ ORACLES: dict[str, str] = {
     "cdc_apply_orders": CDC_SQL,
     "events_daily_pivot": PIVOT_SQL,
     "hist_order_totals": HIST_SQL,
+    "cube_revenue": CUBE_SQL,
+    "ntile_customer_value": NTILE_SQL,
+    "stratified_split_documents": SPLIT_SQL,
 }
