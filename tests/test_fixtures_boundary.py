@@ -121,6 +121,9 @@ def test_missing_declared_column_raises(spark):
 def test_tune_session_warns_when_conf_rejected(spark, monkeypatch):
     """A locked conf must produce a visible warning, not silence
     (r2's silent except-pass hid the fixture change)."""
+    from voter_gateway_spark.sources import fixtures as fx
+
+    monkeypatch.setattr(fx, "_TUNED", set())  # defeat the per-session memo
     real_set = spark.conf.set
 
     def locked(k, v):
@@ -138,6 +141,9 @@ def test_tune_session_warns_when_conf_rejected(spark, monkeypatch):
 
 
 def test_tune_session_warns_when_value_did_not_take(spark, monkeypatch):
+    from voter_gateway_spark.sources import fixtures as fx
+
+    monkeypatch.setattr(fx, "_TUNED", set())
     monkeypatch.setattr(spark.conf, "set", lambda k, v: None)
     monkeypatch.setattr(spark.conf, "get", lambda k: "America/New_York")
     with warnings.catch_warnings(record=True) as caught:

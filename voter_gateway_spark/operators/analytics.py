@@ -234,6 +234,7 @@ def contamination_spans(
     text_col: str,
     k: int = 3,
     min_matched: int = 5,
+    collapse_train: bool = False,
 ) -> DataFrame:
     """Span-level train/eval contamination: for each (eval, train)
     document pair, how many of the eval doc's shingle POSITIONS match
@@ -248,21 +249,43 @@ def contamination_spans(
     are gaps-and-islands (pos - row_number) — two keyed aggregations,
     no self-join. At 100 TB the train index dominates; it partitions
     by hash and streams, and min_matched prunes the pair fanout before
-    the island window."""
+    the island window.
+
+    `collapse_train=True` is the crawl-duplication lever (measured:
+    the 10× key-offset stress makes every train doc 10-way duplicated
+    and pair output grows ~d² — 2.2s → 16.5s): train docs with
+    IDENTICAL distinct-shingle sets collapse to their min-id
+    representative before pairing, so `train_id` reports the rep and
+    pair work returns to corpus-unique cost. Duplicate copies match
+    identically by construction, so no contamination evidence is lost
+    — only repeated. Default off: the oracle-checked catalog query
+    pins the exact all-pairs form."""
     ev = eval_df.select(
         F.col(id_col).alias("_eid"),
         F.posexplode(word_shingles(text_col, k=k, distinct=False)).alias(
             "_pos", "_sh"
         ),
     ).select("_eid", "_pos", shingle_hash60(F.col("_sh")).alias("_h"))
-    tr = (
-        train_df.select(
-            F.col(id_col).alias("_tid"),
-            F.explode(word_shingles(text_col, k=k, distinct=True)).alias("_sh"),
-        )
-        .select("_tid", shingle_hash60(F.col("_sh")).alias("_h"))
-        .distinct()
+    tr_sets = train_df.select(
+        F.col(id_col).alias("_tid"),
+        F.array_sort(
+            F.transform(
+                word_shingles(text_col, k=k, distinct=True),
+                lambda s: shingle_hash60(s),
+            )
+        ).alias("_hh"),
     )
+    if collapse_train:
+        fp = F.md5(
+            F.concat_ws(",", F.transform("_hh", lambda h: h.cast("string"))).cast("binary")
+        )
+        tr_sets = (
+            tr_sets.select("_tid", "_hh", fp.alias("_fp"))
+            .groupBy("_fp")
+            .agg(F.min("_tid").alias("_tid"), F.first("_hh").alias("_hh"))
+            .drop("_fp")
+        )
+    tr = tr_sets.select("_tid", F.explode("_hh").alias("_h")).distinct()
     matched = ev.join(tr, "_h").select("_eid", "_tid", "_pos").distinct()
     w = Window.partitionBy("_eid", "_tid").orderBy("_pos")
     islands = matched.withColumn(

@@ -1,0 +1,107 @@
+"""Physical data-layout operators: Z-order clustering keys and
+small-file compaction.
+
+Beyond-reference additions (the reference leaves layout to Postgres):
+at 100 TB the dominant scan cost is decided by FILE LAYOUT — min/max
+zone-map pruning only works when files are clustered on the filter
+columns, and a crawl ingest's millions of small files destroy both
+scan throughput and driver planning time. These operators are the
+library-side answers; on Delta/Iceberg tables the storage layer's
+OPTIMIZE/ZORDER subsumes them (same decision-record posture as
+sources/merge_sink.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_code(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleaved-bit (Morton / Z-order) clustering key over 2+
+    already-bucketed non-negative int columns (caller buckets
+    continuous values first — e.g. `F.floor(x / width)` or an ntile).
+
+    Sorting/range-partitioning by this key before writing clusters
+    rows so that parquet row-group min/max stats prune MULTI-column
+    range predicates — a linear sort on (a, b) prunes only on `a`,
+    the Z-curve prunes on both. Pure bit arithmetic (shiftleft/and/or),
+    fully inside codegen; `bits` per column bounds the key to
+    bits*len(cols) total bits (≤ 62 enforced).
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("morton_code needs >= 2 columns")
+    if bits * n > 62:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 62 (bigint)")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("bigint") for c in cols
+    ]
+    mask = (1 << bits) - 1
+    code = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            # bit b of column i lands at position b*n + i
+            bit = F.shiftright(c.bitwiseAND(F.lit(mask)), b).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return code
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Return `df` range-partitioned and sorted by the Morton key of
+    `cols` (already-bucketed ints), ready for a clustered write:
+    `zorder_layout(df, [...]).write.parquet(...)` yields files whose
+    per-column min/max ranges are tight on EVERY clustering column.
+
+    repartitionByRange samples the key (no global sort shuffle to one
+    partition); within-partition sort keeps row groups tight."""
+    keyed = df.withColumn("_z", morton_code(cols, bits))
+    parts = [n_files] if n_files else []
+    return (
+        keyed.repartitionByRange(*parts, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+def dataset_bytes(spark, path: str) -> int:
+    """Total bytes under a path via the Hadoop FileSystem API (works on
+    any supported scheme — local, HDFS, object stores)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(bytes / target) files. Returns the file count written.
+
+    The file count comes from the REAL dataset size (Hadoop
+    ContentSummary), not a row-count guess; `sort_within_by` re-sorts
+    rows inside each output file so zone maps stay tight after the
+    rewrite. Writes to a NEW location (never in-place — readers of
+    `src` are unaffected until the swap, the transactional-load
+    posture of sinks.overwrite_partitions)."""
+    total = dataset_bytes(spark, src)
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_within_by:
+        out = df.repartition(n).sortWithinPartitions(*sort_within_by)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n

@@ -3036,6 +3036,44 @@ FROM b GROUP BY 1, 2
 """
 
 
+def zorder_customers(spark, sf_dir):
+    """Morton (Z-order) clustering keys over (nation, balance-bucket)
+    — the multi-column zone-map-pruning sort key
+    (operators/layout.py; write path: zorder_layout(...).write)."""
+    from voter_gateway_spark.operators.layout import morton_code
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.floor((F.col("c_acctbal") + 1000.0) / 100.0).cast("bigint").alias("balb"),
+    )
+    return cust.select(
+        "c_custkey", "nat", "balb", morton_code(["nat", "balb"], bits=16).alias("zkey")
+    )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """Unrolled bit-interleave mirror of morton_code: bit b of column i
+    lands at position b*2 + i."""
+    terms = []
+    for b in range(bits):
+        for i, col in enumerate(["nat", "balb"]):
+            # every term fully parenthesized: DuckDB gives |, & and <<
+            # EQUAL precedence (left-assoc, Postgres rules), so a bare
+            # `x << 1 | y << 3` chain accumulates shifts
+            terms.append(f"(((({col} & 65535) >> {b}) & 1) << {b * 2 + i})")
+    interleave = " | ".join(terms)
+    return f"""
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) AS balb
+  FROM customer
+)
+SELECT c_custkey, nat, balb, CAST({interleave} AS BIGINT) AS zkey
+FROM c
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -3126,6 +3164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": cube_revenue,
     "ntile_customer_value": ntile_customer_value,
     "stratified_split_documents": stratified_split_documents,
+    "zorder_customers": zorder_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -3214,4 +3253,5 @@ ORACLES: dict[str, str] = {
     "cube_revenue": CUBE_SQL,
     "ntile_customer_value": NTILE_SQL,
     "stratified_split_documents": SPLIT_SQL,
+    "zorder_customers": _zorder_sql(),
 }

@@ -119,6 +119,9 @@ def normalize(df: DataFrame, table: str) -> DataFrame:
     return df.select(*exprs) if changed else df
 
 
+_TUNED: set[int] = set()
+
+
 def tune_session(spark: SparkSession) -> None:
     """Make a caller-provided SparkSession safe for the query catalog.
 
@@ -127,7 +130,14 @@ def tune_session(spark: SparkSession) -> None:
     (harmless for µs fixtures). Fails LOUD: if the session rejects a
     conf (locked conf in some deployments) or the value didn't take,
     emit one warning instead of silently proceeding — silent-swallow is
-    exactly what let the r2 fixture change go unnoticed."""
+    exactly what let the r2 fixture change go unnoticed.
+
+    Memoized per session object: every load_table call routes here, and
+    four py4j conf round-trips per table read add up across an 86-query
+    catalog run."""
+    key = id(spark)
+    if key in _TUNED:
+        return
     wanted = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -151,6 +161,7 @@ def tune_session(spark: SparkSession) -> None:
                 f"session conf {k} is {got!r}, wanted {v!r}; query "
                 "results may diverge from the DuckDB oracle", RuntimeWarning,
             )
+    _TUNED.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
