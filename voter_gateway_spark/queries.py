@@ -3074,6 +3074,119 @@ FROM c
 """
 
 
+def text_structure(spark, sf_dir):
+    """Structural document stats: sentence-ish terminator runs, URL
+    count, parenthetical count, average sentence length in words —
+    scan-stage regexp projections, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    words = F.size(F.filter(F.split(norm, " "), lambda t: t != ""))
+    sents = F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    return docs.select(
+        "doc_id",
+        sents.alias("n_sentences"),
+        F.regexp_count(F.col("text"), F.lit(r"https?://[^ ]+")).alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(r"\([^)]*\)")).alias("n_parens"),
+        F.round(
+            F.when(sents > 0, words / sents).otherwise(F.lit(None)), 4
+        ).alias("avg_sentence_words"),
+    )
+
+
+STRUCTURE_SQL = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '')) AS words,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+         len(regexp_extract_all(text, '\([^)]*\)')) AS n_parens
+  FROM documents
+)
+SELECT doc_id, n_sentences, n_urls, n_parens,
+       round(CASE WHEN n_sentences > 0 THEN words / CAST(n_sentences AS DOUBLE) END, 4) AS avg_sentence_words
+FROM s
+"""
+
+
+def events_hourly_anomalies(spark, sf_dir):
+    """Volume anomaly detection: hourly per-type counts z-scored
+    against that type's own distribution; |z| >= 2 flags. Two keyed
+    aggregations (hour, then type); the stats join back as a broadcast
+    (one row per type)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("_mu"), F.stddev_samp("n").alias("_sd")
+    )
+    z = (F.col("n") - F.col("_mu")) / F.col("_sd")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            F.unix_micros("hour").alias("hour_us"),
+            "event_type",
+            "n",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM hourly GROUP BY 1
+)
+SELECT epoch_us(h.hour) AS hour_us, h.event_type, h.n,
+       round((h.n - s.mu) / s.sd, 4) AS z,
+       abs((h.n - s.mu) / s.sd) >= 2.0 AS is_anomaly
+FROM hourly h JOIN stats s USING (event_type)
+"""
+
+
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): key = u^(1/w) with u a deterministic md5-uniform,
+    keep the top-k keys. One scan + a top-k — the distributed
+    equivalent of a weighted reservoir, reproducible across engines
+    and cluster layouts. Weights: document length (longer docs
+    proportionally likelier, the usual token-budget sampler)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("double") + 0.5
+    ) / F.lit(float(1 << 60))
+    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))
+    w = Window.orderBy(F.desc("_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", F.round(key, 12).alias("_key"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 50)
+        .select("doc_id", "n_chars", F.col("_key").alias("sample_key"))
+    )
+
+
+RESERVOIR_SQL = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         round(pow(
+           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+             / 1152921504606846976.0,
+           1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)
+         ), 12) AS sample_key
+  FROM documents
+)
+SELECT doc_id, n_chars, sample_key FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS rn
+  FROM k
+) WHERE rn <= 50
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -3165,6 +3278,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_customer_value": ntile_customer_value,
     "stratified_split_documents": stratified_split_documents,
     "zorder_customers": zorder_customers,
+    "text_structure": text_structure,
+    "events_hourly_anomalies": events_hourly_anomalies,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
 }
 
 ORACLES: dict[str, str] = {
@@ -3254,4 +3370,7 @@ ORACLES: dict[str, str] = {
     "ntile_customer_value": NTILE_SQL,
     "stratified_split_documents": SPLIT_SQL,
     "zorder_customers": _zorder_sql(),
+    "text_structure": STRUCTURE_SQL,
+    "events_hourly_anomalies": ANOMALY_SQL,
+    "sample_weighted_reservoir": RESERVOIR_SQL,
 }
