@@ -887,3 +887,38 @@ def test_mixture_sample_rates_and_nesting(spark):
     # default_rate applies to unlisted groups
     d = mixture_sample(df, "id", "g", {"a": 0.0}, default_rate=1.0)
     assert {r.g for r in d.collect()} == {"b"}
+
+
+# -- edit-distance near-dup ----------------------------------------------------
+
+def test_edit_distance_pairs_blocked_verify(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="jonathan smith"),
+            Row(id=2, s="jonathon smith"),    # dist 1
+            Row(id=3, s="jonathan smyth"),    # dist 1 from 1
+            Row(id=4, s="completely other"),  # no shared trigrams w/ 1-3
+        ],
+        "id int, s string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in fuzzy.edit_distance_pairs(df, "s", "id", max_dist=3).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1
+    assert (2, 3) in got                    # dist 2, still under max
+    assert all(a < b for a, b in got)       # canonical orientation
+    assert not any(4 in p for p in got)     # blocked out
+
+
+def test_edit_distance_respects_max_dist(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=1, s="abcdef ghij"), Row(id=2, s="abcdef zzzz")],
+        "id int, s string",
+    )
+    assert fuzzy.edit_distance_pairs(df, "s", "id", max_dist=2).count() == 0
+    assert fuzzy.edit_distance_pairs(df, "s", "id", max_dist=4).count() == 1

@@ -233,6 +233,52 @@ def top1_fuzzy_match(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    max_dist: int = 4,
+    sim_floor: float = 0.4,
+    max_trigram_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by EDIT DISTANCE with trigram blocking: candidate
+    pairs share >= 1 trigram and clear a trigram-similarity floor; only
+    candidates pay the O(len·len) levenshtein verify. Output:
+    (id_a, id_b, similarity, edit_distance), id_a < id_b.
+
+    The blocked-verify shape mirrors the dedup families: exact
+    verification on candidates only, never all pairs. Spark's
+    levenshtein takes a threshold argument — the DP early-exits past
+    `max_dist`, so the verify cost is O(len·max_dist) per candidate at
+    scale, not O(len²). The similarity floor is the q-gram count
+    filter: strings within distance d keep a bounded trigram overlap,
+    so a loose floor never drops a true pair for short fields (the
+    voter-file name/address case this targets)."""
+    t = widen(df).select(
+        F.col(id_col).alias("_tid"), trigrams(column).alias("_ttg")
+    ).localCheckpoint(eager=True)
+    s = t.select(F.col("_tid").alias("_sid"), F.col("_ttg").alias("_stg"))
+    pairs = _pairs_from_trigram_frames(s, t, max_trigram_freq).where(
+        (F.col("_sid") < F.col("_tid")) & (F.col("similarity") >= sim_floor)
+    )
+    texts = df.select(F.col(id_col).alias("_xid"), F.col(column).alias("_xtxt"))
+    a = texts.select(F.col("_xid").alias("_sid"), F.col("_xtxt").alias("_ta"))
+    b = texts.select(F.col("_xid").alias("_tid"), F.col("_xtxt").alias("_tb"))
+    dist = F.levenshtein("_ta", "_tb")
+    return (
+        pairs.join(a, "_sid")
+        .join(b, "_tid")
+        .withColumn("edit_distance", dist)
+        .where(F.col("edit_distance") <= max_dist)
+        .select(
+            F.col("_sid").alias("id_a"),
+            F.col("_tid").alias("id_b"),
+            F.round("similarity", 6).alias("similarity"),
+            "edit_distance",
+        )
+    )
+
+
 def fuzzy_claiming_rounds(
     unmatched: DataFrame,
     pool: DataFrame,

@@ -3187,6 +3187,117 @@ SELECT doc_id, n_chars, sample_key FROM (
 """
 
 
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup pairs over 40-char document prefixes:
+    trigram-blocked candidates, levenshtein verify (<= 8)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    return fuzzy.edit_distance_pairs(
+        docs, "prefix", "doc_id", max_dist=8, sim_floor=0.4
+    )
+
+
+_TRGM40 = """
+list_distinct(flatten(list_transform(
+  list_filter(string_split(regexp_replace(lower(substr(text, 1, 40)), '[^a-z0-9]+', ' ', 'g'), ' '), w -> w != ''),
+  w -> list_transform(generate_series(1, length(w) + 1), i -> substr('  ' || w || ' ', i, 3))
+)))
+"""
+
+EDIT_DIST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 40) AS p, {_TRGM40} AS tg FROM documents
+), e AS (
+  SELECT doc_id, unnest(tg) AS g FROM t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM e a JOIN e b USING (g) WHERE a.doc_id < b.doc_id
+), sim AS (
+  SELECT ida, idb,
+         round(len(list_intersect(ta.tg, tb.tg))::DOUBLE /
+               (len(ta.tg) + len(tb.tg) - len(list_intersect(ta.tg, tb.tg))), 6) AS similarity,
+         levenshtein(ta.p, tb.p) AS edit_distance
+  FROM cand JOIN t ta ON cand.ida = ta.doc_id JOIN t tb ON cand.idb = tb.doc_id
+)
+SELECT ida AS id_a, idb AS id_b, similarity, edit_distance
+FROM sim WHERE similarity >= 0.4 AND edit_distance <= 8
+"""
+
+
+def text_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-25 adjacent-word bigrams by PMI
+    (c_ab >= 5). One explode for bigrams (word 2-shingles), one for
+    unigrams; totals ride as broadcast scalars."""
+    from voter_gateway_spark.operators.dedup_ops import word_shingles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("text")
+    )
+    uni = (
+        docs.select(F.explode(word_shingles("text", k=1, distinct=False)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
+    )
+    bi = (
+        docs.select(F.explode(word_shingles("text", k=2, distinct=False)).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 5)
+    )
+    n_uni = uni.agg(F.sum("cw").alias("_nu"))
+    n_bi_src = docs.select(
+        F.size(word_shingles("text", k=2, distinct=False)).alias("_k")
+    ).agg(F.sum("_k").alias("_nb"))
+    w1 = F.split_part(F.col("b"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("b"), F.lit(" "), F.lit(2))
+    scored = (
+        bi.withColumn("w1", w1).withColumn("w2", w2)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_src))
+        .select(
+            F.col("b").alias("bigram"),
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("_nb"))
+                    / ((F.col("c1") / F.col("_nu")) * (F.col("c2") / F.col("_nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(25)
+
+
+PMI_SQL = r"""
+WITH w AS (
+  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS wl
+  FROM documents
+), uni AS (
+  SELECT u AS w, count(*) AS cw FROM (SELECT unnest(wl) AS u FROM w) GROUP BY 1
+), bil AS (
+  SELECT list_transform(generate_series(1, greatest(len(wl) - 1, 1)),
+                        i -> concat_ws(' ', wl[i], wl[i+1])) AS bl
+  FROM w
+), bi AS (
+  SELECT b AS bigram, count(*) AS cab FROM (SELECT unnest(bl) AS b FROM bil)
+  GROUP BY 1 HAVING count(*) >= 5
+), nu AS (SELECT sum(cw) AS nu FROM uni),
+nb AS (SELECT sum(len(bl)) AS nb FROM bil)
+SELECT bigram, cab, pmi FROM (
+  SELECT bi.bigram, bi.cab,
+         round(ln((bi.cab / nb.nb) / ((u1.cw / nu.nu) * (u2.cw / nu.nu))), 6) AS pmi
+  FROM bi
+  JOIN uni u1 ON split_part(bi.bigram, ' ', 1) = u1.w
+  JOIN uni u2 ON split_part(bi.bigram, ' ', 2) = u2.w
+  CROSS JOIN nu CROSS JOIN nb
+)
+ORDER BY pmi DESC, bigram ASC LIMIT 25
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -3281,6 +3392,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_structure": text_structure,
     "events_hourly_anomalies": events_hourly_anomalies,
     "sample_weighted_reservoir": sample_weighted_reservoir,
+    "dedup_edit_distance": dedup_edit_distance,
+    "text_bigram_pmi": text_bigram_pmi,
 }
 
 ORACLES: dict[str, str] = {
@@ -3373,4 +3486,6 @@ ORACLES: dict[str, str] = {
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "sample_weighted_reservoir": RESERVOIR_SQL,
+    "dedup_edit_distance": EDIT_DIST_SQL,
+    "text_bigram_pmi": PMI_SQL,
 }
