@@ -3303,97 +3303,101 @@ ORDER BY pmi DESC, bigram ASC LIMIT 25
 # =============================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Ordered so a prefix sample covers every operator family:
+    # core relational/staging/merge first, then one window per
+    # family (dedup, fuzzy, text, contamination, embeddings,
+    # events, sampling/layout); stable variants trail.
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q10_returned_items": q10_returned_items,
     "audit_coverage_customer": audit_coverage_customer,
-    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
-    "audit_duplicate_custkeys": audit_duplicate_custkeys,
     "audit_flag_distribution_events": audit_flag_distribution_events,
     "match_cascade_orders_customers": match_cascade_orders_customers,
     "merge_upsert_customers": merge_upsert_customers,
+    "staging_lineitem": staging_lineitem,
+    "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
+    "scd2_customers": scd2_customers,
+    "cdc_apply_orders": cdc_apply_orders,
     "dedup_documents_lang_source": dedup_documents_lang_source,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_edit_distance": dedup_edit_distance,
     "fuzzy_top1_documents": fuzzy_top1_documents,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
-    "text_fingerprint": text_fingerprint,
-    "rollup_revenue": rollup_revenue,
-    "window_customer_orders": window_customer_orders,
-    "set_ops_nations": set_ops_nations,
-    "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_cluster_components": dedup_cluster_components,
-    "dedup_corpus_pruned": dedup_corpus_pruned,
-    "dedup_simhash": dedup_simhash,
+    "text_quality": text_quality,
+    "text_vocabulary": text_vocabulary,
+    "text_chunks": text_chunks,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_structure": text_structure,
+    "text_bigram_pmi": text_bigram_pmi,
+    "pipeline_corpus_prep": pipeline_corpus_prep,
+    "corpus_contamination": corpus_contamination,
+    "contamination_span_pairs": contamination_span_pairs,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
-    "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
-    "asof_order_revenue_events": asof_order_revenue_events,
-    "interval_join_events_windows": interval_join_events_windows,
-    "sample_customers_deterministic": sample_customers_deterministic,
-    "text_vocabulary": text_vocabulary,
-    "stats_quantiles_lineitem": stats_quantiles_lineitem,
-    "embed_normalize": embed_normalize,
-    "embed_group_centroids": embed_group_centroids,
-    "q_late_ship_orders": q_late_ship_orders,
-    "text_chunks": text_chunks,
-    "pipeline_corpus_prep": pipeline_corpus_prep,
-    "audit_distinct_users_by_type": audit_distinct_users_by_type,
-    "audit_orphan_orders": audit_orphan_orders,
-    "scd2_customers": scd2_customers,
-    "embed_near_dup": embed_near_dup,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_int8_topk": embed_int8_topk,
+    "embed_near_dup": embed_near_dup,
+    "embed_knn_label": embed_knn_label,
     "events_hourly": events_hourly,
     "events_sessionized": events_sessionized,
+    "asof_order_revenue_events": asof_order_revenue_events,
+    "interval_join_events_windows": interval_join_events_windows,
+    "audit_distinct_users_by_type": audit_distinct_users_by_type,
+    "events_view_purchase_attribution": events_view_purchase_attribution,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_value_cap": events_value_cap,
+    "events_hourly_anomalies": events_hourly_anomalies,
+    "sample_customers_deterministic": sample_customers_deterministic,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
+    "stratified_split_documents": stratified_split_documents,
+    "zorder_customers": zorder_customers,
+    "geo_wkt_export": geo_wkt_export,
+    "docs_training_shuffle": docs_training_shuffle,
     "multimodal_features": multimodal_features,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "staging_lineitem": staging_lineitem,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q_late_ship_orders": q_late_ship_orders,
+    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
+    "audit_duplicate_custkeys": audit_duplicate_custkeys,
+    "audit_orphan_orders": audit_orphan_orders,
+    "audit_match_rule_counts": audit_match_rule_counts,
+    "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "window_customer_orders": window_customer_orders,
+    "ntile_customer_value": ntile_customer_value,
+    "set_ops_nations": set_ops_nations,
+    "stats_quantiles_lineitem": stats_quantiles_lineitem,
+    "hist_order_totals": hist_order_totals,
+    "events_daily_pivot": events_daily_pivot,
+    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
+    "dedup_corpus_pruned": dedup_corpus_pruned,
+    "dedup_cluster_rollup": dedup_cluster_rollup,
+    "embed_normalize": embed_normalize,
+    "embed_group_centroids": embed_group_centroids,
+    "text_fingerprint": text_fingerprint,
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
+    "text_char_entropy": text_char_entropy,
+    "pack_sequences_documents": pack_sequences_documents,
+    "sample_source_quota": sample_source_quota,
+    "sample_mixture_weighted": sample_mixture_weighted,
     "copy_column_nation_name": copy_column_nation_name,
     "match_join_table_constraint": match_join_table_constraint,
     "geo_prep_customers": geo_prep_customers,
-    "text_quality": text_quality,
     "fuzzy_claiming_documents": fuzzy_claiming_documents,
     "merge_returning_to_source": merge_returning_to_source,
     "merge_move_columns": merge_move_columns,
     "merge_update_only": merge_update_only,
-    "audit_match_rule_counts": audit_match_rule_counts,
     "functions_scalar_suite": functions_scalar_suite,
-    "sample_source_quota": sample_source_quota,
-    "text_repetition": text_repetition,
-    "corpus_contamination": corpus_contamination,
-    "text_pii_scrub": text_pii_scrub,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_ppm_decode": multimodal_ppm_decode,
-    "dedup_incremental_batch": dedup_incremental_batch,
-    "events_view_purchase_attribution": events_view_purchase_attribution,
-    "pack_sequences_documents": pack_sequences_documents,
-    "text_char_entropy": text_char_entropy,
-    "sample_mixture_weighted": sample_mixture_weighted,
-    "dedup_cluster_rollup": dedup_cluster_rollup,
-    "events_funnel": events_funnel,
-    "events_retention": events_retention,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "embed_knn_label": embed_knn_label,
-    "docs_training_shuffle": docs_training_shuffle,
-    "contamination_span_pairs": contamination_span_pairs,
-    "geo_wkt_export": geo_wkt_export,
-    "events_value_cap": events_value_cap,
-    "cdc_apply_orders": cdc_apply_orders,
-    "events_daily_pivot": events_daily_pivot,
-    "hist_order_totals": hist_order_totals,
-    "cube_revenue": cube_revenue,
-    "ntile_customer_value": ntile_customer_value,
-    "stratified_split_documents": stratified_split_documents,
-    "zorder_customers": zorder_customers,
-    "text_structure": text_structure,
-    "events_hourly_anomalies": events_hourly_anomalies,
-    "sample_weighted_reservoir": sample_weighted_reservoir,
-    "dedup_edit_distance": dedup_edit_distance,
-    "text_bigram_pmi": text_bigram_pmi,
 }
 
 ORACLES: dict[str, str] = {
