@@ -110,3 +110,27 @@ def test_contamination_collapse_train_reports_reps(spark):
     assert {r.train_id for r in crows} == {2}
     f2 = {(r.n_matched, r.max_run) for r in full.collect() if r.train_id == 2}
     assert {(r.n_matched, r.max_run) for r in crows} == f2
+
+
+def test_write_training_shards_manifest_and_order(spark, tmp_path):
+    from voter_gateway_spark.operators.layout import write_training_shards
+
+    df = spark.createDataFrame([(i,) for i in range(1, 501)], "doc_id bigint")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, "doc_id", out, n_shards=4)
+    assert manifest["total_rows"] == 500
+    assert sum(manifest["shard_rows"].values()) == 500
+    assert len(manifest["shard_rows"]) <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # per-shard pos is dense 1..n and identical across rebuilds
+    for shard, n in manifest["shard_rows"].items():
+        poss = sorted(
+            r.pos for r in back.where(F.col("shard") == int(shard)).collect()
+        )
+        assert poss == list(range(1, n + 1))
+    m2 = write_training_shards(df, "doc_id", str(tmp_path / "shards2"), n_shards=4)
+    assert m2["shard_rows"] == manifest["shard_rows"]
+    import json, glob
+    mf = json.load(open(f"{out}/_manifest.json"))
+    assert mf["total_rows"] == 500

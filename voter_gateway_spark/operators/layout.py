@@ -71,6 +71,58 @@ def zorder_layout(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    out_dir: str,
+    n_shards: int = 8,
+) -> dict:
+    """Materialize deterministic training shards: rows get (shard, pos)
+    addresses from the md5 shuffle (analytics.training_shuffle), land
+    partitioned by shard and sorted by pos within each file, and a
+    manifest records per-shard row counts for the data loader.
+
+    Read side: a loader streams `shard=K/` sequentially and rows
+    arrive in the deterministic shuffled order — no shuffle at
+    training time, reproducible across rebuilds (the manifest hash-
+    checks that). One exchange (by shard) on the write; the manifest
+    aggregation reuses the written data, not a second pass over the
+    input."""
+    from voter_gateway_spark.operators.analytics import training_shuffle
+
+    shuffled = training_shuffle(df, id_col, n_shards=n_shards)
+    (
+        shuffled.repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = df.sparkSession
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "total_rows": sum(counts.values()),
+        "shard_rows": {str(k): v for k, v in sorted(counts.items())},
+        "id_col": id_col,
+    }
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_manifest.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    out.close()
+    return manifest
+
+
 def dataset_bytes(spark, path: str) -> int:
     """Total bytes under a path via the Hadoop FileSystem API (works on
     any supported scheme — local, HDFS, object stores)."""
