@@ -134,3 +134,24 @@ def test_write_training_shards_manifest_and_order(spark, tmp_path):
     import json, glob
     mf = json.load(open(f"{out}/_manifest.json"))
     assert mf["total_rows"] == 500
+
+
+def test_file_skipping_stats_quantify_zorder(spark, tmp_path):
+    from voter_gateway_spark.operators.layout import (
+        file_skipping_stats,
+        zorder_layout,
+    )
+
+    rows = [(i % 16, (i * 7) % 16, i) for i in range(4096)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, id bigint")
+    flat = str(tmp_path / "flat")
+    df.repartition(4).write.parquet(flat)          # random layout
+    zed = str(tmp_path / "zed")
+    zorder_layout(df, ["a", "b"], n_files=4).write.parquet(zed)
+
+    def avg_width(path):
+        stats = file_skipping_stats(spark, path, ["a", "b"]).collect()
+        return sum((r.max_a - r.min_a) + (r.max_b - r.min_b) for r in stats) / len(stats)
+
+    # clustered files cover strictly narrower value ranges on average
+    assert avg_width(zed) < avg_width(flat)

@@ -123,6 +123,27 @@ def write_training_shards(
     return manifest
 
 
+def file_skipping_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Zone-map audit: per data file, row count and min/max of each
+    column — what parquet footer pruning will see. Run it before and
+    after a zorder_layout/compact rewrite to QUANTIFY how much a range
+    predicate can skip (tight per-file ranges = skippable files).
+
+    One scan grouped by input_file_name; at 100 TB run it on a
+    partition sample, or read footers directly via the parquet
+    metadata — this operator is the plan-level check, not a metadata
+    crawler."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
 def dataset_bytes(spark, path: str) -> int:
     """Total bytes under a path via the Hadoop FileSystem API (works on
     any supported scheme — local, HDFS, object stores)."""
