@@ -167,3 +167,13 @@ def test_events_queries_correct_under_locked_conf(spark, sf_dir, monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         assert Q.events_hourly(spark, sf_dir).count() == baseline
+
+
+def test_stream_reader_on_empty_directory_uses_declared_schema(spark, tmp_path):
+    """Start-stream-then-files-arrive: an empty landing dir must fall
+    back to the canonical declared schema instead of throwing."""
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    stream = events_stream_reader(spark, str(empty), watermark="1 hour")
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"

@@ -81,7 +81,10 @@ def event_sets(draw):
                 i + 1,                                   # event_id (unique)
                 draw(st.integers(min_value=1, max_value=3)),   # user
                 draw(st.integers(min_value=0, max_value=50)),  # minutes offset
-                draw(st.integers(min_value=0, max_value=40)),  # value
+                # negative values included: refunds must accumulate
+                # identically in the batch window form and the
+                # streaming state fold (can re-open a capped budget)
+                draw(st.integers(min_value=-30, max_value=40)),  # value
             )
         )
     return evs
@@ -92,8 +95,8 @@ def _python_cap(evs, cap):
     totals = {}
     for eid, user, mins, value in sorted(evs, key=lambda e: (e[2], e[0])):
         t = totals.get(user, 0.0)
-        if t < cap:
-            totals[user] = t + value
+        totals[user] = t + value       # every event accumulates
+        if t < cap:                    # admitted iff total BEFORE < cap
             admitted[eid] = totals[user]
     return admitted
 

@@ -48,9 +48,12 @@ def funnel_stages(
                 .groupBy("_u")
                 .agg(F.min("_ts").alias("_first"))
             )
-        reached = cur
+        # each stage count embeds the whole prefix chain; without the
+        # shared materialization the N-branch union re-runs stage 1's
+        # scan up to N times (same hazard as tfidf's tf reuse)
+        reached = cur.localCheckpoint(eager=False)
         counts.append(
-            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(i + 1).alias("stage_idx"),
                 F.lit(stage).alias("stage"),
                 "n_users",
@@ -215,6 +218,8 @@ def training_shuffle(
     sequential-read training shards; no global sort ever happens."""
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
     w = Window.partitionBy("shard").orderBy("_h")
+    # shard derives from the same 60-bit prefix as md5_hash60; the full
+    # hex string also orders rows within the shard, so it stays a column
     return (
         df.withColumn("_h", h)
         .withColumn(

@@ -265,10 +265,23 @@ def _affine(a: int, b: int):
     return lambda h: ((h % F.lit(_MINHASH_P)) * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
 
 
+def md5_hash60(col: Column | str) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 of the value
+    rendered as a string — THE portable hash primitive shared by every
+    deterministic sampler/splitter/shingle index in the engine. DuckDB
+    reproduces it as ('0x' || substring(md5(CAST(x AS VARCHAR)),1,15))
+    ::BIGINT. 15 hex chars = 60 bits (fits a signed bigint); widening
+    to 16 would flip sign bits differently per engine — change it ONLY
+    here and in every oracle together."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def shingle_hash60(s: Column) -> Column:
-    """60-bit integer from the first 15 hex chars of md5 — portable:
-    DuckDB reproduces it as ('0x' || substring(md5(x),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
+    """md5_hash60 over an (already-string) shingle column."""
+    return md5_hash60(s)
 
 
 def minhash_signature(hashes: Column, n_hashes: int = 16) -> Column:

@@ -264,12 +264,14 @@ def edit_distance_pairs(
     texts = df.select(F.col(id_col).alias("_xid"), F.col(column).alias("_xtxt"))
     a = texts.select(F.col("_xid").alias("_sid"), F.col("_xtxt").alias("_ta"))
     b = texts.select(F.col("_xid").alias("_tid"), F.col("_xtxt").alias("_tb"))
-    dist = F.levenshtein("_ta", "_tb")
+    # thresholded levenshtein: the DP early-exits past max_dist and
+    # returns -1 (O(len·max_dist) per candidate, not O(len²))
+    dist = F.levenshtein("_ta", "_tb", threshold=max_dist)
     return (
         pairs.join(a, "_sid")
         .join(b, "_tid")
         .withColumn("edit_distance", dist)
-        .where(F.col("edit_distance") <= max_dist)
+        .where(F.col("edit_distance") >= 0)
         .select(
             F.col("_sid").alias("id_a"),
             F.col("_tid").alias("id_b"),

@@ -132,12 +132,10 @@ def hash_mod_sample(
     (sample customers and their orders with the same predicate). This
     is the reproducible-split primitive for train/eval carves.
     """
+    from voter_gateway_spark.operators.dedup_ops import md5_hash60
+
     c = F.col(key) if isinstance(key, str) else key
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(buckets),
-    )
+    bucket = F.pmod(md5_hash60(c), F.lit(buckets))
     return df.where(bucket < percent)
 
 
@@ -160,12 +158,10 @@ def mixture_sample(
     fractions in [0, 1], resolved to an integer bucket threshold so the
     cut is exact on both engines.
     """
+    from voter_gateway_spark.operators.dedup_ops import md5_hash60
+
     c = F.col(key) if isinstance(key, str) else key
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("bigint"),
-        F.lit(buckets),
-    )
+    bucket = F.pmod(md5_hash60(c), F.lit(buckets))
     spark = df.sparkSession
     rate_rows = [(g, int(round(r * buckets))) for g, r in rates.items()]
     rdf = spark.createDataFrame(rate_rows, f"{group_col} string, _thresh int")

@@ -3007,10 +3007,7 @@ def stratified_split_documents(spark, sf_dir):
     any table sharing the key), reported per (lang, split) so the
     stratification balance is auditable."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = dedup_ops.md5_hash60("doc_id") % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -3156,10 +3153,7 @@ def sample_weighted_reservoir(spark, sf_dir):
     and cluster layouts. Weights: document length (longer docs
     proportionally likelier, the usual token-budget sampler)."""
     docs = _t(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("double") + 0.5
-    ) / F.lit(float(1 << 60))
+    u = (dedup_ops.md5_hash60("doc_id").cast("double") + 0.5) / F.lit(float(1 << 60))
     key = F.pow(u, 1.0 / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))
     w = Window.orderBy(F.desc("_key"), F.asc("doc_id"))
     return (

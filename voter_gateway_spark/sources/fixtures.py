@@ -119,7 +119,12 @@ def normalize(df: DataFrame, table: str) -> DataFrame:
     return df.select(*exprs) if changed else df
 
 
-_TUNED: set[int] = set()
+# WeakSet, not id()s: a stopped session's recycled address must not
+# make a NEW session skip tuning (the silent-divergence mode this
+# module exists to prevent)
+import weakref  # noqa: E402
+
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def tune_session(spark: SparkSession) -> None:
@@ -132,12 +137,14 @@ def tune_session(spark: SparkSession) -> None:
     emit one warning instead of silently proceeding — silent-swallow is
     exactly what let the r2 fixture change go unnoticed.
 
-    Memoized per session object: every load_table call routes here, and
-    four py4j conf round-trips per table read add up across an 86-query
-    catalog run."""
-    key = id(spark)
-    if key in _TUNED:
-        return
+    Memoized per live session object (WeakSet): every load_table call
+    routes here, and four py4j conf round-trips per table read add up
+    across a 90-query catalog run."""
+    try:
+        if spark in _TUNED:
+            return
+    except TypeError:
+        pass  # un-weakref-able session stub (tests) — tune every time
     wanted = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -161,7 +168,10 @@ def tune_session(spark: SparkSession) -> None:
                 f"session conf {k} is {got!r}, wanted {v!r}; query "
                 "results may diverge from the DuckDB oracle", RuntimeWarning,
             )
-    _TUNED.add(key)
+    try:
+        _TUNED.add(spark)
+    except TypeError:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -184,9 +194,16 @@ def events_stream_reader(
     """Streaming read of an events directory with the same dtype
     normalization as the batch loader. The file source requires an
     explicit schema, so sniff the *physical* schema with a batch read
-    (metadata-only) and normalize after."""
+    (metadata-only) and normalize after. An EMPTY landing directory
+    (the normal start-stream-then-files-arrive deployment) has nothing
+    to sniff — fall back to the canonical declared schema, which is
+    what files written by this engine (and the µs fixtures) carry."""
     tune_session(spark)
-    physical = spark.read.parquet(parquet_dir).schema
+    try:
+        physical = spark.read.parquet(parquet_dir).schema
+    except Exception:
+        decl = DECLARED["events"]
+        physical = ", ".join(f"`{c}` {t}" for c, t in decl.items())
     stream = spark.readStream.schema(physical).parquet(parquet_dir)
     stream = normalize(stream, "events")
     if watermark:

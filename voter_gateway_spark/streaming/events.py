@@ -169,13 +169,21 @@ def stream_attributed_purchases(
 
 def value_cap_admissions(events: DataFrame, cap: float) -> DataFrame:
     """Batch form of per-user value-budget admission: events are
-    admitted in (ts, event_id) order while the user's running admitted
-    total BEFORE the event is under `cap`. Output: admitted events with
-    the post-admission running total.
+    admitted in (ts, event_id) order while the user's running total
+    BEFORE the event is under `cap`. Output: admitted events with the
+    post-event running total.
+
+    The running total accumulates EVERY event's value (admitted or
+    not) — that is what a window cumsum computes, and the streaming
+    form below accumulates identically, so batch/stream parity holds
+    for any sign of `value` (a refund can re-open a user's budget in
+    both forms). For the usual non-negative metering case the two
+    readings coincide anyway, since nothing accumulates after the cap
+    is reached except further admissible-never events.
 
     This is the quota-sampling primitive of a streaming corpus ingest
     (cap each source/user/domain's contribution); the batch form is
-    the oracle for the transformWithState streaming form below."""
+    the oracle for the streaming form below."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -214,11 +222,19 @@ def stream_value_cap_admissions(
     def admit(key, pdfs, state: GroupState):
         total = state.get[0] if state.exists else 0.0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples(index=False):
-                if total < cap:
-                    total += float(row.value)
+        # one group can arrive as SEVERAL Arrow chunks (batches larger
+        # than arrow.maxRecordsPerBatch); sorting per-chunk would
+        # process chunks in arbitrary order — concat first, then one
+        # global (ts, event_id) sort for the group
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for row in whole.itertuples(index=False):
+                admit_this = total < cap
+                # the total tracks EVERY event (batch-oracle parity:
+                # the window cumsum accumulates rejected rows too)
+                total += float(row.value)
+                if admit_this:
                     out.append(
                         (row.user_id, row.event_id, row.ts, row.value, total)
                     )

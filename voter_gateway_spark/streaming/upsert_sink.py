@@ -6,30 +6,82 @@ express (MERGE/upsert).
 This closes the loop between the reference's batch upsert (M1/M2,
 import_job.rb) and a streaming ingest: each micro-batch becomes the
 SOURCE side of a MatchPlan cascade + MergePlan against the persisted
-target, and the merged result replaces the target transactionally
-(write-new-then-swap, the sinks.overwrite_partitions posture — a
-reader never sees a half-written table).
+target, and the merged result replaces the target via a
+write-new-then-swap protocol with crash recovery and a batch-id
+marker for replay idempotence.
+
+Guarantees (stated precisely — no blanket "atomic"/"exactly-once"):
+
+- The swap is two renames through the Hadoop FileSystem API (works on
+  any supported scheme; on HDFS each rename is atomic, on object
+  stores rename is a copy — use a real table format there, below). A
+  crash BETWEEN the renames leaves the live path missing and the old
+  version parked at `<target>__old`; `_recover` restores it at the
+  next batch, so the window is self-healing, but a reader in that
+  window can observe a missing path.
+- Replays: foreachBatch re-runs a batch after failures. The written
+  version embeds a `_vgs_batch_id` marker; a replayed batch whose id
+  is <= the marker is SKIPPED, so accumulating merge expressions
+  (`$T + $S`) are not double-applied even when the failure happened
+  after the swap but before the checkpoint commit.
 
 Scale posture: per-batch cost is one pk-keyed join of (batch ×
-target). On a real lake the target should be Delta/Iceberg and the
-body of `_apply_batch` becomes a storage-layer MERGE INTO
-(sources/merge_sink.py lowers MergePlan exactly that way) — the
-parquet-rewrite form here is the dependency-free fallback, correct at
-any scale but with O(target) write amplification per batch. Exactly-
-once: foreachBatch may retry a batch after a failure; the swap is
-idempotent for a replayed batch because matching is keyed (a re-merged
-row merges to the same values).
+target) plus an O(target) rewrite. On a real lake the target should
+be Delta/Iceberg and the batch body becomes a storage-layer MERGE
+INTO (sources/merge_sink.py lowers MergePlan exactly that way) —
+that removes both the rewrite amplification and the swap protocol.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from voter_gateway_spark.plans import MatchPlan, MergePlan
+
+_MARKER = "_vgs_batch_id"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _read_marker(spark: SparkSession, target_dir: str) -> int:
+    fs, _, jvm = _fs(spark, target_dir)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{_MARKER}")
+    if not fs.exists(mpath):
+        return -1
+    stream = fs.open(mpath)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 64:
+            data.append(b)
+            b = stream.read()
+        return int(json.loads(bytes(data))["batch_id"])
+    finally:
+        stream.close()
+
+
+def _write_marker(spark: SparkSession, version_dir: str, batch_id: int) -> None:
+    fs, _, jvm = _fs(spark, version_dir)
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{version_dir}/{_MARKER}")
+    out = fs.create(mpath, True)
+    out.write(bytearray(json.dumps({"batch_id": batch_id}).encode()))
+    out.close()
+
+
+def _recover(spark: SparkSession, target_dir: str) -> None:
+    """Heal a crash between the two swap renames: live path missing,
+    previous version parked at `<target>__old`."""
+    fs, live, jvm = _fs(spark, target_dir)
+    old = jvm.org.apache.hadoop.fs.Path(f"{target_dir}__old")
+    if not fs.exists(live) and fs.exists(old):
+        fs.rename(old, live)
 
 
 def stream_upsert_parquet(
@@ -47,28 +99,32 @@ def stream_upsert_parquet(
     Per micro-batch: cascade-match the batch against the current
     target (one rule per `match_columns` group, reference J2
     semantics), apply `merge_plan` (default: plain last-write-wins
-    upsert), and atomically swap the rewritten target. Returns the
-    started StreamingQuery."""
+    upsert), and swap the rewritten target (see module docstring for
+    the exact crash/replay guarantees). Returns the writer; call
+    .start()."""
     plan = merge_plan or MergePlan(target_pk=pk)
 
     def _apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        _recover(spark, target_dir)
+        if _read_marker(spark, target_dir) >= batch_id:
+            return  # replayed batch already applied — skip, don't re-merge
         if not batch.take(1):
             return
-        spark = batch.sparkSession
         target = spark.read.parquet(target_dir)
         mp = MatchPlan(batch, target, target_pk=pk, source_id=source_id)
         for cols in match_columns:
             mp.find_exact_matches(cols)
         merged = plan.execute(mp.matches(), target).target
-        # write-new-then-swap: the new version lands beside the live
-        # one, then replaces it with two renames. Readers of the old
-        # path either see the complete old or complete new version.
         tmp = f"{target_dir}__v{batch_id}_{uuid.uuid4().hex[:6]}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{target_dir}__old_{uuid.uuid4().hex[:6]}"
-        os.rename(target_dir, old)
-        os.rename(tmp, target_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        _write_marker(spark, tmp, batch_id)
+        fs, live, jvm = _fs(spark, target_dir)
+        old = jvm.org.apache.hadoop.fs.Path(f"{target_dir}__old")
+        fs.delete(old, True)
+        fs.rename(live, old)                                  # park current
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live)  # promote new
+        fs.delete(old, True)
 
     writer = (
         stream.writeStream.foreachBatch(_apply_batch)
