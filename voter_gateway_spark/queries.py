@@ -3292,6 +3292,84 @@ ORDER BY pmi DESC, bigram ASC LIMIT 25
 """
 
 
+def events_funnel_latency(spark, sf_dir):
+    """Time-to-convert: per user, first view → first subsequent
+    purchase; median and p90 latency over converters."""
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.first("t_view").alias("t_view"))
+    )
+    lat = (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / 1e6
+    pct = F.percentile(F.col("latency_s"), F.lit([0.5, 0.9]))
+    return (
+        p.select(lat.alias("latency_s"))
+        .agg(F.count(F.lit(1)).alias("n_converted"), pct.alias("_p"))
+        .select(
+            "n_converted",
+            F.round(F.element_at("_p", 1), 3).alias("p50_s"),
+            F.round(F.element_at("_p", 2), 3).alias("p90_s"),
+        )
+    )
+
+
+FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase, min(v.t_view) AS t_view
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY 1
+), lat AS (
+  SELECT (epoch_us(t_purchase) - epoch_us(t_view)) / 1e6 AS latency_s FROM p
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.5), 3) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 3) AS p90_s
+FROM lat
+"""
+
+
+def audit_outliers_acctbal(spark, sf_dir):
+    """IQR outlier audit on customer balances: quartiles, 1.5×IQR
+    fences, and the count outside each fence — the numeric-profile
+    companion to the coverage/distribution audits (A2/A4)."""
+    cust = _t(spark, sf_dir, "customer")
+    pct = F.percentile(F.col("c_acctbal"), F.lit([0.25, 0.75]))
+    q = cust.agg(pct.alias("_q")).select(
+        F.element_at("_q", 1).alias("q1"), F.element_at("_q", 2).alias("q3")
+    )
+    j = cust.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return j.agg(
+        F.round(F.first("q1"), 4).alias("q1"),
+        F.round(F.first("q3"), 4).alias("q3"),
+        F.count(F.when(F.col("c_acctbal") < lo, 1)).alias("n_low"),
+        F.count(F.when(F.col("c_acctbal") > hi, 1)).alias("n_high"),
+    )
+
+
+OUTLIER_SQL = """
+WITH q AS (
+  SELECT quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.75) AS q3
+  FROM customer
+)
+SELECT round(max(q.q1), 4) AS q1, round(max(q.q3), 4) AS q3,
+       count(*) FILTER (c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)) AS n_low,
+       count(*) FILTER (c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_high
+FROM customer CROSS JOIN q
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -3354,6 +3432,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_customers": zorder_customers,
     "geo_wkt_export": geo_wkt_export,
     "docs_training_shuffle": docs_training_shuffle,
+    "events_funnel_latency": events_funnel_latency,
+    "audit_outliers_acctbal": audit_outliers_acctbal,
     "multimodal_features": multimodal_features,
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
@@ -3481,6 +3561,8 @@ ORACLES: dict[str, str] = {
     "ntile_customer_value": NTILE_SQL,
     "stratified_split_documents": SPLIT_SQL,
     "zorder_customers": _zorder_sql(),
+    "events_funnel_latency": FUNNEL_LATENCY_SQL,
+    "audit_outliers_acctbal": OUTLIER_SQL,
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "sample_weighted_reservoir": RESERVOIR_SQL,
