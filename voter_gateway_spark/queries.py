@@ -3370,6 +3370,92 @@ FROM customer CROSS JOIN q
 """
 
 
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring WITHOUT an external LM: each
+    document scored by the mean log-probability of its tokens under
+    the corpus's own unigram distribution (the cheap first-pass filter
+    before a real LM; gibberish and boilerplate-stuffed docs score
+    low). One explode; the frequency table derives from the same
+    token frame (shared materialization, tfidf pattern); totals ride
+    as a broadcast scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.filter(F.split(F.lower(norm), " "), lambda t: t != "")
+    tok = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = freq.agg(F.sum("cw").alias("_n"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cw") / F.col("_n"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+UNIGRAM_LP_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, count(*) AS cw FROM tok GROUP BY 1
+), n AS (SELECT sum(cw) AS n FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(freq.cw / n.n)), 6) AS mean_logprob
+FROM tok JOIN freq USING (w) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
+def corpus_summary(spark, sf_dir):
+    """Dataset-card summary row: doc/lang/source cardinalities, length
+    quantiles, exact-duplicate rate — the one-scan profile a corpus
+    release ships with."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast("binary"))
+    pct = F.percentile(F.col("n_chars"), F.lit([0.5, 0.9]))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", norm.alias("_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            pct.alias("_p"),
+            (F.count(F.lit(1)) - F.countDistinct("_fp")).alias("n_exact_dups"),
+        )
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "total_chars",
+            F.round(F.element_at("_p", 1), 2).alias("p50_chars"),
+            F.round(F.element_at("_p", 2), 2).alias("p90_chars"),
+            "n_exact_dups",
+        )
+    )
+
+
+CORPUS_SUMMARY_SQL = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_exact_dups
+FROM documents
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -3434,6 +3520,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_training_shuffle": docs_training_shuffle,
     "events_funnel_latency": events_funnel_latency,
     "audit_outliers_acctbal": audit_outliers_acctbal,
+    "text_unigram_logprob": text_unigram_logprob,
+    "corpus_summary": corpus_summary,
     "multimodal_features": multimodal_features,
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
@@ -3563,6 +3651,8 @@ ORACLES: dict[str, str] = {
     "zorder_customers": _zorder_sql(),
     "events_funnel_latency": FUNNEL_LATENCY_SQL,
     "audit_outliers_acctbal": OUTLIER_SQL,
+    "text_unigram_logprob": UNIGRAM_LP_SQL,
+    "corpus_summary": CORPUS_SUMMARY_SQL,
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
     "sample_weighted_reservoir": RESERVOIR_SQL,
