@@ -41,6 +41,13 @@ BENCH_QUERIES = [
     "interval_join_events_windows",
     "dedup_incremental_batch",
     "pack_sequences_documents",
+    # r3 families: CDC fold, tf-idf, funnel, span contamination,
+    # quota admission
+    "cdc_apply_orders",
+    "text_tfidf_top_terms",
+    "events_funnel",
+    "contamination_span_pairs",
+    "events_value_cap",
 ]
 
 
