@@ -204,6 +204,7 @@ def training_shuffle(
     df: DataFrame,
     id_col: str,
     n_shards: int = 8,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle for training-data serving: every
     row gets a (shard, pos) address that is a pure function of its key
@@ -211,24 +212,66 @@ def training_shuffle(
     statistically order-destroying (md5 ordering decorrelates from any
     crawl/source order). Output: original columns + (shard, pos).
 
-    Plan shape: one hash projection + one window per shard partition
-    (the pos numbering shuffles by shard — n_shards partitions, each
-    numbered independently). At 100 TB, write with
-    .repartition("shard").sortWithinPartitions("pos") for
-    sequential-read training shards; no global sort ever happens."""
+    Plan shape — two-phase numbering, the prefix_sum pattern: range-
+    partition by (shard, md5) into `partitions` tasks, count rows per
+    (shard, range-partition), cumsum those counts per shard on the
+    driver (O(partitions × shards) rows), broadcast the base offsets
+    back, and number locally within each (shard, partition) slice.
+    pos = base + local row_number. No window ever spans more than one
+    range partition, so there is NO single-task-per-shard reducer: the
+    old partitionBy(shard) window put ~1/n_shards of ALL rows through
+    one task (12.5 TB at 100 TB with the default 8 shards). At 100 TB,
+    write with .repartition("shard").sortWithinPartitions("pos") for
+    sequential-read training shards; no global sort ever happens.
+
+    `id_col` must be unique: rows sort on (md5(id), id) so duplicate
+    ids hash identically and their relative pos would be range-boundary
+    dependent (same caveat as relational.prefix_sum's order_col)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
-    w = Window.partitionBy("shard").orderBy("_h")
     # shard derives from the same 60-bit prefix as md5_hash60; the full
     # hex string also orders rows within the shard, so it stays a column
-    return (
+    ranged = (
         df.withColumn("_h", h)
         .withColumn(
             "shard",
             (F.conv(F.substring("_h", 1, 15), 16, 10).cast("bigint") % n_shards)
             .cast("int"),
         )
-        .withColumn("pos", F.row_number().over(w))
-        .drop("_h")
+        # range order = (shard, hash) order, so each partition holds one
+        # contiguous slice of exactly one-or-more shard runs; lazy local
+        # checkpoint lets the counts collect and the final plan share one
+        # materialization of the range shuffle
+        .repartitionByRange(n, F.col("shard"), F.col("_h"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        ranged.groupBy("shard", "_pid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy("shard", "_pid")
+        .collect()
+    )
+    base, acc = [], {}
+    for r in counts:
+        base.append((r["shard"], r["_pid"], acc.get(r["shard"], 0)))
+        acc[r["shard"]] = acc.get(r["shard"], 0) + r["_c"]
+    bases = df.sparkSession.createDataFrame(
+        base or [(0, 0, 0)], "shard int, _pid int, _base bigint"
+    )
+    # every window group is one (shard, partition) slice — bounded by
+    # the range partition size, never a whole shard. Secondary sort on
+    # the key string makes in-slice ordering deterministic.
+    w = Window.partitionBy("shard", "_pid").orderBy(
+        "_h", F.col(id_col).cast("string")
+    )
+    return (
+        ranged.join(F.broadcast(bases), ["shard", "_pid"], "left")
+        .withColumn(
+            "pos",
+            (F.coalesce("_base", F.lit(0)) + F.row_number().over(w)).cast("bigint"),
+        )
+        .drop("_h", "_pid", "_base")
     )
 
 

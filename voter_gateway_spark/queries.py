@@ -2705,8 +2705,9 @@ WITH h AS (
 SELECT doc_id,
        CAST(('0x' || substring(h, 1, 15))::BIGINT % 8 AS INTEGER) AS shard,
        CAST(row_number() OVER (
-         PARTITION BY ('0x' || substring(h, 1, 15))::BIGINT % 8 ORDER BY h
-       ) AS INTEGER) AS pos
+         PARTITION BY ('0x' || substring(h, 1, 15))::BIGINT % 8
+         ORDER BY h, CAST(doc_id AS VARCHAR)
+       ) AS BIGINT) AS pos
 FROM h
 """
 
