@@ -101,10 +101,12 @@ def test_contamination_collapse_train_reports_reps(spark):
         [Row(doc_id=100, text="a b c d e f tail here")],
         "doc_id bigint, text string",
     )
-    full = contamination_spans(ev, train, "doc_id", "text", min_matched=2)
-    collapsed = contamination_spans(
-        ev, train, "doc_id", "text", min_matched=2, collapse_train=True
+    full = contamination_spans(
+        ev, train, "doc_id", "text", min_matched=2, collapse_train=False
     )
+    # collapse is the DEFAULT: crawl-duplicated train corpora would blow
+    # the pair count up ~d² with the all-pairs (opt-in) form
+    collapsed = contamination_spans(ev, train, "doc_id", "text", min_matched=2)
     assert {r.train_id for r in full.collect()} == {2, 5, 9}
     crows = collapsed.collect()
     assert {r.train_id for r in crows} == {2}

@@ -282,7 +282,7 @@ def contamination_spans(
     text_col: str,
     k: int = 3,
     min_matched: int = 5,
-    collapse_train: bool = False,
+    collapse_train: bool = True,
 ) -> DataFrame:
     """Span-level train/eval contamination: for each (eval, train)
     document pair, how many of the eval doc's shingle POSITIONS match
@@ -299,15 +299,17 @@ def contamination_spans(
     by hash and streams, and min_matched prunes the pair fanout before
     the island window.
 
-    `collapse_train=True` is the crawl-duplication lever (measured:
-    the 10× key-offset stress makes every train doc 10-way duplicated
-    and pair output grows ~d² — 2.2s → 16.5s): train docs with
-    IDENTICAL distinct-shingle sets collapse to their min-id
+    `collapse_train` (DEFAULT ON) is the crawl-duplication lever
+    (measured: the 10× key-offset stress makes every train doc 10-way
+    duplicated and pair output grows ~d² — 2.2s → 16.5s): train docs
+    with IDENTICAL distinct-shingle sets collapse to their min-id
     representative before pairing, so `train_id` reports the rep and
     pair work returns to corpus-unique cost. Duplicate copies match
     identically by construction, so no contamination evidence is lost
-    — only repeated. Default off: the oracle-checked catalog query
-    pins the exact all-pairs form."""
+    — only repeated. On crawl corpora the all-pairs form is the first
+    query to die at 100×, so it is opt-in (`collapse_train=False`)
+    for callers that need every duplicate train_id enumerated; the
+    oracle-checked catalog query pins the collapsed form."""
     ev = eval_df.select(
         F.col(id_col).alias("_eid"),
         F.posexplode(word_shingles(text_col, k=k, distinct=False)).alias(

@@ -2713,8 +2713,12 @@ FROM h
 
 
 def contamination_span_pairs(spark, sf_dir):
-    """Span-level contamination: per (eval, train) doc pair, matched
-    shingle-position count + longest consecutive matched run."""
+    """Span-level contamination: per (eval, train-representative) doc
+    pair, matched shingle-position count + longest consecutive matched
+    run. Uses the collapse_train default: train docs with identical
+    distinct-shingle sets report their min-id representative, so crawl
+    duplication cannot blow the pair count up ~d² (measured 2.2s →
+    16.5s at 10× duplication with the all-pairs form)."""
     from voter_gateway_spark.operators.analytics import contamination_spans
 
     docs = _t(spark, sf_dir, "documents")
@@ -2732,8 +2736,17 @@ WITH w AS (
   SELECT doc_id, i - 1 AS pos,
          ('0x' || substring(md5(concat_ws(' ', wl[i], wl[i+1], wl[i+2])), 1, 15))::BIGINT AS h
   FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+), tr_sets AS (
+  -- mirror of collapse_train: one row per train doc with its SORTED
+  -- distinct shingle-hash list; identical lists collapse to min doc_id
+  SELECT doc_id AS tid,
+         array_to_string(list_sort(list(DISTINCT h)), ',') AS fp
+  FROM sh WHERE doc_id % 7 <> 0 GROUP BY doc_id
+), reps AS (
+  SELECT min(tid) AS tid, fp FROM tr_sets GROUP BY fp
 ), tr AS (
-  SELECT DISTINCT doc_id AS tid, h FROM sh WHERE doc_id % 7 <> 0
+  SELECT DISTINCT r.tid, s.h
+  FROM reps r JOIN sh s ON s.doc_id = r.tid
 ), ev AS (
   SELECT doc_id AS eid, pos, h FROM sh WHERE doc_id % 7 = 0
 ), m AS (
