@@ -93,3 +93,108 @@ def test_stream_upsert_two_batches_accumulate(spark, tmp_path):
 
     got = {r.id: r.v for r in spark.read.parquet(target_dir).where("id IS NOT NULL").collect()}
     assert got[1] == 111            # 1 + 10 + 100 across two batches
+
+
+class _SwapFaultFS:
+    """Proxy over the Hadoop FileSystem that faults the FIRST rename
+    whose destination is the live target path (i.e. the promote in the
+    first batch attempt — the park rename targets `__old` and passes).
+    mode='raise' simulates a kill between the two swap renames;
+    mode='false' simulates Hadoop's report-failure-by-returning-false."""
+
+    def __init__(self, fs, live_path, mode, state):
+        self._fs, self._live, self._mode, self._state = fs, live_path, mode, state
+
+    def rename(self, src, dst):
+        if str(dst) == self._live and self._state["hits"] == 0:
+            self._state["hits"] += 1
+            if self._mode == "raise":
+                raise RuntimeError("injected crash between swap renames")
+            return False
+        return self._fs.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def _fault_injected_fs(target_dir, mode, state):
+    from voter_gateway_spark.streaming import upsert_sink
+
+    real = upsert_sink._fs.__wrapped__ if hasattr(upsert_sink._fs, "__wrapped__") else upsert_sink._fs
+
+    def wrapped(spark, path):
+        fs, hpath, jvm = real(spark, path)
+        return _SwapFaultFS(fs, target_dir, mode, state), hpath, jvm
+
+    return wrapped
+
+
+def _crash_recovery_scenario(spark, tmp_path, monkeypatch, mode, name):
+    """Kill/fail the promote rename mid-swap, then restart from the
+    same checkpoint: _recover must heal the parked version, the marker
+    check must let the replay re-merge exactly once (no double-apply of
+    the accumulating $T + $S expression), and no temp dirs survive."""
+    from voter_gateway_spark.streaming import upsert_sink
+
+    target_dir = str(tmp_path / f"tgt_{name}")
+    bootstrap_target(
+        spark,
+        target_dir,
+        spark.createDataFrame([Row(id=1, k="K1", v=1)], "id int, k string, v int"),
+    )
+    src_dir = tmp_path / f"src_{name}"
+    src_dir.mkdir()
+    _write_jsonl(src_dir / "b1.jsonl", [{"k": "K1", "v": 10}])
+    plan = MergePlan(target_pk="id").merge_column_as("v", "$T + $S")
+    state = {"hits": 0}
+    monkeypatch.setattr(
+        upsert_sink, "_fs", _fault_injected_fs(target_dir, mode, state)
+    )
+
+    def attempt():
+        stream = spark.readStream.schema("k string, v int").json(str(src_dir))
+        writer = stream_upsert_parquet(
+            stream, target_dir, pk="id", match_columns=[["k"]], merge_plan=plan
+        )
+        q = writer.trigger(availableNow=True).option(
+            "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+        ).start()
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass  # failed query: surface it via q.exception() below
+        finally:
+            q.stop()
+        return q.exception()
+
+    exc = attempt()
+    assert exc is not None, "first attempt must fail (injected swap fault)"
+    if mode == "false":
+        assert "SwapFailedError" in str(exc) or "returned false" in str(exc)
+    assert state["hits"] == 1
+    # crash window: live path gone, previous version parked at __old
+    import os
+    assert not os.path.exists(target_dir)
+    assert os.path.exists(f"{target_dir}__old")
+
+    # restart from the SAME checkpoint → batch 0 replays: _recover heals,
+    # marker (absent/stale) admits the merge, swap completes
+    exc2 = attempt()
+    assert exc2 is None, f"replay must succeed, got {exc2}"
+    got = {
+        r.id: r.v
+        for r in spark.read.parquet(target_dir).where("id IS NOT NULL").collect()
+    }
+    assert got[1] == 11, f"merge must apply exactly once, got {got[1]}"
+    leftovers = glob.glob(f"{target_dir}__*")
+    assert leftovers == [], leftovers
+
+
+def test_crash_between_swap_renames_heals_on_replay(spark, tmp_path, monkeypatch):
+    _crash_recovery_scenario(spark, tmp_path, monkeypatch, "raise", "crash")
+
+
+def test_false_returning_promote_fails_batch_then_heals(spark, tmp_path, monkeypatch):
+    # Hadoop rename reports failure by returning false: the sink must
+    # raise (not commit the checkpoint with the merge lost) and recover
+    _crash_recovery_scenario(spark, tmp_path, monkeypatch, "false", "false")

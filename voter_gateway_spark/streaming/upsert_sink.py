@@ -44,6 +44,27 @@ from voter_gateway_spark.plans import MatchPlan, MergePlan
 _MARKER = "_vgs_batch_id"
 
 
+class SwapFailedError(IOError):
+    """A filesystem rename/delete in the swap protocol returned false.
+
+    Hadoop's FileSystem API reports most failures by RETURNING FALSE,
+    not raising — an unchecked false on the promote rename would let
+    _apply_batch return normally, the streaming checkpoint commit the
+    batch, and the micro-batch's merge be silently lost (the live
+    marker never advances, so _recover would restore OLD data). Raising
+    instead fails the batch, Structured Streaming replays it from the
+    checkpoint, and the marker check keeps the replay idempotent."""
+
+
+def _must(ok: bool, action: str) -> None:
+    if not ok:
+        raise SwapFailedError(
+            f"swap protocol: {action} returned false (Hadoop FileSystem "
+            "reports failure via return value); failing the batch so "
+            "Structured Streaming replays it"
+        )
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -81,7 +102,7 @@ def _recover(spark: SparkSession, target_dir: str) -> None:
     fs, live, jvm = _fs(spark, target_dir)
     old = jvm.org.apache.hadoop.fs.Path(f"{target_dir}__old")
     if not fs.exists(live) and fs.exists(old):
-        fs.rename(old, live)
+        _must(fs.rename(old, live), f"recover rename {old} -> {live}")
 
 
 def stream_upsert_parquet(
@@ -121,10 +142,22 @@ def stream_upsert_parquet(
         _write_marker(spark, tmp, batch_id)
         fs, live, jvm = _fs(spark, target_dir)
         old = jvm.org.apache.hadoop.fs.Path(f"{target_dir}__old")
-        fs.delete(old, True)
-        fs.rename(live, old)                                  # park current
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live)  # promote new
-        fs.delete(old, True)
+        # every rename/delete checked: an unchecked false on the promote
+        # would commit the checkpoint with the merge lost (see SwapFailedError)
+        if fs.exists(old):
+            _must(fs.delete(old, True), f"pre-swap delete {old}")
+        _must(fs.rename(live, old), f"park rename {live} -> {old}")
+        _must(
+            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live),
+            f"promote rename {tmp} -> {live}",
+        )
+        if fs.exists(old):
+            _must(fs.delete(old, True), f"post-swap delete {old}")
+        # a crashed earlier attempt leaves its unpromoted version dir
+        # behind; sweep stale __v* siblings after each successful swap
+        stale = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{target_dir}__v*"))
+        for st in list(stale) if stale is not None else []:
+            _must(fs.delete(st.getPath(), True), f"stale version delete {st.getPath()}")
 
     writer = (
         stream.writeStream.foreachBatch(_apply_batch)
