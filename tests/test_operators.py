@@ -922,3 +922,38 @@ def test_edit_distance_respects_max_dist(spark):
     )
     assert fuzzy.edit_distance_pairs(df, "s", "id", max_dist=2).count() == 0
     assert fuzzy.edit_distance_pairs(df, "s", "id", max_dist=4).count() == 1
+
+
+def test_band_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """Persisted MinHash band index (partitioned by band + key prefix)
+    must return exactly what the in-memory bipartite probe computes,
+    and both probe scans must be partition-pruned."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "band_idx")
+    dedup_ops.build_band_index(corpus, path, "doc_id", "text", k=3)
+    got = dedup_ops.probe_band_index(spark, path, batch, "doc_id", "text", threshold=0.3)
+    exp = dedup_ops.incremental_minhash_pairs(
+        batch, corpus, "doc_id", "text", k=3, threshold=0.3
+    )
+    g = {(r.new_id, r.corpus_id, r.jaccard) for r in got.collect()}
+    e = {(r.new_id, r.corpus_id, r.jaccard) for r in exp.collect()}
+    assert g == e and len(g) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # the verify scan prunes on _ip (the band scan's (_b, _kp) filter
+    # sits above the candidate checkpoint, so assert it on the layout)
+    assert "PartitionFilters: [_ip" in plan
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        spark.read.parquet(f"{path}/bands").where(
+            (F.col("_b") == 0) & F.col("_kp").isin(["ab", "cd"])
+        ).explain("formatted")
+    band_plan = buf2.getvalue()
+    assert "_kp" in band_plan.split("PartitionFilters")[1].split("]")[0]

@@ -359,10 +359,11 @@ def incremental_minhash_pairs(
 
     The join is bipartite (new bands × corpus bands on the band key),
     so cost scales with |new| × collision rate, not |corpus|². In
-    production the corpus side is a PERSISTED band index — write
-    `_minhash_band_rows(minhash_hashed_sigs(corpus))` partitioned by
-    band and bucketed by key once, and each batch probe becomes a scan
-    of matching buckets only (same pattern as the persisted IVF index).
+    production the corpus side is a PERSISTED band index: see
+    `build_band_index` / `probe_band_index` below, which write the band
+    rows partitioned by (band, key-prefix) once so each batch probe
+    becomes a partition-pruned scan of matching buckets only (same
+    pattern as the persisted IVF index).
     Candidates are verified with exact Jaccard on the hash sets, so
     banding only affects recall, never precision — and the DuckDB
     oracle reproduces the banding bit-for-bit (md5-derived affine
@@ -697,3 +698,141 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return expand(rep_pairs)
+
+
+def build_band_index(
+    corpus_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    prefix_len: int = 2,
+) -> None:
+    """Persist the corpus side of the incremental MinHash probe — the
+    pattern `incremental_minhash_pairs` documents ("in production the
+    corpus side is a PERSISTED band index"), realized the same way as
+    similarity.build_ivf_index: layout IS the index, and the probe's
+    partition filters ARE the candidate restriction.
+
+    Reference shape: fuzzy_merger.rb:21-36 builds a persistent
+    candidate pool once and probes it per merge; this generalizes that
+    to the LSH band structure.
+
+    Writes three datasets under `path`:
+
+    - `bands`: (corpus_id, _k) PARTITIONED BY (_b, _kp) where _kp is a
+      `prefix_len`-hex-char md5 prefix of the band key — 16^prefix_len
+      directories per band. A batch probe only touches the (band,
+      prefix) partitions its own keys fall in.
+    - `hashes`: (corpus_id, _shb) — the distinct 60-bit shingle sets
+      for exact Jaccard verification — PARTITIONED BY _ip (md5 prefix
+      of the id), so the verify join scans only the candidates'
+      id-prefix partitions, never the whole corpus.
+    - `meta`: one row of (k, n_hashes, bands, prefix_len); the probe
+      reads its parameters from here so signatures always agree with
+      the build.
+    """
+    base = minhash_hashed_sigs(corpus_df, id_col, text_col, k, n_hashes)
+    rows = _minhash_band_rows(base, bands, n_hashes // bands)
+    (
+        rows.select(F.col("_id").alias("corpus_id"), "_b", "_k")
+        .withColumn("_kp", F.substring(F.md5(F.col("_k").cast("binary")), 1, prefix_len))
+        .write.mode("overwrite")
+        .partitionBy("_b", "_kp")
+        .parquet(f"{path}/bands")
+    )
+    (
+        base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
+        .withColumn(
+            "_ip",
+            F.substring(
+                F.md5(F.col("corpus_id").cast("string").cast("binary")), 1, prefix_len
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_ip")
+        .parquet(f"{path}/hashes")
+    )
+    corpus_df.sparkSession.createDataFrame(
+        [(k, n_hashes, bands, prefix_len)],
+        "k int, n_hashes int, bands int, prefix_len int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def probe_band_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a `build_band_index`
+    corpus: same output contract as `incremental_minhash_pairs`
+    (new_id, corpus_id, jaccard >= threshold), but the corpus cost is
+    partition-pruned file reads instead of a full recompute.
+
+    Probe shape — every corpus-side scan statically pruned:
+
+    1. band the batch (same md5-affine signatures, read from meta);
+    2. collect the batch's DISTINCT (band, key-prefix) pairs — bounded
+       by bands x 16^prefix_len literals (1024 at the defaults), NOT by
+       batch size — and scan `bands` with that as a partition filter;
+    3. equi-join on (band, prefix, key) -> candidate (new_id,
+       corpus_id) pairs;
+    4. collect the candidates' distinct id-prefixes (<= 16^prefix_len
+       literals) and scan `hashes` pruned the same way for the exact
+       Jaccard verification.
+
+    Banding only affects recall, never precision (candidates verify
+    exactly), identical to the in-memory probe."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    nb = minhash_hashed_sigs(new_df, id_col, text_col, meta.k, meta.n_hashes)
+    nrows = (
+        _minhash_band_rows(nb, meta.bands, meta.n_hashes // meta.bands)
+        .withColumn(
+            "_kp",
+            F.substring(F.md5(F.col("_k").cast("binary")), 1, meta.prefix_len),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probes = [(r["_b"], r["_kp"]) for r in nrows.select("_b", "_kp").distinct().collect()]
+    pred = F.lit(False)
+    by_band: dict[int, list[str]] = {}
+    for b, kp in probes:
+        by_band.setdefault(b, []).append(kp)
+    for b, kps in by_band.items():
+        pred = pred | ((F.col("_b") == b) & F.col("_kp").isin(kps))
+    idx = spark.read.parquet(f"{path}/bands").where(pred)
+    cand = (
+        nrows.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._kp") == F.col("b._kp"))
+            & (F.col("a._k") == F.col("b._k")),
+        )
+        .select(F.col("a._id").alias("new_id"), F.col("b.corpus_id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+        .localCheckpoint(eager=True)
+    )
+    ips = [r["_ip"] for r in cand.select(
+        F.substring(
+            F.md5(F.col("corpus_id").cast("string").cast("binary")), 1, meta.prefix_len
+        ).alias("_ip")
+    ).distinct().collect()]
+    hashes = spark.read.parquet(f"{path}/hashes").where(
+        F.col("_ip").isin(ips) if ips else F.lit(False)
+    )
+    return (
+        cand.join(hashes.select("corpus_id", "_shb"), "corpus_id")
+        .join(nb.select(F.col("_id").alias("new_id"), F.col("_hh").alias("_sha")), "new_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
