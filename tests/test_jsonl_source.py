@@ -84,3 +84,24 @@ def test_duckdb_parity_on_clean_shard(spark, shard):
         f"SELECT doc_id, text, meta.lang AS lang FROM read_json_auto('{shard}') ORDER BY doc_id"
     ).df()
     assert got.equals(exp)
+
+
+def test_reread_releases_previous_cache_and_counts_latest(spark, tmp_path):
+    # re-read unpersists the prior parse (no storage leak) and
+    # malformed_count reflects the latest read; release() frees it
+    p1 = tmp_path / "a.jsonl"
+    p1.write_text('{"id": 1}\n{bad\n{"id": 2}\n')
+    src = JSONLSource(str(p1), schema="id bigint", remove_malformed=True)
+    src.read(spark)
+    assert src.malformed_count() == 1
+    first = src._flagged
+    p2 = tmp_path / "b.jsonl"
+    p2.write_text('{"id": 3}\n{bad\n{also bad\n')
+    src.path = str(p2)
+    src.read(spark)
+    assert not first.is_cached, "previous parse must be unpersisted"
+    assert src.malformed_count() == 2
+    src.release()
+    with pytest.raises(ValueError):
+        src.malformed_count()
+    src.release()  # idempotent

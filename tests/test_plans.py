@@ -198,5 +198,8 @@ def test_cdc_apply_is_one_join(spark, sf_dir):
 
 
 def test_knn_vote_broadcasts_labels(spark, sf_dir):
+    # no forced hint (an O(corpus) frame must not be hint-broadcast at
+    # 100 TB) — but at sf0.01 statistics, the planner should still pick
+    # a broadcast join on its own
     plan = _plan(QUERIES["embed_knn_label"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan

@@ -172,6 +172,7 @@ def knn_label_vote(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """k-NN classification: each query's label predicted by majority
     vote among its k nearest corpus vectors (cosine; self excluded).
@@ -180,7 +181,12 @@ def knn_label_vote(
 
     Composes brute_force_topk (the exact baseline — swap in ivf_topk /
     lsh_bucketed_topk for the blocked scale path, same output contract)
-    with a broadcast label join and a per-query vote window."""
+    with a label join and a per-query vote window. The label frame is
+    O(corpus), so the join strategy is left to the planner by default —
+    AQE broadcasts it when statistics say it fits, and falls back to a
+    shuffle join when a 100 TB corpus would OOM the driver under a
+    forced hint. `broadcast_labels=True` opts into the hint for callers
+    that KNOW the label table is small."""
     from voter_gateway_spark.operators.similarity import brute_force_topk
 
     nn = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
@@ -188,7 +194,7 @@ def knn_label_vote(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lbl")
     )
     votes = (
-        nn.join(F.broadcast(labels), "neighbor_id")
+        nn.join(F.broadcast(labels) if broadcast_labels else labels, "neighbor_id")
         .groupBy(F.col("query_id").alias(id_col), "_lbl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

@@ -297,9 +297,12 @@ def apply_changes(
     """CDC changelog apply (Delta-style APPLY CHANGES INTO, the
     lakehouse generalization of the reference's M1/M2 upsert): fold a
     stream of keyed (op, seq) change rows into the target — the LATEST
-    change per key wins (highest seq, ties broken by op descending for
-    determinism), upserts (any op != delete_op) replace or insert the
-    row, deletes drop it.
+    change per key wins (highest seq; ties break op descending, then
+    every payload column descending as text, so even two change rows
+    with identical (seq, op) but different payloads fold the same way
+    on every run and engine — (pk, seq) uniqueness is therefore NOT a
+    precondition, just the normal shape), upserts (any op != delete_op)
+    replace or insert the row, deletes drop it.
 
     One plan: per-key latest change via WindowGroupLimit (partial
     top-1 before the shuffle), then a single full-outer join against
@@ -308,8 +311,13 @@ def apply_changes(
     into the storage-layer MERGE (sources/merge_sink.py records that
     decision)."""
     data_cols = [c for c in target.columns]
+    payload_tiebreak = [
+        F.col(c).cast("string").desc_nulls_last()
+        for c in changes.columns
+        if c not in (pk, seq_col, op_col)
+    ]
     w = Window.partitionBy(pk).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
+        F.col(seq_col).desc(), F.col(op_col).desc(), *payload_tiebreak
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

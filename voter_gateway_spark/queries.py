@@ -2886,7 +2886,15 @@ WITH o AS (
   FROM base
 ), latest AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      -- mirror apply_changes' full deterministic order: seq, op, then
+      -- every payload column descending as text
+      ORDER BY seq DESC, op DESC,
+               CAST(o_custkey AS VARCHAR) DESC NULLS LAST,
+               CAST(o_totalprice AS VARCHAR) DESC NULLS LAST,
+               CAST(o_orderstatus AS VARCHAR) DESC NULLS LAST
+    ) AS rn
     FROM ch
   ) WHERE rn = 1
 )

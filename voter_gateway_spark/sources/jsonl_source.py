@@ -58,6 +58,10 @@ class JSONLSource:
             "_malformed", F.col(self._corrupt_col).isNotNull()
         )
         if self.remove_malformed:
+            # a re-read supersedes the previous cached parse: release it
+            # so repeated reads don't pin stale blocks in storage memory
+            # (malformed_count always reflects the LATEST read)
+            self.release()
             flagged = flagged.cache()
             self._flagged = flagged
             return flagged.where(~F.col("_malformed")).drop(
@@ -66,7 +70,15 @@ class JSONLSource:
         return flagged.drop("_malformed")
 
     def malformed_count(self) -> int:
-        """Dropped-line count for auditing (A7 contract, CSVSource parity)."""
-        if not hasattr(self, "_flagged"):
+        """Dropped-line count for auditing (A7 contract, CSVSource parity).
+        Reflects the most recent read()."""
+        if getattr(self, "_flagged", None) is None:
             raise ValueError("read() with remove_malformed=True first")
         return self._flagged.where(F.col("_malformed")).count()
+
+    def release(self) -> None:
+        """Unpersist the cached parse backing malformed_count(). Call
+        when done auditing; safe to call repeatedly or before read()."""
+        if getattr(self, "_flagged", None) is not None:
+            self._flagged.unpersist()
+            self._flagged = None
