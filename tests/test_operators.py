@@ -957,3 +957,21 @@ def test_band_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
         ).explain("formatted")
     band_plan = buf2.getvalue()
     assert "_kp" in band_plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_ivf_lloyd_partition_count_invariant(spark, sf_dir):
+    """With centroid_round, the Lloyd trajectory must be identical at
+    any partition layout: the mean's fold order varies with partitions,
+    and the decimal snap (9 places, ~7 orders above accumulated ulp
+    error) must absorb it completely."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    a = similarity.ivf_topk(
+        qs.repartition(4), emb.repartition(4), k=5, iters=2, centroid_round=9
+    )
+    b = similarity.ivf_topk(
+        qs.repartition(32), emb.repartition(32), k=5, iters=2, centroid_round=9
+    )
+    ra = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in a.collect()}
+    rb = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in b.collect()}
+    assert ra == rb and len(ra) > 0

@@ -228,6 +228,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    centroid_round: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into cells; each query probes only
@@ -245,6 +246,16 @@ def ivf_topk(
     to fall back to brute_force_topk, is in SCALING.md §"Recall
     contract"). Scoring is exact cosine on the candidates; cell
     pruning is the only approximation.
+
+    `centroid_round`: round each centroid component to this many
+    decimals after every Lloyd mean. The mean's floating-point fold
+    order varies by engine and partition layout; snapping components
+    to a decimal grid (1e-9 default in the catalog — ~7 orders wider
+    than the fold's accumulated ulp error) makes every Lloyd round,
+    and therefore every assignment, bit-reproducible across runs,
+    partition counts, AND engines — which is what lets the Lloyd path
+    be DuckDB-oracle-checked (queries._ivf_lloyd_sql) and not just
+    recall-floor-tested. None preserves raw means.
 
     At scale the cell id is the natural partition key for a persisted
     index table: `corpus.writeTo(...).partitionedBy("_cell")` makes a
@@ -266,9 +277,17 @@ def ivf_topk(
 
     for _ in range(iters):
         assigned = _nearest_cells(c, "_cv", centroids, 1)
-        centroids = _vector_mean(assigned, "_cell", "_cv").select(
-            "_cell", F.col("_centroid")
-        ).localCheckpoint(eager=True)
+        centroids = _vector_mean(assigned, "_cell", "_cv")
+        if centroid_round is not None:
+            centroids = centroids.select(
+                "_cell",
+                F.transform(
+                    "_centroid", lambda x: F.round(x, centroid_round)
+                ).alias("_centroid"),
+            )
+        centroids = centroids.select("_cell", "_centroid").localCheckpoint(
+            eager=True
+        )
 
     cells = _nearest_cells(c, "_cv", centroids, 1).select("_cid", "_cv", "_cell")
     q = queries.select(
