@@ -111,7 +111,98 @@ def replicate(spark, n: int, dst: str) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
 
 
+def skew_stress(n: int, dst: str) -> None:
+    """Hot-key stress (voter-file shape: an empty/default join value
+    carrying a constant fraction of rows): ONE customer key receives
+    ~10% of ALL orders, then the match_cascade -> merge_upsert pipeline
+    runs with broadcast joins DISABLED so the match join shuffles both
+    sides — the 100 TB posture, where the dim no longer fits a
+    broadcast and a hot key lands 10% of the table on one reducer.
+
+    Runs the pipeline twice (AQE skew-split ON vs OFF, runtime confs),
+    reports wall time and whether the final adaptive plan actually
+    split the hot partition (`skew=true` in the sort-merge join). AQE
+    thresholds are lowered to engage at local data sizes; at cluster
+    sizes the defaults (256 MB) engage on their own."""
+    from voter_gateway_spark.plans import MatchPlan, MergePlan
+
+    spark = build_spark(
+        app_name="vgs-skew",
+        extra_conf={
+            # make the local partitions look "big" to the skew detector:
+            # the hot shuffle partition here is ~3 MB (projected join
+            # columns), far below the 256 MB cluster default
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    ok_max = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * ok_max))
+        for i in range(n)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    hot = big.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(1)).otherwise(F.col("o_custkey")),
+    )
+    hot.write.mode("overwrite").parquet(f"{dst}/orders_skewed.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+
+    def pipeline():
+        o = spark.read.parquet(f"{dst}/orders_skewed.parquet")
+        mp = MatchPlan(o, cust, target_pk="c_custkey", source_id="o_orderkey")
+        mp.foreign_key_match(
+            [("o_custkey", "c_custkey")], raw_condition="t.c_acctbal > 5000"
+        )
+        mp.foreign_key_match(
+            [("o_custkey", "c_custkey")], raw_condition="t.c_mktsegment = 'BUILDING'"
+        )
+        matches = mp.matches()
+        src = matches.groupBy(
+            F.col("_target_id").alias("c_custkey")
+        ).agg(F.lit(1.0).alias("c_acctbal"))
+        plan = MergePlan(target_pk="c_custkey").merge_column_as(
+            "c_acctbal", "round($T + $S, 2)"
+        )
+        mp2 = MatchPlan(src, cust, target_pk="c_custkey", source_id="c_custkey")
+        mp2.find_exact_matches(["c_custkey"])
+        merged = plan.execute(mp2.matches(), cust).target
+        return matches, merged
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # warmup (JIT + file listing) so the on/off timings compare fairly
+    pipeline()[0].count()
+    for mode in ("false", "true"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", mode)
+        t0 = time.time()
+        matches, merged = pipeline()
+        # collect() executes the DataFrame's OWN QueryExecution — count()
+        # spawns a derived plan, and the final adaptive plan (the one
+        # that shows skew=true splits) would never be visible on it
+        rows = len(matches.collect())
+        merged_rows = merged.count()
+        dt = time.time() - t0
+        plan_str = matches._jdf.queryExecution().executedPlan().toString()
+        engaged = "skew=true" in plan_str
+        print(
+            f"skew_stress x{n} skewJoin={mode}: match={rows} merged={merged_rows} "
+            f"{dt:.1f}s  aqe_skew_split_engaged={engaged}",
+            flush=True,
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        skew_stress(n, f"/tmp/skew_x{n}")
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{n}"
     spark = build_spark(app_name="vgs-stress")
