@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "events_funnel",
     "contamination_span_pairs",
     "events_value_cap",
+    # r4 families: oracle-checked Lloyd IVF, two-phase training shuffle
+    "embed_ivf_lloyd_topk",
+    "docs_training_shuffle",
 ]
 
 
