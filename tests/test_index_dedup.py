@@ -1,0 +1,124 @@
+"""Streaming near-dup admission against the persisted band index:
+batch-vs-corpus rejection, index growth across batches, intra-batch
+dedup, and the streaming (availableNow) end-to-end."""
+
+from pyspark.sql import functions as F
+
+from voter_gateway_spark.streaming.index_dedup import (
+    admit_batch,
+    bootstrap_index,
+    stream_dedup_against_index,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def test_admit_batch_rejects_corpus_dups_and_grows_index(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "corpus")
+    bootstrap_index(corpus, idx, cp, "doc_id", "text")
+
+    # batch 1: exact copies of corpus docs under new ids (must be
+    # rejected) + genuinely new docs (doc_id % 5 == 0; admitted)
+    copies = corpus.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    novel = docs.where(F.col("doc_id") % 5 == 0)
+    batch1 = novel.unionByName(copies)
+    admitted1 = admit_batch(spark, batch1, idx, cp, "doc_id", "text")
+    ids1 = {r.doc_id for r in admitted1.select("doc_id").collect()}
+    assert not any(i >= 1_000_000 for i in ids1), "corpus copies must be rejected"
+    assert ids1, "novel docs must be admitted"
+
+    # batch 2: copies of batch-1 ADMITTED docs — the index grew, so
+    # they are rejected now (read-your-own-writes across batches)
+    batch2 = admitted1.select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    admitted2 = admit_batch(spark, batch2, idx, cp, "doc_id", "text")
+    assert admitted2.count() == 0
+
+    # corpus dir holds exactly: bootstrap + batch-1 admissions
+    total = spark.read.parquet(cp).count()
+    assert total == corpus.count() + len(ids1)
+
+
+def test_admit_batch_intra_batch_dedup(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 == 1)
+    idx = str(tmp_path / "idx2")
+    cp = str(tmp_path / "corpus2")
+    bootstrap_index(corpus, idx, cp, "doc_id", "text")
+    # one novel doc arrives twice in the SAME batch under two ids:
+    # only the min id survives
+    seed = docs.where(F.col("doc_id") % 5 == 2).limit(1)
+    twice = seed.select(F.lit(10).alias("doc_id"), "text").unionByName(
+        seed.select(F.lit(20).alias("doc_id"), "text")
+    )
+    admitted = admit_batch(spark, twice, idx, cp, "doc_id", "text")
+    assert [r.doc_id for r in admitted.select("doc_id").collect()] == [10]
+    # with intra_batch off both pass (batch-vs-corpus only)
+    idx3 = str(tmp_path / "idx3")
+    cp3 = str(tmp_path / "corpus3")
+    bootstrap_index(corpus, idx3, cp3, "doc_id", "text")
+    both = admit_batch(
+        spark, twice, idx3, cp3, "doc_id", "text", intra_batch=False
+    )
+    assert both.count() == 2
+
+
+def test_stream_dedup_against_index_e2e(spark, sf_dir, tmp_path):
+    import json
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    idx = str(tmp_path / "idx_s")
+    cp = str(tmp_path / "corpus_s")
+    bootstrap_index(corpus, idx, cp, "doc_id", "text")
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    novel = [
+        {"doc_id": r.doc_id, "text": r.text}
+        for r in docs.where(F.col("doc_id") % 5 == 0).limit(5).collect()
+    ]
+    dup_of_corpus = [
+        {"doc_id": r.doc_id + 9_000_000, "text": r.text}
+        for r in corpus.limit(3).collect()
+    ]
+    (src / "b1.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in novel + dup_of_corpus) + "\n"
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").json(str(src))
+    writer = stream_dedup_against_index(
+        stream, idx, cp, "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    q.stop()
+
+    # expected admissions = novel docs minus those the in-memory
+    # bipartite probe flags as near-dups of the corpus (the fixture
+    # corpus contains organic near-dups, so not all 5 survive)
+    from voter_gateway_spark.operators.dedup_ops import incremental_minhash_pairs
+
+    novel_df = docs.where(F.col("doc_id") % 5 == 0).limit(5)
+    flagged = {
+        r.new_id
+        for r in incremental_minhash_pairs(
+            novel_df, corpus, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    expected_new = {d["doc_id"] for d in novel} - flagged
+    got = spark.read.parquet(cp)
+    new_ids = {
+        r.doc_id
+        for r in got.join(corpus.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert new_ids == expected_new
+    assert got.where(F.col("doc_id") >= 9_000_000).count() == 0
