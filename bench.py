@@ -67,8 +67,17 @@ def main() -> None:
     # best-of-N per query: this box shows multi-second scheduler noise
     # spikes; the min is the reproducible engine cost
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # SPARK_GRAFT_BENCH_SKIP: comma-separated queries to exclude — used
+    # by the 100x decade run to drop the brute-force cosine baseline,
+    # whose O(queries x corpus) contract is quadratic BY DESIGN (25B
+    # pairs at 100x; the scale paths are the IVF/LSH/int8 variants)
+    skip = set(
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    )
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        if name in skip:
+            continue
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()

@@ -203,13 +203,18 @@ def main() -> None:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         skew_stress(n, f"/tmp/skew_x{n}")
         return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/stress_x{n}"
+    build_only = "--build-only" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--build-only"]
+    n = int(args[0]) if args else 10
+    dst = args[1] if len(args) > 1 else f"/tmp/stress_x{n}"
     spark = build_spark(app_name="vgs-stress")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     replicate(spark, n, dst)
     print(f"built {dst} (x{n}) in {time.time() - t0:.0f}s", flush=True)
+    if build_only:
+        spark.stop()
+        return
     for name in STRESS_QUERIES:
         t0 = time.time()
         rows = QUERIES[name](spark, dst).count()
