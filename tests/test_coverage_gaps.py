@@ -121,3 +121,52 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_dedup_window_lowering_matches_join_cascade(spark):
+    """The join-free window lowering must reproduce the self-join
+    cascade exactly — including NULL group columns (never match under
+    SQL '=') and multi-rule priority."""
+    from voter_gateway_spark.plans.dedup import DedupPlan
+    from pyspark.sql import Row
+
+    rows = [
+        Row(id=1, a="x", b="p", v=10),
+        Row(id=2, a="x", b="q", v=20),   # rule1 dup of 1? (a only) — rule-dependent
+        Row(id=3, a="x", b="p", v=30),   # rule2 dup of 1 on (a,b)
+        Row(id=4, a=None, b="p", v=40),  # NULL a: no rule1/rule2 match
+        Row(id=5, a=None, b="p", v=50),  # NULL a groups must NOT merge
+        Row(id=6, a="y", b=None, v=60),  # NULL b: rule2 ineligible
+        Row(id=7, a="y", b="r", v=70),   # rule1 dup of 6 on (a)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a string, b string, v bigint")
+
+    def build():
+        p = DedupPlan(df, pk="id")
+        p.find_duplicates(["a", "b"])   # rule 1: (a, b)
+        p.find_duplicates(["a"])        # rule 2: (a) — lower priority
+        p.merge_column_as("v", "$T + $S")
+        return p
+
+    lowered = build()
+    assert lowered._window_lowerable()
+    via_window = lowered._window_matches()
+    via_join = lowered.match.matches()
+    key = lambda frame: sorted(
+        (r.id, r._target_id, r._match_rule) for r in frame.collect()
+    )
+    assert key(via_window) == key(via_join)
+
+    # a non-lowerable shape (extra raw_condition) falls back to the join
+    p2 = DedupPlan(df, pk="id")
+    p2.find_duplicates(["a"], raw_condition="s.v < t.v + 100")
+    assert not p2._window_lowerable()
+
+    # end-to-end result parity (fold + drop)
+    out = build().execute()
+    r = {x.id: x.v for x in out.collect()}
+    # group (a=x): min 1 survives; ids 2 (rule2) and 3 (rule1) dropped;
+    # lowest-pk duplicate (2) folds: v = 10 + 20
+    # group (a=y): 6 survives, 7 dropped and folds: v = 60 + 70
+    # NULL-a rows never merge
+    assert r == {1: 30, 4: 40, 5: 50, 6: 130}
