@@ -767,6 +767,33 @@ def dedup_incremental_batch(spark, sf_dir):
     )
 
 
+def dedup_band_index_probe(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash band index: the
+    corpus half (doc_id < 400) is written once as a partition-pruned
+    band index (operators/dedup_ops.build_band_index — layout IS the
+    index, like similarity.build_ivf_index), then the arriving batch
+    (doc_id ≥ 400) probes it with static (band, key-prefix) partition
+    filters. Same output contract as dedup_incremental_batch, so the
+    same bit-exact DuckDB oracle applies; the production win is that a
+    steady-state pipeline pays partition-pruned file reads per batch
+    instead of recomputing corpus signatures.
+
+    Reference shape: fuzzy_merger.rb:21-36's persistent candidate pool,
+    generalized to the LSH band structure."""
+    import hashlib
+
+    docs = _t(spark, sf_dir, "documents")
+    path = "/tmp/vgs_band_index_cat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dedup_ops.build_band_index(
+        docs.where(F.col("doc_id") < 400), path, "doc_id", "text",
+        k=3, n_hashes=16, bands=4,
+    )
+    return dedup_ops.probe_band_index(
+        spark, path, docs.where(F.col("doc_id") >= 400), "doc_id", "text",
+        threshold=0.1,
+    )
+
+
 def _incremental_minhash_sql(split: str = "doc_id >= 400", threshold: float = 0.1) -> str:
     from voter_gateway_spark.operators.dedup_ops import _MINHASH_P, _affine_consts
 
@@ -3581,6 +3608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_band_index_probe": dedup_band_index_probe,
     "dedup_edit_distance": dedup_edit_distance,
     "fuzzy_top1_documents": fuzzy_top1_documents,
     "text_token_stats": text_token_stats,
@@ -3735,6 +3763,9 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": _pii_sql(),
     "multimodal_ppm_decode": PPM_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
+    # the probe is roundtrip-tested equal to the in-memory bipartite
+    # probe, so the same bit-exact oracle applies
+    "dedup_band_index_probe": _incremental_minhash_sql(),
     "events_view_purchase_attribution": ATTRIBUTION_SQL,
     "pack_sequences_documents": PACK_SQL,
     "text_char_entropy": ENTROPY_SQL,
