@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "events_value_cap",
     # r4 families: oracle-checked Lloyd IVF, two-phase training shuffle
     "embed_ivf_lloyd_topk",
+    # auto-√N cell count — the scale form; the fixed-16 Lloyd above is
+    # the oracle-pinned correctness form and goes quadratic by design
+    # when |Q| grows with N (skip it at big replicas via
+    # SPARK_GRAFT_BENCH_SKIP)
+    "embed_ivf_auto_topk",
     "docs_training_shuffle",
 ]
 

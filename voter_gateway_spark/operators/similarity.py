@@ -197,17 +197,61 @@ def vector_mean(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
 def _nearest_cells(vecs: DataFrame, vcol: str, cents: DataFrame, rank_n: int) -> DataFrame:
     """Attach the `rank_n` nearest centroid cells to each vector row
     (cosine rounded to 6 places; ties broken on ascending cell id).
-    Rounding before ordering makes the assignment reproducible across
-    engines (fold-order ulp differences can't flip a rank), which is
-    what lets the fixed-centroid IVF variant be oracle-checked.
-    Centroids broadcast."""
-    pairs = vecs.crossJoin(F.broadcast(cents))
-    sim = F.round(cosine(F.col(vcol), F.col("_centroid")), 6)
-    w = Window.partitionBy(vecs.columns[0]).orderBy(sim.desc(), F.col("_cell").asc())
+
+    The centroid table collapses to ONE broadcast row holding
+    array<struct<_cell,_centroid>>; each vector row ranks the cells
+    with an in-row array_sort over (1 − sim, cell) — exactly the old
+    `sim DESC, cell ASC` window ordering — and explodes the first
+    rank_n cells. Versus the previous crossJoin + row_number form this
+    emits |vecs| × rank_n rows instead of pushing |vecs| × |cents|
+    rows through a window SHUFFLE per pass (at the 100× stress that
+    window alone moved ~10⁸ rows per Lloyd round). Rounding before
+    ordering keeps the ranking reproducible across engines (fold-order
+    ulp differences can't flip a rank), which is what lets the IVF
+    variants be oracle-checked."""
+    one = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                # centroid norms ride the broadcast struct so each
+                # vector×cell comparison is ONE fold (the dot), not
+                # three — cosine(a,b) staged as dot/(_vn·_cn), the
+                # identical expression tree, so results are bit-equal
+                F.struct(
+                    "_cell", "_centroid", norm(F.col("_centroid")).alias("_cn")
+                )
+            )
+        ).alias("_cents")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    # 1 − sim is order-isomorphic to sim DESC on the
+                    # rounded 1e-6 grid (grid step dwarfs double ulp in
+                    # [0,2]) and avoids the −0.0/0.0 ordering ambiguity
+                    # a plain negation would introduce
+                    (
+                        F.lit(1.0)
+                        - F.round(
+                            dot(F.col(vcol), s["_centroid"])
+                            / (F.col("_vn") * s["_cn"]),
+                            6,
+                        )
+                    ).alias("_d"),
+                    s["_cell"].alias("_cell"),
+                ),
+            )
+        ),
+        1,
+        rank_n,
+    )
     return (
-        pairs.withColumn("_rank", F.row_number().over(w))
-        .where(F.col("_rank") <= rank_n)
-        .drop("_centroid", "_rank")
+        vecs.crossJoin(F.broadcast(one))
+        .withColumn("_vn", norm(F.col(vcol)))
+        .withColumn("_top", ranked)
+        .withColumn("_cell", F.explode(F.transform("_top", lambda s: s["_cell"])))
+        .drop("_cents", "_top", "_vn")
     )
 
 
@@ -222,7 +266,7 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     iters: int = 3,
     id_col: str = "vec_id",
@@ -261,10 +305,25 @@ def ivf_topk(
     index table: `corpus.writeTo(...).partitionedBy("_cell")` makes a
     query's probe list prune to n_probe partitions at the scan
     (`AND _cell IN (...)` → partition pruning, no shuffle).
-    """
+
+    `n_centroids=None` auto-scales the cell count to
+    max(16, ⌈√N⌉): with a FIXED cell count, candidates per query are
+    n_probe·N/n_centroids — the whole query set then costs
+    O(|Q|·N/16), quadratic when |Q| grows with N (the 100× stress
+    measured the fixed-16 Lloyd form at 27 s → 1314 s for 10× data,
+    48× — candidate growth, not engine overhead). √N cells keep both
+    the per-query candidate set and the per-round assignment pass at
+    O(N^1.5) total, the standard IVF balance; at 100 TB nobody should
+    run a fixed 16. Recall at fixed n_probe drops as cells shrink —
+    raise n_probe together with corpus growth to hold recall (the
+    recall/fallback contract is in SCALING.md)."""
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).localCheckpoint(eager=True)
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.ceil(math.sqrt(c.count())))
     # deterministic seed sample: n_centroids smallest md5(id)
     seeds = (
         c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
@@ -289,18 +348,32 @@ def ivf_topk(
             eager=True
         )
 
-    cells = _nearest_cells(c, "_cv", centroids, 1).select("_cid", "_cv", "_cell")
+    # candidate verification stages norms per side (dot/(qn·cn) — the
+    # same expression tree as cosine, so bit-equal) instead of three
+    # folds per pair; the pair set is the big term (n_probe·N/cells
+    # per query), so this is a ~3× cut on the dominant stage
+    cells = (
+        _nearest_cells(c, "_cv", centroids, 1)
+        .select("_cid", "_cv", "_cell")
+        .withColumn("_cn", norm(F.col("_cv")))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
     )
-    probes = _nearest_cells(q, "_qv", centroids, n_probe).select("query_id", "_qv", "_cell")
+    probes = (
+        _nearest_cells(q, "_qv", centroids, n_probe)
+        .select("query_id", "_qv", "_cell")
+        .withColumn("_qn", norm(F.col("_qv")))
+    )
     cand = probes.join(cells, "_cell")
     if exclude_self:
         cand = cand.where(F.col("query_id") != F.col("_cid"))
     sims = cand.select(
         "query_id",
         F.col("_cid").alias("neighbor_id"),
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -315,7 +388,7 @@ def ivf_topk(
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -325,10 +398,18 @@ def build_ivf_index(
     only `n_probe` cell directories — partition pruning at the file
     level, the disk analogue of ivf_topk's candidate restriction.
 
+    `n_centroids=None` auto-scales to max(16, ⌈√N⌉) — see ivf_topk;
+    for a persisted index this is doubly important because the cell
+    count is also the partition-directory count the probe prunes over.
+
     Returns the centroid DataFrame (cell, centroid vector)."""
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).localCheckpoint(eager=True)
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.ceil(math.sqrt(c.count())))
     seeds = (
         c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
         .orderBy("_h")
@@ -371,14 +452,16 @@ def query_ivf_index(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
     )
-    probes = _nearest_cells(q, "_qv", centroids, n_probe)
+    probes = _nearest_cells(q, "_qv", centroids, n_probe).withColumn(
+        "_qn", norm(F.col("_qv"))
+    )
     vectors = spark.read.parquet(f"{path}/vectors")
     cand = probes.join(
         vectors.select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(vec_col).alias("_cv"),
             "_cell",
-        ),
+        ).withColumn("_cn", norm(F.col("_cv"))),
         "_cell",
     )
     if exclude_self:
@@ -386,7 +469,9 @@ def query_ivf_index(
     sims = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

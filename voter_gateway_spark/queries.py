@@ -1109,6 +1109,28 @@ def embed_ivf_lloyd_topk(spark, sf_dir):
     return similarity.ivf_topk(queries, emb, k=5, iters=2, centroid_round=9)
 
 
+_AUTO_CENTROIDS_SQL = (
+    "(SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM embeddings)"
+)
+
+
+def embed_ivf_auto_topk(spark, sf_dir):
+    """The SCALE form of the Lloyd IVF: n_centroids=None auto-scales
+    the cell count to max(16, ⌈√N⌉), so per-query candidates grow as
+    n_probe·√N instead of the fixed-16 form's N/4. The 100× stress
+    measured the fixed form going quadratic (27 s → 1314 s for 10×
+    data — candidate growth, not engine overhead); this is what a
+    100 TB corpus must run. Oracle: the same unrolled Lloyd SQL with
+    the seed LIMIT as a scalar subquery computing the identical
+    max(16, ⌈√N⌉) — every centroid trajectory, assignment, probe, and
+    rank reproduced bit-for-bit at whatever N the driver runs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivf_topk(
+        queries, emb, k=5, n_centroids=None, iters=2, centroid_round=9
+    )
+
+
 def _ivf_lloyd_sql(
     k: int = 5, n_centroids: int = 16, n_probe: int = 4, iters: int = 2
 ) -> str:
@@ -3627,6 +3649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4: Lloyd-iteration IVF now oracle-checked (centroid_round
     # pins the trajectory); placed in the driver's 50-query prefix
     "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
+    "embed_ivf_auto_topk": embed_ivf_auto_topk,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_int8_topk": embed_int8_topk,
     "embed_near_dup": embed_near_dup,
@@ -3743,6 +3766,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
     "embed_ivf_topk": _ivf_sql(),
     "embed_ivf_lloyd_topk": _ivf_lloyd_sql(),
+    "embed_ivf_auto_topk": _ivf_lloyd_sql(n_centroids=_AUTO_CENTROIDS_SQL),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
