@@ -90,6 +90,11 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # eager localCheckpoints pin block-manager memory until the
+        # async ContextCleaner reclaims them; across a 28-query session
+        # that backlog inflates later queries' GC time, so nudge the
+        # cleaner between queries to keep per-query numbers independent
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
