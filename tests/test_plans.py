@@ -203,3 +203,14 @@ def test_knn_vote_broadcasts_labels(spark, sf_dir):
     # a broadcast join on its own
     plan = _plan(QUERIES["embed_knn_label"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_cell_assignment_is_shuffle_free(spark, sf_dir):
+    # the 100x stress found the old per-pass |vecs|x|cells| window
+    # shuffle (r4 fix: in-row array_sort over a one-row broadcast of
+    # centroid structs); the ONLY real Window allowed in an ivf_topk
+    # plan is the final per-query top-k — Lloyd assignment and probe
+    # selection must contribute none
+    plan = _plan(QUERIES["embed_ivf_lloyd_topk"](spark, sf_dir), "simple")
+    plain_windows = plan.count("Window") - plan.count("WindowGroupLimit")
+    assert plain_windows == 1, plan
