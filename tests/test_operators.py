@@ -556,6 +556,53 @@ def test_chunk_text_overlap_and_short_docs(spark):
         chunk_text(df, chunk_tokens=4, overlap=4)
 
 
+def test_remove_boilerplate(spark):
+    from voter_gateway_spark.operators.text import remove_boilerplate
+
+    # "nav home about" is a 3-word segment shared verbatim by docs
+    # 1-3 at segment position 0 → boilerplate at min_docs=3; the
+    # unique tails survive and reassemble in order
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="nav home about alpha beta gamma"),
+            Row(doc_id=2, text="nav home about delta epsilon zeta"),
+            Row(doc_id=3, text="nav home about eta theta iota"),
+            Row(doc_id=4, text="totally unique words only here now"),
+            Row(doc_id=5, text="nav home about"),  # fully boilerplate
+            Row(doc_id=6, text=""),  # empty doc: 0 segments
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+        for r in remove_boilerplate(df, seg_words=3, min_docs=3).collect()
+    }
+    assert len(out) == 6  # every input doc present
+    assert out[1] == ("alpha beta gamma", 2, 1)
+    assert out[2] == ("delta epsilon zeta", 2, 1)
+    assert out[3] == ("eta theta iota", 2, 1)
+    assert out[4] == ("totally unique words only here now", 2, 0)
+    assert out[5] == ("", 1, 1)  # fully-removed doc stays, empty
+    assert out[6] == ("", 0, 0)  # empty doc: nothing to remove
+
+
+def test_remove_boilerplate_preserves_order_across_removed_gaps(spark):
+    from voter_gateway_spark.operators.text import remove_boilerplate
+
+    # the shared segment sits in the MIDDLE; survivors on both sides
+    # must rejoin in original order
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"unique{i} opening bit spam spam spam final word{i} tail")
+            for i in range(1, 4)
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.clean_text for r in remove_boilerplate(df, seg_words=3, min_docs=3).collect()}
+    for i in range(1, 4):
+        assert out[i] == f"unique{i} opening bit final word{i} tail"
+
+
 def test_repetition_stats(spark):
     from voter_gateway_spark.operators.text import repetition_stats
 

@@ -362,6 +362,94 @@ def chunk_text(
     )
 
 
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+    min_docs: int = 4,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb
+    per-line dedup step, generalized to fixed `seg_words`-word segments
+    for corpora whose documents carry no line structure: a segment that
+    appears verbatim in ≥ `min_docs` DISTINCT documents (headers,
+    navigation, license blurbs — crawl boilerplate) is dropped from
+    EVERY document; the survivors reassemble in their original order.
+
+    Output: (id, clean_text, n_segments, n_removed) — one row per
+    input document, including documents whose every segment was
+    removed (clean_text = '') and empty documents (0 segments).
+
+    Scale shape: segment rows shuffle ONCE keyed by the segment string
+    to count distinct docs (map-side partial first); the boilerplate
+    set — typically a vanishing fraction — comes back via a left-anti
+    join on the same key (AQE broadcasts it when small); reassembly is
+    one per-document aggregation with the ordinal riding a
+    struct(array_sort(collect_list)) — no window, no per-doc sort
+    shuffle beyond the doc-keyed exchange. No step is quadratic in
+    corpus size or duplication factor.
+
+    Reference shape: csv_driver.rb's remove_expression strips per-ROW
+    noise at ingest; this is its corpus-frequency generalization (the
+    noise definition is learned from the data, not configured).
+    """
+    words = F.filter(
+        F.split(F.lower(normalized(text_col)), " "), lambda w: w != ""
+    )
+    base = df.select(F.col(id_col), words.alias("_words")).select(
+        id_col,
+        "_words",
+        F.ceil(F.size("_words") / F.lit(seg_words)).cast("int").alias("_nseg"),
+    )
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — guard empty
+    segs = base.select(
+        id_col,
+        "_nseg",
+        F.explode(
+            F.when(
+                F.col("_nseg") > 0, F.sequence(F.lit(0), F.col("_nseg") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_idx"),
+        "_words",
+    ).select(
+        id_col,
+        "_nseg",
+        "_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("_words"), F.col("_idx") * seg_words + 1, seg_words)
+        ).alias("_seg"),
+    )
+    boilerplate = (
+        segs.groupBy("_seg")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_seg")
+    )
+    kept = segs.join(boilerplate, "_seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    return (
+        base.select(id_col, "_nseg")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("_nseg").cast("bigint").alias("n_segments"),
+            (F.col("_nseg") - F.coalesce(F.col("_nkept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 # -- vocabulary ---------------------------------------------------------------
 
 def token_frequencies(

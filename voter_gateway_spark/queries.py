@@ -2438,6 +2438,45 @@ def text_chunks(spark, sf_dir):
     return text.chunk_text(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
 
 
+def text_boilerplate_scrub(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (CCNet/RefinedWeb line
+    dedup generalized to 3-word segments): segments verbatim-repeated
+    in ≥3 distinct documents are dropped everywhere, survivors
+    reassemble in order. One segment-keyed shuffle to count document
+    frequency, a left-anti join back, one doc-keyed reassembly —
+    nothing quadratic in corpus size or duplication."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.remove_boilerplate(docs, "text", "doc_id", seg_words=3, min_docs=3)
+
+
+BOILERPLATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS wl
+  FROM documents
+),
+b AS (SELECT doc_id, wl, CAST(CEIL(len(wl) / 3.0) AS INT) AS nseg FROM w),
+segs AS (
+  SELECT doc_id, i AS idx, array_to_string(wl[(i*3+1):(i*3+3)], ' ') AS seg
+  FROM b, unnest(generate_series(0, nseg - 1)) AS t(i)
+),
+bp AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM bp)),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(seg ORDER BY idx), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       CAST(b.nseg AS BIGINT) AS n_segments,
+       CAST(b.nseg - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+"""
+
+
 CHUNK_SQL = r"""
 WITH w AS (
   SELECT doc_id,
@@ -3638,6 +3677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": text_quality,
     "text_vocabulary": text_vocabulary,
     "text_chunks": text_chunks,
+    "text_boilerplate_scrub": text_boilerplate_scrub,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_structure": text_structure,
     "text_bigram_pmi": text_bigram_pmi,
@@ -3777,6 +3817,7 @@ ORACLES: dict[str, str] = {
     "embed_group_centroids": CENTROID_SQL,
     "q_late_ship_orders": LATE_SHIP_SQL,
     "text_chunks": CHUNK_SQL,
+    "text_boilerplate_scrub": BOILERPLATE_SQL,
     "pipeline_corpus_prep": _pipeline_sql(),
     "audit_distinct_users_by_type": DISTINCT_USERS_SQL,
     "audit_orphan_orders": ORPHAN_SQL,
