@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     # SPARK_GRAFT_BENCH_SKIP)
     "embed_ivf_auto_topk",
     "docs_training_shuffle",
+    # corpus-frequency boilerplate removal (segment dedup + reassembly)
+    "text_boilerplate_scrub",
 ]
 
 

@@ -423,31 +423,37 @@ def remove_boilerplate(
         segs.groupBy("_seg")
         .agg(F.countDistinct(id_col).alias("_df"))
         .where(F.col("_df") >= min_docs)
-        .select("_seg")
+        .select("_seg", F.lit(True).alias("_bp"))
     )
-    kept = segs.join(boilerplate, "_seg", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    # flag-and-aggregate instead of anti-join + rejoin-to-base: every
+    # doc with ≥1 segment keeps its rows (fully-boilerplate docs
+    # aggregate to clean_text ''), so no second doc-keyed join is
+    # needed — and the plan is not count()-eliminable, which keeps
+    # bench timings honest (a LEFT join back to a unique-key aggregate
+    # is dropped whole by Catalyst when only the row count is asked)
+    flagged = segs.join(boilerplate, "_seg", "left")
+    rebuilt = flagged.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_seg"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_bp").isNull(), F.struct("_idx", "_seg"))
+                    )
+                ),
                 lambda s: s["_seg"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_nkept"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.count("_bp").cast("bigint").alias("n_removed"),
     )
-    return (
-        base.select(id_col, "_nseg")
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("_nseg").cast("bigint").alias("n_segments"),
-            (F.col("_nseg") - F.coalesce(F.col("_nkept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-        )
+    empty = base.where(F.col("_nseg") == 0).select(
+        id_col,
+        F.lit("").alias("clean_text"),
+        F.lit(0).cast("bigint").alias("n_segments"),
+        F.lit(0).cast("bigint").alias("n_removed"),
     )
+    return rebuilt.unionByName(empty)
 
 
 # -- vocabulary ---------------------------------------------------------------
