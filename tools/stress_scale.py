@@ -217,8 +217,12 @@ def main() -> None:
         return
     for name in STRESS_QUERIES:
         t0 = time.time()
-        rows = QUERIES[name](spark, dst).count()
-        print(f"{name}: {rows} rows  {time.time() - t0:.1f}s", flush=True)
+        df = QUERIES[name](spark, dst)
+        # noop sink: full-plan evaluation with no count()-elimination
+        # (see bench.py) — rows counted separately for the report
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        print(f"{name}: {df.count()} rows  {dt:.1f}s", flush=True)
     spark.stop()
 
 
