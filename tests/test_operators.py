@@ -1022,3 +1022,18 @@ def test_ivf_lloyd_partition_count_invariant(spark, sf_dir):
     ra = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in a.collect()}
     rb = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in b.collect()}
     assert ra == rb and len(ra) > 0
+
+
+def test_remove_boilerplate_partition_count_invariant(spark, sf_dir):
+    from voter_gateway_spark.operators.text import remove_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        (r.doc_id, r.clean_text, r.n_segments, r.n_removed)
+        for r in remove_boilerplate(docs.repartition(4), min_docs=3).collect()
+    }
+    b = {
+        (r.doc_id, r.clean_text, r.n_segments, r.n_removed)
+        for r in remove_boilerplate(docs.repartition(32), min_docs=3).collect()
+    }
+    assert a == b and len(a) == docs.count()
