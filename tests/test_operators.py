@@ -426,6 +426,39 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+def test_ivf_sampled_training_matches_oracle(spark, sf_dir):
+    """train_per_cell Lloyd training must walk the EXACT trajectory the
+    DuckDB oracle walks when the hash-threshold sample truly engages.
+    The catalog's auto form (train_per_cell=128) only samples above
+    ~128·√N rows, so the sf0.01 driver gate runs it at frac=1 — this
+    test forces frac<1 (8·16=128 of 500 rows ≈ 0.256 of hash space) so
+    the sampled path itself is oracle-pinned, not just the full-corpus
+    degenerate case."""
+    import duckdb
+
+    from voter_gateway_spark.queries import _ivf_lloyd_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in similarity.ivf_topk(
+            qs, emb, k=5, iters=2, centroid_round=9, train_per_cell=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = {
+        (int(q), int(n), int(r), float(c))
+        for q, n, r, c in con.sql(_ivf_lloyd_sql(train_per_cell=8)).fetchall()
+    }
+    con.close()
+    assert len(got) > 0 and got == exp
+
+
 def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     """Persisted IVF index (partitioned by cell) must return exactly
     what the in-memory ivf_topk computes with the same seeding, and the

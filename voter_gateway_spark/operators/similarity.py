@@ -273,6 +273,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     centroid_round: int | None = None,
+    train_per_cell: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into cells; each query probes only
@@ -316,14 +317,34 @@ def ivf_topk(
     O(N^1.5) total, the standard IVF balance; at 100 TB nobody should
     run a fixed 16. Recall at fixed n_probe drops as cells shrink —
     raise n_probe together with corpus growth to hold recall (the
-    recall/fallback contract is in SCALING.md)."""
+    recall/fallback contract is in SCALING.md).
+
+    `train_per_cell`: when set, Lloyd rounds train on a bounded
+    DETERMINISTIC subsample of the corpus — the rows whose 60-bit
+    md5(id) prefix falls below `min(1, train_per_cell·cells/N)` of the
+    hash space — instead of every vector; the final cell assignment
+    still scans the full corpus. This is the standard IVF trainer
+    economics (FAISS trains its coarse quantizer on O(10²) vectors per
+    centroid): with full-corpus training each Lloyd round is an
+    O(N·cells·dim) assignment pass — at the 100× replica two of the
+    three full-corpus passes — while centroid quality saturates long
+    before N training samples. The hash-threshold sample is a
+    scan-stage filter (no global sort, no shuffle), and both the
+    fraction and the cut are IEEE-reproducible from integers, so the
+    DuckDB oracle walks the identical sampled trajectory
+    (queries._ivf_lloyd_sql train_per_cell). When the cap covers the
+    whole corpus (train_per_cell·cells ≥ N) the threshold admits every
+    row — small corpora train exactly as before. None (default) keeps
+    unconditional full-corpus training, the oracle-pinned behavior of
+    the fixed-cell forms."""
+    import math
+
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).localCheckpoint(eager=True)
+    n_rows = c.count() if (n_centroids is None or train_per_cell is not None) else None
     if n_centroids is None:
-        import math
-
-        n_centroids = max(16, math.ceil(math.sqrt(c.count())))
+        n_centroids = max(16, math.ceil(math.sqrt(n_rows)))
     # deterministic seed sample: n_centroids smallest md5(id)
     seeds = (
         c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
@@ -334,8 +355,26 @@ def ivf_topk(
         F.row_number().over(Window.orderBy("_h")).alias("_cell"), F.col("_cv").alias("_centroid")
     ).drop("_h").localCheckpoint(eager=True)
 
+    tr = c
+    if train_per_cell is not None and iters > 0:
+        # floor(2^60 · min(1, per_cell·cells/N)) — every term exact or
+        # single-rounded in doubles, so Spark and the SQL oracle compute
+        # the same bigint cut; rows whose 60-bit hash prefix falls below
+        # it form the training set (binomial around per_cell·cells)
+        frac = min(1.0, train_per_cell * n_centroids / n_rows)
+        if frac < 1.0:  # cut = 2^60 admits every row — skip the scan
+            cut = math.floor(2.0**60 * frac)
+            h60 = F.conv(
+                F.substring(
+                    F.md5(F.col("_cid").cast("string").cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            tr = c.where(h60 < F.lit(cut)).localCheckpoint(eager=True)
+
     for _ in range(iters):
-        assigned = _nearest_cells(c, "_cv", centroids, 1)
+        assigned = _nearest_cells(tr, "_cv", centroids, 1)
         centroids = _vector_mean(assigned, "_cell", "_cv")
         if centroid_round is not None:
             centroids = centroids.select(

@@ -1120,29 +1120,60 @@ def embed_ivf_auto_topk(spark, sf_dir):
     n_probe·√N instead of the fixed-16 form's N/4. The 100× stress
     measured the fixed form going quadratic (27 s → 1314 s for 10×
     data — candidate growth, not engine overhead); this is what a
-    100 TB corpus must run. Oracle: the same unrolled Lloyd SQL with
-    the seed LIMIT as a scalar subquery computing the identical
-    max(16, ⌈√N⌉) — every centroid trajectory, assignment, probe, and
-    rank reproduced bit-for-bit at whatever N the driver runs."""
+    100 TB corpus must run. train_per_cell=128 bounds Lloyd training
+    to a deterministic ~128·cells hash-threshold sample (the FAISS
+    trainer economics) — at the 100× replica that converts two of the
+    three full-corpus O(N·cells·dim) assignment passes into ~0.29·N
+    passes, and at ≤sf0.1 the cap exceeds N so training is exactly
+    full-corpus. Oracle: the same unrolled Lloyd SQL with the seed
+    LIMIT and the training cut as scalar subqueries computing the
+    identical max(16, ⌈√N⌉) and floor(2⁶⁰·min(1, 128·cells/N)) —
+    every centroid trajectory, assignment, probe, and rank reproduced
+    bit-for-bit at whatever N the driver runs."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
     return similarity.ivf_topk(
-        queries, emb, k=5, n_centroids=None, iters=2, centroid_round=9
+        queries, emb, k=5, n_centroids=None, iters=2, centroid_round=9,
+        train_per_cell=128,
     )
 
 
 def _ivf_lloyd_sql(
-    k: int = 5, n_centroids: int = 16, n_probe: int = 4, iters: int = 2
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    train_per_cell: int | None = None,
 ) -> str:
     """Mirror of ivf_topk(iters, centroid_round=9): the fixed-count
     Lloyd rounds unroll as CTE pairs (assign_i -> cents_i). Means round
     to 9 decimals exactly like the Spark side, so both engines walk
-    identical centroid trajectories."""
+    identical centroid trajectories. With `train_per_cell`, the Lloyd
+    assignments read the `tr` hash-threshold sample (floor(2⁶⁰·min(1,
+    per_cell·cells/N)) over the 60-bit md5(id) prefix — the exact
+    Spark cut, every term exact or single-rounded in doubles) while
+    the final assignment still reads the full corpus."""
     ctes = [
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"seeds AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {n_centroids})",
         "cents0 AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
     ]
+    train = "c"
+    if train_per_cell is not None:
+        ctes.append(
+            f"""cut AS (
+  SELECT CAST(FLOOR(POWER(2.0, 60) * LEAST(
+    1.0, {train_per_cell}.0 * {n_centroids} / (SELECT COUNT(*) FROM embeddings)
+  )) AS BIGINT) AS b
+)"""
+        )
+        ctes.append(
+            """tr AS (
+  SELECT vec_id, v FROM c
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT < (SELECT b FROM cut)
+)"""
+        )
+        train = "tr"
     prev = "cents0"
     for i in range(1, iters + 1):
         ctes.append(f"""a{i} AS (
@@ -1150,7 +1181,7 @@ def _ivf_lloyd_sql(
     SELECT c.vec_id, c.v, k.cell,
            row_number() OVER (PARTITION BY c.vec_id
              ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC, k.cell) AS rn
-    FROM c, {prev} k
+    FROM {train} c, {prev} k
   ) WHERE rn = 1
 )""")
         ctes.append(f"""cents{i} AS (
@@ -3806,7 +3837,9 @@ ORACLES: dict[str, str] = {
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
     "embed_ivf_topk": _ivf_sql(),
     "embed_ivf_lloyd_topk": _ivf_lloyd_sql(),
-    "embed_ivf_auto_topk": _ivf_lloyd_sql(n_centroids=_AUTO_CENTROIDS_SQL),
+    "embed_ivf_auto_topk": _ivf_lloyd_sql(
+        n_centroids=_AUTO_CENTROIDS_SQL, train_per_cell=128
+    ),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
