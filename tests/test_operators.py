@@ -1015,7 +1015,7 @@ def test_band_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
     path = str(tmp_path / "band_idx")
-    dedup_ops.build_band_index(corpus, path, "doc_id", "text", k=3)
+    dedup_ops.build_band_index(corpus, path, "doc_id", "text", k=3, prefix_len=2)
     got = dedup_ops.probe_band_index(spark, path, batch, "doc_id", "text", threshold=0.3)
     exp = dedup_ops.incremental_minhash_pairs(
         batch, corpus, "doc_id", "text", k=3, threshold=0.3
@@ -1037,6 +1037,28 @@ def test_band_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
         ).explain("formatted")
     band_plan = buf2.getvalue()
     assert "_kp" in band_plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_band_index_auto_prefix_zero_roundtrip(spark, sf_dir, tmp_path):
+    """The auto-sized layout (prefix_len=None) picks prefix_len=0 on a
+    small corpus — no _kp/_ip directories at all (the 500k-doc honest
+    measurement showed fixed prefix dirs are micro-file overhead below
+    ~target_bucket_rows·16 docs). The degenerate layout must still
+    return exactly the in-memory bipartite probe's pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "band_idx0")
+    dedup_ops.build_band_index(corpus, path, "doc_id", "text", k=3)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert meta.prefix_len == 0
+    got = dedup_ops.probe_band_index(spark, path, batch, "doc_id", "text", threshold=0.3)
+    exp = dedup_ops.incremental_minhash_pairs(
+        batch, corpus, "doc_id", "text", k=3, threshold=0.3
+    )
+    g = {(r.new_id, r.corpus_id, r.jaccard) for r in got.collect()}
+    e = {(r.new_id, r.corpus_id, r.jaccard) for r in exp.collect()}
+    assert g == e and len(g) > 0
 
 
 def test_ivf_lloyd_partition_count_invariant(spark, sf_dir):

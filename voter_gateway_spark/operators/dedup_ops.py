@@ -708,7 +708,8 @@ def build_band_index(
     k: int = 3,
     n_hashes: int = 16,
     bands: int = 4,
-    prefix_len: int = 2,
+    prefix_len: int | None = None,
+    target_bucket_rows: int = 250_000,
 ) -> None:
     """Persist the corpus side of the incremental MinHash probe — the
     pattern `incremental_minhash_pairs` documents ("in production the
@@ -733,28 +734,47 @@ def build_band_index(
     - `meta`: one row of (k, n_hashes, bands, prefix_len); the probe
       reads its parameters from here so signatures always agree with
       the build.
-    """
+
+    `prefix_len=None` (default) sizes the prefix from the corpus: the
+    honest 500k-doc measurement showed a FIXED prefix_len=2 loses to
+    full recompute — 4 bands × 256 prefixes + 256 id dirs = 1280
+    directories of micro-files for ~0.5 GB of band rows, so listing
+    and opening files dominates while re-signing the corpus costs
+    ~10 s. The layout only pays when each bucket holds full parquet
+    row groups, so auto picks the LARGEST prefix_len (0–3) that keeps
+    ≥ `target_bucket_rows` band rows per (band, prefix) bucket —
+    prefix_len = ⌊log16(N / target_bucket_rows)⌋. At 500k docs that
+    is 0 (no prefix dirs at all: bands partition only by _b, hashes
+    are unpartitioned, and the probe skips prefix pruning — the index
+    win is then purely "no corpus re-signing"); at 10¹⁰ docs it is 3
+    (16k directories, ~2.4M rows each). Explicit prefix_len pins the
+    layout for tests or known workloads."""
+    if prefix_len is None:
+        import math
+
+        n = corpus_df.count()
+        prefix_len = min(3, max(0, int(math.log(max(n / target_bucket_rows, 1), 16))))
     base = minhash_hashed_sigs(corpus_df, id_col, text_col, k, n_hashes)
     rows = _minhash_band_rows(base, bands, n_hashes // bands)
-    (
-        rows.select(F.col("_id").alias("corpus_id"), "_b", "_k")
-        .withColumn("_kp", F.substring(F.md5(F.col("_k").cast("binary")), 1, prefix_len))
-        .write.mode("overwrite")
-        .partitionBy("_b", "_kp")
-        .parquet(f"{path}/bands")
-    )
-    (
-        base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
-        .withColumn(
+    b_out = rows.select(F.col("_id").alias("corpus_id"), "_b", "_k")
+    b_parts = ["_b"]
+    if prefix_len > 0:
+        b_out = b_out.withColumn(
+            "_kp", F.substring(F.md5(F.col("_k").cast("binary")), 1, prefix_len)
+        )
+        b_parts.append("_kp")
+    b_out.write.mode("overwrite").partitionBy(*b_parts).parquet(f"{path}/bands")
+    h_out = base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
+    if prefix_len > 0:
+        h_out = h_out.withColumn(
             "_ip",
             F.substring(
                 F.md5(F.col("corpus_id").cast("string").cast("binary")), 1, prefix_len
             ),
         )
-        .write.mode("overwrite")
-        .partitionBy("_ip")
-        .parquet(f"{path}/hashes")
-    )
+        h_out.write.mode("overwrite").partitionBy("_ip").parquet(f"{path}/hashes")
+    else:
+        h_out.write.mode("overwrite").parquet(f"{path}/hashes")
     corpus_df.sparkSession.createDataFrame(
         [(k, n_hashes, bands, prefix_len)],
         "k int, n_hashes int, bands int, prefix_len int",
@@ -787,45 +807,58 @@ def probe_band_index(
        Jaccard verification.
 
     Banding only affects recall, never precision (candidates verify
-    exactly), identical to the in-memory probe."""
+    exactly), identical to the in-memory probe.
+
+    When the index was built with prefix_len=0 (the auto choice below
+    ~`target_bucket_rows`·16 docs), there are no prefix directories:
+    the band scan prunes on _b only and the verify join streams the
+    whole hashes dataset — the index still avoids re-signing the
+    corpus, which is the win that survives at every size."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    plen = meta.prefix_len
     nb = minhash_hashed_sigs(new_df, id_col, text_col, meta.k, meta.n_hashes)
-    nrows = (
-        _minhash_band_rows(nb, meta.bands, meta.n_hashes // meta.bands)
-        .withColumn(
+    nrows = _minhash_band_rows(nb, meta.bands, meta.n_hashes // meta.bands)
+    if plen > 0:
+        nrows = nrows.withColumn(
             "_kp",
-            F.substring(F.md5(F.col("_k").cast("binary")), 1, meta.prefix_len),
+            F.substring(F.md5(F.col("_k").cast("binary")), 1, plen),
         )
-        .localCheckpoint(eager=True)
-    )
-    probes = [(r["_b"], r["_kp"]) for r in nrows.select("_b", "_kp").distinct().collect()]
-    pred = F.lit(False)
-    by_band: dict[int, list[str]] = {}
-    for b, kp in probes:
-        by_band.setdefault(b, []).append(kp)
-    for b, kps in by_band.items():
-        pred = pred | ((F.col("_b") == b) & F.col("_kp").isin(kps))
+    nrows = nrows.localCheckpoint(eager=True)
+    if plen > 0:
+        probes = [
+            (r["_b"], r["_kp"]) for r in nrows.select("_b", "_kp").distinct().collect()
+        ]
+        pred = F.lit(False)
+        by_band: dict[int, list[str]] = {}
+        for b, kp in probes:
+            by_band.setdefault(b, []).append(kp)
+        for b, kps in by_band.items():
+            pred = pred | ((F.col("_b") == b) & F.col("_kp").isin(kps))
+        join_on = (
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._kp") == F.col("b._kp"))
+            & (F.col("a._k") == F.col("b._k"))
+        )
+    else:
+        bs = [r["_b"] for r in nrows.select("_b").distinct().collect()]
+        pred = F.col("_b").isin(bs) if bs else F.lit(False)
+        join_on = (F.col("a._b") == F.col("b._b")) & (F.col("a._k") == F.col("b._k"))
     idx = spark.read.parquet(f"{path}/bands").where(pred)
     cand = (
         nrows.alias("a")
-        .join(
-            idx.alias("b"),
-            (F.col("a._b") == F.col("b._b"))
-            & (F.col("a._kp") == F.col("b._kp"))
-            & (F.col("a._k") == F.col("b._k")),
-        )
+        .join(idx.alias("b"), join_on)
         .select(F.col("a._id").alias("new_id"), F.col("b.corpus_id").alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
         .localCheckpoint(eager=True)
     )
-    ips = [r["_ip"] for r in cand.select(
-        F.substring(
-            F.md5(F.col("corpus_id").cast("string").cast("binary")), 1, meta.prefix_len
-        ).alias("_ip")
-    ).distinct().collect()]
-    hashes = spark.read.parquet(f"{path}/hashes").where(
-        F.col("_ip").isin(ips) if ips else F.lit(False)
-    )
+    hashes = spark.read.parquet(f"{path}/hashes")
+    if plen > 0:
+        ips = [r["_ip"] for r in cand.select(
+            F.substring(
+                F.md5(F.col("corpus_id").cast("string").cast("binary")), 1, plen
+            ).alias("_ip")
+        ).distinct().collect()]
+        hashes = hashes.where(F.col("_ip").isin(ips) if ips else F.lit(False))
     return (
         cand.join(hashes.select("corpus_id", "_shb"), "corpus_id")
         .join(nb.select(F.col("_id").alias("new_id"), F.col("_hh").alias("_sha")), "new_id")

@@ -772,7 +772,8 @@ def dedup_band_index_probe(spark, sf_dir):
     corpus half (doc_id < 400) is written once as a partition-pruned
     band index (operators/dedup_ops.build_band_index — layout IS the
     index, like similarity.build_ivf_index), then the arriving batch
-    (doc_id ≥ 400) probes it with static (band, key-prefix) partition
+    (doc_id ≥ 400) probes it with static band (and, at corpus sizes
+    where the auto-sized layout emits them, key-prefix) partition
     filters. Same output contract as dedup_incremental_batch, so the
     same bit-exact DuckDB oracle applies; the production win is that a
     steady-state pipeline pays partition-pruned file reads per batch
