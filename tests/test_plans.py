@@ -92,6 +92,26 @@ def test_embed_near_dup_is_blocked_not_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_semantic_dedup_is_cell_blocked_not_cartesian(spark, sf_dir):
+    # SemDeDup's pair stage must be a same-cell EQUI-join (pair work
+    # O(N²/cells)); an all-pairs regression shows up as
+    # CartesianProduct or an extra BroadcastNestedLoopJoin. Exactly ONE
+    # BNLJ is expected and deliberate: _nearest_cells' one-row centroid
+    # broadcast (|vecs| x 1 rows, not a pair blowup).
+    plan = _plan(QUERIES["embed_semantic_dedup"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, "semantic_dedup fell back to all-pairs"
+    # the cells subtree appears twice (self-join aliases), so exactly
+    # two one-row centroid broadcasts are expected — but never a third
+    # (that would be the pair stage itself going nested-loop)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        "pair stage fell off the same-cell equi-join"
+    )
+    assert any(
+        f"{j} [_cell" in plan
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    ), "no equi-join keyed on _cell in the pair stage"
+
+
 def test_near_dup_exact_flag_still_available(spark, sf_dir):
     from voter_gateway_spark.operators import similarity
     from voter_gateway_spark.queries import _t

@@ -724,3 +724,95 @@ def near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int | None = None,
+    iters: int = 0,
+    centroid_round: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    2023): cluster the embedding space with the same deterministic
+    md5-seeded coarse quantizer as ivf_topk, then mark a vector a
+    DUPLICATE when some same-cell vector with a smaller id has cosine
+    >= threshold. Output: (dup_id, keep_id, cos_sim), one row per
+    duplicate, keep_id = the SMALLEST qualifying same-cell id (ties
+    impossible — ids are distinct). Downstream pruning drops every
+    dup_id and keeps the rest; chains resolve naturally because a
+    keep_id that is itself a duplicate also appears as a dup_id row.
+
+    This completes the dedup family: exact / MinHash-LSH / SimHash /
+    n-gram Jaccard catch LEXICAL duplication; LSH-bucketed
+    near_dup_pairs catches embedding near-identity by random
+    hyperplanes; semantic_dedup is the cluster-blocked form that
+    training-data pipelines run over learned embeddings, where cell
+    blocking bounds pair work at O(N^2/cells) total — with the
+    default auto cells = max(16, ceil(sqrt(N))) that is O(N^1.5),
+    the same balance as the IVF scale form, and each cell's pair job
+    shuffles only that cell's vectors. Like every approximate family
+    here, blocking affects RECALL only (a cross-cell near-duplicate
+    is missed, the paper's accepted trade); reported pairs carry
+    exact cosine.
+
+    Deterministic end to end (seeding, assignment ties on ascending
+    cell, rounded cosine), so the whole operator is SQL-expressible
+    and oracle-checked at iters=0 (queries._semantic_dedup_sql).
+    iters>0 adds Lloyd refinement with the same determinism contract
+    as ivf_topk (pass centroid_round to pin cross-engine)."""
+    import math
+
+    c = widen(df).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).localCheckpoint(eager=True)
+    if n_centroids is None:
+        n_centroids = max(16, math.ceil(math.sqrt(c.count())))
+    seeds = (
+        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    centroids = seeds.select(
+        F.row_number().over(Window.orderBy("_h")).alias("_cell"),
+        F.col("_cv").alias("_centroid"),
+    ).drop("_h").localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _nearest_cells(c, "_cv", centroids, 1)
+        centroids = _vector_mean(assigned, "_cell", "_cv")
+        if centroid_round is not None:
+            centroids = centroids.select(
+                "_cell",
+                F.transform(
+                    "_centroid", lambda x: F.round(x, centroid_round)
+                ).alias("_centroid"),
+            )
+        centroids = centroids.select("_cell", "_centroid").localCheckpoint(
+            eager=True
+        )
+    cells = (
+        _nearest_cells(c, "_cv", centroids, 1)
+        .select("_cid", "_cv", "_cell")
+        .withColumn("_n", norm(F.col("_cv")))
+    )
+    pairs = cells.alias("a").join(
+        cells.alias("b"),
+        (F.col("a._cell") == F.col("b._cell"))
+        & (F.col("a._cid") > F.col("b._cid")),
+    )
+    sims = pairs.select(
+        F.col("a._cid").alias("dup_id"),
+        F.col("b._cid").alias("keep_id"),
+        F.round(
+            dot(F.col("a._cv"), F.col("b._cv")) / (F.col("a._n") * F.col("b._n")),
+            6,
+        ).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
+    w = Window.partitionBy("dup_id").orderBy(F.col("keep_id").asc())
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

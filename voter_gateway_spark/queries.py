@@ -1039,6 +1039,54 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
 """
 
 
+def embed_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: cluster
+    with the deterministic md5-seeded coarse quantizer (auto
+    max(16, ⌈√N⌉) cells, same as the IVF scale form), mark a vector a
+    duplicate when a smaller-id same-cell vector has cosine ≥
+    threshold, report (dup_id, keep_id=smallest qualifying, cos_sim).
+    Threshold 0.4 — the fixture's synthetic embeddings top out at
+    ~0.51 pairwise cosine, so the paper's 0.9+ would be vacuous here;
+    the operator path exercised is identical. Cell blocking bounds
+    pair work at O(N²/cells)=O(N^1.5) total and is recall-only, and
+    the oracle reproduces the blocked result exactly (seeding,
+    assignment ties, rounded cosine all pinned)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.4, n_centroids=None, iters=0
+    )
+
+
+def _semantic_dedup_sql(threshold: float = 0.4, n_centroids: str | int = "") -> str:
+    """Mirror of semantic_dedup(iters=0): md5-ordered seeds, nearest-
+    cell assignment, same-cell smaller-id pairing, min-keep pick."""
+    cells = n_centroids or _AUTO_CENTROIDS_SQL
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {cells}
+),
+cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT a.vec_id AS dup_id, b.vec_id AS keep_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id > b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+)
+SELECT dup_id, keep_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn FROM p
+) WHERE rn = 1
+"""
+
+
 def embed_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
@@ -3725,6 +3773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_topk": embed_lsh_topk,
     "embed_int8_topk": embed_int8_topk,
     "embed_near_dup": embed_near_dup,
+    "embed_semantic_dedup": embed_semantic_dedup,
     "embed_knn_label": embed_knn_label,
     # round-4: two-phase (shard, pos) numbering — behavior changed, so
     # it must sit where the driver samples it (was outside the prefix)
@@ -3818,6 +3867,7 @@ ORACLES: dict[str, str] = {
     "dedup_corpus_pruned": PRUNED_SQL,
     "embed_topk_cosine": TOPK_SQL,
     "embed_near_dup": _near_dup_sql(),
+    "embed_semantic_dedup": _semantic_dedup_sql(),
     "events_hourly": HOURLY_SQL,
     "events_sessionized": SESSION_SQL,
     "staging_lineitem": STAGING_SQL,
