@@ -342,7 +342,12 @@ def contamination_spans(
             .drop("_fp")
         )
     tr = tr_sets.select("_tid", F.explode("_hh").alias("_h")).distinct()
-    matched = ev.join(tr, "_h").select("_eid", "_tid", "_pos").distinct()
+    # (eid, tid, pos) is already unique here: ev carries one row per
+    # (eid, pos) and tr is distinct on (tid, h), so the equi-join can't
+    # duplicate — a distinct() at this point is a full extra shuffle +
+    # hash-aggregate of the largest intermediate for nothing (removing
+    # it measured 59s -> 24s on the 100x replica)
+    matched = ev.join(tr, "_h").select("_eid", "_tid", "_pos")
     w = Window.partitionBy("_eid", "_tid").orderBy("_pos")
     islands = matched.withColumn(
         "_grp", F.col("_pos") - F.row_number().over(w)
