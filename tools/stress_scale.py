@@ -198,7 +198,82 @@ def skew_stress(n: int, dst: str) -> None:
     spark.stop()
 
 
+EVENT_DECADE_QUERIES = [
+    "events_hourly",
+    "events_sessionized",
+    "events_funnel",
+    "events_retention",
+    "events_value_cap",
+    "events_view_purchase_attribution",
+    "events_hourly_anomalies",
+    "interval_join_events_windows",
+    "asof_order_revenue_events",
+    "audit_distinct_users_by_type",
+    "audit_flag_distribution_events",
+    "events_daily_pivot",
+    "events_funnel_latency",
+]
+
+
+def events_decade(n: int, dst: str) -> None:
+    """Third measured decade, EVENTS-ONLY: the documents/embeddings
+    families can't replicate past ~100× without their outputs
+    themselves going d² (pair emission over d-way-duplicated corpora
+    is quadratic in d BY CONTRACT), but the keyed-shuffle event
+    families have no such ceiling — so this pushes them one more
+    decade (1000× ≈ 100M rows, ts spread over `n` days so window
+    state grows with data, not just row count).
+
+    The replica is built as ONE plan (events × range(n) cross join
+    with offset arithmetic), not an n-leaf union — at n=1000 a union
+    plan would be 1000 scan leaves. Other tables stay at sf0.1 (asof
+    joins its original orders side; the growth is all on the probe
+    side, which is the 100 TB shape anyway: fact grows, dims don't).
+    """
+    from voter_gateway_spark.sources.fixtures import load_events
+
+    spark = build_spark(app_name="vgs-events-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    ev = load_events(spark, SRC)
+    eid_max = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = spark.range(n).select(F.col("id").cast("int").alias("_rep"))
+    big = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("_rep").cast("bigint") * F.lit(eid_max))
+        .withColumn("ts", F.expr("timestampadd(DAY, _rep, ts)"))
+        .drop("_rep")
+    )
+    Path(dst).mkdir(parents=True, exist_ok=True)
+    big.repartition(64).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    for t in ["orders", "lineitem", "customer", "supplier", "part", "nation", "region"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    n_rows = spark.read.parquet(f"{dst}/events.parquet").count()
+    print(f"built {dst} events x{n} = {n_rows} rows in {time.time() - t0:.0f}s", flush=True)
+    timings = {}
+    for name in EVENT_DECADE_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]}s", flush=True)
+        spark.sparkContext._jvm.System.gc()
+    import json
+
+    print(json.dumps({
+        "metric": "events_decade_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": f"{dst} (events x{n})",
+    }), flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--events":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+        events_decade(n, f"/tmp/stress_ev_x{n}")
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         skew_stress(n, f"/tmp/skew_x{n}")
