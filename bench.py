@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "docs_training_shuffle",
     # corpus-frequency boilerplate removal (segment dedup + reassembly)
     "text_boilerplate_scrub",
+    # SemDeDup cluster-blocked semantic dedup over embeddings
+    "embed_semantic_dedup",
 ]
 
 

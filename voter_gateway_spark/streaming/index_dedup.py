@@ -87,29 +87,31 @@ def admit_batch(
     admitted.write.mode("append").parquet(corpus_path)
     base = minhash_hashed_sigs(admitted, id_col, text_col, meta.k, meta.n_hashes)
     rows = _minhash_band_rows(base, meta.bands, meta.n_hashes // meta.bands)
-    (
-        rows.select(F.col("_id").alias("corpus_id"), "_b", "_k")
-        .withColumn(
+    # appends must mirror the layout meta records: with the auto-sized
+    # prefix_len=0 build there are NO _kp/_ip partition directories —
+    # appending them would leave conflicting partition columns in one
+    # dataset and every later read fails
+    b_out = rows.select(F.col("_id").alias("corpus_id"), "_b", "_k")
+    b_parts = ["_b"]
+    if meta.prefix_len > 0:
+        b_out = b_out.withColumn(
             "_kp",
             F.substring(F.md5(F.col("_k").cast("binary")), 1, meta.prefix_len),
         )
-        .write.mode("append")
-        .partitionBy("_b", "_kp")
-        .parquet(f"{index_path}/bands")
-    )
-    (
-        base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
-        .withColumn(
+        b_parts.append("_kp")
+    b_out.write.mode("append").partitionBy(*b_parts).parquet(f"{index_path}/bands")
+    h_out = base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
+    if meta.prefix_len > 0:
+        h_out = h_out.withColumn(
             "_ip",
             F.substring(
                 F.md5(F.col("corpus_id").cast("string").cast("binary")),
                 1, meta.prefix_len,
             ),
         )
-        .write.mode("append")
-        .partitionBy("_ip")
-        .parquet(f"{index_path}/hashes")
-    )
+        h_out.write.mode("append").partitionBy("_ip").parquet(f"{index_path}/hashes")
+    else:
+        h_out.write.mode("append").parquet(f"{index_path}/hashes")
     return admitted
 
 
