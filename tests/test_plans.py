@@ -92,6 +92,15 @@ def test_embed_near_dup_is_blocked_not_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_attribution_join_is_time_bucket_banded(spark, sf_dir):
+    # the batch attribution join must key on (user, time bucket) with
+    # the range as a residual condition — a user-only equi-join fans
+    # out |views_u| x |purchases_u| per user (the 1000x events decade
+    # measured that form as did-not-finish vs 9.7s banded)
+    plan = _plan(QUERIES["events_view_purchase_attribution"](spark, sf_dir), "simple")
+    assert "_b#" in plan, "attribution lost its time-bucket band key"
+
+
 def test_semantic_dedup_is_cell_blocked_not_cartesian(spark, sf_dir):
     # SemDeDup's pair stage must be a same-cell EQUI-join (pair work
     # O(N²/cells)); an all-pairs regression shows up as
