@@ -189,7 +189,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_stream_reader(
-    spark: SparkSession, parquet_dir: str, watermark: str | None = None
+    spark: SparkSession,
+    parquet_dir: str,
+    watermark: str | None = None,
+    **reader_options,
 ) -> DataFrame:
     """Streaming read of an events directory with the same dtype
     normalization as the batch loader. The file source requires an
@@ -204,7 +207,10 @@ def events_stream_reader(
     except Exception:
         decl = DECLARED["events"]
         physical = ", ".join(f"`{c}` {t}" for c, t in decl.items())
-    stream = spark.readStream.schema(physical).parquet(parquet_dir)
+    reader = spark.readStream.schema(physical)
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(parquet_dir)
     stream = normalize(stream, "events")
     if watermark:
         stream = stream.withWatermark("ts", watermark)

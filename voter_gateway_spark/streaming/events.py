@@ -66,12 +66,14 @@ def stream_hourly_counts(
     spark: SparkSession,
     parquet_dir: str,
     watermark: str = "2 hours",
+    **reader_options,
 ):
     """Structured Streaming form of hourly_counts with late-data
     watermarking. Returns the streaming DataFrame; callers attach
     writeStream (tests use trigger(availableNow=True) + memory sink).
-    """
-    stream = events_stream_reader(spark, parquet_dir, watermark)
+    `reader_options` pass through to the file source (e.g.
+    maxFilesPerTrigger to bound micro-batch size)."""
+    stream = events_stream_reader(spark, parquet_dir, watermark, **reader_options)
     return (
         stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
