@@ -62,9 +62,11 @@ def main() -> None:
             )
     q.awaitTermination()
     wall = time.time() - t0
-    # progress events can outrun the poll loop; recover the authoritative
-    # total from recentProgress
-    rows = sum(p.numInputRows for p in q.recentProgress)
+    # progress events can outrun the 1s poll loop, but recentProgress
+    # is CAPPED (spark.sql.streaming.numRecentProgressUpdates, default
+    # 100) — take the max of both accumulations so neither a missed
+    # poll nor a >100-batch run undercounts
+    rows = max(rows, sum(p.numInputRows for p in q.recentProgress))
     print(
         json.dumps(
             {
@@ -73,7 +75,7 @@ def main() -> None:
                 "unit": "rows/s",
                 "rows": rows,
                 "wall_sec": round(wall, 1),
-                "batches": len(q.recentProgress),
+                "batches": max(len(last_ids), len(q.recentProgress)),
                 "src": src,
             }
         ),

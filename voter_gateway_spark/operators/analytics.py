@@ -315,7 +315,14 @@ def contamination_spans(
     — only repeated. On crawl corpora the all-pairs form is the first
     query to die at 100×, so it is opt-in (`collapse_train=False`)
     for callers that need every duplicate train_id enumerated; the
-    oracle-checked catalog query pins the collapsed form."""
+    oracle-checked catalog query pins the collapsed form.
+
+    `id_col` must be unique per eval_df ROW (the same precondition as
+    training_shuffle's id_col and prefix_sum's order_col): the matched
+    frame's uniqueness on (eval, train, pos) — which lets the island
+    window run without a defensive distinct — is derived from one
+    posexplode row per (eval_id, pos). Duplicate eval rows under one
+    id would interleave positions and corrupt run lengths."""
     ev = eval_df.select(
         F.col(id_col).alias("_eid"),
         F.posexplode(word_shingles(text_col, k=k, distinct=False)).alias(

@@ -262,6 +262,74 @@ def _vector_mean(assigned: DataFrame, group_col: str, vec_col: str) -> DataFrame
     )
 
 
+def _train_centroids(
+    c: DataFrame,
+    n_centroids: int | None,
+    iters: int,
+    centroid_round: int | None = None,
+    train_per_cell: int | None = None,
+) -> tuple[int, DataFrame]:
+    """The ONE deterministic coarse-quantizer trainer shared by
+    ivf_topk, build_ivf_index, and semantic_dedup — any determinism
+    change here moves every oracle-pinned trajectory together.
+
+    `c` is the canonical (_cid, _cv) frame (checkpointed by the
+    caller). Steps, all engine-reproducible: seeds = the n_centroids
+    rows with the smallest md5(id) (None auto-scales to
+    max(16, ⌈√N⌉)); fixed-count Lloyd rounds, each mean optionally
+    snapped to `centroid_round` decimals (the cross-engine/partition
+    determinism grid — see ivf_topk); with `train_per_cell`, Lloyd
+    assignments read only the rows whose 60-bit md5(id) prefix falls
+    under floor(2⁶⁰·min(1, per_cell·cells/N)) — every term exact or
+    single-rounded in doubles, so the SQL oracle computes the same
+    bigint cut (training set is binomial around per_cell·cells).
+    Returns (resolved n_centroids, (cell, centroid) frame). The
+    count action only runs when auto cells or an engaged training
+    sample needs N — iters=0 never samples."""
+    import math
+
+    need_n = n_centroids is None or (train_per_cell is not None and iters > 0)
+    n_rows = c.count() if need_n else None
+    if n_centroids is None:
+        n_centroids = max(16, math.ceil(math.sqrt(n_rows)))
+    seeds = (
+        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    centroids = seeds.select(
+        F.row_number().over(Window.orderBy("_h")).alias("_cell"),
+        F.col("_cv").alias("_centroid"),
+    ).localCheckpoint(eager=True)
+    tr = c
+    if train_per_cell is not None and iters > 0:
+        frac = min(1.0, train_per_cell * n_centroids / n_rows)
+        if frac < 1.0:  # cut = 2^60 admits every row — skip the scan
+            cut = math.floor(2.0**60 * frac)
+            h60 = F.conv(
+                F.substring(
+                    F.md5(F.col("_cid").cast("string").cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            tr = c.where(h60 < F.lit(cut)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _nearest_cells(tr, "_cv", centroids, 1)
+        centroids = _vector_mean(assigned, "_cell", "_cv")
+        if centroid_round is not None:
+            centroids = centroids.select(
+                "_cell",
+                F.transform(
+                    "_centroid", lambda x: F.round(x, centroid_round)
+                ).alias("_centroid"),
+            )
+        centroids = centroids.select("_cell", "_centroid").localCheckpoint(
+            eager=True
+        )
+    return n_centroids, centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -337,55 +405,12 @@ def ivf_topk(
     row — small corpora train exactly as before. None (default) keeps
     unconditional full-corpus training, the oracle-pinned behavior of
     the fixed-cell forms."""
-    import math
-
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).localCheckpoint(eager=True)
-    n_rows = c.count() if (n_centroids is None or train_per_cell is not None) else None
-    if n_centroids is None:
-        n_centroids = max(16, math.ceil(math.sqrt(n_rows)))
-    # deterministic seed sample: n_centroids smallest md5(id)
-    seeds = (
-        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
-        .orderBy("_h")
-        .limit(n_centroids)
+    n_centroids, centroids = _train_centroids(
+        c, n_centroids, iters, centroid_round, train_per_cell
     )
-    centroids = seeds.select(
-        F.row_number().over(Window.orderBy("_h")).alias("_cell"), F.col("_cv").alias("_centroid")
-    ).drop("_h").localCheckpoint(eager=True)
-
-    tr = c
-    if train_per_cell is not None and iters > 0:
-        # floor(2^60 · min(1, per_cell·cells/N)) — every term exact or
-        # single-rounded in doubles, so Spark and the SQL oracle compute
-        # the same bigint cut; rows whose 60-bit hash prefix falls below
-        # it form the training set (binomial around per_cell·cells)
-        frac = min(1.0, train_per_cell * n_centroids / n_rows)
-        if frac < 1.0:  # cut = 2^60 admits every row — skip the scan
-            cut = math.floor(2.0**60 * frac)
-            h60 = F.conv(
-                F.substring(
-                    F.md5(F.col("_cid").cast("string").cast("binary")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            tr = c.where(h60 < F.lit(cut)).localCheckpoint(eager=True)
-
-    for _ in range(iters):
-        assigned = _nearest_cells(tr, "_cv", centroids, 1)
-        centroids = _vector_mean(assigned, "_cell", "_cv")
-        if centroid_round is not None:
-            centroids = centroids.select(
-                "_cell",
-                F.transform(
-                    "_centroid", lambda x: F.round(x, centroid_round)
-                ).alias("_centroid"),
-            )
-        centroids = centroids.select("_cell", "_centroid").localCheckpoint(
-            eager=True
-        )
 
     # candidate verification stages norms per side (dot/(qn·cn) — the
     # same expression tree as cosine, so bit-equal) instead of three
@@ -445,24 +470,7 @@ def build_ivf_index(
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).localCheckpoint(eager=True)
-    if n_centroids is None:
-        import math
-
-        n_centroids = max(16, math.ceil(math.sqrt(c.count())))
-    seeds = (
-        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
-        .orderBy("_h")
-        .limit(n_centroids)
-    )
-    centroids = seeds.select(
-        F.row_number().over(Window.orderBy("_h")).alias("_cell"),
-        F.col("_cv").alias("_centroid"),
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        assigned = _nearest_cells(c, "_cv", centroids, 1)
-        centroids = _vector_mean(assigned, "_cell", "_cv").select(
-            "_cell", "_centroid"
-        ).localCheckpoint(eager=True)
+    n_centroids, centroids = _train_centroids(c, n_centroids, iters)
     cells = _nearest_cells(c, "_cv", centroids, 1)
     (
         cells.select(F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col), "_cell")
@@ -763,35 +771,10 @@ def semantic_dedup(
     and oracle-checked at iters=0 (queries._semantic_dedup_sql).
     iters>0 adds Lloyd refinement with the same determinism contract
     as ivf_topk (pass centroid_round to pin cross-engine)."""
-    import math
-
     c = widen(df).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).localCheckpoint(eager=True)
-    if n_centroids is None:
-        n_centroids = max(16, math.ceil(math.sqrt(c.count())))
-    seeds = (
-        c.select("_cv", F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"))
-        .orderBy("_h")
-        .limit(n_centroids)
-    )
-    centroids = seeds.select(
-        F.row_number().over(Window.orderBy("_h")).alias("_cell"),
-        F.col("_cv").alias("_centroid"),
-    ).drop("_h").localCheckpoint(eager=True)
-    for _ in range(iters):
-        assigned = _nearest_cells(c, "_cv", centroids, 1)
-        centroids = _vector_mean(assigned, "_cell", "_cv")
-        if centroid_round is not None:
-            centroids = centroids.select(
-                "_cell",
-                F.transform(
-                    "_centroid", lambda x: F.round(x, centroid_round)
-                ).alias("_centroid"),
-            )
-        centroids = centroids.select("_cell", "_centroid").localCheckpoint(
-            eager=True
-        )
+    n_centroids, centroids = _train_centroids(c, n_centroids, iters, centroid_round)
     cells = (
         _nearest_cells(c, "_cv", centroids, 1)
         .select("_cid", "_cv", "_cell")

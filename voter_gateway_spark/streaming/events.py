@@ -167,7 +167,16 @@ def attribute_conversions(
     if banded:
         import pandas as pd
 
-        wsec = int(pd.Timedelta(window).total_seconds())
+        try:
+            wsec = int(pd.Timedelta(window).total_seconds())
+        except ValueError:
+            wsec = 0
+        if wsec < 1:
+            # calendar intervals pandas can't parse ("1 month") and
+            # sub-second windows (bucket width would floor to 0) fall
+            # back to the exact range join — correct, just unbanded
+            banded = False
+    if banded:
         pb = p.withColumn(
             "_b", F.floor(F.unix_timestamp("p_ts").cast("bigint") / wsec)
         )
