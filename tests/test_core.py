@@ -167,6 +167,23 @@ def test_copy_column(spark):
     assert out2 == {1: "t1+s1", 2: "t2"}
 
 
+def test_copy_column_duplicate_source_keys_pick_smallest(spark):
+    """Postgres UPDATE..FROM picks an arbitrary row for duplicated
+    source keys; this engine pins the SMALLEST source value so the
+    result is identical across runs, partitionings, and engines."""
+    t = spark.createDataFrame([Row(k=1, v="t1")], "k int, v string")
+    s = spark.createDataFrame(
+        [Row(k=1, v="zz"), Row(k=1, v="aa"), Row(k=1, v="mm")],
+        "k int, v string",
+    )
+    for reps in (1, 7):
+        out = {
+            r.k: r.v
+            for r in copy_column(t, s.repartition(reps), ["k"], "v").collect()
+        }
+        assert out == {1: "aa"}
+
+
 def test_audits(spark):
     df = spark.createDataFrame(
         [Row(a="x", b=""), Row(a="y", b=None), Row(a="x", b="z")],

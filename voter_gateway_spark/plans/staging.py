@@ -152,11 +152,23 @@ def copy_column(
     """
     src_col = source_value_col or column
     pairs = [(k, k) if isinstance(k, str) else k for k in keys]
-    s = source.select(
-        *[F.col(sk).alias(f"_k_{tk}") for tk, sk in pairs],
-        F.col(src_col).alias("_src_val"),
-        F.lit(True).alias("_matched"),
-    ).dropDuplicates([f"_k_{tk}" for tk, _ in pairs])
+    # duplicate source keys: Postgres UPDATE..FROM picks an arbitrary
+    # row; dropDuplicates would too, but PER RUN — this engine's
+    # determinism posture (cross-engine hash verification) demands a
+    # pinned winner, so the SMALLEST source value wins, mirroring the
+    # lowest-pk tie-break convention in merging/dedup
+    kcols = [f"_k_{tk}" for tk, _ in pairs]
+    w = Window.partitionBy(*kcols).orderBy(F.asc_nulls_last("_src_val"))
+    s = (
+        source.select(
+            *[F.col(sk).alias(f"_k_{tk}") for tk, sk in pairs],
+            F.col(src_col).alias("_src_val"),
+            F.lit(True).alias("_matched"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     cond = reduce(
         Column.__and__,
         [target[tk].eqNullSafe(s[f"_k_{tk}"]) for tk, _ in pairs],

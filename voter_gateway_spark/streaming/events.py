@@ -164,18 +164,27 @@ def attribute_conversions(
         (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
         & (F.col("v_ts") <= F.col("p_ts"))
     )
+    if banded and (purchases.isStreaming or views.isStreaming):
+        # stream-stream state eviction needs the event-time range IN
+        # the join criteria; banding would leave it as a post-join
+        # filter and risk unbounded state — streaming callers always
+        # get the watermark-bounded range join
+        banded = False
     if banded:
         import pandas as pd
 
         try:
-            wsec = int(pd.Timedelta(window).total_seconds())
+            tsec = pd.Timedelta(window).total_seconds()
         except ValueError:
-            wsec = 0
-        if wsec < 1:
-            # calendar intervals pandas can't parse ("1 month") and
-            # sub-second windows (bucket width would floor to 0) fall
-            # back to the exact range join — correct, just unbanded
+            tsec = 0.0
+        # calendar intervals pandas can't parse ("1 month") and any
+        # window that isn't a whole number of seconds (a truncated
+        # bucket would silently drop boundary pairs) fall back to the
+        # exact range join — correct, just unbanded
+        if tsec < 1 or tsec != int(tsec):
             banded = False
+        else:
+            wsec = int(tsec)
     if banded:
         pb = p.withColumn(
             "_b", F.floor(F.unix_timestamp("p_ts").cast("bigint") / wsec)
