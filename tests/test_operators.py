@@ -892,6 +892,51 @@ def test_prefix_sum_matches_global_window(spark):
     assert got == exp
 
 
+def test_prefix_sum_double_values(spark):
+    """A fractional value column must produce double offsets, not a
+    TypeError from the bigint base schema (and no silent truncation)."""
+    from voter_gateway_spark.operators.relational import prefix_sum
+
+    df = spark.createDataFrame(
+        [Row(id=i, w=i * 0.5) for i in range(20)], "id bigint, w double"
+    )
+    got = {r.id: r.offset for r in prefix_sum(df, "id", "w", partitions=4).collect()}
+    acc, exp = 0.0, {}
+    for i in range(20):
+        exp[i] = acc
+        acc += i * 0.5
+    assert got == pytest.approx(exp)
+
+
+def test_asof_join_null_payload_column_travels_as_one_row(spark):
+    """The matched right row's payload must travel WHOLE: a NULL in
+    the most recent right row stays NULL instead of being backfilled
+    per-column from an older right row (the franken-row bug)."""
+    from voter_gateway_spark.operators.relational import as_of_join
+
+    right = spark.createDataFrame(
+        [Row(k=1, rt=1, price=10.0, qty=5), Row(k=1, rt=2, price=None, qty=7)],
+        "k int, rt int, price double, qty int",
+    )
+    left = spark.createDataFrame([Row(k=1, lt=3)], "k int, lt int")
+    out = as_of_join(left, right, "k", "lt", "rt").collect()[0]
+    assert out.qty == 7 and out.price is None
+
+
+def test_remove_boilerplate_null_text_keeps_row(spark):
+    """NULL-text documents must appear in the output as empty docs,
+    not vanish (size(NULL) is NULL and passes neither explode guard)."""
+    from voter_gateway_spark.operators.text import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text=None)],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in remove_boilerplate(df, min_docs=99).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].clean_text == "" and rows[2].n_segments == 0
+
+
 def test_prefix_sum_plan_has_no_global_window(spark):
     from voter_gateway_spark.operators.relational import prefix_sum
 

@@ -128,9 +128,14 @@ def tfidf_top_terms(
     cross-joined 1-row aggregate, not a collect. The window top-k uses
     WindowGroupLimit, so per-doc candidate lists rank partially before
     the final shuffle."""
-    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    from voter_gateway_spark.operators.text import normalized
+
+    # the ONE canonical normalize pass (text.normalized) — an inline
+    # copy of the formula here could silently drift from every other
+    # operator and from the DuckDB oracle
     toks = F.filter(
-        F.split(F.lower(norm), " "), lambda t: F.length(t) >= min_len
+        F.split(F.lower(normalized(text_col)), " "),
+        lambda t: F.length(t) >= min_len,
     )
     tf = (
         docs.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -195,6 +200,12 @@ def knn_label_vote(
     )
     votes = (
         nn.join(F.broadcast(labels) if broadcast_labels else labels, "neighbor_id")
+        # unlabeled corpus rows occupy top-k slots but cast NO vote —
+        # without this, Spark's asc (nulls FIRST) would let NULL win
+        # vote ties and be emitted as predicted_label, and diverge
+        # from engines that sort nulls last (a query whose every
+        # neighbor is unlabeled is absent from the output)
+        .where(F.col("_lbl").isNotNull())
         .groupBy(F.col("query_id").alias(id_col), "_lbl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

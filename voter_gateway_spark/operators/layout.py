@@ -84,8 +84,11 @@ def write_training_shards(
 
     Read side: a loader streams `shard=K/` sequentially and rows
     arrive in the deterministic shuffled order — no shuffle at
-    training time, reproducible across rebuilds (the manifest hash-
-    checks that). One exchange (by shard) on the write; the manifest
+    training time, reproducible across rebuilds because (shard, pos)
+    is a pure function of the ids (the manifest records every shard's
+    row count, INCLUDING empty shards, so `range(n_shards)` iteration
+    never hits a missing key — an empty md5 bucket writes no
+    directory). One exchange (by shard) on the write; the manifest
     aggregation reuses the written data, not a second pass over the
     input."""
     from voter_gateway_spark.operators.analytics import training_shuffle
@@ -109,7 +112,7 @@ def write_training_shards(
     manifest = {
         "n_shards": n_shards,
         "total_rows": sum(counts.values()),
-        "shard_rows": {str(k): v for k, v in sorted(counts.items())},
+        "shard_rows": {str(k): counts.get(k, 0) for k in range(n_shards)},
         "id_col": id_col,
     }
     import json
@@ -164,16 +167,22 @@ def compact_parquet(
     ceil(bytes / target) files. Returns the file count written.
 
     The file count comes from the REAL dataset size (Hadoop
-    ContentSummary), not a row-count guess; `sort_within_by` re-sorts
-    rows inside each output file so zone maps stay tight after the
-    rewrite. Writes to a NEW location (never in-place — readers of
-    `src` are unaffected until the swap, the transactional-load
-    posture of sinks.overwrite_partitions)."""
+    ContentSummary), not a row-count guess; `sort_within_by`
+    RANGE-partitions on the sort keys before the in-file sort, so each
+    output file covers a tight, disjoint key range — a round-robin
+    repartition would hand every file a sample of the whole keyspace
+    and the rewritten zone maps (min/max per file, what
+    file_skipping_stats audits) would prune nothing. Writes to a NEW
+    location (never in-place — readers of `src` are unaffected until
+    the swap, the transactional-load posture of
+    sinks.overwrite_partitions)."""
     total = dataset_bytes(spark, src)
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     if sort_within_by:
-        out = df.repartition(n).sortWithinPartitions(*sort_within_by)
+        out = df.repartitionByRange(
+            n, *[F.col(c) for c in sort_within_by]
+        ).sortWithinPartitions(*sort_within_by)
     else:
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_of_join(
@@ -43,6 +44,14 @@ def as_of_join(
     (time, marker — right rows first so equal timestamps match), then
     `last(payload, ignorenulls=True)` over the running frame. ONE
     shuffle on the key; scales as a sort within partitions.
+
+    The payload is carried as ONE struct, not per-column: per-column
+    last(ignorenulls) would reach back to an OLDER right row for any
+    column that is legitimately NULL in the most recent one, emitting
+    a combination of values that never coexisted in any right row.
+    The struct is non-null exactly on right rows, so ignorenulls skips
+    left rows only and the whole matched row travels together —
+    NULL-payload columns stay NULL, as a real ASOF join returns them.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_time)
@@ -60,7 +69,7 @@ def as_of_join(
         F.col(on),
         F.col(right_time).alias("_asof_t"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -69,10 +78,16 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        *[c for c in unioned.columns if c not in right_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        *[c for c in unioned.columns if c != "_asof_payload"],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_payload"),
     )
-    return carried.where(F.col("_is_left") == 1).drop("_asof_t", "_is_left")
+    return (
+        carried.where(F.col("_is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_asof_payload.{c}").alias(c) for c in right_cols],
+        )
+    )
 
 
 def interval_join(
@@ -97,6 +112,12 @@ def interval_join(
     filter — Catalyst never sees a range join, so no nested-loop
     fallback at any scale.
     """
+    clash = (set(points.columns) & set(intervals.columns)) - {on}
+    if clash:
+        raise ValueError(
+            f"interval_join shared non-key columns {sorted(clash)} would make "
+            "the range predicate ambiguous; alias one side first"
+        )
     to_units = time_unit_expr or (
         lambda c: F.unix_timestamp(c).cast("bigint")
     )
@@ -250,14 +271,26 @@ def prefix_sum(
         .orderBy("_pid")
         .collect()
     )
+    # integral value columns keep exact bigint offsets; fractional ones
+    # ride as doubles (a hard-coded bigint schema would reject the
+    # collected Python floats outright, and the final cast would then
+    # silently truncate)
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    base_t = "bigint" if integral else "double"
     base, acc = [], 0
     for r in totals:
-        base.append((r["_pid"], acc))
+        base.append((r["_pid"], acc if integral else float(acc)))
         acc += r["_t"] or 0
-    bases = df.sparkSession.createDataFrame(base or [(0, 0)], "_pid int, _base bigint")
+    bases = df.sparkSession.createDataFrame(
+        base or [(0, 0 if integral else 0.0)], f"_pid int, _base {base_t}"
+    )
+    out_val = F.coalesce("_base", F.lit(0)) + F.col("_local")
     return (
         within.join(F.broadcast(bases), "_pid", "left")
-        .withColumn(out_col, (F.coalesce("_base", F.lit(0)) + F.col("_local")).cast("bigint"))
+        .withColumn(out_col, out_val.cast(base_t))
         .drop("_pid", "_local", "_base")
     )
 

@@ -345,6 +345,10 @@ def chunk_text(
     words = F.filter(
         F.split(F.lower(normalized(text_col)), " "), lambda w: w != ""
     )
+    # NULL text → NULL word list → NULL sizes downstream (the chunk row
+    # would carry n_chunk_tokens = NULL instead of 0); normalize to an
+    # empty list so NULL-text docs behave exactly like empty docs
+    words = F.coalesce(words, F.array().cast("array<string>"))
     base = df.select(F.col(id_col), words.alias("_words"))
     n = F.size("_words")
     n_chunks = F.greatest(F.ceil((n - overlap) / F.lit(step)), F.lit(1)).cast("int")
@@ -447,7 +451,13 @@ def remove_boilerplate(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.count("_bp").cast("bigint").alias("n_removed"),
     )
-    empty = base.where(F.col("_nseg") == 0).select(
+    # NULL text gives _nseg = NULL (size(NULL) is NULL), which passes
+    # NEITHER the explode guard nor an == 0 test — without the isNull
+    # arm such documents would vanish, breaking the one-row-per-input
+    # contract; they report as empty documents instead
+    empty = base.where(
+        (F.col("_nseg") == 0) | F.col("_nseg").isNull()
+    ).select(
         id_col,
         F.lit("").alias("clean_text"),
         F.lit(0).cast("bigint").alias("n_segments"),
@@ -507,13 +517,24 @@ def token_frequencies(
 # -- DataFrame-level convenience ---------------------------------------------
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text profile of a documents table."""
-    return df.select(
-        "*",
-        token_count(text_col).alias("n_tokens"),
+    """One-pass text profile of a documents table.
+
+    Stages `normalized()` and `lower_tokens()` ONCE and threads them
+    through every scorer via the norm_col/words_col parameters — this
+    composite (quality + language + fingerprint in one projection) is
+    exactly the shape that, with the subtrees inlined per consumer,
+    outgrew janino's 64 KB method limit and fell out of whole-stage
+    codegen (see token_count's docstring)."""
+    staged = df.withColumn("_norm", normalized(text_col)).withColumn(
+        "_lwords", lower_tokens(text_col)
+    )
+    n, w = F.col("_norm"), F.col("_lwords")
+    return staged.select(
+        *df.columns,
+        token_count(text_col, norm_col=n).alias("n_tokens"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         punct_ratio(text_col).alias("punct_ratio"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_guess"),
-        content_fingerprint(text_col).alias("fingerprint"),
+        quality_score(text_col, norm_col=n, words_col=w).alias("quality"),
+        lang_id(text_col, words_col=w).alias("lang_guess"),
+        content_fingerprint(text_col, norm_col=n).alias("fingerprint"),
     )

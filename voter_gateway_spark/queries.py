@@ -2924,7 +2924,10 @@ WITH q AS (
     FROM p
   ) WHERE rn <= 5
 ), votes AS (
-  SELECT query_id, label, count(*) AS votes FROM nn GROUP BY 1, 2
+  -- unlabeled neighbors hold top-k slots but cast no vote (mirrors
+  -- knn_label_vote's null filter)
+  SELECT query_id, label, count(*) AS votes FROM nn
+  WHERE label IS NOT NULL GROUP BY 1, 2
 )
 SELECT vec_id, predicted_label, votes FROM (
   SELECT query_id AS vec_id, label AS predicted_label, votes,
