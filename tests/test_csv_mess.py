@@ -117,3 +117,34 @@ def test_quoted_delimiter_not_counted_as_field_break(spark, tmp_path):
     rows = {r.id: r.name for r in df.collect()}
     assert rows == {"1": "Smith, John"}
     assert src.malformed_count() == 1
+
+
+def test_latin1_encoding_slow_path(spark, tmp_path):
+    """The malformed-handling path must honor the encoding too:
+    spark.read.text is UTF-8-only (silently ignores the option), so the
+    raw-line scan goes through the csv reader. 'Muñoz' must survive
+    Latin-1 on BOTH paths."""
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(
+        tmp_path, "lat1.csv", "id,name\n1,Muñoz\n2,ok\nbad\n", encoding="latin-1"
+    )
+    src = CSVSource(path, quote='"', encoding="ISO-8859-1", remove_malformed=True)
+    rows = {r.id: r.name for r in src.read(spark).collect()}
+    assert rows == {"1": "Muñoz", "2": "ok"}
+    assert src.malformed_count() == 1
+
+
+def test_headerless_slow_path_synthesizes_columns(spark, tmp_path):
+    """header=False with malformed handling must synthesize _c0.._cN
+    (like the fast path) and keep the first line as DATA — not promote
+    field values to column names."""
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "nohdr.csv", "1,Main St\n2,Oak Ave\nbad\n")
+    src = CSVSource(path, quote='"', header=False, remove_malformed=True)
+    df = src.read(spark)
+    assert df.columns == ["_c0", "_c1"]
+    rows = {r._c0: r._c1 for r in df.collect()}
+    assert rows == {"1": "Main St", "2": "Oak Ave"}
+    assert src.malformed_count() == 1

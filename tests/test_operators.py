@@ -1137,3 +1137,33 @@ def test_remove_boilerplate_partition_count_invariant(spark, sf_dir):
         for r in remove_boilerplate(docs.repartition(32), min_docs=3).collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_edit_distance_default_keeps_short_field_true_pairs(spark):
+    """'smith' vs 'smyth' is edit distance 1 but trigram similarity
+    0.333 — the old fixed 0.4 floor silently dropped it. The default
+    q-gram count bound (|inter| >= max(|Ta|,|Tb|) - 3d) is lossless."""
+    df = spark.createDataFrame(
+        [Row(id=1, s="smith"), Row(id=2, s="smyth"), Row(id=3, s="zzqqz")],
+        "id int, s string",
+    )
+    pairs = {(r.id_a, r.id_b): r.edit_distance
+             for r in fuzzy.edit_distance_pairs(df, "s", "id", max_dist=2).collect()}
+    assert pairs.get((1, 2)) == 1
+
+
+def test_trigram_freq_cap_keeps_similarity_exact(spark):
+    """max_trigram_freq restricts the candidate POOL only: a pair that
+    still collides on an uncapped trigram must report its EXACT full
+    similarity, not one computed over the pruned index."""
+    rows = [Row(id=i, s=f"main u{i}") for i in range(10)]
+    rows += [Row(id=100, s="main ab xy"), Row(id=101, s="main ab xq")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    capped = fuzzy.candidate_pairs(
+        df, df, "s", "s", "id", "id", max_trigram_freq=5
+    ).where((F.col("_sid") == 100) & (F.col("_tid") == 101)).collect()
+    full = fuzzy.candidate_pairs(df, df, "s", "s", "id", "id").where(
+        (F.col("_sid") == 100) & (F.col("_tid") == 101)
+    ).collect()
+    assert capped and full
+    assert capped[0].similarity == pytest.approx(full[0].similarity)

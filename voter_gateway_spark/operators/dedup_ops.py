@@ -197,7 +197,18 @@ def ngram_jaccard_pairs(
             ex.join(freq, "_s")
             .withColumn("_rn", F.row_number().over(w))
             .join(sizes, "_id")
-            .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+            # round before ceil: t·n computed in doubles can land a
+            # hair ABOVE an exact integer (0.56·25 = 14.000000000000002
+            # → ceil 15), shortening the prefix by one token and
+            # breaking the lossless guarantee; snapping to a 1e-6 grid
+            # first can only err the other way (a longer prefix —
+            # recall-safe, marginally more index rows)
+            .where(
+                F.col("_rn")
+                <= F.col("_n")
+                - F.ceil(F.round(F.lit(threshold) * F.col("_n"), 6))
+                + 1
+            )
             .select("_id", "_s")
         )
         cand = (
@@ -608,10 +619,9 @@ def word_hashes(col: Column | str, k: int = 2) -> Column:
     the per-bit majority with codegen'd SUMs; never inline it into a
     per-bit expression loop (that re-hashes every shingle 60× per
     row — observed 84s → 3s when staged)."""
-    sh = word_shingles(col, k)
-    return F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
-    )
+    # shingle_hash60 is THE 60-bit hash formula (md5_hash60's docstring:
+    # change it only there + oracles together) — reuse, don't restate
+    return F.transform(word_shingles(col, k), shingle_hash60)
 
 
 def simhash_pairs(

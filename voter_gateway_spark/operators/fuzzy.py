@@ -100,36 +100,63 @@ def candidate_pairs(
 
 
 def _pairs_from_trigram_frames(
-    s: DataFrame, t: DataFrame, max_trigram_freq: int | None = None
+    s: DataFrame,
+    t: DataFrame,
+    max_trigram_freq: int | None = None,
+    keep_counts: bool = False,
 ) -> DataFrame:
-    """(_sid,_stg) × (_tid,_ttg) → (_sid,_tid,similarity).
+    """(_sid,_stg) × (_tid,_ttg) → (_sid,_tid,similarity[,counts]).
 
     Set-similarity join: |A ∩ B| falls out of the inverted-index join
     as a pair count (arrays are distinct per side), so the shuffle
-    carries only (sid, tid) tuples — never the trigram arrays."""
-    s_sizes = s.select("_sid", F.size("_stg").alias("_sn"))
-    t_sizes = t.select("_tid", F.size("_ttg").alias("_tn"))
-    s_ex = s.select("_sid", F.explode("_stg").alias("_tg"))
-    t_ex = t.select("_tid", F.explode("_ttg").alias("_tg"))
+    carries only (sid, tid) tuples — never the trigram arrays.
+
+    With `max_trigram_freq`, capping restricts the CANDIDATE POOL
+    only: the pair count over a pruned index UNDERCOUNTS the true
+    intersection (capped trigrams still belong to both sets), which
+    would understate similarity and silently drop true pairs at the
+    caller's threshold — so the capped path re-verifies surviving
+    candidates exactly on the full trigram arrays (cost bounded by
+    the candidate count the cap just shrank).
+
+    `keep_counts=True` also returns (_inter, _sn, _tn) for callers
+    that filter on count bounds (edit_distance_pairs' q-gram rule)."""
     if max_trigram_freq:
+        s_ex = s.select("_sid", F.explode("_stg").alias("_tg"))
+        t_ex = t.select("_tid", F.explode("_ttg").alias("_tg"))
         freq = t_ex.groupBy("_tg").count().where(F.col("count") <= max_trigram_freq)
         t_ex = t_ex.join(F.broadcast(freq.select("_tg")), "_tg")
-    inter = (
-        s_ex.join(t_ex, "_tg")
-        .groupBy("_sid", "_tid")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    return (
-        inter.join(s_sizes, "_sid")
-        .join(t_sizes, "_tid")
-        .select(
-            "_sid",
-            "_tid",
-            (F.col("_inter") / (F.col("_sn") + F.col("_tn") - F.col("_inter"))).alias(
-                "similarity"
-            ),
+        counted = (
+            s_ex.join(t_ex, "_tg")
+            .select("_sid", "_tid")
+            .dropDuplicates(["_sid", "_tid"])
+            .join(s, "_sid")
+            .join(t, "_tid")
+            .select(
+                "_sid",
+                "_tid",
+                F.size(F.array_intersect("_stg", "_ttg")).alias("_inter"),
+                F.size("_stg").alias("_sn"),
+                F.size("_ttg").alias("_tn"),
+            )
         )
-    )
+    else:
+        s_sizes = s.select("_sid", F.size("_stg").alias("_sn"))
+        t_sizes = t.select("_tid", F.size("_ttg").alias("_tn"))
+        s_ex = s.select("_sid", F.explode("_stg").alias("_tg"))
+        t_ex = t.select("_tid", F.explode("_ttg").alias("_tg"))
+        counted = (
+            s_ex.join(t_ex, "_tg")
+            .groupBy("_sid", "_tid")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+            .join(s_sizes, "_sid")
+            .join(t_sizes, "_tid")
+        )
+    sim = (
+        F.col("_inter") / (F.col("_sn") + F.col("_tn") - F.col("_inter"))
+    ).alias("similarity")
+    extra = ["_inter", "_sn", "_tn"] if keep_counts else []
+    return counted.select("_sid", "_tid", sim, *extra)
 
 
 def top1_fuzzy_match(
@@ -238,29 +265,43 @@ def edit_distance_pairs(
     column: str,
     id_col: str,
     max_dist: int = 4,
-    sim_floor: float = 0.4,
+    sim_floor: float | None = None,
     max_trigram_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by EDIT DISTANCE with trigram blocking: candidate
-    pairs share >= 1 trigram and clear a trigram-similarity floor; only
-    candidates pay the O(len·len) levenshtein verify. Output:
+    pairs share >= 1 trigram and clear the q-gram count bound; only
+    candidates pay the levenshtein verify. Output:
     (id_a, id_b, similarity, edit_distance), id_a < id_b.
 
     The blocked-verify shape mirrors the dedup families: exact
     verification on candidates only, never all pairs. Spark's
     levenshtein takes a threshold argument — the DP early-exits past
     `max_dist`, so the verify cost is O(len·max_dist) per candidate at
-    scale, not O(len²). The similarity floor is the q-gram count
-    filter: strings within distance d keep a bounded trigram overlap,
-    so a loose floor never drops a true pair for short fields (the
-    voter-file name/address case this targets)."""
+    scale, not O(len²).
+
+    Pre-verify pruning (default, sim_floor=None): the LOSSLESS q-gram
+    count rule — one edit destroys at most 3 trigrams, so ED ≤ d
+    implies |Ta ∩ Tb| ≥ max(|Ta|,|Tb|) − 3d; candidates below that
+    bound cannot pass the verify and are dropped safely. A fixed
+    similarity floor is NOT lossless for short fields ('smith' vs
+    'smyth' is distance 1 but trigram similarity 0.333 — one edit
+    wipes 3 of a 6-trigram word), so `sim_floor` is an opt-in extra
+    prune for callers who accept that recall trade (the catalog's
+    dedup_edit_distance pins 0.4 to match its oracle)."""
     t = widen(df).select(
         F.col(id_col).alias("_tid"), trigrams(column).alias("_ttg")
     ).localCheckpoint(eager=True)
     s = t.select(F.col("_tid").alias("_sid"), F.col("_ttg").alias("_stg"))
-    pairs = _pairs_from_trigram_frames(s, t, max_trigram_freq).where(
-        (F.col("_sid") < F.col("_tid")) & (F.col("similarity") >= sim_floor)
-    )
+    pairs = _pairs_from_trigram_frames(
+        s, t, max_trigram_freq, keep_counts=True
+    ).where(F.col("_sid") < F.col("_tid"))
+    if sim_floor is not None:
+        pairs = pairs.where(F.col("similarity") >= sim_floor)
+    else:
+        pairs = pairs.where(
+            F.col("_inter") >= F.greatest("_sn", "_tn") - 3 * max_dist
+        )
+    pairs = pairs.drop("_inter", "_sn", "_tn")
     texts = df.select(F.col(id_col).alias("_xid"), F.col(column).alias("_xtxt"))
     a = texts.select(F.col("_xid").alias("_sid"), F.col("_xtxt").alias("_ta"))
     b = texts.select(F.col("_xid").alias("_tid"), F.col("_xtxt").alias("_tb"))
@@ -302,6 +343,8 @@ def fuzzy_claiming_rounds(
 
     Returns (source_id, matched_<target_id>, similarity, _fuzzy_column).
     """
+    if not columns:
+        raise ValueError("fuzzy_claiming_rounds needs at least one fuzzy column")
     results = []
     for col in columns:
         best = top1_fuzzy_match(

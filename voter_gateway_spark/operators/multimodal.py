@@ -212,12 +212,22 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # metadata-only rows carry payload NULL (the schema allows
+            # it); bytes(None) would kill the whole task, so they flow
+            # through as (None, 0, None) instead — per-row flagging,
+            # the same posture as the decoder error contract
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "sha256": pdf["payload"].map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                    "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))).astype("int64"),
-                    "features": pdf["payload"].map(lambda b: decoder(bytes(b))),
+                    "sha256": pdf["payload"].map(
+                        lambda b: None if b is None else hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: 0 if b is None else len(bytes(b))
+                    ).astype("int64"),
+                    "features": pdf["payload"].map(
+                        lambda b: None if b is None else decoder(bytes(b))
+                    ),
                 }
             )
             yield out
@@ -229,12 +239,17 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling plan: emits (media_id, frame_ts) rows from
     duration metadata WITHOUT decoding — pure native exprs; the decode
     of each sampled frame is the stubbed step."""
-    n_frames = F.greatest(F.floor(F.col("duration_s") / every_s).cast("int"), F.lit(0))
+    # frames sampled at ts < duration: the last index is
+    # ceil(duration/every) - 1 — an inclusive floor() end would emit a
+    # phantom frame AT the end-of-stream instant for exact-multiple
+    # durations, and NULL/zero durations must emit no frames at all
+    # (greatest() skips NULLs, so the old form gave them frame 0)
+    n_last = (F.ceil(F.col("duration_s") / every_s) - 1).cast("int")
+    idx = F.when(
+        F.col("duration_s") > 0, F.sequence(F.lit(0), n_last)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         media.where(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(F.sequence(F.lit(0), n_frames)).alias("_i"),
-        )
+        .select("media_id", F.explode(idx).alias("_i"))
         .select("media_id", (F.col("_i") * every_s).alias("frame_ts"))
     )

@@ -1467,8 +1467,8 @@ FRAME_SAMPLE_SQL = """
 SELECT media_id, i * 2.0 AS frame_ts
 FROM (
   SELECT doc_id AS media_id,
-         unnest(generate_series(0, greatest(CAST(floor((n_chars % 30) / 2.0) AS INT), 0))) AS i
-  FROM documents WHERE doc_id % 3 = 0
+         unnest(generate_series(0, CAST(ceil((n_chars % 30) / 2.0) AS INT) - 1)) AS i
+  FROM documents WHERE doc_id % 3 = 0 AND (n_chars % 30) > 0
 )
 """
 

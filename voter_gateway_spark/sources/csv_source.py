@@ -37,14 +37,26 @@ class CSVSource:
 
     _corrupt_col: str = field(default="_corrupt_record", repr=False)
 
+    def _raw_lines(self, spark: SparkSession) -> DataFrame:
+        """Raw physical lines decoded with `encoding`, one string column
+        `value`. NOT spark.read.text: the text source is UTF-8-only and
+        silently ignores the encoding option, so a Latin-1 voter file
+        (the reference's stated case) would decode every non-ASCII byte
+        as U+FFFD. The csv reader DOES honor encoding — read with a
+        separator that cannot occur in text (SOH) and quoting disabled,
+        and each line arrives intact as one field."""
+        return (
+            spark.read.option("sep", "\x01")
+            .option("quote", "")
+            .option("header", "false")
+            .option("encoding", self.encoding)
+            .schema("value STRING")
+            .csv(self.path)
+        )
+
     def headers(self, spark: SparkSession) -> list[str]:
         """S3 header sniffing — read only the first row."""
-        first = (
-            spark.read.option("encoding", self.encoding)
-            .text(self.path)
-            .limit(1)
-            .collect()
-        )
+        first = self._raw_lines(spark).limit(1).collect()
         if not first:
             return []
         line = first[0][0]
@@ -81,9 +93,35 @@ class CSVSource:
 
         import re as _re
 
-        cols = self.headers(spark)
+        if self.header:
+            cols = self.headers(spark)
+        else:
+            # header=False: the first line is DATA — deriving column
+            # names from it would turn field values into a (possibly
+            # duplicate-named) schema; synthesize _c0.._cN exactly like
+            # the fast csv path, sizing N from the first line's fields
+            first = self._raw_lines(spark).limit(1).collect()
+            if first:
+                import csv as _csv
+                import io as _io
+
+                line = first[0][0]
+                if self.remove_expression:
+                    line = _re.sub(self.remove_expression, "", line)
+                n_fields = len(
+                    next(
+                        _csv.reader(
+                            _io.StringIO(line),
+                            delimiter=self.delimiter,
+                            quotechar=self.quote,
+                        )
+                    )
+                )
+            else:
+                n_fields = 0
+            cols = [f"_c{i}" for i in range(n_fields)]
         schema_ddl = ", ".join(f"`{c}` STRING" for c in cols)
-        lines = spark.read.option("encoding", self.encoding).text(self.path)
+        lines = self._raw_lines(spark)
         if self.header:
             # drop the header POSITIONALLY (first physical line per
             # file), never by value: a data row textually identical to

@@ -110,11 +110,18 @@ def merge_into_delta(
     if plan.returned:
         raise ValueError("return_value_to_source is not expressible in MERGE INTO")
 
+    # window ONLY the matched subset: partitioning by a nullable
+    # _target_id would funnel every unmatched row (the bulk of a fresh
+    # load) through the single NULL partition to compute a row_number
+    # the filter then ignores — the same split MergePlan.execute uses
+    matched = matches.where(F.col(TARGET_ID).isNotNull())
+    unmatched = matches.where(F.col(TARGET_ID).isNull())
     w = Window.partitionBy(TARGET_ID).orderBy(F.col(SOURCE_ID).asc())
     deduped = (
-        matches.withColumn("_rn", F.row_number().over(w))
-        .where(F.col(TARGET_ID).isNull() | (F.col("_rn") == 1))
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
         .drop("_rn")
+        .unionByName(unmatched)
     )
     for template in plan.insert_constraints:
         deduped = deduped.where(
