@@ -245,8 +245,16 @@ class DedupAuditResult(MergeAuditResult):
 
 def dedup_audit(plan) -> DedupAuditResult:
     """Dry-run a DedupPlan: per-rule duplicate counts + invariant
-    violation counts, writing nothing (dedup_audit.rb:12-38)."""
-    matches = plan.match.matches().cache()
+    violation counts, writing nothing (dedup_audit.rb:12-38).
+
+    Uses the plan's OWN match lowering (`_matches`), not the raw
+    self-join cascade: for window-lowerable plans the raw form builds
+    n² pairs per duplicate group — the exact hang the ×100 stress
+    measured — while execute() runs the linear window form; the audit
+    must cost what the execution costs."""
+    matches = (
+        plan._matches() if hasattr(plan, "_matches") else plan.match.matches()
+    ).cache()
     base = merge_audit(matches)
     reflexive, symmetric = plan.invariant_counts(matches)
     return DedupAuditResult(

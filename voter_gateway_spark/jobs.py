@@ -41,12 +41,33 @@ class AuditGateway(GatewaySession):
     def merge(self, plan: MergePlan, matches: DataFrame, target: DataFrame) -> MergeResult:
         """Match-only: count per-rule matches, write nothing; the
         'result' returns the target unchanged so downstream job code
-        keeps working."""
+        keeps working — including return_value_to_source columns,
+        which a dry-run computes from the CURRENT (unmerged) target so
+        a job body that reads result.source['col'] resolves under both
+        gateways (values reflect pre-merge target state; unmatched
+        rows carry NULL, as they would pre-insert)."""
         self.audit_results.append(merge_audit(matches))
         matched = matches.where(matches["_target_id"].isNotNull())
         unmatched = matches.where(matches["_target_id"].isNull())
+        source = matches
+        if plan.returned:
+            from pyspark.sql import functions as F
+
+            pk = plan.target_pk
+            ret_exprs = []
+            for c_src, template in plan.returned.items():
+                sql = template.replace("$T.", "").replace("$T", f"`{pk}`")
+                ret_exprs.append(F.expr(sql).alias(f"_ret_{c_src}"))
+            ret = target.select(F.col(f"`{pk}`").alias("_ret_pk"), *ret_exprs)
+            source = matches.join(
+                ret, matches["_target_id"] == F.col("_ret_pk"), "left"
+            ).drop("_ret_pk")
+            for c_src in plan.returned:
+                source = source.withColumn(c_src, F.col(f"_ret_{c_src}")).drop(
+                    f"_ret_{c_src}"
+                )
         return MergeResult(
-            target=target, source=matches, matched=matched, unmatched=unmatched
+            target=target, source=source, matched=matched, unmatched=unmatched
         )
 
     def dedup(self, plan, check: bool = True) -> DataFrame:

@@ -104,7 +104,12 @@ class DedupPlan:
                 return False
             if not r.column_groups:
                 return False
-            if any(c != (self.pk, self.orientation) for c in r.constraints):
+            # the EXACT one-constraint form is required: an empty
+            # constraints list (a rule added behind find_duplicates'
+            # back) would vacuously pass an any()-check and be lowered
+            # to min-pk window semantics it never declared, silently
+            # skipping the invariant gate
+            if r.constraints != [(self.pk, self.orientation)]:
                 return False
         return True
 

@@ -161,22 +161,33 @@ class MatchPlan:
 
         pair_frames: list[DataFrame] = []
         for idx, rule in enumerate(self.rules):
+            import re as _re
+
             t = self.target.alias("t")
+            # a join-table condition that references source columns
+            # (`s.*`) cannot be applied while only t and the extra
+            # table are in scope — defer those joins until after the
+            # source join so the documented J4 contract (conditions
+            # over s.*, t.*, and the alias) actually resolves
+            post = []
             for jt in rule.join_tables:
-                t = t.join(jt.df.alias(jt.alias), F.expr(jt.condition))
-            pairs = (
-                ws.alias("s")
-                .join(t, rule.condition())
-                .select(
-                    F.col(f"s.{SOURCE_ID}").alias(SOURCE_ID),
-                    F.col(f"t.`{self.target_pk}`").alias("_cand_pk"),
-                    F.lit(idx + 1).alias(MATCH_RULE),
-                )
+                if _re.search(r"\bs\.", jt.condition):
+                    post.append(jt)
+                else:
+                    t = t.join(jt.df.alias(jt.alias), F.expr(jt.condition))
+            joined = ws.alias("s").join(t, rule.condition())
+            for jt in post:
+                joined = joined.join(jt.df.alias(jt.alias), F.expr(jt.condition))
+            pairs = joined.select(
+                F.col(f"s.{SOURCE_ID}").alias(SOURCE_ID),
+                F.col(f"t.`{self.target_pk}`").alias("_cand_pk"),
+                F.lit(idx + 1).alias(MATCH_RULE),
             )
             pair_frames.append(pairs)
 
         if not pair_frames:
-            pk_dtype = pk_t.simpleString() if pk_t else dict(self.target.dtypes)[self.target_pk]
+            # spark_type() returns the DDL STRING for lit().cast()
+            pk_dtype = pk_t if pk_t else dict(self.target.dtypes)[self.target_pk]
             out = (
                 ws.withColumn(TARGET_ID, F.lit(None).cast(pk_dtype))
                 .withColumn(MATCH_RULE, F.lit(None).cast("int"))

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.plans.matching import MATCH_RULE, SOURCE_ID, TARGET_ID
-from voter_gateway_spark.schema import render_expr
+from voter_gateway_spark.schema import lower_source_row_template, render_expr
 
 
 @dataclass
@@ -149,6 +149,7 @@ class MergePlan:
             joined = target.join(s, F.col(f"`{pk}`") == F.col("_join_pk"), "left")
 
             upd_cols = set(self.update_columns(source_cols, target_cols))
+            joined_dtypes = dict(joined.dtypes)
             out_exprs: list[Column] = []
             for c in target_cols:
                 old = F.col(f"`{c}`")
@@ -157,7 +158,13 @@ class MergePlan:
                     src_of_move = [o for o, n in self.moved.items() if n == c][0]
                     new_val = F.col(f"`{src_of_move}`")  # target's own current value
                 elif c in self.merge_exprs:
-                    new_val = render_expr(self.merge_exprs[c], source=f"_s_{c}", target=c)
+                    # cast to the TARGET column's type, exactly like the
+                    # insert branch: without it the CASE WHEN coerces the
+                    # whole column to the common type (a string-typed
+                    # CSV-staged source silently widens an int target)
+                    new_val = render_expr(
+                        self.merge_exprs[c], source=f"_s_{c}", target=c
+                    ).cast(joined_dtypes[c])
                 elif c in upd_cols:
                     # moved-FROM columns still receive the source value:
                     # the reference's correlated_update_columns subtracts
@@ -165,7 +172,7 @@ class MergePlan:
                     # keys (record_merger.rb:134-136) — the old target
                     # value is preserved in the destination, then the
                     # source overwrites the origin
-                    new_val = F.col(f"_s_{c}")
+                    new_val = F.col(f"_s_{c}").cast(joined_dtypes[c])
                 else:
                     new_val = None
                 if new_val is None:
@@ -182,8 +189,8 @@ class MergePlan:
         if not self.update_only:
             ins = unmatched
             for template in self.insert_constraints:
-                # $S.col → source column ref on the unmatched frame
-                ins = ins.where(F.expr(template.replace("$S.", "")))
+                # $S.col → quoted source column ref on the unmatched frame
+                ins = ins.where(F.expr(lower_source_row_template(template)))
             ins_cols = self.insert_columns(source_cols, target_cols)
             exprs = []
             for c in target_cols:
@@ -248,8 +255,13 @@ def scd2_merge(
     open) is a projection of that single join — no per-branch rescans
     of the target.
     """
-    cur = target.where(F.col(current_flag))
-    hist = target.where(~F.col(current_flag))
+    # null-safe split: a NULL current_flag (nullable boolean from an
+    # earlier load) fails BOTH `flag` and `~flag` predicates and the
+    # row would silently vanish from the output — treat NULL as
+    # not-current history
+    is_cur = F.coalesce(F.col(current_flag), F.lit(False))
+    cur = target.where(is_cur)
+    hist = target.where(~is_cur)
     biz_cols = [c for c in target.columns if c not in (valid_from, valid_to, current_flag)]
 
     s = source.select(

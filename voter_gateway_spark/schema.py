@@ -69,6 +69,24 @@ def render_expr(template: str, source: str | None = None, target: str | None = N
     return F.expr(render_template(template, source, target))
 
 
+def lower_source_row_template(template: str) -> str:
+    """Lower a ROW-level $S template ("$S.age > 18 AND $S.name <> ''")
+    to bare backtick-quoted column refs — the insert-constraint shape,
+    where $S stands for the whole source row rather than one column.
+    A naive replace("$S.", "") leaves bare `$S` tokens in the SQL (a
+    ParseException at execute time, far from the declaration) and
+    unquoted multi-word names; this quotes and fails fast instead."""
+    import re
+
+    out = re.sub(r"\$S\.(\w+)", lambda m: _quote(m.group(1)), template)
+    if "$S" in out:
+        raise ValueError(
+            "row-level $S templates must reference columns as $S.col "
+            f"(got: {template!r})"
+        )
+    return out
+
+
 @dataclass
 class ColumnSpec:
     """A declared output column (reference working_table.rb:129-152).

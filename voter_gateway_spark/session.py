@@ -125,5 +125,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterator[str] | None = 
     normalized to their declared schemas (sources/fixtures)."""
     from voter_gateway_spark.sources.fixtures import TABLES, load_table
 
-    names = list(names) if names else list(TABLES)
+    # `is not None`: an explicitly-empty names list means "load none",
+    # not "load everything" (a falsy check inverts the caller's intent)
+    names = list(names) if names is not None else list(TABLES)
     return {n: load_table(spark, sf_dir, n) for n in names}

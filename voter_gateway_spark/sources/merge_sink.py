@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.plans.matching import SOURCE_ID, TARGET_ID
-from voter_gateway_spark.schema import render_template
+from voter_gateway_spark.schema import lower_source_row_template, render_template
 
 
 def delta_available() -> bool:
@@ -125,7 +125,8 @@ def merge_into_delta(
     )
     for template in plan.insert_constraints:
         deduped = deduped.where(
-            F.col(TARGET_ID).isNotNull() | F.expr(template.replace("$S.", ""))
+            F.col(TARGET_ID).isNotNull()
+            | F.expr(lower_source_row_template(template))
         )
 
     target = DeltaTable.forPath(spark, target_path)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_table(
@@ -32,10 +33,19 @@ def write_table(
     """
     out = df
     if target_rows_per_file:
-        # cheap row estimate from the optimizer when available; else one
-        # pass — at scale prefer passing an explicit estimate
+        # an extra full evaluation of the upstream plan (count + write
+        # = 2×); cache df first, or size via layout.compact_parquet
+        # post-hoc, when the plan is expensive
         n = df.count()
-        out = out.repartition(max(1, math.ceil(n / target_rows_per_file)))
+        n_parts = max(1, math.ceil(n / target_rows_per_file))
+        if partition_by:
+            # key the repartition by the hive partition columns, or
+            # every task writes a sliver into EVERY partition dir —
+            # up to n_parts × |dirs| tiny files, the exact problem
+            # this option exists to avoid
+            out = out.repartition(n_parts, *[F.col(c) for c in partition_by])
+        else:
+            out = out.repartition(n_parts)
     if sort_within_partitions:
         out = out.sortWithinPartitions(*sort_within_partitions)
     writer = out.write.mode(mode)
