@@ -311,3 +311,65 @@ def test_scd2_merge_versions(spark):
         (3, None, "2020-01-01", "None", True),           # NULL == NULL (null-safe)
         (9, "new", "2024-06-01", "None", True),          # new key → first version
     ])
+
+
+def test_scd2_merge_null_current_flag_rows_survive(spark):
+    """A NULL is_current (nullable boolean from an earlier load) fails
+    both `flag` and `~flag`; those rows must land in history, not
+    silently vanish."""
+    from voter_gateway_spark.plans.merging import scd2_merge
+
+    target = spark.createDataFrame(
+        [
+            Row(id=1, v="ghost", valid_from="2019-01-01", valid_to="2020-01-01",
+                is_current=None),
+            Row(id=1, v="a", valid_from="2020-01-01", valid_to=None, is_current=True),
+        ],
+        "id int, v string, valid_from string, valid_to string, is_current boolean",
+    ).select("id", "v", F.col("valid_from").cast("date").alias("valid_from"),
+             F.col("valid_to").cast("date").alias("valid_to"), "is_current")
+    src = spark.createDataFrame([Row(id=1, v="a")], "id int, v string")
+    out = scd2_merge(target, src, "id", ["v"], "2024-06-01").collect()
+    assert sorted(r.v for r in out) == ["a", "ghost"]
+
+
+def test_join_table_condition_over_source_columns(spark):
+    """J4 contract: a join-table theta condition may reference s.* —
+    it must be applied after the source join instead of failing
+    analysis."""
+    from voter_gateway_spark.plans.matching import JoinTable, MatchPlan, MatchRule
+
+    src = spark.createDataFrame(
+        [Row(sid=1, k="a", ref=10), Row(sid=2, k="b", ref=99)],
+        "sid int, k string, ref int",
+    )
+    tgt = spark.createDataFrame(
+        [Row(id=100, k="a"), Row(id=200, k="b")], "id int, k string"
+    )
+    lookup = spark.createDataFrame(
+        [Row(key=10, ok=1)], "key int, ok int"
+    )
+    mp = MatchPlan(src, tgt, target_pk="id", source_id="sid")
+    mp.rules.append(
+        MatchRule(
+            column_groups=[["k"]],
+            join_tables=[JoinTable(lookup, "x", "x.key = s.ref")],
+        )
+    )
+    got = {(r.sid, r._target_id) for r in mp.matches().collect()}
+    # only sid=1 has a lookup row for its ref; sid=2 stays unmatched
+    assert got == {(1, 100), (2, None)}
+
+
+def test_merge_update_branch_casts_to_target_type(spark):
+    """A string-typed staged source must not widen an int target column
+    through CASE WHEN coercion (ANSI Spark would instead throw)."""
+    tgt = spark.createDataFrame([Row(id=1, age=30)], "id int, age int")
+    matches = spark.createDataFrame(
+        [Row(_source_id=1, _target_id=1, id="1", age="41")],
+        "_source_id int, _target_id int, id string, age string",
+    )
+    plan = MergePlan(target_pk="id")
+    out = plan.execute(matches, tgt).target
+    assert dict(out.dtypes)["age"] == "int"
+    assert out.collect()[0].age == 41
