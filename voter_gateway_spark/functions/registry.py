@@ -76,7 +76,14 @@ def needs_geocoding(addr_col: Column | str, lat_col: Column | str) -> Column:
     return (
         a.isNotNull()
         & (F.trim(a.cast("string")) != "")
-        & (lat.isNull() | (lat.cast("double") == 0.0))
+        # try_cast: a malformed numeric string on a CSV-staged frame
+        # must FLAG the row (it has no usable coordinate), not throw
+        # under ANSI mode — the module's coerce_to_date_or_null posture
+        & (
+            lat.isNull()
+            | lat.try_cast("double").isNull()
+            | (lat.try_cast("double") == 0.0)
+        )
     )
 
 
@@ -109,6 +116,9 @@ def point_wkt(point_col: Column | str, precision: int = 6) -> Column:
     )
 
 
+_WKB_UDF = None
+
+
 def point_wkb(point_col: Column | str) -> Column:
     """WKB (little-endian, 2D point) export of a location_point struct:
     21 bytes = 0x01 | uint32(1) | float64(lng) | float64(lat).
@@ -116,26 +126,32 @@ def point_wkb(point_col: Column | str) -> Column:
     IEEE-754 bit extraction has no Catalyst builtin, so this is an
     Arrow-batched pandas UDF — geometry export is a sink-side
     formatting step, never a hot-path predicate, so the Python
-    boundary is acceptable here (same posture as multimodal decode)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    boundary is acceptable here (same posture as multimodal decode).
 
-    def _pack(pts):
-        import struct as _s
+    The UDF is built ONCE (lazy module cache): rebuilding it per call
+    would hand Catalyst a distinct UDF instance per invocation —
+    unsharable across references and pure per-call overhead."""
+    global _WKB_UDF
+    if _WKB_UDF is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-        def pack(row):
-            if pd.isna(row["lng"]) or pd.isna(row["lat"]):
-                return None
-            return _s.pack("<BIdd", 1, 1, float(row["lng"]), float(row["lat"]))
+        def _pack(pts):
+            import struct as _s
 
-        return pts.apply(pack, axis=1)
+            def pack(row):
+                if pd.isna(row["lng"]) or pd.isna(row["lat"]):
+                    return None
+                return _s.pack("<BIdd", 1, 1, float(row["lng"]), float(row["lat"]))
 
-    # explicit annotations (not from-future strings): struct -> binary
-    _pack.__annotations__ = {"pts": pd.DataFrame, "return": pd.Series}
-    _wkb = pandas_udf(_pack, "binary")
+            return pts.apply(pack, axis=1)
+
+        # explicit annotations (not from-future strings): struct -> binary
+        _pack.__annotations__ = {"pts": pd.DataFrame, "return": pd.Series}
+        _WKB_UDF = pandas_udf(_pack, "binary")
 
     p = F.col(point_col) if isinstance(point_col, str) else point_col
-    return _wkb(p)
+    return _WKB_UDF(p)
 
 
 # Extension registry (F4): name → builder. Unknown name raises NameError,

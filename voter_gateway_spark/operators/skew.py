@@ -81,7 +81,19 @@ def replicate_broadcast_join(
     deterministic salt, the small side is replicated across all salt
     values, and the join key becomes (key, salt) — hot keys spread over
     `salt_buckets` tasks.
+
+    Only inner/left shapes are sound: under right/full outer joins an
+    unmatched SMALL-side row survives once per replica — salt_buckets
+    duplicates — so those modes are rejected rather than silently
+    multiplying rows.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti", "cross"):
+        raise ValueError(
+            f"replicate_broadcast_join cannot run how={how!r}: the small "
+            "side is replicated per salt, so right/full outer would emit "
+            "salt_buckets copies of every unmatched small-side row"
+        )
     # salt from the row-content hash (like salted()), NOT from
     # monotonically_increasing_id: mid depends on task/partition layout,
     # so a task retry could re-salt rows differently mid-job; the row

@@ -60,7 +60,12 @@ class WorkingFrame:
         if value is None:
             lit_sql = "NULL"
         elif isinstance(value, str):
-            lit_sql = "'" + value.replace("'", "''") + "'"
+            # backslashes FIRST: Spark SQL string literals process
+            # backslash escapes by default ('C:\new' reads as C + LF +
+            # 'ew', and a trailing backslash escapes the closing quote
+            # — a ParseException at build() time)
+            escaped = value.replace("\\", "\\\\").replace("'", "''")
+            lit_sql = "'" + escaped + "'"
         else:
             lit_sql = repr(value)
         spec = ColumnSpec(name=name, type=type, source="__lit__")
@@ -169,13 +174,22 @@ def copy_column(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # plain equality, not eqNullSafe: the reference's correlated
+    # `UPDATE t ... WHERE t.k = s.k` never matches NULL keys, so a
+    # NULL-keyed target row must keep its value rather than receive a
+    # NULL-keyed source's
     cond = reduce(
         Column.__and__,
-        [target[tk].eqNullSafe(s[f"_k_{tk}"]) for tk, _ in pairs],
+        [target[tk] == s[f"_k_{tk}"] for tk, _ in pairs],
     )
     joined = target.join(s, cond, "left")
     template = value_template or "$S"
-    new_val = render_expr(template, source="_src_val", target=column)
+    new_val = render_expr(template, source="_src_val", target=column).cast(
+        # cast to the TARGET column's type (the merging.py update-branch
+        # rule): a string-typed staged source must not widen the column
+        # through CASE WHEN coercion
+        dict(target.dtypes)[column]
+    )
     out = joined.withColumn(
         f"__new_{column}",
         F.when(F.col("_matched").isNotNull(), new_val).otherwise(F.col(column)),

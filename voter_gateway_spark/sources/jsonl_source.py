@@ -49,11 +49,26 @@ class JSONLSource:
             # corrupt-record column must be declared in an explicit schema
             reader = reader.schema(f"{self.schema}, `{self._corrupt_col}` STRING")
         else:
-            reader = reader.option("samplingRatio", str(self.sampling_ratio))
+            # infer first, then ALWAYS read with (inferred + corrupt
+            # column): when samplingRatio < 1 misses every bad line,
+            # inference omits _corrupt_record and a plain inferred read
+            # would surface bad lines as all-NULL data rows with
+            # malformed_count() == 0 — breaking the A7 auditable-drop
+            # contract. Declaring the column makes flagging independent
+            # of what the sample happened to see.
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            inferred = (
+                spark.read.option("samplingRatio", str(self.sampling_ratio))
+                .option("multiLine", str(self.multiline).lower())
+                .json(self.path)
+                .schema
+            )
+            fields = [f for f in inferred.fields if f.name != self._corrupt_col]
+            reader = reader.schema(
+                StructType(fields + [StructField(self._corrupt_col, StringType())])
+            )
         df = reader.json(self.path)
-        if self._corrupt_col not in df.columns:
-            # inferred-schema read of a fully-clean file omits the column
-            df = df.withColumn(self._corrupt_col, F.lit(None).cast("string"))
         flagged = df.withColumn(
             "_malformed", F.col(self._corrupt_col).isNotNull()
         )

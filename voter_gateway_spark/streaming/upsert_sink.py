@@ -71,29 +71,48 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def _read_marker(spark: SparkSession, target_dir: str) -> int:
+def _read_marker(spark: SparkSession, target_dir: str) -> tuple[int, str | None]:
+    """Returns (batch_id, query_id) from the live marker, (-1, None)
+    when absent. Pre-query-id markers read as query_id None."""
     fs, _, jvm = _fs(spark, target_dir)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{_MARKER}")
     if not fs.exists(mpath):
-        return -1
+        return -1, None
     stream = fs.open(mpath)
     try:
         data = bytearray()
         b = stream.read()
-        while b != -1 and len(data) < 64:
+        while b != -1 and len(data) < 128:
             data.append(b)
             b = stream.read()
-        return int(json.loads(bytes(data))["batch_id"])
+        doc = json.loads(bytes(data))
+        return int(doc["batch_id"]), doc.get("query_id")
     finally:
         stream.close()
 
 
-def _write_marker(spark: SparkSession, version_dir: str, batch_id: int) -> None:
+def _write_marker(
+    spark: SparkSession, version_dir: str, batch_id: int, query_id: str | None
+) -> None:
     fs, _, jvm = _fs(spark, version_dir)
     mpath = jvm.org.apache.hadoop.fs.Path(f"{version_dir}/{_MARKER}")
     out = fs.create(mpath, True)
-    out.write(bytearray(json.dumps({"batch_id": batch_id}).encode()))
+    out.write(
+        bytearray(json.dumps({"batch_id": batch_id, "query_id": query_id}).encode())
+    )
     out.close()
+
+
+def _current_query_id(spark: SparkSession, query_name: str) -> str | None:
+    """The PERSISTENT id (q.id) of the named active query: stable across
+    restarts from the same checkpoint, fresh when the checkpoint is new
+    or absent — exactly the scope in which foreachBatch epoch ids are
+    monotonic. Inside foreachBatch the query handle isn't passed in, so
+    resolve it from the active list by name."""
+    for q in spark.streams.active:
+        if q.name == query_name:
+            return str(q.id)
+    return None
 
 
 def _recover(spark: SparkSession, target_dir: str) -> None:
@@ -119,16 +138,35 @@ def stream_upsert_parquet(
 
     Per micro-batch: cascade-match the batch against the current
     target (one rule per `match_columns` group, reference J2
-    semantics), apply `merge_plan` (default: plain last-write-wins
-    upsert), and swap the rewritten target (see module docstring for
-    the exact crash/replay guarantees). Returns the writer; call
-    .start()."""
+    semantics), apply `merge_plan` (default: a plain upsert whose
+    within-batch pick is FIRST-write-wins — MergePlan keeps the lowest
+    `_source_id` per target, ascending arrival order under the default
+    monotonic ids; route real CDC change streams through
+    merging.apply_changes first when last-write must win), and swap
+    the rewritten target (see module docstring for the exact
+    crash/replay guarantees). Returns the writer; call .start().
+
+    Replay-skip scope: the marker stores (batch_id, query_id) where
+    query_id is the streaming query's PERSISTENT id — foreachBatch
+    epoch ids are only monotonic within one checkpoint lineage, so a
+    marker from a different query lineage (no checkpoint_dir, a
+    deleted checkpoint, a new query on an existing target) must NOT
+    suppress the new lineage's batches: comparing raw ids there would
+    silently drop every batch up to the old high-water mark.
+
+    pk-less batches (the match_columns-only shape): unmatched rows
+    insert with a NULL pk, and a NULL target pk can never be
+    match-updated later — a recurring key re-inserts per batch. Supply
+    insert_column_as(pk, ...) to synthesize keys when the stream
+    lacks them and keys recur."""
     plan = merge_plan or MergePlan(target_pk=pk)
 
     def _apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         _recover(spark, target_dir)
-        if _read_marker(spark, target_dir) >= batch_id:
+        qid = _current_query_id(spark, query_name)
+        m_batch, m_qid = _read_marker(spark, target_dir)
+        if m_qid is not None and m_qid == qid and m_batch >= batch_id:
             return  # replayed batch already applied — skip, don't re-merge
         if not batch.take(1):
             return
@@ -139,7 +177,7 @@ def stream_upsert_parquet(
         merged = plan.execute(mp.matches(), target).target
         tmp = f"{target_dir}__v{batch_id}_{uuid.uuid4().hex[:6]}"
         merged.write.mode("overwrite").parquet(tmp)
-        _write_marker(spark, tmp, batch_id)
+        _write_marker(spark, tmp, batch_id, qid)
         fs, live, jvm = _fs(spark, target_dir)
         old = jvm.org.apache.hadoop.fs.Path(f"{target_dir}__old")
         # every rename/delete checked: an unchecked false on the promote
