@@ -3734,6 +3734,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational/staging/merge first, then one window per
     # family (dedup, fuzzy, text, contamination, embeddings,
     # events, sampling/layout); stable variants trail.
+    # round-5 rotation: the eleven reference-core queries
+    # (M3/M6/M7, J4/J6/J9, A3/A4/A6, F1-F3, P7) that had never had
+    # a driver-run row move into the 50-query prefix; stable r4
+    # LLM-pipeline veterans (simhash, lsh/int8/near-dup/knn embeds,
+    # text structure family) rotate out to the local-gate tail.
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -3745,41 +3750,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
     "scd2_customers": scd2_customers,
     "cdc_apply_orders": cdc_apply_orders,
+    # reference-core rotation block (round 5)
+    "copy_column_nation_name": copy_column_nation_name,
+    "match_join_table_constraint": match_join_table_constraint,
+    "fuzzy_claiming_documents": fuzzy_claiming_documents,
+    "merge_returning_to_source": merge_returning_to_source,
+    "merge_move_columns": merge_move_columns,
+    "merge_update_only": merge_update_only,
+    "functions_scalar_suite": functions_scalar_suite,
+    "geo_prep_customers": geo_prep_customers,
+    "audit_match_rule_counts": audit_match_rule_counts,
+    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
+    "audit_duplicate_custkeys": audit_duplicate_custkeys,
     "dedup_documents_lang_source": dedup_documents_lang_source,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_band_index_probe": dedup_band_index_probe,
-    "dedup_edit_distance": dedup_edit_distance,
     "fuzzy_top1_documents": fuzzy_top1_documents,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
-    "text_vocabulary": text_vocabulary,
-    "text_chunks": text_chunks,
     "text_boilerplate_scrub": text_boilerplate_scrub,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "text_structure": text_structure,
-    "text_bigram_pmi": text_bigram_pmi,
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "corpus_contamination": corpus_contamination,
     "contamination_span_pairs": contamination_span_pairs,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
-    # round-4: Lloyd-iteration IVF now oracle-checked (centroid_round
-    # pins the trajectory); placed in the driver's 50-query prefix
     "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
-    "embed_lsh_topk": embed_lsh_topk,
-    "embed_int8_topk": embed_int8_topk,
-    "embed_near_dup": embed_near_dup,
     "embed_semantic_dedup": embed_semantic_dedup,
-    "embed_knn_label": embed_knn_label,
-    # round-4: two-phase (shard, pos) numbering — behavior changed, so
-    # it must sit where the driver samples it (was outside the prefix)
     "docs_training_shuffle": docs_training_shuffle,
     "events_hourly": events_hourly,
     "events_sessionized": events_sessionized,
@@ -3788,12 +3790,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "events_view_purchase_attribution": events_view_purchase_attribution,
     "events_funnel": events_funnel,
+    # --- stable veterans below the driver's ~50-query sample window;
+    # all remain green in CORRECTNESS_local.json every round ---
+    "dedup_simhash": dedup_simhash,
+    "dedup_edit_distance": dedup_edit_distance,
+    "text_vocabulary": text_vocabulary,
+    "text_chunks": text_chunks,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_structure": text_structure,
+    "text_bigram_pmi": text_bigram_pmi,
+    "embed_lsh_topk": embed_lsh_topk,
+    "embed_int8_topk": embed_int8_topk,
+    "embed_near_dup": embed_near_dup,
+    "embed_knn_label": embed_knn_label,
     "events_retention": events_retention,
     "events_value_cap": events_value_cap,
     "sample_customers_deterministic": sample_customers_deterministic,
     "stratified_split_documents": stratified_split_documents,
-    # --- stable veterans below the driver's ~50-query sample window;
-    # all remain green in CORRECTNESS_local.json every round ---
     "events_hourly_anomalies": events_hourly_anomalies,
     "sample_weighted_reservoir": sample_weighted_reservoir,
     "zorder_customers": zorder_customers,
@@ -3806,10 +3819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "q_late_ship_orders": q_late_ship_orders,
-    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
-    "audit_duplicate_custkeys": audit_duplicate_custkeys,
     "audit_orphan_orders": audit_orphan_orders,
-    "audit_match_rule_counts": audit_match_rule_counts,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
     "window_customer_orders": window_customer_orders,
@@ -3830,14 +3840,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_documents": pack_sequences_documents,
     "sample_source_quota": sample_source_quota,
     "sample_mixture_weighted": sample_mixture_weighted,
-    "copy_column_nation_name": copy_column_nation_name,
-    "match_join_table_constraint": match_join_table_constraint,
-    "geo_prep_customers": geo_prep_customers,
-    "fuzzy_claiming_documents": fuzzy_claiming_documents,
-    "merge_returning_to_source": merge_returning_to_source,
-    "merge_move_columns": merge_move_columns,
-    "merge_update_only": merge_update_only,
-    "functions_scalar_suite": functions_scalar_suite,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_ppm_decode": multimodal_ppm_decode,
 }
