@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.dedup_ops import shingle_hash60, word_shingles
+from voter_gateway_spark.session import ckpt_lazy
 
 
 def funnel_stages(
@@ -51,7 +52,7 @@ def funnel_stages(
         # each stage count embeds the whole prefix chain; without the
         # shared materialization the N-branch union re-runs stage 1's
         # scan up to N times (same hazard as tfidf's tf reuse)
-        reached = cur.localCheckpoint(eager=False)
+        reached = cur.transform(ckpt_lazy)
         counts.append(
             reached.agg(F.count(F.lit(1)).alias("n_users")).select(
                 F.lit(i + 1).alias("stage_idx"),
@@ -146,7 +147,7 @@ def tfidf_top_terms(
         # (two full text scans at 100 TB). Lazy local checkpoint: the
         # first action materializes the (much smaller) aggregated frame
         # once and both branches share it.
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
@@ -261,7 +262,7 @@ def training_shuffle(
         # materialization of the range shuffle
         .repartitionByRange(n, F.col("shard"), F.col("_h"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     counts = (
         ranged.groupBy("shard", "_pid")

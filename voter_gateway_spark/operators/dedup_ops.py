@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
+from voter_gateway_spark.session import ckpt, ckpt_lazy
 
 
 def _c(col: Column | str) -> Column:
@@ -103,14 +104,14 @@ def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_va
     fp = F.md5(F.concat_ws(",", F.transform("_hh", lambda h: h.cast("string"))).cast("binary"))
     members = full.select("_id", fp.alias("_fp"), F.size("_hh").alias("_n"))
     if materialize:
-        members = members.localCheckpoint(eager=True)
+        members = members.transform(ckpt)
     reps = (
         members.groupBy("_fp").agg(F.min("_id").alias("_id"))
         .join(full, "_id")
         .select("_id", "_fp", "_hh")
     )
     if materialize:
-        reps = reps.localCheckpoint(eager=True)
+        reps = reps.transform(ckpt)
 
     def expand(rep_pairs: DataFrame) -> DataFrame:
         rfa = reps.select(F.col("_id").alias("_ra"), F.col("_fp").alias("_fpa"))
@@ -183,7 +184,7 @@ def ngram_jaccard_pairs(
     if materialize:
         # eager: several branches read this; a lazy checkpoint lets
         # them race and recompute the shingle pass per branch
-        full = full.localCheckpoint(eager=True)
+        full = full.transform(ckpt)
     members, reps, expand = _collapse_exact(full, materialize, "jaccard", 1.0)
     base = reps.select("_id", "_hh")
     sizes = base.select("_id", F.size("_hh").alias("_n"))
@@ -348,7 +349,7 @@ def minhash_hashed_sigs(
         .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
         .select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
         .select("_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
 
 
@@ -424,7 +425,7 @@ def minhash_lsh_pairs(
         widen(df)
         .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
         .select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     # exact-dup collapse: identical shingle sets share all bands, so d
     # copies would cost d² in the band join — see _collapse_exact
@@ -435,7 +436,7 @@ def minhash_lsh_pairs(
         # eager: three downstream branches (both band sides + the
         # verification join) read this — a lazy checkpoint lets them
         # race and recompute the signature pass per branch
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     # band keys shuffle as compact strings; candidate pairs carry ids
     # only, then the (small, blocked) candidate set joins the shingle
@@ -482,7 +483,8 @@ def connected_components(
     label), so label chains halve every round and convergence takes
     O(log diameter) rounds instead of O(diameter) — the same
     round-complexity class as large-star/small-star, with per-round
-    localCheckpoint truncating lineage like the reference's temp
+    checkpoint (local by default; reliable when SPARK_GRAFT_CHECKPOINT_DIR
+    is set — see session.ckpt) truncating lineage like the reference's temp
     tables. A 1000-link chain converges in ~11 rounds; near-dup graphs
     (diameter ≪ 10) still converge in 2–3.
 
@@ -492,10 +494,10 @@ def connected_components(
     representative, with no signal anything went wrong.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).transform(ckpt_lazy)
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=False)
+    ).transform(ckpt_lazy)
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -519,7 +521,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("_jl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         changed = (
             new_labels.alias("n")
@@ -645,7 +647,7 @@ def simhash_pairs(
     full = (
         widen(df)
         .select(F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     # exact-dup collapse: identical hash lists → identical simhash →
     # identical bands, so d copies cost d² in the band join without it.
@@ -833,7 +835,7 @@ def probe_band_index(
             "_kp",
             F.substring(F.md5(F.col("_k").cast("binary")), 1, plen),
         )
-    nrows = nrows.localCheckpoint(eager=True)
+    nrows = nrows.transform(ckpt)
     if plen > 0:
         probes = [
             (r["_b"], r["_kp"]) for r in nrows.select("_b", "_kp").distinct().collect()
@@ -859,7 +861,7 @@ def probe_band_index(
         .join(idx.alias("b"), join_on)
         .select(F.col("a._id").alias("new_id"), F.col("b.corpus_id").alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     hashes = spark.read.parquet(f"{path}/hashes")
     if plen > 0:

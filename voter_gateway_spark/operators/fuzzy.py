@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
+from voter_gateway_spark.session import ckpt
 
 DEFAULT_THRESHOLD = 0.5  # fuzzy_merger.rb:5
 
@@ -209,10 +210,10 @@ def top1_fuzzy_match(
 
     s = widen(source).select(
         F.col(source_id).alias("_sid"), trigrams(column).alias("_stg")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     t = widen(target).select(
         F.col(target_id).alias("_tid"), trigrams(target_column or column).alias("_ttg")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     s_fp = F.md5(F.concat_ws("", "_stg").cast("binary"))
     t_fp = F.md5(F.concat_ws("", "_ttg").cast("binary"))
     s_members = s.select("_sid", s_fp.alias("_sfp"))
@@ -290,7 +291,7 @@ def edit_distance_pairs(
     dedup_edit_distance pins 0.4 to match its oracle)."""
     t = widen(df).select(
         F.col(id_col).alias("_tid"), trigrams(column).alias("_ttg")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     s = t.select(F.col("_tid").alias("_sid"), F.col("_ttg").alias("_stg"))
     pairs = _pairs_from_trigram_frames(
         s, t, max_trigram_freq, keep_counts=True
@@ -359,7 +360,7 @@ def fuzzy_claiming_rounds(
             .where(F.col("_rn") == 1)
             .drop("_rn")
             .withColumn("_fuzzy_column", F.lit(col))
-            .localCheckpoint(eager=True)
+            .transform(ckpt)
         )
         results.append(claimed)
         unmatched = unmatched.join(

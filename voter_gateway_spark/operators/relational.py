@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from voter_gateway_spark.session import ckpt_lazy
 
 
 def as_of_join(
@@ -255,7 +256,7 @@ def prefix_sum(
     ranged = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     w = (
         Window.partitionBy("_pid")

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
+from voter_gateway_spark.session import ckpt
 
 
 def _c(col: Column | str) -> Column:
@@ -300,9 +301,12 @@ def _train_centroids(
     centroids = seeds.select(
         F.row_number().over(Window.orderBy("_h")).alias("_cell"),
         F.col("_cv").alias("_centroid"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     tr = c
-    if train_per_cell is not None and iters > 0:
+    # n_rows == 0: an empty corpus yields empty seeds/centroids above;
+    # degrade gracefully (as the unsampled path always did) instead of
+    # dividing by zero computing the sample fraction
+    if train_per_cell is not None and iters > 0 and n_rows:
         frac = min(1.0, train_per_cell * n_centroids / n_rows)
         if frac < 1.0:  # cut = 2^60 admits every row — skip the scan
             cut = math.floor(2.0**60 * frac)
@@ -313,7 +317,7 @@ def _train_centroids(
                 16,
                 10,
             ).cast("bigint")
-            tr = c.where(h60 < F.lit(cut)).localCheckpoint(eager=True)
+            tr = c.where(h60 < F.lit(cut)).transform(ckpt)
     for _ in range(iters):
         assigned = _nearest_cells(tr, "_cv", centroids, 1)
         centroids = _vector_mean(assigned, "_cell", "_cv")
@@ -324,9 +328,7 @@ def _train_centroids(
                     "_centroid", lambda x: F.round(x, centroid_round)
                 ).alias("_centroid"),
             )
-        centroids = centroids.select("_cell", "_centroid").localCheckpoint(
-            eager=True
-        )
+        centroids = centroids.select("_cell", "_centroid").transform(ckpt)
     return n_centroids, centroids
 
 
@@ -407,7 +409,7 @@ def ivf_topk(
     the fixed-cell forms."""
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     n_centroids, centroids = _train_centroids(
         c, n_centroids, iters, centroid_round, train_per_cell
     )
@@ -469,7 +471,7 @@ def build_ivf_index(
     Returns the centroid DataFrame (cell, centroid vector)."""
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     n_centroids, centroids = _train_centroids(c, n_centroids, iters)
     cells = _nearest_cells(c, "_cv", centroids, 1)
     (
@@ -692,7 +694,7 @@ def near_dup_pairs(
     # branches (both band sides + verification) read it
     sigd = base.select(
         "_id", "_v", "_n", lsh_signature(F.col("_v"), planes).alias("_sig")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     banded = sigd.select(
         "_id",
         F.explode(
@@ -773,7 +775,7 @@ def semantic_dedup(
     as ivf_topk (pass centroid_round to pin cross-engine)."""
     c = widen(df).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     n_centroids, centroids = _train_centroids(c, n_centroids, iters, centroid_round)
     cells = (
         _nearest_cells(c, "_cv", centroids, 1)

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.schema import render_expr, spark_type
+from voter_gateway_spark.session import ckpt
 
 SOURCE_ID = "_source_id"
 TARGET_ID = "_target_id"
@@ -161,21 +162,41 @@ class MatchPlan:
 
         pair_frames: list[DataFrame] = []
         for idx, rule in enumerate(self.rules):
-            import re as _re
+            from pyspark.errors import AnalysisException
 
             t = self.target.alias("t")
             # a join-table condition that references source columns
             # (`s.*`) cannot be applied while only t and the extra
             # table are in scope — defer those joins until after the
             # source join so the documented J4 contract (conditions
-            # over s.*, t.*, and the alias) actually resolves
+            # over s.*, t.*, and the alias) actually resolves.
+            # Deferral is decided by ATTEMPTING the eager join (classic
+            # DataFrames analyze eagerly, so an out-of-scope reference
+            # raises here), not by grepping the condition text — a
+            # literal "s." inside a string constant must not change
+            # join placement, and a genuinely bad column name still
+            # surfaces as an AnalysisException from the deferred join.
             post = []
             for jt in rule.join_tables:
-                if _re.search(r"\bs\.", jt.condition):
-                    post.append(jt)
-                else:
+                try:
                     t = t.join(jt.df.alias(jt.alias), F.expr(jt.condition))
-            joined = ws.alias("s").join(t, rule.condition())
+                except AnalysisException:
+                    post.append(jt)
+            try:
+                joined = ws.alias("s").join(t, rule.condition())
+            except AnalysisException as e:
+                if post:
+                    raise AnalysisException(
+                        "match-rule condition failed to analyze while "
+                        f"join table(s) {[jt.alias for jt in post]} were "
+                        "deferred (their conditions reference s.*). A "
+                        "rule condition cannot reference a deferred "
+                        "join-table alias — move the s.* predicate out "
+                        "of the join table or reference the alias only "
+                        "from join-table conditions. Original error: "
+                        f"{e}"
+                    ) from e
+                raise
             for jt in post:
                 joined = joined.join(jt.df.alias(jt.alias), F.expr(jt.condition))
             pairs = joined.select(
@@ -225,7 +246,7 @@ class MatchPlan:
 
         # the claiming rounds iterate over this frame (per-round
         # refinement); checkpoint so the cascade computes once
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(ckpt)
         unmatched = out.where(F.col(TARGET_ID).isNull())
         claimed_pks = (
             out.where(F.col(TARGET_ID).isNotNull())

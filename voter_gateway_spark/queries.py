@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.audit import column_coverage, value_distribution
+from voter_gateway_spark.session import ckpt_lazy
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
 from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
@@ -3500,7 +3501,7 @@ def text_bigram_pmi(spark, sf_dir):
     uni = (
         docs.select(F.explode(word_shingles("text", k=1, distinct=False)).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     bi = (
         docs.select(F.explode(word_shingles("text", k=2, distinct=False)).alias("b"))
@@ -3652,7 +3653,7 @@ def text_unigram_logprob(spark, sf_dir):
     toks = F.filter(F.split(F.lower(norm), " "), lambda t: t != "")
     tok = (
         docs.select("doc_id", F.explode(toks).alias("w"))
-        .localCheckpoint(eager=False)
+        .transform(ckpt_lazy)
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
     total = freq.agg(F.sum("cw").alias("_n"))

@@ -16,6 +16,43 @@ from typing import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 
+def reliable_checkpoint_dir() -> str | None:
+    """Reliable-checkpoint switch (SCALING.md "local-vs-cluster deltas").
+
+    When ``SPARK_GRAFT_CHECKPOINT_DIR`` is set (e.g. an HDFS/S3 path on a
+    real cluster), every lineage-truncation site in the engine routes
+    through storage-backed ``df.checkpoint()`` instead of
+    ``localCheckpoint`` — on preemptible executors a lost localCheckpoint
+    block fails the iterative jobs (connected components, claiming,
+    collapse); a reliable checkpoint recomputes from storage instead.
+    Unset (the default, and always in local mode) keeps the fast
+    block-manager localCheckpoint path.
+    """
+    return os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+
+
+def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage on an intermediate that is reused or iterated on.
+
+    Use as ``df.transform(ckpt)`` (eager) / ``df.transform(ckpt_lazy)``.
+    Honors :func:`reliable_checkpoint_dir`; the checkpoint directory is
+    installed on first use so plain ``SparkSession.builder`` sessions
+    (not just :func:`build_spark`) get the reliable path too.
+    """
+    d = reliable_checkpoint_dir()
+    if not d:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(d)
+    return df.checkpoint(eager=eager)
+
+
+def ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Lazy variant of :func:`ckpt` for ``.transform`` chaining."""
+    return ckpt(df, eager=False)
+
+
 def build_spark(
     app_name: str = "voter_gateway_spark",
     master: str | None = None,
@@ -52,7 +89,11 @@ def build_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    ckpt_dir = reliable_checkpoint_dir()
+    if ckpt_dir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    return spark
 
 
 class GatewaySession:

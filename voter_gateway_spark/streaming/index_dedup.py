@@ -45,6 +45,7 @@ from voter_gateway_spark.operators.dedup_ops import (
     minhash_lsh_pairs,
     probe_band_index,
 )
+from voter_gateway_spark.session import ckpt
 
 
 def admit_batch(
@@ -81,7 +82,7 @@ def admit_batch(
         # construction), drop the other
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         admitted = admitted.join(losers, id_col, "left_anti")
-    admitted = admitted.localCheckpoint(eager=True)
+    admitted = admitted.transform(ckpt)
     if not admitted.take(1):
         return admitted
     admitted.write.mode("append").parquet(corpus_path)
