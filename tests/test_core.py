@@ -361,6 +361,52 @@ def test_join_table_condition_over_source_columns(spark):
     assert got == {(1, 100), (2, None)}
 
 
+def test_join_table_string_literal_s_dot_not_deferred(spark):
+    """A literal "s." inside a string constant in the join-table
+    condition must not trigger deferral (deferral is decided by
+    analysis, not by grepping the text)."""
+    from voter_gateway_spark.plans.matching import JoinTable, MatchPlan, MatchRule
+
+    src = spark.createDataFrame([Row(sid=1, k="a")], "sid int, k string")
+    tgt = spark.createDataFrame([Row(id=100, k="a")], "id int, k string")
+    lookup = spark.createDataFrame(
+        [Row(key="a", tag="s.entry")], "key string, tag string"
+    )
+    mp = MatchPlan(src, tgt, target_pk="id", source_id="sid")
+    mp.rules.append(
+        MatchRule(
+            column_groups=[["k"]],
+            join_tables=[JoinTable(lookup, "x", "x.key = t.k AND x.tag = 's.entry'")],
+        )
+    )
+    got = {(r.sid, r._target_id) for r in mp.matches().collect()}
+    assert got == {(1, 100)}
+
+
+def test_rule_condition_referencing_deferred_alias_raises_clearly(spark):
+    """Documented limitation: a rule condition cannot reference a
+    join-table alias whose own condition forced deferral (s.*). The
+    failure must be a clear AnalysisException, not a bare unresolved
+    column error."""
+    from pyspark.errors import AnalysisException
+
+    from voter_gateway_spark.plans.matching import JoinTable, MatchPlan, MatchRule
+
+    src = spark.createDataFrame([Row(sid=1, k="a", ref=10)], "sid int, k string, ref int")
+    tgt = spark.createDataFrame([Row(id=100, k="a")], "id int, k string")
+    lookup = spark.createDataFrame([Row(key=10, ok=1)], "key int, ok int")
+    mp = MatchPlan(src, tgt, target_pk="id", source_id="sid")
+    mp.rules.append(
+        MatchRule(
+            column_groups=[["k"]],
+            raw_condition="x.ok = 1",  # references the deferred alias
+            join_tables=[JoinTable(lookup, "x", "x.key = s.ref")],
+        )
+    )
+    with pytest.raises(AnalysisException, match="deferred"):
+        mp.matches().collect()
+
+
 def test_merge_update_branch_casts_to_target_type(spark):
     """A string-typed staged source must not widen an int target column
     through CASE WHEN coercion (ANSI Spark would instead throw)."""

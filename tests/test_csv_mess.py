@@ -35,6 +35,35 @@ def test_malformed_rows_dropped_and_counted(spark, tmp_path):
     assert src.malformed_count() == 2
 
 
+def test_blank_lines_counted_as_malformed(spark, tmp_path):
+    """Spark's csv source silently skips blank lines; the reference's
+    wc-l-diff accounting (csv_audit.rb:123-133) counts them as
+    malformed. malformed_count must include them."""
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(
+        tmp_path,
+        "blank.csv",
+        "id,name,email\n1,a,a@x.co\n\n2,b,b@x.co\n\n\nonly,two\n",
+    )
+    src = CSVSource(path, quote='"', remove_malformed=True)
+    df = src.read(spark)
+    assert df.count() == 2  # the two good rows
+    # 3 blank lines + 1 field-count failure
+    assert src.malformed_count() == 4
+    # cached: second call returns the same without recounting files
+    assert src.malformed_count() == 4
+
+
+def test_no_blank_lines_no_drift(spark, tmp_path):
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "noblank.csv", "id,name\n1,a\n2,b\n")
+    src = CSVSource(path, quote='"', remove_malformed=True)
+    src.read(spark)
+    assert src.malformed_count() == 0
+
+
 def test_custom_quote_embedded_delimiter(spark, tmp_path):
     from voter_gateway_spark.sources import CSVSource
 

@@ -1167,3 +1167,14 @@ def test_trigram_freq_cap_keeps_similarity_exact(spark):
     ).collect()
     assert capped and full
     assert capped[0].similarity == pytest.approx(full[0].similarity)
+
+
+def test_ivf_empty_corpus_with_sampled_training_degrades_gracefully(spark):
+    """train_per_cell + iters>0 on an empty corpus must return empty
+    results (like the unsampled path), not ZeroDivisionError computing
+    the sample fraction."""
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = similarity.ivf_topk(
+        emb, emb, k=3, n_centroids=4, iters=2, train_per_cell=8
+    )
+    assert out.count() == 0

@@ -27,6 +27,39 @@ def test_write_table_partitioned_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in plan or back.where("grp = 'a'").count() == 10
 
 
+def test_write_table_skewed_partition_splits_files(spark, tmp_path):
+    """A skewed partition value must still honor target_rows_per_file:
+    the salted repartition splits the hot dir into multiple files while
+    small dirs stay single-file and no rows are lost."""
+    import glob
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 1000 else "cold", float(i)) for i in range(1010)],
+        "id int, grp string, v double",
+    )
+    path = str(tmp_path / "skew")
+    write_table(df, path, partition_by=["grp"], target_rows_per_file=100)
+    back = spark.read.parquet(path)
+    assert back.count() == 1010
+    assert {r.grp for r in back.select("grp").distinct().collect()} == {"hot", "cold"}
+    hot_files = glob.glob(f"{path}/grp=hot/*.parquet")
+    cold_files = glob.glob(f"{path}/grp=cold/*.parquet")
+    # 1000 rows / 100 target → ~10 salt groups; at least a real split
+    assert len(hot_files) > 1
+    assert len(cold_files) == 1
+
+
+def test_write_table_null_partition_value_survives_salting(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, "d")], "id int, day string"
+    )
+    path = str(tmp_path / "nullpart")
+    write_table(df, path, partition_by=["day"], target_rows_per_file=10)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert {r.id for r in back.collect()} == {1, 2}
+
+
 def test_overwrite_partitions_is_surgical(spark, tmp_path):
     path = str(tmp_path / "t2")
     df1 = spark.createDataFrame([(1, "d1"), (2, "d2")], "id int, day string")

@@ -198,3 +198,66 @@ def test_false_returning_promote_fails_batch_then_heals(spark, tmp_path, monkeyp
     # Hadoop rename reports failure by returning false: the sink must
     # raise (not commit the checkpoint with the merge lost) and recover
     _crash_recovery_scenario(spark, tmp_path, monkeypatch, "false", "false")
+
+
+def test_legacy_marker_falls_back_to_batch_id_only_skip(spark, tmp_path):
+    """A marker written before the query_id format (batch_id only) must
+    still suppress a replayed batch — batch-id-only comparison, not a
+    disabled skip that re-merges and duplicates pk-less rows."""
+    import pathlib
+
+    target_dir = str(tmp_path / "tgt_legacy")
+    bootstrap_target(
+        spark,
+        target_dir,
+        spark.createDataFrame([Row(id=1, k="K1", v=10)], "id int, k string, v int"),
+    )
+    # legacy marker: batch high-water mark 5, no query_id
+    pathlib.Path(target_dir, "_vgs_batch_id").write_text(json.dumps({"batch_id": 5}))
+    src_dir = tmp_path / "src_legacy"
+    src_dir.mkdir()
+    _write_jsonl(src_dir / "b1.jsonl", [{"id": 100, "k": "K1", "v": 5}])
+    stream = spark.readStream.schema("id int, k string, v int").json(str(src_dir))
+    plan = MergePlan(target_pk="id").merge_column_as("v", "$T + $S")
+    writer = stream_upsert_parquet(
+        stream, target_dir, pk="id", match_columns=[["k"]], merge_plan=plan,
+    )
+    _run(writer, tmp_path, "legacy")
+    rows = {r.id: r.v for r in spark.read.parquet(target_dir).collect()}
+    assert rows == {1: 10}  # batch 0 <= marker 5 → replay-skipped
+
+
+def test_unresolvable_query_id_fails_batch_loudly(spark, tmp_path, monkeypatch):
+    """When the marker names a query lineage but the running query can't
+    be resolved from spark.streams.active, the sink must fail the batch
+    (replay-safe) instead of silently losing exactly-once."""
+    import pathlib
+
+    import pytest as _pytest
+
+    import voter_gateway_spark.streaming.upsert_sink as us
+
+    target_dir = str(tmp_path / "tgt_noqid")
+    bootstrap_target(
+        spark,
+        target_dir,
+        spark.createDataFrame([Row(id=1, k="K1", v=10)], "id int, k string, v int"),
+    )
+    pathlib.Path(target_dir, "_vgs_batch_id").write_text(
+        json.dumps({"batch_id": 0, "query_id": "some-old-lineage"})
+    )
+    monkeypatch.setattr(us, "_current_query_id", lambda s, n: None)
+    src_dir = tmp_path / "src_noqid"
+    src_dir.mkdir()
+    _write_jsonl(src_dir / "b1.jsonl", [{"id": 100, "k": "K1", "v": 5}])
+    stream = spark.readStream.schema("id int, k string, v int").json(str(src_dir))
+    writer = stream_upsert_parquet(
+        stream, target_dir, pk="id", match_columns=[["k"]],
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="cannot decide idempotent skip"):
+        _run(writer, tmp_path, "noqid")
+    # target untouched — the failed batch committed nothing
+    rows = {r.id: r.v for r in spark.read.parquet(target_dir).collect()}
+    assert rows == {1: 10}

@@ -36,6 +36,7 @@ class CSVSource:
     remove_malformed: bool = False  # S6
 
     _corrupt_col: str = field(default="_corrupt_record", repr=False)
+    _blank_skipped: int | None = field(default=None, repr=False)
 
     def _raw_lines(self, spark: SparkSession) -> DataFrame:
         """Raw physical lines decoded with `encoding`, one string column
@@ -179,11 +180,35 @@ class CSVSource:
         if self.remove_malformed:
             flagged = flagged.cache()
             self._flagged = flagged
+            self._spark = spark
             return flagged.where(~F.col("_malformed")).drop(self._corrupt_col, "_malformed")
         return flagged.drop("_malformed")
 
+    def _blank_line_count(self) -> int:
+        """Blank physical lines the csv source silently skipped.
+
+        Spark's csv reader (used by _raw_lines for its encoding support)
+        unconditionally drops blank lines, so they never reach the
+        field-count check — but the reference's wc-l-diff accounting
+        (csv_audit.rb:123-133) counts a blank line as a malformed row
+        (it fails the field-count test). Recover them by comparing a
+        cheap physical line count (spark.read.text keeps blank lines;
+        line boundaries are byte-identical across the encodings we
+        support, so its UTF-8-only decoding cannot change the COUNT)
+        against the csv-visible line count.
+        """
+        if self._blank_skipped is None:
+            physical = self._spark.read.text(self.path).count()
+            seen = self._raw_lines(self._spark).count()
+            self._blank_skipped = physical - seen
+        return self._blank_skipped
+
     def malformed_count(self) -> int:
-        """A7 malformed-row count (reference: wc -l diff, csv_audit.rb:123-133)."""
+        """A7 malformed-row count (reference: wc -l diff, csv_audit.rb:123-133).
+
+        Includes blank physical lines (see _blank_line_count) so the
+        tally matches the reference's line-count-minus-loaded-rows
+        arithmetic exactly."""
         if not hasattr(self, "_flagged"):
             raise ValueError("read() with remove_malformed=True first")
-        return self._flagged.where(F.col("_malformed")).count()
+        return self._flagged.where(F.col("_malformed")).count() + self._blank_line_count()

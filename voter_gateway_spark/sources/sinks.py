@@ -36,15 +36,54 @@ def write_table(
         # an extra full evaluation of the upstream plan (count + write
         # = 2×); cache df first, or size via layout.compact_parquet
         # post-hoc, when the plan is expensive
-        n = df.count()
-        n_parts = max(1, math.ceil(n / target_rows_per_file))
         if partition_by:
             # key the repartition by the hive partition columns, or
             # every task writes a sliver into EVERY partition dir —
-            # up to n_parts × |dirs| tiny files, the exact problem
-            # this option exists to avoid
-            out = out.repartition(n_parts, *[F.col(c) for c in partition_by])
+            # up to n_parts × |dirs| tiny files. But partition columns
+            # ALONE send a whole partition value to one task, so a
+            # skewed/low-cardinality partition_by silently defeats the
+            # file-size cap (one arbitrarily large file per dir — the
+            # opposite failure). Add a bounded deterministic salt:
+            # hash(row) % ceil(partition_rows / target), so a large
+            # partition splits into ~splits files while small ones stay
+            # single-file. Per-value row counts come from one cheap
+            # aggregate (same evaluation cost as the plain count()).
+            counts = df.groupBy(*[F.col(c) for c in partition_by]).agg(
+                F.count(F.lit(1)).alias("_prows")
+            )
+            sp = counts.select(
+                *[
+                    F.col(c).alias(f"_pb_{i}")
+                    for i, c in enumerate(partition_by)
+                ],
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("_prows") / F.lit(target_rows_per_file)),
+                )
+                .cast("int")
+                .alias("_splits"),
+                "_prows",
+            )
+            rows = sp.agg(
+                F.sum("_prows").alias("n"), F.sum("_splits").alias("keys")
+            ).collect()[0]
+            n_parts = max(1, math.ceil((rows["n"] or 0) / target_rows_per_file))
+            cond = None
+            for i, c in enumerate(partition_by):
+                eq = df[c].eqNullSafe(F.col(f"_pb_{i}"))
+                cond = eq if cond is None else (cond & eq)
+            out = df.join(F.broadcast(sp.drop("_prows")), cond).drop(
+                *[f"_pb_{i}" for i in range(len(partition_by))]
+            )
+            salt = F.pmod(
+                F.hash(*[out[c] for c in df.columns]), F.col("_splits")
+            )
+            out = out.repartition(
+                n_parts, *[F.col(c) for c in partition_by], salt
+            ).drop("_splits")
         else:
+            n = df.count()
+            n_parts = max(1, math.ceil(n / target_rows_per_file))
             out = out.repartition(n_parts)
     if sort_within_partitions:
         out = out.sortWithinPartitions(*sort_within_partitions)

@@ -166,7 +166,28 @@ def stream_upsert_parquet(
         _recover(spark, target_dir)
         qid = _current_query_id(spark, query_name)
         m_batch, m_qid = _read_marker(spark, target_dir)
-        if m_qid is not None and m_qid == qid and m_batch >= batch_id:
+        if m_qid is None:
+            # legacy marker predating the query_id format (or no marker,
+            # m_batch == -1): fall back to batch-id-only comparison —
+            # disabling skip entirely would re-merge a crash-replayed
+            # batch, duplicating rows in the pk-less/NULL-pk shape the
+            # module docstring flags as non-idempotent.
+            if m_batch >= batch_id:
+                return
+        elif qid is None:
+            # the marker names a query lineage but ours cannot be
+            # resolved from spark.streams.active: comparing blind either
+            # drops live batches (skip) or re-merges a replay (no skip).
+            # Fail the batch loudly; Structured Streaming will retry and
+            # the active-query list is populated on replay.
+            raise SwapFailedError(
+                f"replay-skip: marker in {target_dir} carries query_id "
+                f"{m_qid!r} but query {query_name!r} is not in "
+                "spark.streams.active — cannot decide idempotent skip; "
+                "failing the batch instead of silently losing "
+                "exactly-once"
+            )
+        elif m_qid == qid and m_batch >= batch_id:
             return  # replayed batch already applied — skip, don't re-merge
         if not batch.take(1):
             return
