@@ -63,10 +63,46 @@ BENCH_QUERIES = [
 ]
 
 
+def _stage_totals(spark) -> tuple[int, int, int, int] | None:
+    """Cumulative (shuffle_read, shuffle_write, mem_spill, disk_spill)
+    bytes over all retained stages, from the JVM AppStatusStore. The
+    100 TB story is shuffle-volume-shaped: per-query byte deltas make a
+    quadratic visible even when wall-clock noise hides it. Returns None
+    if the (version-specific) py4j surface is unavailable — the bench
+    then reports seconds only instead of failing."""
+    try:
+        sc = spark.sparkContext
+        # drain the listener bus so the store has seen the job's last
+        # stage-completed events before we snapshot
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty(5000)
+        except Exception:
+            time.sleep(0.2)
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.Collections.emptyList()
+        no_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        it = store.stageList(empty, False, False, no_quantiles, empty).iterator()
+        read = write = mem = disk = 0
+        while it.hasNext():
+            s = it.next()
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+            mem += s.memoryBytesSpilled()
+            disk += s.diskBytesSpilled()
+        return read, write, mem, disk
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_spark(app_name="vgs-bench")
+    # retain enough stage history that per-query deltas never lose a
+    # stage to eviction mid-snapshot (default retainedStages is 1000)
+    spark = build_spark(
+        app_name="vgs-bench",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM + codegen warmup so per-query numbers measure the plan, not
@@ -84,11 +120,15 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
     )
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
+    spill_bytes: dict[str, int] = {}
     for name in BENCH_QUERIES:
         if name in skip:
             continue
         best = float("inf")
+        best_delta: tuple[int, int, int, int] | None = None
         for _ in range(runs):
+            before = _stage_totals(spark)
             t0 = time.time()
             # the noop v2 sink forces FULL evaluation of every column.
             # count() (used through r3) lets Catalyst eliminate any
@@ -100,8 +140,18 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.time() - t0)
+            elapsed = time.time() - t0
+            after = _stage_totals(spark)
+            if elapsed < best:
+                best = elapsed
+                if before is not None and after is not None:
+                    best_delta = tuple(a - b for a, b in zip(after, before))
         timings[name] = round(best, 3)
+        if best_delta is not None:
+            # shuffle volume = bytes WRITTEN to shuffle (each byte
+            # counted once); spill = bytes that actually hit disk
+            shuffle_bytes[name] = best_delta[1]
+            spill_bytes[name] = best_delta[3]
         # eager localCheckpoints pin block-manager memory until the
         # async ContextCleaner reclaims them; across a 28-query session
         # that backlog inflates later queries' GC time, so nudge the
@@ -109,17 +159,19 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if shuffle_bytes:
+        out["shuffle_bytes"] = shuffle_bytes
+        out["spill_bytes"] = spill_bytes
+        out["shuffle_bytes_total"] = sum(shuffle_bytes.values())
+        out["spill_bytes_total"] = sum(spill_bytes.values())
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1178,3 +1178,29 @@ def test_ivf_empty_corpus_with_sampled_training_degrades_gracefully(spark):
         emb, emb, k=3, n_centroids=4, iters=2, train_per_cell=8
     )
     assert out.count() == 0
+
+
+def test_fuzzy_top1_exclude_self_collapses_duplicate_groups(spark):
+    """exclude_self with exact-duplicate texts: each member must match
+    the LOWEST other id in its duplicate group at similarity 1.0 (the
+    collapse path's within-group expansion), and unique texts must
+    still find their cross-group best."""
+    rows = [
+        Row(id=1, txt="alpha bravo charlie"),
+        Row(id=2, txt="alpha bravo charlie"),
+        Row(id=3, txt="alpha bravo charlie"),
+        Row(id=4, txt="alpha bravo charly"),   # near-dup of the group
+        Row(id=9, txt="zzz qqq xxx"),          # no match above threshold
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    out = {
+        r.id: (r.matched_id, r.similarity)
+        for r in fuzzy.top1_fuzzy_match(
+            df, df, "txt", "id", "id", exclude_self=True
+        ).collect()
+    }
+    assert out[1] == (2, 1.0)   # min other member
+    assert out[2] == (1, 1.0)
+    assert out[3] == (1, 1.0)
+    assert out[4][0] in (1, 2, 3) and out[4][0] == 1 and 0.5 < out[4][1] < 1.0
+    assert 9 not in out

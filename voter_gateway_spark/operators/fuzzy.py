@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
-from voter_gateway_spark.session import ckpt
+from voter_gateway_spark.session import ckpt, ckpt_lazy
 
 DEFAULT_THRESHOLD = 0.5  # fuzzy_merger.rb:5
 
@@ -73,6 +73,25 @@ def trigram_set_similarity(ta: Column, tb: Column) -> Column:
     inter = F.size(F.array_intersect(ta, tb))
     union = F.size(ta) + F.size(tb) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# Data-proportional stop-trigram default for top1_fuzzy_match: drop
+# trigrams present in more than half the target pool (floor 100 so tiny
+# pools stay effectively uncapped). A trigram in >50% of rows
+# contributes O(n) rows per source to the inverted-index join while
+# carrying no selectivity — the classic "the"/" th" stop-term blowup.
+# The capped path re-verifies every surviving candidate's similarity
+# EXACTLY on the full trigram arrays, so the cap only loses a pair
+# whose shared trigrams are ALL above it. The fraction is sized from
+# measurement, not intuition: on the synthetic fixtures (tiny
+# vocabulary — 224 distinct trigrams at sf0.1, median corpus frequency
+# 30%) the rarest shared trigram over all threshold-qualified top-1
+# pairs peaks at 31% of the pool, so a 50% cap is lossless with margin
+# there while still removing the worst offenders (max observed
+# frequency: 92% of docs). Real-text corpora have heavy-tailed trigram
+# distributions where a 50% cap only ever removes pure stop-trigrams.
+DEFAULT_TRIGRAM_FREQ_FRACTION = 0.5
+DEFAULT_TRIGRAM_FREQ_FLOOR = 100
 
 
 def candidate_pairs(
@@ -121,11 +140,29 @@ def _pairs_from_trigram_frames(
     the candidate count the cap just shrank).
 
     `keep_counts=True` also returns (_inter, _sn, _tn) for callers
-    that filter on count bounds (edit_distance_pairs' q-gram rule)."""
+    that filter on count bounds (edit_distance_pairs' q-gram rule).
+
+    `max_trigram_freq="auto"` derives the cap IN-PLAN from the t-side
+    row count (greatest(floor, ceil(fraction·n)) via a broadcast
+    one-row aggregate) — no separate driver-side count() action, so
+    auto-capping adds zero extra Spark jobs."""
     if max_trigram_freq:
         s_ex = s.select("_sid", F.explode("_stg").alias("_tg"))
         t_ex = t.select("_tid", F.explode("_ttg").alias("_tg"))
-        freq = t_ex.groupBy("_tg").count().where(F.col("count") <= max_trigram_freq)
+        counts = t_ex.groupBy("_tg").count()
+        if max_trigram_freq == "auto":
+            n_t = t.agg(F.count(F.lit(1)).alias("_nt"))
+            freq = counts.crossJoin(F.broadcast(n_t)).where(
+                F.col("count")
+                <= F.greatest(
+                    F.lit(DEFAULT_TRIGRAM_FREQ_FLOOR),
+                    F.ceil(
+                        F.lit(DEFAULT_TRIGRAM_FREQ_FRACTION) * F.col("_nt")
+                    ),
+                )
+            )
+        else:
+            freq = counts.where(F.col("count") <= max_trigram_freq)
         t_ex = t_ex.join(F.broadcast(freq.select("_tg")), "_tg")
         counted = (
             s_ex.join(t_ex, "_tg")
@@ -178,16 +215,34 @@ def top1_fuzzy_match(
     tie-break: highest similarity, then lowest target id (the reference
     inherits arbitrary choice from Postgres — SURVEY §4.3.2).
 
-    `collapse_exact` (default on; auto-disabled under `exclude_self`,
-    where per-member self-exclusion breaks uniform expansion) joins one
-    representative per identical trigram SET on each side — voter-file
-    columns repeat values thousands of times (same street, same city),
-    and every repeat multiplies the inverted-index fanout. All members
-    of a source group share the same best target, and the rep-ranked
-    winner (sim desc, rep tid asc) IS the globally lowest-tid
-    max-similarity target, so results are unchanged (oracle-checked).
+    `collapse_exact` (default on) joins one representative per
+    identical trigram SET on each side — voter-file columns repeat
+    values thousands of times (same street, same city), and every
+    repeat multiplies the inverted-index fanout. All members of a
+    source group share the same best target, and the rep-ranked winner
+    (sim desc, rep tid asc) IS the globally lowest-tid max-similarity
+    target, so results are unchanged (oracle-checked). Under
+    `exclude_self` the collapse still applies: same-fingerprint rep
+    pairs leave the inverted-index join and are replaced by an exact
+    per-member WITHIN-GROUP candidate (similarity 1.0, lowest other
+    member id — from each group's two smallest target ids, no pairwise
+    expansion), so a d-way duplicated corpus costs O(reps²) candidate
+    work instead of O(d²·reps²).
+
+    `max_trigram_freq=None` (the default) engages the data-proportional
+    in-plan stop-trigram cap ("auto" — see _pairs_from_trigram_frames)
+    on the NON-collapse path, where the inverted index hits raw rows
+    and a hot trigram fans out O(rows). The collapse path defaults to
+    UNCAPPED: the rep pool is already distinct texts, so duplication-
+    driven fanout is structurally bounded, and the cap's exact
+    re-verify join-backs cost a measured ~2.5s of fixed stage latency
+    per call (sf0.1 AND 100×, both) for protection the rep pool rarely
+    needs — pass "auto" or an int to engage it on heavy-tailed
+    distinct-text corpora. Pass 0 to disable capping anywhere.
     """
-    if exclude_self or not collapse_exact:
+    if not collapse_exact:
+        if max_trigram_freq is None:
+            max_trigram_freq = "auto"
         pairs = candidate_pairs(
             source, target, column, target_column or column, source_id, target_id,
             max_trigram_freq=max_trigram_freq,
@@ -210,21 +265,25 @@ def top1_fuzzy_match(
 
     s = widen(source).select(
         F.col(source_id).alias("_sid"), trigrams(column).alias("_stg")
-    ).transform(ckpt)
+    ).transform(ckpt_lazy)
     t = widen(target).select(
         F.col(target_id).alias("_tid"), trigrams(target_column or column).alias("_ttg")
-    ).transform(ckpt)
+    ).transform(ckpt_lazy)
     s_fp = F.md5(F.concat_ws("", "_stg").cast("binary"))
     t_fp = F.md5(F.concat_ws("", "_ttg").cast("binary"))
     s_members = s.select("_sid", s_fp.alias("_sfp"))
-    t_reps = (
-        t.select("_tid", t_fp.alias("_tfp"), "_ttg")
-        .withColumn("_rn", F.row_number().over(
+    # one fingerprint-ranked pass serves BOTH the rep pick (rn==1) and,
+    # under exclude_self, the within-group top-2 — materialized so the
+    # 500k-row window never runs twice
+    t_ranked = t.select("_tid", t_fp.alias("_tfp"), "_ttg").withColumn(
+        "_rn",
+        F.row_number().over(
             Window.partitionBy("_tfp").orderBy(F.col("_tid").asc())
-        ))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        ),
     )
+    if exclude_self:
+        t_ranked = t_ranked.where(F.col("_rn") <= 2).transform(ckpt_lazy)
+    t_reps = t_ranked.where(F.col("_rn") == 1).drop("_rn")
     s_reps = (
         s.select("_sid", s_fp.alias("_sfp"), "_stg")
         .withColumn("_rn", F.row_number().over(
@@ -233,11 +292,20 @@ def top1_fuzzy_match(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if max_trigram_freq is None:
+        max_trigram_freq = 0  # uncapped by default on the rep pool (see docstring)
     pairs = _pairs_from_trigram_frames(
         s_reps.select("_sid", "_stg"),
         t_reps.select("_tid", "_ttg"),
         max_trigram_freq,
     )
+    if exclude_self:
+        # the literal self pair is the only one that must leave; a
+        # same-fingerprint pair with a DIFFERENT id is a legitimate
+        # similarity-1.0 match, and when the within-group branch below
+        # also emits it the final window dedups (identical sim, same
+        # tid). Cheaper than attaching fingerprints to every rep pair.
+        pairs = pairs.where(F.col("_sid") != F.col("_tid"))
     qualified = pairs.where(F.col("similarity") > F.lit(1.0 - threshold))
     w = Window.partitionBy("_sid").orderBy(
         F.col("similarity").desc(), F.col("_tid").asc()
@@ -250,14 +318,51 @@ def top1_fuzzy_match(
     # expand to every member of the source group (identical trigram
     # sets → identical best target)
     rep_fp = s_reps.select(F.col("_sid").alias("_rsid"), "_sfp")
-    return (
+    cross = (
         best.join(rep_fp, "_rsid")
         .join(s_members, "_sfp")
-        .select(
-            F.col("_sid").alias(source_id),
-            F.col("_tid").alias(f"matched_{target_id}"),
-            F.round("similarity", 6).alias("similarity"),
+        .select("_sid", "_tid", "similarity")
+    )
+    if exclude_self:
+        # within-group candidate: for source member s with fingerprint
+        # fp, the lowest target id sharing fp other than s itself —
+        # similarity exactly 1.0, which beats every cross-fingerprint
+        # candidate at this fp (strictly smaller intersection). Each
+        # group needs only its two smallest target ids, already ranked
+        # in t_ranked: the min when it isn't s, else the second-min.
+        t_top2 = (
+            t_ranked.select("_tid", "_tfp")
+            .groupBy("_tfp")
+            .agg(
+                F.min("_tid").alias("_t1"),
+                F.max("_tid").alias("_t2"),
+                F.count(F.lit(1)).alias("_gn"),
+            )
         )
+        within = (
+            s_members.join(t_top2, s_members["_sfp"] == t_top2["_tfp"])
+            .select(
+                "_sid",
+                F.when(F.col("_t1") != F.col("_sid"), F.col("_t1"))
+                .when(F.col("_gn") >= 2, F.col("_t2"))
+                .alias("_tid"),
+                F.lit(1.0).alias("similarity"),
+            )
+            .where(F.col("_tid").isNotNull())
+        )
+        wf = Window.partitionBy("_sid").orderBy(
+            F.col("similarity").desc(), F.col("_tid").asc()
+        )
+        cross = (
+            cross.unionByName(within)
+            .withColumn("_rn", F.row_number().over(wf))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return cross.select(
+        F.col("_sid").alias(source_id),
+        F.col("_tid").alias(f"matched_{target_id}"),
+        F.round("similarity", 6).alias("similarity"),
     )
 
 
