@@ -1204,3 +1204,99 @@ def test_fuzzy_top1_exclude_self_collapses_duplicate_groups(spark):
     assert out[3] == (1, 1.0)
     assert out[4][0] in (1, 2, 3) and out[4][0] == 1 and 0.5 < out[4][1] < 1.0
     assert 9 not in out
+
+
+def test_png_decode_matches_ppm_and_exercises_all_filters():
+    """make_png's cycling row filters (None/Sub/Up/Average/Paeth) must
+    reconstruct to the same pixels — features identical to a filter-0
+    encode AND to the PPM decode of the same array."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        make_png, make_ppm, png_decode, ppm_decode,
+    )
+
+    y, x = np.mgrid[0:12, 0:16]
+    px = np.stack([(x + y) % 256, (2 * x + 5) % 256, (y + 11) % 256], axis=-1)
+    cycled = png_decode(make_png(16, 12, px))
+    plain = png_decode(make_png(16, 12, px, filter_mode="none"))
+    ppm = ppm_decode(make_ppm(16, 12, px))
+    assert cycled == plain == ppm
+
+
+def test_png_decode_gray_and_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import png_decode
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    g = np.add.outer(np.arange(4), np.arange(4)).astype(np.uint8)
+    raw = b"".join(b"\x00" + g[r].tobytes() for r in range(4))
+    png_g = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    fg = png_decode(png_g)
+    assert fg[0] == fg[1] == fg[2] == g.mean() / 255.0
+
+    rgba = np.zeros((4, 4, 4), dtype=np.uint8)
+    rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = np.arange(4)[None, :]
+    rgba[:, :, 3] = 200  # alpha must be ignored
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(4))
+    png_a = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert png_decode(png_a)[0] == 1.5 / 255.0
+
+
+def test_png_decode_rejects_bad_payloads():
+    import numpy as np
+    import pytest as _pytest
+
+    from voter_gateway_spark.operators.multimodal import make_png, png_decode
+
+    y, x = np.mgrid[0:4, 0:4]
+    png = make_png(4, 4, np.stack([x, y, x], axis=-1) % 256)
+    with _pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png")
+    with _pytest.raises(ValueError, match="truncated"):
+        png_decode(png[:30])
+    with _pytest.raises(ValueError, match="CRC"):
+        png_decode(png.replace(b"IDAT", b"IDAX", 1))
+    with _pytest.raises(ValueError, match="too small"):
+        png_decode(make_png(1, 4, (np.zeros((4, 1, 3), dtype=np.uint8))))
+
+
+def test_png_extract_features_distributed(spark):
+    """The png decoder through the registry + mapInPandas path on a
+    multi-partition frame: every row decodes, features match the
+    driver-side decode."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features, make_png, png_decode,
+    )
+
+    y, x = np.mgrid[0:8, 0:10]
+    rows, expected = [], {}
+    for m in range(12):
+        px = np.stack([(x + m) % 256, (y * 2) % 256, (x + y + m) % 256], axis=-1)
+        payload = make_png(10, 8, px)
+        rows.append((m, "image", bytearray(payload), "image/png", 10, 8, None))
+        expected[m] = png_decode(payload)
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    got = {
+        r.media_id: list(r.features)
+        for r in extract_features(media, kind="png").collect()
+    }
+    assert got == expected

@@ -168,7 +168,188 @@ def ppm_decode(payload: bytes) -> list[float]:
     ]
 
 
-_DECODERS: dict[str, object] = {"fake": fake_decode, "ppm": ppm_decode}
+# -- real PNG decode (stdlib zlib + numpy, no codec libraries) -----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_png(
+    width: int,
+    height: int,
+    pixels: "np.ndarray",
+    filter_mode: str = "cycle",
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an 8-bit truecolor PNG using
+    only stdlib zlib (deflate + crc32). `filter_mode="cycle"` applies
+    filter type row % 5 (None/Sub/Up/Average/Paeth in turn) so a decode
+    of the produced file exercises every unfilter path; "none" writes
+    filter 0 throughout."""
+    import struct
+    import zlib
+
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixels must be ({height}, {width}, 3), got {pixels.shape}")
+    px = pixels.astype(np.int64)
+    bpp = 3
+    raw_rows = px.reshape(height, width * bpp)
+    prior = np.zeros(width * bpp, dtype=np.int64)
+    out_rows = []
+    for r in range(height):
+        row = raw_rows[r]
+        ftype = (r % 5) if filter_mode == "cycle" else 0
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prior
+        elif ftype == 3:
+            filt = row - (left + prior) // 2
+        else:
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = row - pred
+        out_rows.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> list[float]:
+    """REAL image decode for PNG — stdlib zlib + numpy, no codec
+    libraries. Parses the chunk stream (IHDR/IDAT/IEND, CRC-checked),
+    inflates the concatenated IDAT deflate stream, reverses all five
+    scanline filters (None/Sub/Up/Average/Paeth), and returns the same
+    8-dim feature contract as ppm_decode:
+
+        [mean_r, mean_g, mean_b, mean_gray,
+         q00, q01, q10, q11]   (gray = integer channel sum / 765)
+
+    Supported: 8-bit depth, color types 0 (grayscale, replicated to
+    RGB), 2 (truecolor), 6 (truecolor+alpha, alpha dropped),
+    non-interlaced. Anything else raises — a decode error MUST
+    surface, not produce junk features."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length or len(payload) < i + 12 + length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={color} "
+            f"interlace={interlace} (8-bit color 0/2/6 non-interlaced only)"
+        )
+    if w < 2 or h < 2:
+        raise ValueError(f"image too small for quadrant features: {w}x{h}")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data: want {h * (stride + 1)} bytes, got {len(raw)}"
+        )
+    recon = np.zeros((h, stride), dtype=np.int64)
+    for r in range(h):
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        prior = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            recon[r] = row
+        elif ftype == 2:
+            recon[r] = (row + prior) % 256
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth need the RECONSTRUCTED left neighbor —
+            # sequential in x by definition; rows stay numpy, the x loop
+            # is bounded by the row byte count
+            cur = recon[r]
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + prior[x]) // 2
+                else:
+                    c = prior[x - ch] if x >= ch else 0
+                    pred = _paeth(int(a), int(prior[x]), int(c))
+                cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    px = recon.reshape(h, w, ch).astype(np.float64)
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    gray = rgb.sum(axis=2)
+    hh, wh = h // 2, w // 2
+    return [
+        rgb[:, :, 0].mean() / 255.0,
+        rgb[:, :, 1].mean() / 255.0,
+        rgb[:, :, 2].mean() / 255.0,
+        gray.mean() / 765.0,
+        gray[:hh, :wh].mean() / 765.0,
+        gray[:hh, wh:].mean() / 765.0,
+        gray[hh:, :wh].mean() / 765.0,
+        gray[hh:, wh:].mean() / 765.0,
+    ]
+
+
+_DECODERS: dict[str, object] = {
+    "fake": fake_decode,
+    "ppm": ppm_decode,
+    "png": png_decode,
+}
 
 
 def register_decoder(kind: str, fn) -> None:

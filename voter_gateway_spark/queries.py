@@ -1526,6 +1526,69 @@ def multimodal_ppm_decode(spark, sf_dir):
     )
 
 
+def multimodal_png_decode(spark, sf_dir):
+    """Second REAL image codec through the decoder registry: the same
+    analytic (media_id, x, y) pixel field is encoded as 8-bit truecolor
+    PNG on the driver — stdlib zlib deflate, crc32 chunks, and a
+    CYCLING row filter (None/Sub/Up/Average/Paeth in turn) so the
+    executor-side decode (multimodal.png_decode: chunk parse, CRC
+    check, inflate, all five unfilter paths, channel/quadrant stats)
+    exercises every filter reconstruction. The oracle recomputes the
+    statistics from the closed-form pixel formula — a filter-math bug,
+    stride bug, or channel swap fails the hash. n_bytes is omitted
+    from the projection (deflate output length is not analytic)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import MEDIA_SCHEMA, make_png
+
+    W, H = 16, 12
+    y, x = np.mgrid[0:H, 0:W]
+    rows = []
+    for m in range(64):
+        px = np.stack(
+            [(x + y + 3 * m) % 256, (2 * x + m) % 256, (y + 7 * m) % 256], axis=-1
+        )
+        rows.append(
+            (m, "image", bytearray(make_png(W, H, px)), "image/png", W, H, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, kind="png")
+    return feat.select(
+        "media_id",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+_IMG_FIELD_SQL = """
+WITH px AS (
+  SELECT m, x, y,
+         (x + y + 3*m) % 256 AS r,
+         (2*x + m) % 256 AS g,
+         (y + 7*m) % 256 AS b
+  FROM (SELECT unnest(generate_series(0, 63)) AS m),
+       (SELECT unnest(generate_series(0, 15)) AS x),
+       (SELECT unnest(generate_series(0, 11)) AS y)
+), gr AS (
+  SELECT m, x, y, r, g, b, r + g + b AS gray FROM px
+)
+"""
+
+PNG_DECODE_SQL = f"""
+{_IMG_FIELD_SQL}
+SELECT m AS media_id,
+       round(avg(r) / 255.0, 6) AS f0,
+       round(avg(g) / 255.0, 6) AS f1,
+       round(avg(b) / 255.0, 6) AS f2,
+       round(avg(gray) / 765.0, 6) AS f3,
+       round(avg(gray) FILTER (y < 6 AND x < 8) / 765.0, 6) AS f4,
+       round(avg(gray) FILTER (y < 6 AND x >= 8) / 765.0, 6) AS f5,
+       round(avg(gray) FILTER (y >= 6 AND x < 8) / 765.0, 6) AS f6,
+       round(avg(gray) FILTER (y >= 6 AND x >= 8) / 765.0, 6) AS f7
+FROM gr
+GROUP BY m
+"""
+
+
 # header "P6\n16 12\n255\n" = 13 bytes + 16*12*3 pixel bytes
 PPM_DECODE_SQL = """
 WITH px AS (
@@ -3790,9 +3853,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_events_windows": interval_join_events_windows,
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "events_view_purchase_attribution": events_view_purchase_attribution,
-    "events_funnel": events_funnel,
+    # round-5: PNG decode (zlib inflate + all-five-filter reconstruction)
+    # sits in the prefix so the driver gate exercises the second real
+    # codec; events_funnel (green r4) rotates to the tail
+    "multimodal_png_decode": multimodal_png_decode,
     # --- stable veterans below the driver's ~50-query sample window;
     # all remain green in CORRECTNESS_local.json every round ---
+    "events_funnel": events_funnel,
     "dedup_simhash": dedup_simhash,
     "dedup_edit_distance": dedup_edit_distance,
     "text_vocabulary": text_vocabulary,
@@ -3917,6 +3984,7 @@ ORACLES: dict[str, str] = {
     "corpus_contamination": CONTAMINATION_SQL,
     "text_pii_scrub": _pii_sql(),
     "multimodal_ppm_decode": PPM_DECODE_SQL,
+    "multimodal_png_decode": PNG_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
     # the probe is roundtrip-tested equal to the in-memory bipartite
     # probe, so the same bit-exact oracle applies
