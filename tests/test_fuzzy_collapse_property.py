@@ -90,3 +90,91 @@ def test_collapse_expands_to_all_group_members(spark):
     )
     got = top1_fuzzy_match(source, target, "addr", "sid", "tid")
     assert {r.sid for r in got.collect()} == {1, 2, 3}
+
+
+def test_heavy_dup_forces_collapse_and_matches_direct(spark):
+    """Each value repeated 5x on both sides → probed fanout ≈ 25 >
+    COLLAPSE_FANOUT_THRESHOLD, so the collapse stages genuinely run;
+    results must equal the direct path's."""
+    vals = ["main st", "oak ave", "elm rd", "park blvd"]
+    source = spark.createDataFrame(
+        [Row(sid=i, addr=vals[i % 4]) for i in range(1, 21)],
+        "sid int, addr string",
+    )
+    target = spark.createDataFrame(
+        [Row(tid=i, addr=vals[(i + 1) % 4]) for i in range(1, 21)],
+        "tid int, addr string",
+    )
+    kw = dict(column="addr", source_id="sid", target_id="tid", threshold=0.5)
+    collapsed = top1_fuzzy_match(source, target, collapse_exact=True, **kw)
+    direct = top1_fuzzy_match(
+        source, target, collapse_exact=False, max_trigram_freq=0, **kw
+    )
+    c = {r.sid: (r.matched_tid, r.similarity) for r in collapsed.collect()}
+    d = {r.sid: (r.matched_tid, r.similarity) for r in direct.collect()}
+    assert c == d and len(c) == 20
+
+
+def test_heavy_dup_exclude_self_matches_direct(spark):
+    """Self-match over a 5x-duplicated corpus under exclude_self: the
+    collapse path's within-group channel must reproduce the direct
+    path's sim-1.0 matches exactly."""
+    vals = ["main st", "oak ave", "elm rd"]
+    docs = spark.createDataFrame(
+        [Row(did=i, addr=vals[i % 3]) for i in range(1, 16)],
+        "did int, addr string",
+    )
+    kw = dict(
+        column="addr", source_id="did", target_id="did",
+        threshold=0.5, exclude_self=True,
+    )
+    collapsed = top1_fuzzy_match(docs, docs, collapse_exact=True, **kw)
+    direct = top1_fuzzy_match(
+        docs, docs, collapse_exact=False, max_trigram_freq=0, **kw
+    )
+    c = {r.did: (r.matched_did, r.similarity) for r in collapsed.collect()}
+    d = {r.did: (r.matched_did, r.similarity) for r in direct.collect()}
+    assert c == d and len(c) == 15
+    assert all(sim == 1.0 for _, sim in c.values())
+
+
+def test_dup_free_fast_path_matches_direct(spark):
+    """All-unique values → probed fanout 1.0, the plain fast path runs;
+    results must equal the uncapped direct path's."""
+    source = spark.createDataFrame(
+        [Row(sid=i, addr=f"{i} main st") for i in range(1, 13)],
+        "sid int, addr string",
+    )
+    target = spark.createDataFrame(
+        [Row(tid=i, addr=f"{i} main ave") for i in range(1, 13)],
+        "tid int, addr string",
+    )
+    kw = dict(column="addr", source_id="sid", target_id="tid", threshold=0.5)
+    fast = top1_fuzzy_match(source, target, collapse_exact=True, **kw)
+    direct = top1_fuzzy_match(
+        source, target, collapse_exact=False, max_trigram_freq=0, **kw
+    )
+    f = {r.sid: (r.matched_tid, r.similarity) for r in fast.collect()}
+    d = {r.sid: (r.matched_tid, r.similarity) for r in direct.collect()}
+    assert f == d
+
+
+def test_capped_exact_match_channel_survives_dominant_value(spark):
+    """ADVICE r5: with a dominant target value whose every trigram
+    exceeds the stop-trigram cap, identical texts must STILL match at
+    similarity 1.0 via the fingerprint-equality channel — the cap may
+    prune near-matches, never exact ones."""
+    target = spark.createDataFrame(
+        [Row(tid=i, addr="springfield county line") for i in range(1, 9)]
+        + [Row(tid=9, addr="shelbyville"), Row(tid=10, addr="ogdenville")],
+        "tid int, addr string",
+    )
+    source = spark.createDataFrame(
+        [Row(sid=1, addr="springfield county line")], "sid int, addr string"
+    )
+    got = top1_fuzzy_match(
+        source, target, "addr", "sid", "tid",
+        collapse_exact=False, max_trigram_freq=2,
+    ).collect()
+    assert len(got) == 1
+    assert got[0].matched_tid == 1 and got[0].similarity == 1.0

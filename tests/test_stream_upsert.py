@@ -200,10 +200,10 @@ def test_false_returning_promote_fails_batch_then_heals(spark, tmp_path, monkeyp
     _crash_recovery_scenario(spark, tmp_path, monkeypatch, "false", "false")
 
 
-def test_legacy_marker_falls_back_to_batch_id_only_skip(spark, tmp_path):
-    """A marker written before the query_id format (batch_id only) must
-    still suppress a replayed batch — batch-id-only comparison, not a
-    disabled skip that re-merges and duplicates pk-less rows."""
+def test_legacy_marker_skips_only_when_honored(spark, tmp_path):
+    """A marker written before the query_id format (batch_id only)
+    suppresses a replayed batch ONLY under honor_legacy_marker=True —
+    the opt-in for operators resuming the same checkpoint lineage."""
     import pathlib
 
     target_dir = str(tmp_path / "tgt_legacy")
@@ -221,10 +221,42 @@ def test_legacy_marker_falls_back_to_batch_id_only_skip(spark, tmp_path):
     plan = MergePlan(target_pk="id").merge_column_as("v", "$T + $S")
     writer = stream_upsert_parquet(
         stream, target_dir, pk="id", match_columns=[["k"]], merge_plan=plan,
+        honor_legacy_marker=True,
     )
     _run(writer, tmp_path, "legacy")
     rows = {r.id: r.v for r in spark.read.parquet(target_dir).collect()}
     assert rows == {1: 10}  # batch 0 <= marker 5 → replay-skipped
+
+
+def test_legacy_marker_ignored_by_default_and_upgraded(spark, tmp_path):
+    """Default: a legacy marker must NOT suppress a NEW query's batches
+    (fresh checkpoints restart batch ids at 0 — honoring the old
+    high-water mark would drop them all), and the first processed
+    batch upgrades the marker to the query_id format."""
+    import pathlib
+
+    from voter_gateway_spark.streaming.upsert_sink import _read_marker
+
+    target_dir = str(tmp_path / "tgt_legacy_dflt")
+    bootstrap_target(
+        spark,
+        target_dir,
+        spark.createDataFrame([Row(id=1, k="K1", v=10)], "id int, k string, v int"),
+    )
+    pathlib.Path(target_dir, "_vgs_batch_id").write_text(json.dumps({"batch_id": 5}))
+    src_dir = tmp_path / "src_legacy_dflt"
+    src_dir.mkdir()
+    _write_jsonl(src_dir / "b1.jsonl", [{"id": 100, "k": "K1", "v": 5}])
+    stream = spark.readStream.schema("id int, k string, v int").json(str(src_dir))
+    plan = MergePlan(target_pk="id").merge_column_as("v", "$T + $S")
+    writer = stream_upsert_parquet(
+        stream, target_dir, pk="id", match_columns=[["k"]], merge_plan=plan,
+    )
+    _run(writer, tmp_path, "legacy_dflt")
+    rows = {r.id: r.v for r in spark.read.parquet(target_dir).collect()}
+    assert rows == {1: 15}  # batch processed: 10 + 5 merged
+    m_batch, m_qid = _read_marker(spark, target_dir)
+    assert m_batch == 0 and m_qid is not None  # marker upgraded
 
 
 def test_unresolvable_query_id_fails_batch_loudly(spark, tmp_path, monkeypatch):

@@ -93,6 +93,20 @@ def trigram_set_similarity(ta: Column, tb: Column) -> Column:
 DEFAULT_TRIGRAM_FREQ_FRACTION = 0.5
 DEFAULT_TRIGRAM_FREQ_FLOOR = 100
 
+# top1_fuzzy_match runs its exact-dup collapse stages only when the
+# probed fanout multiplier product exceeds this — below it, the dup
+# groups inflate the inverted-index join by less than the collapse's
+# own fixed stage latency is worth.
+COLLAPSE_FANOUT_THRESHOLD = 2.0
+
+
+def _fp_expr(col: str) -> Column:
+    """Canonical fingerprint of a trigram array: md5 over the SORTED
+    concatenated set, so two texts with equal trigram sets fingerprint
+    identically even when trigrams() emitted them in different word
+    order ('ab ba' vs 'ba ab')."""
+    return F.md5(F.concat_ws("\x01", F.array_sort(F.col(col))).cast("binary"))
+
 
 def candidate_pairs(
     source: DataFrame,
@@ -164,9 +178,28 @@ def _pairs_from_trigram_frames(
         else:
             freq = counts.where(F.col("count") <= max_trigram_freq)
         t_ex = t_ex.join(F.broadcast(freq.select("_tg")), "_tg")
+        # Exact-match safety channel: on a dominant-value pool (the
+        # voter-file shape — one city repeated in most rows) EVERY
+        # trigram of the dominant value can exceed the cap, so rows
+        # carrying it would get zero candidates and lose even their
+        # sim-1.0 exact matches. Union a fingerprint-equality join so
+        # identical trigram sets are ALWAYS candidates regardless of the
+        # cap (one hash join on md5 keys; empty sets excluded — they
+        # share no trigram and must not pair). Near-identical dominant
+        # values can still be pruned — that residual recall trade is the
+        # cap's documented contract; pass 0 to disable capping.
+        fp_cand = (
+            s.where(F.size("_stg") > 0).select("_sid", _fp_expr("_stg").alias("_fp"))
+            .join(
+                t.where(F.size("_ttg") > 0).select("_tid", _fp_expr("_ttg").alias("_fp")),
+                "_fp",
+            )
+            .select("_sid", "_tid")
+        )
         counted = (
             s_ex.join(t_ex, "_tg")
             .select("_sid", "_tid")
+            .unionByName(fp_cand)
             .dropDuplicates(["_sid", "_tid"])
             .join(s, "_sid")
             .join(t, "_tid")
@@ -227,7 +260,9 @@ def top1_fuzzy_match(
     per-member WITHIN-GROUP candidate (similarity 1.0, lowest other
     member id — from each group's two smallest target ids, no pairwise
     expansion), so a d-way duplicated corpus costs O(reps²) candidate
-    work instead of O(d²·reps²).
+    work instead of O(d²·reps²). A one-job existence probe skips ALL
+    collapse stages when no fingerprint group has size > 1, so dup-free
+    corpora pay none of the collapse's fixed stage latency.
 
     `max_trigram_freq=None` (the default) engages the data-proportional
     in-plan stop-trigram cap ("auto" — see _pairs_from_trigram_frames)
@@ -269,8 +304,52 @@ def top1_fuzzy_match(
     t = widen(target).select(
         F.col(target_id).alias("_tid"), trigrams(target_column or column).alias("_ttg")
     ).transform(ckpt_lazy)
-    s_fp = F.md5(F.concat_ws("", "_stg").cast("binary"))
-    t_fp = F.md5(F.concat_ws("", "_ttg").cast("binary"))
+    s_fp = _fp_expr("_stg")
+    t_fp = _fp_expr("_ttg")
+    # Dup-fanout probe: the collapse machinery (rep windows, expansion
+    # join, within-group channel) costs ~6 extra small-shuffle stages of
+    # fixed latency (~2.3s at sf0.1, measured r5) and only pays off when
+    # duplication meaningfully multiplies the inverted-index join. The
+    # plain plan is CORRECT regardless of duplication (identical trigram
+    # sets share all trigrams, so within-group sim-1.0 pairs fall out of
+    # the index join naturally); collapse is purely a cost optimization.
+    # Estimate each side's duplication-driven fanout multiplier —
+    # E[group size] weighted by membership, sum(n_g²)/sum(n_g), the
+    # factor by which dup groups inflate join work vs the rep pool — in
+    # ONE cheap job over the two checkpointed trigram frames (which the
+    # probe also materializes for reuse, so its scan is never wasted),
+    # and run the plain plan when the product is small: a dup-free
+    # corpus probes 1.0, the 100×-replica stress probes ~100.
+    probe = (
+        s.select(F.lit("s").alias("_side"), s_fp.alias("_fp"))
+        .unionByName(t.select(F.lit("t").alias("_side"), t_fp.alias("_fp")))
+        .groupBy("_side", "_fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("_side")
+        .agg((F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"))
+        .collect()
+    )
+    mult = {r["_side"]: float(r["_mult"]) for r in probe}
+    fanout = mult.get("s", 1.0) * mult.get("t", 1.0)
+    if fanout <= COLLAPSE_FANOUT_THRESHOLD:
+        pairs = _pairs_from_trigram_frames(
+            s, t, 0 if max_trigram_freq is None else max_trigram_freq
+        )
+        if exclude_self:
+            pairs = pairs.where(F.col("_sid") != F.col("_tid"))
+        qualified = pairs.where(F.col("similarity") > F.lit(1.0 - threshold))
+        w = Window.partitionBy("_sid").orderBy(
+            F.col("similarity").desc(), F.col("_tid").asc()
+        )
+        return (
+            qualified.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col("_sid").alias(source_id),
+                F.col("_tid").alias(f"matched_{target_id}"),
+                F.round("similarity", 6).alias("similarity"),
+            )
+        )
     s_members = s.select("_sid", s_fp.alias("_sfp"))
     # one fingerprint-ranked pass serves BOTH the rep pick (rn==1) and,
     # under exclude_self, the within-group top-2 — materialized so the

@@ -37,7 +37,11 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     Use as ``df.transform(ckpt)`` (eager) / ``df.transform(ckpt_lazy)``.
     Honors :func:`reliable_checkpoint_dir`; the checkpoint directory is
     installed on first use so plain ``SparkSession.builder`` sessions
-    (not just :func:`build_spark`) get the reliable path too.
+    (not just :func:`build_spark`) get the reliable path too. Such
+    sessions should also set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    session-construction-time conf :func:`build_spark` sets for them)
+    or per-round checkpoint files accumulate for the life of the job.
     """
     d = reliable_checkpoint_dir()
     if not d:
@@ -87,6 +91,14 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if reliable_checkpoint_dir():
+        # without this, df.checkpoint() data is never deleted when the
+        # DataFrame is GC'd, so the iterative jobs (connected
+        # components, claiming, collapse — one ckpt per round)
+        # accumulate unbounded files in SPARK_GRAFT_CHECKPOINT_DIR on
+        # long cluster runs. Plain SparkSession.builder sessions using
+        # the reliable path should set the same flag (see ckpt()).
+        b = b.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

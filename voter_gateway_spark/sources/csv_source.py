@@ -184,6 +184,13 @@ class CSVSource:
             return flagged.where(~F.col("_malformed")).drop(self._corrupt_col, "_malformed")
         return flagged.drop("_malformed")
 
+    # Encodings whose newline byte is 0x0A and never appears inside a
+    # multi-byte character — the precondition for _blank_line_count's
+    # byte-oriented physical line count. UTF-16/UTF-32 families encode
+    # '\n' as 2/4 bytes and embed 0x0A inside code units, so the
+    # text-source count would be garbage there.
+    _NEWLINE_SAFE = ("utf-8", "ascii", "iso8859-", "cp125", "latin")
+
     def _blank_line_count(self) -> int:
         """Blank physical lines the csv source silently skipped.
 
@@ -192,12 +199,27 @@ class CSVSource:
         field-count check — but the reference's wc-l-diff accounting
         (csv_audit.rb:123-133) counts a blank line as a malformed row
         (it fails the field-count test). Recover them by comparing a
-        cheap physical line count (spark.read.text keeps blank lines;
-        line boundaries are byte-identical across the encodings we
-        support, so its UTF-8-only decoding cannot change the COUNT)
-        against the csv-visible line count.
+        physical line count (spark.read.text keeps blank lines; its
+        UTF-8-only decoding cannot change the COUNT for the allowlisted
+        newline-byte-compatible encodings — validated below, raising
+        for UTF-16/UTF-32-family encodings where the byte-count
+        arithmetic would silently be wrong) against the csv-visible
+        line count. Cost: two extra input scans, paid once and only
+        when malformed_count() is called — the flagged-row count itself
+        still comes scan-free from the cached frame.
         """
         if self._blank_skipped is None:
+            import codecs
+
+            name = codecs.lookup(self.encoding).name
+            if not name.startswith(self._NEWLINE_SAFE):
+                raise ValueError(
+                    f"malformed_count with encoding {self.encoding!r} "
+                    f"(normalized {name!r}): blank-line recovery needs a "
+                    "newline-byte-compatible encoding (UTF-8/ASCII/"
+                    "Latin-1/ISO-8859-*/CP125x); UTF-16/UTF-32 line "
+                    "counts from the byte-oriented text source are wrong"
+                )
             physical = self._spark.read.text(self.path).count()
             seen = self._raw_lines(self._spark).count()
             self._blank_skipped = physical - seen

@@ -75,9 +75,25 @@ def write_table(
             out = df.join(F.broadcast(sp.drop("_prows")), cond).drop(
                 *[f"_pb_{i}" for i in range(len(partition_by))]
             )
-            salt = F.pmod(
-                F.hash(*[out[c] for c in df.columns]), F.col("_splits")
+            # salt from hashable NON-partition columns only: F.hash
+            # raises on MapType (anywhere in the type) since Spark 3.0,
+            # and hashing the partition columns alone is constant per
+            # partition value — the skew split would silently do
+            # nothing. When no usable column remains, fall back to the
+            # row's position id: deterministic per task slot and
+            # uniform, which is all the split needs.
+            hashable = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in partition_by
+                and "map<" not in f.dataType.simpleString()
+            ]
+            salt_src = (
+                F.hash(*[out[c] for c in hashable])
+                if hashable
+                else F.monotonically_increasing_id()
             )
+            salt = F.pmod(salt_src, F.col("_splits"))
             out = out.repartition(
                 n_parts, *[F.col(c) for c in partition_by], salt
             ).drop("_splits")

@@ -133,6 +133,7 @@ def stream_upsert_parquet(
     source_id: str | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "vgs_stream_upsert",
+    honor_legacy_marker: bool = False,
 ):
     """Attach a foreachBatch upsert sink to a streaming DataFrame.
 
@@ -152,7 +153,12 @@ def stream_upsert_parquet(
     marker from a different query lineage (no checkpoint_dir, a
     deleted checkpoint, a new query on an existing target) must NOT
     suppress the new lineage's batches: comparing raw ids there would
-    silently drop every batch up to the old high-water mark.
+    silently drop every batch up to the old high-water mark. Markers
+    written by the pre-query-id format carry no lineage at all and are
+    therefore IGNORED by default (the first processed batch upgrades
+    them); set `honor_legacy_marker=True` only when resuming the same
+    checkpoint lineage that wrote the legacy marker, trading the
+    new-query drop hazard for replay idempotence across the upgrade.
 
     pk-less batches (the match_columns-only shape): unmatched rows
     insert with a NULL pk, and a NULL target pk can never be
@@ -160,20 +166,45 @@ def stream_upsert_parquet(
     insert_column_as(pk, ...) to synthesize keys when the stream
     lacks them and keys recur."""
     plan = merge_plan or MergePlan(target_pk=pk)
+    # foreachBatch hands the callback a CLONED SparkSession whose
+    # StreamingQueryManager lists no active queries, so resolving the
+    # query id from batch.sparkSession always returns None (verified on
+    # Spark 4.1: clone .streams.active == [], original session resolves)
+    # — which would silently collapse the lineage-aware replay skip into
+    # the legacy batch-id-only path forever. Capture the session that
+    # owns the query at writer-construction time instead.
+    owner_spark = stream.sparkSession
 
     def _apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         _recover(spark, target_dir)
-        qid = _current_query_id(spark, query_name)
+        qid = _current_query_id(owner_spark, query_name)
         m_batch, m_qid = _read_marker(spark, target_dir)
         if m_qid is None:
             # legacy marker predating the query_id format (or no marker,
-            # m_batch == -1): fall back to batch-id-only comparison —
-            # disabling skip entirely would re-merge a crash-replayed
-            # batch, duplicating rows in the pk-less/NULL-pk shape the
-            # module docstring flags as non-idempotent.
+            # m_batch == -1). A legacy marker CANNOT prove lineage: a
+            # NEW query over an old-format target restarts batch ids at
+            # 0, so honoring it would silently drop every batch up to
+            # the old high-water mark — and the skip path never rewrites
+            # the marker, so the drops would persist. Default: do NOT
+            # honor it (process the batch; the marker upgrades to the
+            # query_id format on this batch's swap, closing the legacy
+            # window for good). `honor_legacy_marker=True` restores
+            # batch-id-only skipping for operators resuming the SAME
+            # checkpoint lineage that wrote the old marker, where a
+            # crash-replayed batch would otherwise re-merge and
+            # duplicate rows in the pk-less/NULL-pk shape.
             if m_batch >= batch_id:
-                return
+                if honor_legacy_marker:
+                    return
+                if m_batch >= 0:
+                    print(
+                        f"vgs stream_upsert: ignoring legacy marker "
+                        f"(batch_id={m_batch}, no query_id) in {target_dir}; "
+                        "processing batch and upgrading the marker. Pass "
+                        "honor_legacy_marker=True if resuming the same "
+                        "checkpoint lineage that wrote it."
+                    )
         elif qid is None:
             # the marker names a query lineage but ours cannot be
             # resolved from spark.streams.active: comparing blind either
