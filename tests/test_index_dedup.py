@@ -122,3 +122,119 @@ def test_stream_dedup_against_index_e2e(spark, sf_dir, tmp_path):
     }
     assert new_ids == expected_new
     assert got.where(F.col("doc_id") >= 9_000_000).count() == 0
+
+
+# -- crash-injection: exactly-once admission under replay ---------------------
+
+
+def _bootstrap_small(spark, sf_dir, tmp_path, name):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 == 1)
+    idx = str(tmp_path / f"idx_{name}")
+    cp = str(tmp_path / f"corpus_{name}")
+    bootstrap_index(corpus, idx, cp, "doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 5 == 3).limit(4)
+    return corpus, idx, cp, batch
+
+
+def _assert_exactly_once(spark, cp, corpus, admitted_ids):
+    got = spark.read.parquet(cp)
+    assert got.count() == got.select("doc_id").distinct().count(), "duplicate corpus rows"
+    new_ids = {
+        r.doc_id
+        for r in got.join(corpus.select("doc_id"), "doc_id", "left_anti").collect()
+    }
+    assert new_ids == admitted_ids, "lost or extra admissions"
+
+
+def test_admission_crash_between_corpus_and_index_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the batch after the corpus commit but before the index
+    commits; the replay must neither duplicate the corpus rows nor
+    lose the admission, and the index must end consistent (a later
+    copy of the admitted docs is rejected)."""
+    import pytest as _pytest
+
+    import voter_gateway_spark.streaming.index_dedup as idx_mod
+
+    corpus, idx, cp, batch = _bootstrap_small(spark, sf_dir, tmp_path, "crash1")
+
+    real_commit = idx_mod._commit_staged
+
+    def dying_commit(spark_, staged_dir, live_dir, tag):
+        real_commit(spark_, staged_dir, live_dir, tag)
+        if "/bands" in live_dir:
+            raise RuntimeError("injected crash after bands commit")
+
+    monkeypatch.setattr(idx_mod, "_commit_staged", dying_commit)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        admit_batch(spark, batch, idx, cp, "doc_id", "text", batch_id=7, query_id="q1")
+    monkeypatch.setattr(idx_mod, "_commit_staged", real_commit)
+
+    # partial state on disk: corpus + bands committed, hashes staged only
+    replayed = admit_batch(
+        spark, batch, idx, cp, "doc_id", "text", batch_id=7, query_id="q1"
+    )
+    assert replayed is not None
+    admitted_ids = {r.doc_id for r in replayed.select("doc_id").collect()}
+    assert admitted_ids, "replay must re-admit, not lose the batch"
+    _assert_exactly_once(spark, cp, corpus, admitted_ids)
+
+    # index consistent: exact copies of the admitted docs are rejected
+    copies = replayed.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    again = admit_batch(
+        spark, copies, idx, cp, "doc_id", "text", batch_id=8, query_id="q1"
+    )
+    assert again.count() == 0
+
+
+def test_admission_crash_before_marker_then_replay(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill after ALL commits but before the marker write — the worst
+    window: everything is live but the batch will replay. The replay
+    must first undo the tagged files and land the batch exactly once."""
+    import pytest as _pytest
+
+    import voter_gateway_spark.streaming.index_dedup as idx_mod
+
+    corpus, idx, cp, batch = _bootstrap_small(spark, sf_dir, tmp_path, "crash2")
+
+    def dying_marker(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(idx_mod, "_write_marker", dying_marker)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        admit_batch(spark, batch, idx, cp, "doc_id", "text", batch_id=3, query_id="qz")
+    monkeypatch.undo()
+
+    replayed = admit_batch(
+        spark, batch, idx, cp, "doc_id", "text", batch_id=3, query_id="qz"
+    )
+    admitted_ids = {r.doc_id for r in replayed.select("doc_id").collect()}
+    _assert_exactly_once(spark, cp, corpus, admitted_ids)
+
+
+def test_admission_marker_skips_committed_replay(spark, sf_dir, tmp_path):
+    """A replay of a FULLY committed batch (crash between marker write
+    and checkpoint commit) is skipped outright: returns None, corpus
+    byte-count unchanged."""
+    corpus, idx, cp, batch = _bootstrap_small(spark, sf_dir, tmp_path, "skip")
+    first = admit_batch(
+        spark, batch, idx, cp, "doc_id", "text", batch_id=5, query_id="qq"
+    )
+    admitted_ids = {r.doc_id for r in first.select("doc_id").collect()}
+    n_before = spark.read.parquet(cp).count()
+    assert (
+        admit_batch(spark, batch, idx, cp, "doc_id", "text", batch_id=5, query_id="qq")
+        is None
+    )
+    assert spark.read.parquet(cp).count() == n_before
+    _assert_exactly_once(spark, cp, corpus, admitted_ids)
+    # a DIFFERENT lineage's batch 5 is NOT suppressed by qq's marker
+    novel = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 4).limit(2)
+    other = admit_batch(
+        spark, novel, idx, cp, "doc_id", "text", batch_id=5, query_id="other"
+    )
+    assert other is not None

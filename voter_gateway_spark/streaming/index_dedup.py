@@ -25,12 +25,20 @@ The batch-internal pass collapses exact duplicates (min-id wins) and,
 with `intra_batch=True` (default), runs the in-memory LSH pair search
 within the batch and keeps the min-id representative of each pair.
 
-Replay caveat (stated, not hidden): foreachBatch can re-run a batch
-after a crash. Admission is idempotent at the DOCUMENT level only if
-doc_ids are stable across replays — the corpus append uses doc_id-
-keyed parquet files but does NOT deduplicate appends; pair a replayed
-source with the `_vgs_batch_id` marker pattern from upsert_sink when
-exactly-once admission matters.
+Crash/replay guarantees (batch_id-tagged admission, the streaming
+path's default): each micro-batch's appends are staged to batch-scoped
+directories, then MOVED into the live corpus/index dirs under
+deterministic `vgsb<batch_id>-` file names, and an admission marker
+(batch_id + query lineage id) commits the batch. A replay after a
+crash at ANY point first deletes every live `vgsb<batch_id>-` file
+(undoing partial moves), re-runs the probe against the now-consistent
+index, and re-commits — so a batch lands exactly once: no duplicate
+corpus rows, no lost admissions, and no index entry without its corpus
+row surviving recovery. A replay of a FULLY committed batch (crash
+between marker write and checkpoint commit) is skipped by the marker.
+Direct `admit_batch(...)` calls without a `batch_id` keep the plain
+append-only behavior (no staging, no idempotence) for ad-hoc batch
+use.
 """
 
 from __future__ import annotations
@@ -46,6 +54,70 @@ from voter_gateway_spark.operators.dedup_ops import (
     probe_band_index,
 )
 from voter_gateway_spark.session import ckpt
+from voter_gateway_spark.streaming.upsert_sink import (
+    _current_query_id,
+    _fs,
+    _must,
+    _read_marker,
+    _write_marker,
+)
+
+_ADMIT_MARKER = "_vgs_admit_marker"
+
+
+def _batch_tag(batch_id: int) -> str:
+    # trailing '-' so vgsb1- never prefix-matches vgsb10-'s files
+    return f"vgsb{batch_id}-"
+
+
+def _delete_tagged(spark: SparkSession, root_dir: str, tag: str) -> None:
+    """Remove live files left by a crashed attempt at this batch
+    (partial commit undo). Recursive listing cost ∝ files under the
+    root — the corpus/index dirs, whose file counts the deterministic
+    naming itself keeps bounded to O(batches × partitions)."""
+    fs, root, jvm = _fs(spark, root_dir)
+    if not fs.exists(root):
+        return
+    it = fs.listFiles(root, True)
+    doomed = []
+    while it.hasNext():
+        fpath = it.next().getPath()
+        if fpath.getName().startswith(tag):
+            doomed.append(fpath)
+    for fpath in doomed:
+        _must(fs.delete(fpath, False), f"partial-commit delete {fpath}")
+
+
+def _commit_staged(
+    spark: SparkSession, staged_dir: str, live_dir: str, tag: str
+) -> None:
+    """Move every staged parquet file into the live dir, preserving
+    partition subdirectories, under deterministic `<tag><seq>.parquet`
+    names — deterministic so a replay can find and undo a partial
+    move. Renames are per-file (atomic on HDFS; copies on object
+    stores, where a real table format should replace this protocol,
+    as with upsert_sink)."""
+    fs, sroot, jvm = _fs(spark, staged_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(sroot):
+        return
+    sroot_q = str(fs.makeQualified(sroot))
+    it = fs.listFiles(sroot, True)
+    moves = []
+    while it.hasNext():
+        fpath = it.next().getPath()
+        if not fpath.getName().endswith(".parquet"):
+            continue  # _SUCCESS and friends
+        rel = str(fs.makeQualified(fpath.getParent()))[len(sroot_q):].lstrip("/")
+        moves.append((fpath, rel))
+    for seq, (fpath, rel) in enumerate(moves):
+        dest_dir = f"{live_dir}/{rel}" if rel else live_dir
+        fs.mkdirs(Path(dest_dir))
+        dest = Path(f"{dest_dir}/{tag}{seq}.parquet")
+        if fs.exists(dest):  # replay leftovers are deleted up front; be safe
+            _must(fs.delete(dest, False), f"stale dest delete {dest}")
+        _must(fs.rename(fpath, dest), f"commit rename {fpath} -> {dest}")
+    _must(fs.delete(sroot, True), f"staging cleanup {sroot}")
 
 
 def admit_batch(
@@ -57,12 +129,28 @@ def admit_batch(
     text_col: str,
     threshold: float = 0.5,
     intra_batch: bool = True,
-) -> DataFrame:
+    batch_id: int | None = None,
+    query_id: str | None = None,
+) -> DataFrame | None:
     """One admission round (the foreachBatch body, callable in batch
     tests directly): probe the persisted index, reject near-dups of the
     corpus, optionally dedup within the batch, append survivors to the
     corpus and their band rows + hash sets to the index. Returns the
-    ADMITTED frame (materialized before the writes)."""
+    ADMITTED frame (materialized before the writes).
+
+    With `batch_id` (the streaming path always passes it), admission is
+    exactly-once under crash/replay — staged writes, deterministic
+    tagged file names, partial-commit undo, and an admission marker
+    scoped to `query_id`'s lineage (see module docstring). Returns
+    None when the marker proves this batch already fully committed."""
+    exactly_once = batch_id is not None
+    if exactly_once:
+        m_batch, m_qid = _read_marker(spark, corpus_path, name=_ADMIT_MARKER)
+        if m_qid == query_id and m_batch >= batch_id:
+            return None  # fully committed replay — skip
+        tag = _batch_tag(batch_id)
+        for root in (corpus_path, f"{index_path}/bands", f"{index_path}/hashes"):
+            _delete_tagged(spark, root, tag)
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     dup_ids = (
         probe_band_index(
@@ -84,8 +172,14 @@ def admit_batch(
         admitted = admitted.join(losers, id_col, "left_anti")
     admitted = admitted.transform(ckpt)
     if not admitted.take(1):
+        if exactly_once:
+            _write_marker(spark, corpus_path, batch_id, query_id, name=_ADMIT_MARKER)
         return admitted
-    admitted.write.mode("append").parquet(corpus_path)
+    c_stage = f"{corpus_path}__stage_b{batch_id}"
+    if exactly_once:
+        admitted.write.mode("overwrite").parquet(c_stage)
+    else:
+        admitted.write.mode("append").parquet(corpus_path)
     base = minhash_hashed_sigs(admitted, id_col, text_col, meta.k, meta.n_hashes)
     rows = _minhash_band_rows(base, meta.bands, meta.n_hashes // meta.bands)
     # appends must mirror the layout meta records: with the auto-sized
@@ -100,8 +194,15 @@ def admit_batch(
             F.substring(F.md5(F.col("_k").cast("binary")), 1, meta.prefix_len),
         )
         b_parts.append("_kp")
-    b_out.write.mode("append").partitionBy(*b_parts).parquet(f"{index_path}/bands")
+    b_stage = f"{index_path}/bands__stage_b{batch_id}"
+    b_dest = b_stage if exactly_once else f"{index_path}/bands"
+    b_out.write.mode("overwrite" if exactly_once else "append").partitionBy(
+        *b_parts
+    ).parquet(b_dest)
     h_out = base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
+    h_stage = f"{index_path}/hashes__stage_b{batch_id}"
+    h_dest = h_stage if exactly_once else f"{index_path}/hashes"
+    h_mode = "overwrite" if exactly_once else "append"
     if meta.prefix_len > 0:
         h_out = h_out.withColumn(
             "_ip",
@@ -110,9 +211,17 @@ def admit_batch(
                 1, meta.prefix_len,
             ),
         )
-        h_out.write.mode("append").partitionBy("_ip").parquet(f"{index_path}/hashes")
+        h_out.write.mode(h_mode).partitionBy("_ip").parquet(h_dest)
     else:
-        h_out.write.mode("append").parquet(f"{index_path}/hashes")
+        h_out.write.mode(h_mode).parquet(h_dest)
+    if exactly_once:
+        # commit order corpus -> bands -> hashes; a crash anywhere is
+        # undone on replay by the up-front tagged-file delete, and only
+        # the marker (last) makes the batch skippable
+        _commit_staged(spark, c_stage, corpus_path, tag)
+        _commit_staged(spark, b_stage, f"{index_path}/bands", tag)
+        _commit_staged(spark, h_stage, f"{index_path}/hashes", tag)
+        _write_marker(spark, corpus_path, batch_id, query_id, name=_ADMIT_MARKER)
     return admitted
 
 
@@ -133,10 +242,17 @@ def stream_dedup_against_index(
     the corpus nor (with intra_batch) each other. Returns the writer;
     call .start()."""
 
+    # resolve the query lineage id from the session that OWNS the query:
+    # foreachBatch's cloned session lists no active queries (see
+    # upsert_sink.stream_upsert_parquet)
+    owner_spark = stream.sparkSession
+
     def _body(batch: DataFrame, batch_id: int) -> None:
         admit_batch(
             batch.sparkSession, batch, index_path, corpus_path,
             id_col, text_col, threshold=threshold, intra_batch=intra_batch,
+            batch_id=batch_id,
+            query_id=_current_query_id(owner_spark, query_name),
         )
 
     writer = (

@@ -71,11 +71,13 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def _read_marker(spark: SparkSession, target_dir: str) -> tuple[int, str | None]:
+def _read_marker(
+    spark: SparkSession, target_dir: str, name: str = _MARKER
+) -> tuple[int, str | None]:
     """Returns (batch_id, query_id) from the live marker, (-1, None)
     when absent. Pre-query-id markers read as query_id None."""
     fs, _, jvm = _fs(spark, target_dir)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{_MARKER}")
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{name}")
     if not fs.exists(mpath):
         return -1, None
     stream = fs.open(mpath)
@@ -92,10 +94,14 @@ def _read_marker(spark: SparkSession, target_dir: str) -> tuple[int, str | None]
 
 
 def _write_marker(
-    spark: SparkSession, version_dir: str, batch_id: int, query_id: str | None
+    spark: SparkSession,
+    version_dir: str,
+    batch_id: int,
+    query_id: str | None,
+    name: str = _MARKER,
 ) -> None:
     fs, _, jvm = _fs(spark, version_dir)
-    mpath = jvm.org.apache.hadoop.fs.Path(f"{version_dir}/{_MARKER}")
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{version_dir}/{name}")
     out = fs.create(mpath, True)
     out.write(
         bytearray(json.dumps({"batch_id": batch_id, "query_id": query_id}).encode())
