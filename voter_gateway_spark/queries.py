@@ -3798,11 +3798,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational/staging/merge first, then one window per
     # family (dedup, fuzzy, text, contamination, embeddings,
     # events, sampling/layout); stable variants trail.
-    # round-5 rotation: the eleven reference-core queries
-    # (M3/M6/M7, J4/J6/J9, A3/A4/A6, F1-F3, P7) that had never had
-    # a driver-run row move into the 50-query prefix; stable r4
-    # LLM-pipeline veterans (simhash, lsh/int8/near-dup/knn embeds,
-    # text structure family) rotate out to the local-gate tail.
+    # round-6 rotation: the eighteen tail queries that had never had
+    # a driver-run row (layout, geo export, funnel latency, outliers,
+    # unigram LM, corpus summary, cube/ntile/hist/pivot, cluster
+    # rollup, text structure trio, packing, quota/mixture sampling,
+    # PPM decode) move into the 50-query prefix; eighteen stable
+    # r5-green veterans rotate to the local-gate tail. With this
+    # rotation every catalog query has a driver-run row on record
+    # across rounds 1-6.
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -3814,10 +3817,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
     "scd2_customers": scd2_customers,
     "cdc_apply_orders": cdc_apply_orders,
-    # reference-core rotation block (round 5)
+    # fuzzy family stays in the prefix: its plan changed this round
+    # (cost-based collapse gate, canonical fingerprints)
+    "fuzzy_claiming_documents": fuzzy_claiming_documents,
+    "fuzzy_top1_documents": fuzzy_top1_documents,
+    "dedup_documents_lang_source": dedup_documents_lang_source,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "text_boilerplate_scrub": text_boilerplate_scrub,
+    "pipeline_corpus_prep": pipeline_corpus_prep,
+    "corpus_contamination": corpus_contamination,
+    "contamination_span_pairs": contamination_span_pairs,
+    "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
+    "embed_ivf_auto_topk": embed_ivf_auto_topk,
+    "embed_semantic_dedup": embed_semantic_dedup,
+    "docs_training_shuffle": docs_training_shuffle,
+    "events_sessionized": events_sessionized,
+    "asof_order_revenue_events": asof_order_revenue_events,
+    "interval_join_events_windows": interval_join_events_windows,
+    "audit_distinct_users_by_type": audit_distinct_users_by_type,
+    "events_view_purchase_attribution": events_view_purchase_attribution,
+    "multimodal_png_decode": multimodal_png_decode,
+    # --- round-6 rotation block: first-ever driver rows ---
+    "zorder_customers": zorder_customers,
+    "geo_wkt_export": geo_wkt_export,
+    "events_funnel_latency": events_funnel_latency,
+    "audit_outliers_acctbal": audit_outliers_acctbal,
+    "text_unigram_logprob": text_unigram_logprob,
+    "corpus_summary": corpus_summary,
+    "cube_revenue": cube_revenue,
+    "ntile_customer_value": ntile_customer_value,
+    "hist_order_totals": hist_order_totals,
+    "events_daily_pivot": events_daily_pivot,
+    "dedup_cluster_rollup": dedup_cluster_rollup,
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
+    "text_char_entropy": text_char_entropy,
+    "pack_sequences_documents": pack_sequences_documents,
+    "sample_source_quota": sample_source_quota,
+    "sample_mixture_weighted": sample_mixture_weighted,
+    "multimodal_ppm_decode": multimodal_ppm_decode,
+    # --- stable veterans below the driver's ~50-query sample window;
+    # all have driver-run green rows from earlier rounds and remain
+    # green in CORRECTNESS_local.json every round ---
     "copy_column_nation_name": copy_column_nation_name,
     "match_join_table_constraint": match_join_table_constraint,
-    "fuzzy_claiming_documents": fuzzy_claiming_documents,
     "merge_returning_to_source": merge_returning_to_source,
     "merge_move_columns": merge_move_columns,
     "merge_update_only": merge_update_only,
@@ -3826,39 +3872,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_match_rule_counts": audit_match_rule_counts,
     "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
     "audit_duplicate_custkeys": audit_duplicate_custkeys,
-    "dedup_documents_lang_source": dedup_documents_lang_source,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_cluster_components": dedup_cluster_components,
-    "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_band_index_probe": dedup_band_index_probe,
-    "fuzzy_top1_documents": fuzzy_top1_documents,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
-    "text_boilerplate_scrub": text_boilerplate_scrub,
-    "pipeline_corpus_prep": pipeline_corpus_prep,
-    "corpus_contamination": corpus_contamination,
-    "contamination_span_pairs": contamination_span_pairs,
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
-    "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
-    "embed_ivf_auto_topk": embed_ivf_auto_topk,
-    "embed_semantic_dedup": embed_semantic_dedup,
-    "docs_training_shuffle": docs_training_shuffle,
     "events_hourly": events_hourly,
-    "events_sessionized": events_sessionized,
-    "asof_order_revenue_events": asof_order_revenue_events,
-    "interval_join_events_windows": interval_join_events_windows,
-    "audit_distinct_users_by_type": audit_distinct_users_by_type,
-    "events_view_purchase_attribution": events_view_purchase_attribution,
-    # round-5: PNG decode (zlib inflate + all-five-filter reconstruction)
-    # sits in the prefix so the driver gate exercises the second real
-    # codec; events_funnel (green r4) rotates to the tail
-    "multimodal_png_decode": multimodal_png_decode,
-    # --- stable veterans below the driver's ~50-query sample window;
-    # all remain green in CORRECTNESS_local.json every round ---
     "events_funnel": events_funnel,
     "dedup_simhash": dedup_simhash,
     "dedup_edit_distance": dedup_edit_distance,
@@ -3877,39 +3898,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_split_documents": stratified_split_documents,
     "events_hourly_anomalies": events_hourly_anomalies,
     "sample_weighted_reservoir": sample_weighted_reservoir,
-    "zorder_customers": zorder_customers,
-    "geo_wkt_export": geo_wkt_export,
-    "events_funnel_latency": events_funnel_latency,
-    "audit_outliers_acctbal": audit_outliers_acctbal,
-    "text_unigram_logprob": text_unigram_logprob,
-    "corpus_summary": corpus_summary,
     "multimodal_features": multimodal_features,
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "q_late_ship_orders": q_late_ship_orders,
     "audit_orphan_orders": audit_orphan_orders,
     "rollup_revenue": rollup_revenue,
-    "cube_revenue": cube_revenue,
     "window_customer_orders": window_customer_orders,
-    "ntile_customer_value": ntile_customer_value,
     "set_ops_nations": set_ops_nations,
     "stats_quantiles_lineitem": stats_quantiles_lineitem,
-    "hist_order_totals": hist_order_totals,
-    "events_daily_pivot": events_daily_pivot,
     "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_corpus_pruned": dedup_corpus_pruned,
-    "dedup_cluster_rollup": dedup_cluster_rollup,
     "embed_normalize": embed_normalize,
     "embed_group_centroids": embed_group_centroids,
     "text_fingerprint": text_fingerprint,
-    "text_repetition": text_repetition,
-    "text_pii_scrub": text_pii_scrub,
-    "text_char_entropy": text_char_entropy,
-    "pack_sequences_documents": pack_sequences_documents,
-    "sample_source_quota": sample_source_quota,
-    "sample_mixture_weighted": sample_mixture_weighted,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "multimodal_ppm_decode": multimodal_ppm_decode,
 }
 
 ORACLES: dict[str, str] = {
