@@ -1300,3 +1300,75 @@ def test_png_extract_features_distributed(spark):
         for r in extract_features(media, kind="png").collect()
     }
     assert got == expected
+
+
+def test_semantic_dedup_collapse_equals_plain_on_dup_heavy(spark, sf_dir):
+    """The exact-dup collapse is output-preserving: a d-way replicated
+    corpus (the stress shape — same vectors, unique ids) must produce
+    bit-identical (dup_id, keep_id, cos_sim) rows through the collapsed
+    plan as through the plain within-cell all-pairs plan."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    reps = spark.range(8).select(F.col("id").alias("_r"))
+    dup = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("_r") * 1000000).alias("vec_id"), "embedding"
+    )
+    collapsed = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            dup, threshold=0.3, iters=0, collapse_exact=True
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            dup, threshold=0.3, iters=0, collapse_exact=False
+        ).collect()
+    )
+    assert collapsed == plain
+    assert len(collapsed) > 0
+
+
+def test_semantic_dedup_nan_vectors_collapse_matches_plain(spark):
+    """Spark's NaN ordering semantics (NaN compares LARGER than any
+    number, so a NaN cosine passes `>= threshold`) make NaN vectors
+    pair with everything. Whatever those semantics produce, the
+    collapsed plan must reproduce the plain plan row-for-row — the
+    within-group fallback's self-cosine gate follows the same NaN
+    comparison, so identical NaN vectors keep their group rep exactly
+    as the plain all-pairs join would. (Zero-NORM vectors instead
+    raise DIVIDE_BY_ZERO under ANSI in both plans — the engine's
+    garbage-input-raises posture.)"""
+    from voter_gateway_spark.operators import similarity
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[nan, 1.0]),
+            Row(vec_id=2, embedding=[nan, 1.0]),
+            Row(vec_id=3, embedding=[nan, 1.0]),
+            Row(vec_id=4, embedding=[1.0, 0.0]),
+            Row(vec_id=5, embedding=[1.0, 0.0]),
+            Row(vec_id=6, embedding=[1.0, 0.0]),
+        ]
+    )
+
+    def canon(collapse):
+        return sorted(
+            (r.dup_id, r.keep_id, repr(r.cos_sim))
+            for r in similarity.semantic_dedup(
+                df, threshold=0.9, iters=0, collapse_exact=collapse
+            ).collect()
+        )
+
+    collapsed, plain = canon(True), canon(False)
+    assert collapsed == plain
+    # NaN >= threshold is true in Spark, so every vector keeps id 1
+    assert collapsed == [
+        (2, 1, "nan"),
+        (3, 1, "nan"),
+        (4, 1, "nan"),
+        (5, 1, "nan"),
+        (6, 1, "nan"),
+    ]

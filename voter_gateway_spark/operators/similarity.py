@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
-from voter_gateway_spark.session import ckpt
+from voter_gateway_spark.session import ckpt, ckpt_lazy
 
 
 def _c(col: Column | str) -> Column:
@@ -736,6 +736,13 @@ def near_dup_pairs(
     )
 
 
+# semantic_dedup runs its exact-duplicate collapse only when the probed
+# dup-fanout multiplier (sum(n_g²)/sum(n_g) over identical-vector
+# groups) exceeds this — below it, the collapse's extra groupBy +
+# expansion joins cost more than the within-cell pair savings.
+SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD = 2.0
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -744,6 +751,7 @@ def semantic_dedup(
     n_centroids: int | None = None,
     iters: int = 0,
     centroid_round: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
     2023): cluster the embedding space with the same deterministic
@@ -772,13 +780,56 @@ def semantic_dedup(
     cell, rounded cosine), so the whole operator is SQL-expressible
     and oracle-checked at iters=0 (queries._semantic_dedup_sql).
     iters>0 adds Lloyd refinement with the same determinism contract
-    as ivf_topk (pass centroid_round to pin cross-engine)."""
+    as ivf_topk (pass centroid_round to pin cross-engine).
+
+    `collapse_exact` (default on): on a d-way exact-duplicated corpus
+    the within-cell pair stage pays d² (every replica of a vector lands
+    in the same cell), measured 108 s at the 100× replica. Because the
+    output is keep-ONE-per-duplicate (not all pairs), collapsing each
+    identical-vector group to its min-id representative is exactly
+    output-preserving: centroids still train on the FULL corpus (so
+    cell assignment — and therefore recall — is bit-identical to the
+    plain plan), the pair stage runs on representatives only, and
+    members expand back by two linear joins. The expansion rule falls
+    out of the keep-one window: for the min member of group A the
+    answer IS the rep-level row; for every other member m the smallest
+    qualifying id is min(rep_A, best cross-group keep of rep_A) — the
+    cross-group best already < rep_A by the pair orientation, so
+    keep(m) = coalesce(rep-level keep, rep_A) with cos 1.0 on the
+    rep_A fallback, independent of m. Zero-norm / NaN vectors never
+    self-qualify (their cosine is NaN in the plain plan), so the
+    fallback is gated on the group's own rounded self-cosine reaching
+    the threshold. A one-job xxhash64 dup-fanout probe (the fuzzy
+    collapse gate pattern) skips all collapse stages on low-dup
+    corpora, so they pay one tiny hash-aggregate and nothing else."""
     c = widen(df).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
+    groups: DataFrame | None = None
+    if collapse_exact:
+        mult_row = (
+            c.groupBy(F.xxhash64("_cv").alias("_h"))
+            .agg(F.count(F.lit(1)).alias("_g"))
+            .agg((F.sum(F.col("_g") * F.col("_g")) / F.sum("_g")).alias("_m"))
+            .collect()
+        )
+        mult = float(mult_row[0]["_m"] or 1.0)
+        if mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD:
+            # exact grouping on the vector itself (not the hash — a
+            # collision must not merge distinct vectors)
+            groups = (
+                c.groupBy("_cv")
+                .agg(F.min("_cid").alias("_rep"))
+                .transform(ckpt_lazy)
+            )
+    pool = (
+        groups.select(F.col("_rep").alias("_cid"), "_cv")
+        if groups is not None
+        else c
+    )
     n_centroids, centroids = _train_centroids(c, n_centroids, iters, centroid_round)
     cells = (
-        _nearest_cells(c, "_cv", centroids, 1)
+        _nearest_cells(pool, "_cv", centroids, 1)
         .select("_cid", "_cv", "_cell")
         .withColumn("_n", norm(F.col("_cv")))
     )
@@ -796,8 +847,44 @@ def semantic_dedup(
         ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
     w = Window.partitionBy("dup_id").orderBy(F.col("keep_id").asc())
-    return (
+    out = (
         sims.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if groups is None:
+        return out
+    out = out.transform(ckpt_lazy)  # reused: rep rows + expansion join
+    selfcos = F.round(
+        dot(F.col("_cv"), F.col("_cv"))
+        / (norm(F.col("_cv")) * norm(F.col("_cv"))),
+        6,
+    )
+    members = (
+        c.join(
+            groups.withColumn("_selfcos", selfcos).select(
+                "_cv", "_rep", "_selfcos"
+            ),
+            "_cv",
+        )
+        .where(F.col("_cid") != F.col("_rep"))
+        .select("_cid", "_rep", "_selfcos")
+    )
+    expanded = (
+        members.join(
+            out.select(
+                F.col("dup_id").alias("_rep2"),
+                F.col("keep_id").alias("_bk"),
+                F.col("cos_sim").alias("_bc"),
+            ),
+            F.col("_rep") == F.col("_rep2"),
+            "left",
+        )
+        .where(F.col("_bk").isNotNull() | (F.col("_selfcos") >= threshold))
+        .select(
+            F.col("_cid").alias("dup_id"),
+            F.coalesce("_bk", "_rep").alias("keep_id"),
+            F.coalesce("_bc", "_selfcos").alias("cos_sim"),
+        )
+    )
+    return out.unionByName(expanded)
