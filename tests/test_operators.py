@@ -1372,3 +1372,33 @@ def test_semantic_dedup_nan_vectors_collapse_matches_plain(spark):
         (5, 1, "nan"),
         (6, 1, "nan"),
     ]
+
+
+def test_substring_span_scrub_removes_copied_spans(spark):
+    """Spans >= min_run duplicated shingle positions are cut from the
+    later doc only; short duplications and unique text survive; empty
+    and NULL texts round-trip as empty rows rather than disappearing."""
+    from voter_gateway_spark.operators import dedup_ops
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            Row(doc_id=2, text="XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),
+            Row(doc_id=3, text="totally different words here nothing shared at all okay"),
+            Row(doc_id=4, text="alpha beta gamma"),
+            Row(doc_id=5, text=""),
+            Row(doc_id=6, text=None),
+        ]
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed, r.n_spans)
+        for r in dedup_ops.substring_span_scrub(df, min_run=5).collect()
+    }
+    assert out[1] == (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa", 0, 0
+    )  # first occurrence keeps its text
+    assert out[2] == ("xx yy", 10, 1)  # the 10-token copied span is cut
+    assert out[3][1:] == (0, 0)
+    assert out[4] == ("alpha beta gamma", 0, 0)  # 3-token dup < min_run
+    assert out[5] == ("", 0, 0)
+    assert out[6] == ("", 0, 0)

@@ -881,3 +881,104 @@ def probe_band_index(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# -- exact substring-span scrub ----------------------------------------------
+
+def substring_span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_run: int = 5,
+) -> DataFrame:
+    """Exact substring-span deduplication — the span-level cousin of
+    whole-document dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": duplicated substrings, not
+    just duplicated documents, inflate memorization): every maximal
+    run of >= `min_run` consecutive k-shingle positions whose
+    shingles all already occur in some SMALLER-id document is cut
+    from the text; the corpus's first (smallest-id) occurrence of any
+    content keeps it. Output: one row per input document —
+    (id, clean_text, n_tokens_removed, n_spans), `clean_text`
+    whitespace-normalized (token-joined; untouched docs round-trip
+    their token stream verbatim).
+
+    Plan shape — deliberately PAIR-FREE, unlike the reference paper's
+    suffix array: positional shingle index (posexplode + 60-bit hash),
+    one groupBy(hash) -> min(doc) to build the first-occurrence map,
+    one join back, a per-doc gaps-and-islands window for runs, and a
+    scan-stage token-mask rewrite (two-arg filter lambda over the
+    word array). Every stage is linear in corpus size and keyed by
+    hash or doc — a d-way-duplicated corpus costs d x the linear
+    work with NO quadratic pair stage anywhere, so this family needs
+    no collapse gate. Qualifying runs cover tokens
+    [start, start + run + k - 2]; overlapping intervals (runs closer
+    than k-1 positions) are union-masked, so n_tokens_removed counts
+    each dropped token once.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(
+            F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != ""),
+            F.array().cast("array<string>"),
+        ).alias("_w"),
+    )
+    sh = base.select(
+        "_id",
+        F.posexplode(
+            F.element_at(
+                F.transform(
+                    F.array("_w"),
+                    lambda words: F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))
+                        ),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[
+                                F.try_element_at(words, (i + j).cast("int"))
+                                for j in range(k)
+                            ],
+                        ),
+                    ),
+                ),
+                1,
+            )
+        ).alias("_pos", "_sh"),
+    ).select("_id", "_pos", shingle_hash60(F.col("_sh")).alias("_h"))
+    first_doc = sh.groupBy("_h").agg(F.min("_id").alias("_mind"))
+    dup_pos = (
+        sh.join(first_doc, "_h")
+        .where(F.col("_mind") < F.col("_id"))
+        .select("_id", "_pos")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    runs = (
+        dup_pos.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+        .groupBy("_id", "_grp")
+        .agg(F.min("_pos").alias("_s"), F.count(F.lit(1)).alias("_r"))
+        .where(F.col("_r") >= min_run)
+    )
+    intervals = runs.groupBy("_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("_s").alias("s"),
+                (F.col("_s") + F.col("_r") + F.lit(k - 2)).alias("e"),
+            )
+        ).alias("_ivs"),
+        F.count(F.lit(1)).alias("_nspan"),
+    )
+    joined = base.join(intervals, "_id", "left")
+    covered = lambda idx: F.exists(  # noqa: E731
+        F.col("_ivs"), lambda iv: (idx >= iv["s"]) & (idx <= iv["e"])
+    )
+    kept = F.when(
+        F.col("_ivs").isNull(), F.col("_w")
+    ).otherwise(F.filter(F.col("_w"), lambda x, i: ~covered(i.cast("bigint"))))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("_w") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+        F.coalesce(F.col("_nspan"), F.lit(0)).cast("bigint").alias("n_spans"),
+    )

@@ -926,6 +926,62 @@ FROM clustered GROUP BY component
 """
 
 
+def dedup_substring_scrub(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. 2022): cut every >= 5
+    consecutive duplicated 3-shingle positions whose content already
+    appears in a smaller-id document; first occurrence keeps its text.
+    Pair-free linear plan — positional shingle index, groupBy(hash) ->
+    min(doc) first-occurrence map, per-doc gaps-and-islands, scan-stage
+    token-mask rewrite (dedup_ops.substring_span_scrub)."""
+    return dedup_ops.substring_span_scrub(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_run=5
+    )
+
+
+# e = s + r + (k-2) with k=3 → generate_series(s, s + r + 1)
+SUBSTRING_SCRUB_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         coalesce(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> ''), []) AS wl
+  FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substring(md5(concat_ws(' ', wl[i], wl[i+1], wl[i+2])), 1, 15))::BIGINT AS h
+  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+), mind AS (
+  SELECT h, min(doc_id) AS mind FROM sh GROUP BY h
+), dup AS (
+  SELECT s.doc_id, s.pos FROM sh s JOIN mind USING (h) WHERE mind < s.doc_id
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+), runs AS (
+  SELECT doc_id, min(pos) AS s, count(*) AS r
+  FROM isl GROUP BY doc_id, grp HAVING count(*) >= 5
+), nsp AS (
+  SELECT doc_id, count(*) AS n_spans FROM runs GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, u.t AS idx
+  FROM runs, unnest(generate_series(s, s + r + 1)) AS u(t)
+), tok AS (
+  SELECT doc_id, i - 1 AS idx, wl[i] AS tok
+  FROM w, unnest(generate_series(1, len(wl))) AS t(i)
+), kept AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.idx) FILTER (WHERE c.idx IS NULL), '') AS clean_text,
+         count(c.idx) AS n_rm
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  GROUP BY t.doc_id
+)
+SELECT w.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_rm, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans
+FROM w LEFT JOIN kept k USING (doc_id) LEFT JOIN nsp USING (doc_id)
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup_ops.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2
@@ -3833,7 +3889,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
     "embed_semantic_dedup": embed_semantic_dedup,
-    "docs_training_shuffle": docs_training_shuffle,
+    # new in r6 — substring-span scrub sits in the prefix for its first
+    # driver row; docs_training_shuffle (green r5) rotates to the tail
+    "dedup_substring_scrub": dedup_substring_scrub,
     "events_sessionized": events_sessionized,
     "asof_order_revenue_events": asof_order_revenue_events,
     "interval_join_events_windows": interval_join_events_windows,
@@ -3862,6 +3920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- stable veterans below the driver's ~50-query sample window;
     # all have driver-run green rows from earlier rounds and remain
     # green in CORRECTNESS_local.json every round ---
+    "docs_training_shuffle": docs_training_shuffle,
     "copy_column_nation_name": copy_column_nation_name,
     "match_join_table_constraint": match_join_table_constraint,
     "merge_returning_to_source": merge_returning_to_source,
@@ -3997,6 +4056,7 @@ ORACLES: dict[str, str] = {
     "text_char_entropy": ENTROPY_SQL,
     "sample_mixture_weighted": _mixture_sql(),
     "dedup_cluster_rollup": _cluster_rollup_sql(),
+    "dedup_substring_scrub": SUBSTRING_SCRUB_SQL,
     "events_funnel": FUNNEL_SQL,
     "events_retention": RETENTION_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
