@@ -1402,3 +1402,34 @@ def test_substring_span_scrub_removes_copied_spans(spark):
     assert out[4] == ("alpha beta gamma", 0, 0)  # 3-token dup < min_run
     assert out[5] == ("", 0, 0)
     assert out[6] == ("", 0, 0)
+
+
+def test_ivf_topk_collapse_equals_plain_on_dup_heavy(spark, sf_dir):
+    """The IVF exact-dup collapse (reps-only scoring + in-row member
+    expansion) must be bit-identical to the plain plan on a replicated
+    corpus, including exclude_self (each query drops only itself) and
+    the fixed/auto centroid forms."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    reps = spark.range(6).select(F.col("id").alias("_r"))
+    dup = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("_r") * 1000000).alias("vec_id"), "embedding"
+    )
+    qs = dup.where(F.col("vec_id") % 10 == 0)
+
+    def canon(collapse, **kw):
+        return sorted(
+            tuple(r)
+            for r in similarity.ivf_topk(
+                qs, dup, collapse_exact=collapse, **kw
+            ).collect()
+        )
+
+    for kw in (
+        dict(k=5, n_centroids=16, iters=0),
+        dict(k=3, n_centroids=16, iters=0, exclude_self=False),
+    ):
+        a, b = canon(True, **kw), canon(False, **kw)
+        assert a == b, kw
+        assert len(a) > 0

@@ -344,6 +344,7 @@ def ivf_topk(
     exclude_self: bool = True,
     centroid_round: int | None = None,
     train_per_cell: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into cells; each query probes only
@@ -406,33 +407,96 @@ def ivf_topk(
     whole corpus (train_per_cell·cells ≥ N) the threshold admits every
     row — small corpora train exactly as before. None (default) keeps
     unconditional full-corpus training, the oracle-pinned behavior of
-    the fixed-cell forms."""
+    the fixed-cell forms.
+
+    `collapse_exact` (default on): a d-way exact-duplicated corpus
+    puts all d copies of a vector into the same cell, so the
+    candidate-scoring stage pays q_dups × c_dups; with queries drawn
+    from the corpus that is d² (35M scored pairs at the 100× replica).
+    When a one-job xxhash64 probe of both sides shows duplication
+    pays, the pair stage runs on unique-vector REPRESENTATIVES only
+    and members expand back IN-ROW (no extra shuffle): per query-rep,
+    the top-(k+1) candidate reps (by rounded cos desc, rep id asc)
+    carry their group's sorted member-id arrays; a flatten +
+    array_sort over (1−cos, id) structs reproduces the member-level
+    window order exactly (equal-cos groups interleave by id, NaN
+    cosines map to −inf to mirror the window's NaN-first DESC rank),
+    and each query id filters out itself before slicing k. Top-(k+1)
+    reps provably cover the member-level top-k: any member outside
+    them is preceded by ≥ k+1 group-lead ids, at most one of which is
+    the excluded self. Centroids still train on the FULL corpus —
+    seeds and Lloyd trajectories depend on member ids, so training on
+    reps would change the quantizer; assignment, probing, scoring,
+    and ranking are bit-identical to the plain plan (equality-tested
+    on replicated fixtures). The probe declines the collapse when
+    either side contains NULL vectors (their window ordering is not
+    reproduced in-row), so such inputs keep the plain plan."""
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    do_collapse = False
+    if collapse_exact:
+        probe = (
+            c.select(F.lit("c").alias("_side"), F.xxhash64("_cv").alias("_h"),
+                     F.col("_cv").isNull().cast("int").alias("_nul"))
+            .unionByName(
+                q.select(F.lit("q").alias("_side"), F.xxhash64("_qv").alias("_h"),
+                         F.col("_qv").isNull().cast("int").alias("_nul"))
+            )
+            .groupBy("_side", "_h")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_nul").alias("_nuls"))
+            .groupBy("_side")
+            .agg(
+                (F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"),
+                F.sum("_nuls").alias("_nulls"),
+            )
+            .collect()
+        )
+        mult = {r["_side"]: float(r["_mult"]) for r in probe}
+        nulls = sum(int(r["_nulls"] or 0) for r in probe)
+        do_collapse = (
+            nulls == 0
+            and mult.get("c", 1.0) * mult.get("q", 1.0)
+            > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
+        )
     n_centroids, centroids = _train_centroids(
         c, n_centroids, iters, centroid_round, train_per_cell
     )
+
+    if do_collapse:
+        cgrp = (
+            c.groupBy("_cv")
+            .agg(
+                F.min("_cid").alias("_rep"),
+                F.array_sort(F.collect_list("_cid")).alias("_mem"),
+            )
+            .transform(ckpt_lazy)
+        )
+        creps = cgrp.select(F.col("_rep").alias("_cid"), "_cv")
+        qgrp = q.groupBy("_qv").agg(F.min("query_id").alias("_qrep"))
+        qreps = qgrp.select(F.col("_qrep").alias("query_id"), "_qv")
+    else:
+        creps, qreps = c, q
 
     # candidate verification stages norms per side (dot/(qn·cn) — the
     # same expression tree as cosine, so bit-equal) instead of three
     # folds per pair; the pair set is the big term (n_probe·N/cells
     # per query), so this is a ~3× cut on the dominant stage
     cells = (
-        _nearest_cells(c, "_cv", centroids, 1)
+        _nearest_cells(creps, "_cv", centroids, 1)
         .select("_cid", "_cv", "_cell")
         .withColumn("_cn", norm(F.col("_cv")))
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
-    )
     probes = (
-        _nearest_cells(q, "_qv", centroids, n_probe)
+        _nearest_cells(qreps, "_qv", centroids, n_probe)
         .select("query_id", "_qv", "_cell")
         .withColumn("_qn", norm(F.col("_qv")))
     )
     cand = probes.join(cells, "_cell")
-    if exclude_self:
+    if exclude_self and not do_collapse:
         cand = cand.where(F.col("query_id") != F.col("_cid"))
     sims = cand.select(
         "query_id",
@@ -444,10 +508,64 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    if not do_collapse:
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim")
+        )
+    # rep-level top-(k[+1]) (tiny: reps only), then in-row expansion
+    rep_k = k + 1 if exclude_self else k
+    rep_top = (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rep_k)
+        .join(
+            cgrp.select(F.col("_rep").alias("neighbor_id"), "_mem"),
+            "neighbor_id",
+        )
+    )
+    # per query-rep: one sorted array of (1−cos | −inf on NaN, id, cos)
+    # member structs — array_sort's field-by-field order IS the plain
+    # window's (cos DESC with NaN first, id ASC)
+    packed = rep_top.groupBy(F.col("query_id").alias("_qrep")).agg(
+        F.array_sort(
+            F.flatten(
+                F.collect_list(
+                    F.transform(
+                        "_mem",
+                        lambda m: F.struct(
+                            F.when(
+                                F.isnan(F.col("cos_sim")),
+                                F.lit(float("-inf")),
+                            )
+                            .otherwise(F.lit(1.0) - F.col("cos_sim"))
+                            .alias("d"),
+                            m.alias("id"),
+                            F.col("cos_sim").alias("cos"),
+                        ),
+                    )
+                )
+            )
+        ).alias("_sorted")
+    )
+    # USING-join on the vector (NULL vectors can't reach this path —
+    # the probe declines the collapse when any exist)
+    qmem = q.join(qgrp, "_qv").select("query_id", "_qrep")
+    arr = F.col("_sorted")
+    if exclude_self:
+        arr = F.filter(arr, lambda s: s["id"] != F.col("query_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        qmem.join(packed, "_qrep")
+        .select(
+            "query_id",
+            F.posexplode(F.slice(arr, 1, k)).alias("_p", "_s"),
+        )
+        .select(
+            "query_id",
+            F.col("_s.id").alias("neighbor_id"),
+            (F.col("_p") + 1).alias("rank"),
+            F.col("_s.cos").alias("cos_sim"),
+        )
     )
 
 
