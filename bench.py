@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "text_boilerplate_scrub",
     # SemDeDup cluster-blocked semantic dedup over embeddings
     "embed_semantic_dedup",
+    # r6: substring-span scrub — the pair-free span-level dedup; its
+    # whole point is the flat decade curve (3.5/3.7/12.6 s at
+    # sf0.1/10x/100x measured at introduction), so it stays in the
+    # bench to keep that shape pinned
+    "dedup_substring_scrub",
 ]
 
 

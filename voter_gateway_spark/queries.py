@@ -2340,6 +2340,48 @@ FROM sh
 """
 
 
+def text_frequent_ngrams(spark, sf_dir):
+    """Corpus-level n-gram doc-frequency mining — the DISCOVERY side
+    of boilerplate removal (remove_boilerplate scrubs segments above a
+    frequency floor; this surfaces what the corpus's most repeated
+    phrases actually are, the report a curation pass reads before
+    picking that floor). Top 25 word 3-shingles by distinct-document
+    frequency, ties broken on the shingle text. word_shingles already
+    emits DISTINCT shingles per doc, so doc frequency is a plain
+    count — one shuffle on the shingle, then TakeOrderedAndProject
+    (no global sort materializes at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(dedup_ops.word_shingles("text", k=3, distinct=True)).alias(
+            "ngram"
+        ),
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 2)
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(25)
+    )
+
+
+FREQUENT_NGRAMS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', wl[i], wl[i+1], wl[i+2]) AS ngram
+  FROM w, unnest(generate_series(1, greatest(len(wl) - 2, 1))) AS t(i)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh GROUP BY ngram HAVING count(*) >= 2
+ORDER BY doc_freq DESC, ngram LIMIT 25
+"""
+
+
 def corpus_contamination(spark, sf_dir):
     """Train/eval n-gram contamination: eval slice = doc_id % 7 = 0,
     train = the rest; per eval doc, the share of its distinct
@@ -3882,7 +3924,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
-    "text_boilerplate_scrub": text_boilerplate_scrub,
+    # new in r6 — frequent-ngram mining takes the prefix slot of
+    # text_boilerplate_scrub (green r5), which rotates to the tail
+    "text_frequent_ngrams": text_frequent_ngrams,
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "corpus_contamination": corpus_contamination,
     "contamination_span_pairs": contamination_span_pairs,
@@ -3921,6 +3965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all have driver-run green rows from earlier rounds and remain
     # green in CORRECTNESS_local.json every round ---
     "docs_training_shuffle": docs_training_shuffle,
+    "text_boilerplate_scrub": text_boilerplate_scrub,
     "copy_column_nation_name": copy_column_nation_name,
     "match_join_table_constraint": match_join_table_constraint,
     "merge_returning_to_source": merge_returning_to_source,
@@ -4037,6 +4082,7 @@ ORACLES: dict[str, str] = {
     "q_late_ship_orders": LATE_SHIP_SQL,
     "text_chunks": CHUNK_SQL,
     "text_boilerplate_scrub": BOILERPLATE_SQL,
+    "text_frequent_ngrams": FREQUENT_NGRAMS_SQL,
     "pipeline_corpus_prep": _pipeline_sql(),
     "audit_distinct_users_by_type": DISTINCT_USERS_SQL,
     "audit_orphan_orders": ORPHAN_SQL,
