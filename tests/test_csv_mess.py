@@ -177,3 +177,26 @@ def test_headerless_slow_path_synthesizes_columns(spark, tmp_path):
     rows = {r._c0: r._c1 for r in df.collect()}
     assert rows == {"1": "Main St", "2": "Oak Ave"}
     assert src.malformed_count() == 1
+
+
+def test_malformed_count_newline_byte_check(spark, tmp_path):
+    """The newline-safety check is the precise '\\n' -> 0x0A byte test,
+    not an encoding-name allowlist. Of the charsets Spark's csv reader
+    accepts (iso-8859-1, us-ascii, utf-8, utf-16*, utf-32), exactly
+    the UTF-16/32 families fail it: us-ascii passes, utf-16 raises."""
+    import pytest as _pytest
+
+    from voter_gateway_spark.sources import CSVSource
+
+    path = _write(tmp_path, "asc.csv", "id,name\n1,ok\nbad\n", encoding="ascii")
+    src = CSVSource(path, quote='"', encoding="us-ascii", remove_malformed=True)
+    assert {r.id for r in src.read(spark).collect()} == {"1"}
+    assert src.malformed_count() == 1
+
+    path16 = _write(
+        tmp_path, "u16.csv", "id,name\n1,ok\nbad\n", encoding="utf-16"
+    )
+    src16 = CSVSource(path16, quote='"', encoding="utf-16", remove_malformed=True)
+    src16.read(spark)
+    with _pytest.raises(ValueError, match="0x0A"):
+        src16.malformed_count()

@@ -178,3 +178,29 @@ def test_capped_exact_match_channel_survives_dominant_value(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].matched_tid == 1 and got[0].similarity == 1.0
+
+
+def test_blank_rows_never_pair_under_collapse(spark):
+    """Rows with NO trigrams (blank/all-punctuation text) have pg_trgm
+    similarity 0 with everything — including each other. The collapse
+    path's within-group channel keys on trigram-set fingerprints, and
+    empty/NULL sets all share md5(''); without the empty-fingerprint
+    guard they paired each other at a fabricated similarity 1.0 that
+    the plain path (correctly) never emits."""
+    rows = [Row(id=i, name="jonathan smith") for i in range(1, 9)]
+    rows += [Row(id=100 + i, name="...") for i in range(4)]
+    rows += [Row(id=200, name="zzz qqq")]
+    df = spark.createDataFrame(rows, "id int, name string")
+
+    def canon(collapse):
+        return sorted(
+            tuple(r)
+            for r in top1_fuzzy_match(
+                df, df, "name", "id", "id",
+                exclude_self=True, collapse_exact=collapse,
+            ).collect()
+        )
+
+    a, b = canon(True), canon(False)
+    assert a == b
+    assert not [t for t in a if 100 <= t[0] < 200]  # blanks match nothing

@@ -238,3 +238,29 @@ def test_admission_marker_skips_committed_replay(spark, sf_dir, tmp_path):
         spark, novel, idx, cp, "doc_id", "text", batch_id=5, query_id="other"
     )
     assert other is not None
+    # ...and qq's committed batch-5 rows SURVIVE other's batch-5 replay
+    # undo: the file tag is lineage-scoped, so other's undo only targets
+    # its own files (a batch-id-only tag deleted qq's here)
+    corpus_ids = {r.doc_id for r in spark.read.parquet(cp).select("doc_id").collect()}
+    assert admitted_ids <= corpus_ids
+
+
+def test_admission_none_query_id_never_skips_but_lands_once(
+    spark, sf_dir, tmp_path
+):
+    """query_id=None identifies no lineage: a marker written by a
+    None-qid call must not suppress a later None-qid call at the same
+    batch_id (None == None is not 'same lineage'). The replay instead
+    re-lands idempotently through the tagged undo — same corpus rows,
+    no duplicates."""
+    corpus, idx, cp, batch = _bootstrap_small(spark, sf_dir, tmp_path, "noqid")
+    first = admit_batch(
+        spark, batch, idx, cp, "doc_id", "text", batch_id=4, query_id=None
+    )
+    admitted_ids = {r.doc_id for r in first.select("doc_id").collect()}
+    assert admitted_ids
+    replayed = admit_batch(
+        spark, batch, idx, cp, "doc_id", "text", batch_id=4, query_id=None
+    )
+    assert replayed is not None  # never marker-skipped
+    _assert_exactly_once(spark, cp, corpus, admitted_ids)

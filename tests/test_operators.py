@@ -1433,3 +1433,28 @@ def test_ivf_topk_collapse_equals_plain_on_dup_heavy(spark, sf_dir):
         a, b = canon(True, **kw), canon(False, **kw)
         assert a == b, kw
         assert len(a) > 0
+
+
+def test_ivf_topk_null_element_vectors_decline_collapse(spark):
+    """A null ELEMENT inside a vector makes cos_sim NULL; the plain
+    window orders NULLs last but an in-row struct sort would order a
+    NULL distance first, so the dup-fanout probe must decline the
+    collapse and keep the plain plan — outputs must match exactly."""
+    from voter_gateway_spark.operators import similarity
+
+    base = [
+        Row(vec_id=i, embedding=[float(i % 3), 1.0, 0.5]) for i in range(1, 13)
+    ]
+    base.append(Row(vec_id=50, embedding=[1.0, None, 0.5]))
+    df = spark.createDataFrame(base)
+    qs = df.where(F.col("vec_id").isin(1, 2, 50))
+
+    def canon(collapse):
+        return sorted(
+            tuple(r)
+            for r in similarity.ivf_topk(
+                qs, df, k=3, n_centroids=4, iters=0, collapse_exact=collapse
+            ).collect()
+        )
+
+    assert canon(True) == canon(False)

@@ -24,6 +24,8 @@ All expressions are native Catalyst (no UDFs).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,6 +108,12 @@ def _fp_expr(col: str) -> Column:
     identically even when trigrams() emitted them in different word
     order ('ab ba' vs 'ba ab')."""
     return F.md5(F.concat_ws("\x01", F.array_sort(F.col(col))).cast("binary"))
+
+
+# the fingerprint of a row with NO trigrams (empty and NULL sets both
+# concat to "") — such rows have pg_trgm similarity 0 with everything,
+# including each other, and must be excluded from exact-match channels
+_EMPTY_FP = hashlib.md5(b"").hexdigest()
 
 
 def candidate_pairs(
@@ -266,14 +274,20 @@ def top1_fuzzy_match(
 
     `max_trigram_freq=None` (the default) engages the data-proportional
     in-plan stop-trigram cap ("auto" — see _pairs_from_trigram_frames)
-    on the NON-collapse path, where the inverted index hits raw rows
-    and a hot trigram fans out O(rows). The collapse path defaults to
-    UNCAPPED: the rep pool is already distinct texts, so duplication-
-    driven fanout is structurally bounded, and the cap's exact
-    re-verify join-backs cost a measured ~2.5s of fixed stage latency
-    per call (sf0.1 AND 100×, both) for protection the rep pool rarely
-    needs — pass "auto" or an int to engage it on heavy-tailed
-    distinct-text corpora. Pass 0 to disable capping anywhere.
+    on the `collapse_exact=False` path only, where the caller has
+    explicitly chosen raw-row joins. BOTH `collapse_exact=True`
+    branches default to UNCAPPED — the collapse branch because its rep
+    pool is distinct texts (duplication-driven fanout structurally
+    bounded), and the gate-DECLINED branch deliberately: the probe
+    declining means duplication ≤ 2×, and the cap's exact re-verify
+    join-backs cost a measured ~2.5 s of FIXED stage latency per call
+    (sf0.1 and 100× alike), which is the exact regression the r5→r6
+    rework removed. The residual exposure on the declined branch is a
+    heavy-tailed DISTINCT-text corpus (many rows sharing one dominant
+    value's trigrams without being duplicates) — there a hot trigram
+    fans out O(rows) with no cap; pass "auto" or an int to engage the
+    cap (with its fingerprint exact-match safety channel) on such
+    corpora. Pass 0 to disable capping everywhere.
     """
     if not collapse_exact:
         if max_trigram_freq is None:
@@ -419,7 +433,14 @@ def top1_fuzzy_match(
             )
         )
         within = (
-            s_members.join(t_top2, s_members["_sfp"] == t_top2["_tfp"])
+            # rows with NO trigrams (blank/all-punct text — empty and
+            # NULL sets both fingerprint to md5("")) must not pair:
+            # pg_trgm defines similarity as 0 when either side has no
+            # trigrams, and the plain path emits nothing for them, so
+            # a fabricated within-group 1.0 would break the
+            # collapse == plain contract
+            s_members.where(F.col("_sfp") != F.lit(_EMPTY_FP))
+            .join(t_top2, s_members["_sfp"] == t_top2["_tfp"])
             .select(
                 "_sid",
                 F.when(F.col("_t1") != F.col("_sid"), F.col("_t1"))

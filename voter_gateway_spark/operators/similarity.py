@@ -439,28 +439,32 @@ def ivf_topk(
     )
     do_collapse = False
     if collapse_exact:
-        probe = (
+        # a NULL vector OR a null ELEMENT inside one declines the
+        # collapse: their cos_sim is NULL, and the plain window orders
+        # NULLs last while the in-row struct sort would order a NULL
+        # distance field first — the one ordering the expansion can't
+        # reproduce
+        def _has_null(col: str) -> Column:
+            return (
+                F.col(col).isNull()
+                | F.coalesce(
+                    F.exists(col, lambda x: x.isNull()), F.lit(False)
+                )
+            ).cast("int")
+
+        probe = _fanout_probe(
             c.select(F.lit("c").alias("_side"), F.xxhash64("_cv").alias("_h"),
-                     F.col("_cv").isNull().cast("int").alias("_nul"))
+                     _has_null("_cv").alias("_nul"))
             .unionByName(
                 q.select(F.lit("q").alias("_side"), F.xxhash64("_qv").alias("_h"),
-                         F.col("_qv").isNull().cast("int").alias("_nul"))
+                         _has_null("_qv").alias("_nul"))
             )
-            .groupBy("_side", "_h")
-            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_nul").alias("_nuls"))
-            .groupBy("_side")
-            .agg(
-                (F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"),
-                F.sum("_nuls").alias("_nulls"),
-            )
-            .collect()
         )
-        mult = {r["_side"]: float(r["_mult"]) for r in probe}
-        nulls = sum(int(r["_nulls"] or 0) for r in probe)
+        c_mult, c_nulls = probe.get("c", (1.0, 0))
+        q_mult, q_nulls = probe.get("q", (1.0, 0))
         do_collapse = (
-            nulls == 0
-            and mult.get("c", 1.0) * mult.get("q", 1.0)
-            > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
+            c_nulls + q_nulls == 0
+            and c_mult * q_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
         )
     n_centroids, centroids = _train_centroids(
         c, n_centroids, iters, centroid_round, train_per_cell
@@ -854,11 +858,33 @@ def near_dup_pairs(
     )
 
 
-# semantic_dedup runs its exact-duplicate collapse only when the probed
-# dup-fanout multiplier (sum(n_g²)/sum(n_g) over identical-vector
-# groups) exceeds this — below it, the collapse's extra groupBy +
-# expansion joins cost more than the within-cell pair savings.
+# semantic_dedup / ivf_topk run their exact-duplicate collapse only
+# when the probed dup-fanout multiplier (sum(n_g²)/sum(n_g) over
+# identical-vector groups) exceeds this — below it, the collapse's
+# extra groupBy + expansion joins cost more than the pair savings.
 SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD = 2.0
+
+
+def _fanout_probe(rows: DataFrame) -> dict[str, tuple[float, int]]:
+    """The ONE dup-fanout gate job shared by the vector collapses:
+    `rows` is (_side, _h, _nul) — a hash per vector plus a 0/1
+    null-content flag per side — and the result maps each side to
+    (sum(n²)/sum(n) fanout multiplier, null count). One aggregate, one
+    collect; ~sixty bytes over the wire regardless of corpus size."""
+    out: dict[str, tuple[float, int]] = {}
+    agg = (
+        rows.groupBy("_side", "_h")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_nul").alias("_nuls"))
+        .groupBy("_side")
+        .agg(
+            (F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"),
+            F.sum("_nuls").alias("_nulls"),
+        )
+        .collect()
+    )
+    for r in agg:
+        out[r["_side"]] = (float(r["_mult"] or 1.0), int(r["_nulls"] or 0))
+    return out
 
 
 def semantic_dedup(
@@ -925,13 +951,13 @@ def semantic_dedup(
     ).transform(ckpt)
     groups: DataFrame | None = None
     if collapse_exact:
-        mult_row = (
-            c.groupBy(F.xxhash64("_cv").alias("_h"))
-            .agg(F.count(F.lit(1)).alias("_g"))
-            .agg((F.sum(F.col("_g") * F.col("_g")) / F.sum("_g")).alias("_m"))
-            .collect()
-        )
-        mult = float(mult_row[0]["_m"] or 1.0)
+        mult, _ = _fanout_probe(
+            c.select(
+                F.lit("c").alias("_side"),
+                F.xxhash64("_cv").alias("_h"),
+                F.lit(0).alias("_nul"),
+            )
+        ).get("c", (1.0, 0))
         if mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD:
             # exact grouping on the vector itself (not the hash — a
             # collision must not merge distinct vectors)

@@ -184,12 +184,9 @@ class CSVSource:
             return flagged.where(~F.col("_malformed")).drop(self._corrupt_col, "_malformed")
         return flagged.drop("_malformed")
 
-    # Encodings whose newline byte is 0x0A and never appears inside a
-    # multi-byte character — the precondition for _blank_line_count's
-    # byte-oriented physical line count. UTF-16/UTF-32 families encode
-    # '\n' as 2/4 bytes and embed 0x0A inside code units, so the
-    # text-source count would be garbage there.
-    _NEWLINE_SAFE = ("utf-8", "ascii", "iso8859-", "cp125", "latin")
+    # (the newline-byte-compatibility precondition for
+    # _blank_line_count is checked directly: '\n' must encode to the
+    # single byte 0x0A — see the check inside _blank_line_count)
 
     def _blank_line_count(self) -> int:
         """Blank physical lines the csv source silently skipped.
@@ -209,16 +206,20 @@ class CSVSource:
         still comes scan-free from the cached frame.
         """
         if self._blank_skipped is None:
-            import codecs
-
-            name = codecs.lookup(self.encoding).name
-            if not name.startswith(self._NEWLINE_SAFE):
+            # precise newline-byte check instead of an encoding-name
+            # allowlist (which wrongly rejected 0x0A-safe single-byte
+            # codecs like cp437/koi8-r and ASCII-compatible multi-byte
+            # ones like shift_jis/gbk, whose continuation-byte ranges
+            # exclude 0x0A by design): '\n' must encode to exactly the
+            # byte 0x0A. UTF-16/UTF-32 (multi-byte '\n', 0x0A inside
+            # code units) and EBCDIC ('\n' -> 0x15/0x25) fail it.
+            if "\n".encode(self.encoding) != b"\n":
                 raise ValueError(
-                    f"malformed_count with encoding {self.encoding!r} "
-                    f"(normalized {name!r}): blank-line recovery needs a "
-                    "newline-byte-compatible encoding (UTF-8/ASCII/"
-                    "Latin-1/ISO-8859-*/CP125x); UTF-16/UTF-32 line "
-                    "counts from the byte-oriented text source are wrong"
+                    f"malformed_count with encoding {self.encoding!r}: "
+                    "blank-line recovery needs an encoding where '\\n' "
+                    "is the single byte 0x0A; UTF-16/UTF-32/EBCDIC "
+                    "line counts from the byte-oriented text source "
+                    "would be wrong"
                 )
             physical = self._spark.read.text(self.path).count()
             seen = self._raw_lines(self._spark).count()

@@ -26,22 +26,32 @@ with `intra_batch=True` (default), runs the in-memory LSH pair search
 within the batch and keeps the min-id representative of each pair.
 
 Crash/replay guarantees (batch_id-tagged admission, the streaming
-path's default): each micro-batch's appends are staged to batch-scoped
-directories, then MOVED into the live corpus/index dirs under
-deterministic `vgsb<batch_id>-` file names, and an admission marker
-(batch_id + query lineage id) commits the batch. A replay after a
-crash at ANY point first deletes every live `vgsb<batch_id>-` file
-(undoing partial moves), re-runs the probe against the now-consistent
-index, and re-commits — so a batch lands exactly once: no duplicate
-corpus rows, no lost admissions, and no index entry without its corpus
-row surviving recovery. A replay of a FULLY committed batch (crash
-between marker write and checkpoint commit) is skipped by the marker.
+path's default): each micro-batch's appends are staged to
+lineage+batch-scoped directories, then MOVED into the live
+corpus/index dirs under deterministic `vgsb<lineage>-<batch_id>-`
+file names, and an admission marker (batch_id + query lineage id)
+commits the batch. A replay after a crash at ANY point first deletes
+every live file carrying ITS OWN lineage+batch tag (undoing partial
+moves — the lineage in the tag means a NEW query whose batch ids
+restart at 0 can never delete a previous lineage's committed files),
+re-runs the probe against the now-consistent index, and re-commits —
+so a batch lands exactly once: no duplicate corpus rows, no lost
+admissions, and no index entry without its corpus row surviving
+recovery. A replay of a FULLY committed batch (crash between marker
+write and checkpoint commit) is skipped by the marker; the skip
+requires a real `query_id` (None identifies no lineage, so None-vs-
+None never suppresses a batch — direct callers replaying the same
+work re-land idempotently under the shared "adhoc" lineage tag, and
+two INDEPENDENT adhoc runs reusing a batch_id replace each other's
+files; pass a stable query_id to namespace independent pipelines).
 Direct `admit_batch(...)` calls without a `batch_id` keep the plain
 append-only behavior (no staging, no idempotence) for ad-hoc batch
 use.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,9 +75,18 @@ from voter_gateway_spark.streaming.upsert_sink import (
 _ADMIT_MARKER = "_vgs_admit_marker"
 
 
-def _batch_tag(batch_id: int) -> str:
-    # trailing '-' so vgsb1- never prefix-matches vgsb10-'s files
-    return f"vgsb{batch_id}-"
+def _lineage_slug(query_id: str | None) -> str:
+    return (
+        hashlib.md5(query_id.encode()).hexdigest()[:12] if query_id else "adhoc"
+    )
+
+
+def _batch_tag(batch_id: int, query_id: str | None) -> str:
+    # lineage-scoped so one query's replay undo can never delete a
+    # DIFFERENT lineage's committed files (a new query restarts batch
+    # ids at 0 over the same live dirs); trailing '-' so ...-1- never
+    # prefix-matches ...-10-'s files
+    return f"vgsb{_lineage_slug(query_id)}-{batch_id}-"
 
 
 def _delete_tagged(spark: SparkSession, root_dir: str, tag: str) -> None:
@@ -146,9 +165,13 @@ def admit_batch(
     exactly_once = batch_id is not None
     if exactly_once:
         m_batch, m_qid = _read_marker(spark, corpus_path, name=_ADMIT_MARKER)
-        if m_qid == query_id and m_batch >= batch_id:
+        # the skip needs a REAL lineage id: None == None must not
+        # suppress batches of an unrelated later run whose batch ids
+        # restart (the upsert_sink hazard) — None-qid replays instead
+        # re-land idempotently via the tagged undo below
+        if query_id is not None and m_qid == query_id and m_batch >= batch_id:
             return None  # fully committed replay — skip
-        tag = _batch_tag(batch_id)
+        tag = _batch_tag(batch_id, query_id)
         for root in (corpus_path, f"{index_path}/bands", f"{index_path}/hashes"):
             _delete_tagged(spark, root, tag)
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
@@ -175,7 +198,8 @@ def admit_batch(
         if exactly_once:
             _write_marker(spark, corpus_path, batch_id, query_id, name=_ADMIT_MARKER)
         return admitted
-    c_stage = f"{corpus_path}__stage_b{batch_id}"
+    slug = _lineage_slug(query_id)
+    c_stage = f"{corpus_path}__stage_{slug}_b{batch_id}"
     if exactly_once:
         admitted.write.mode("overwrite").parquet(c_stage)
     else:
@@ -194,13 +218,13 @@ def admit_batch(
             F.substring(F.md5(F.col("_k").cast("binary")), 1, meta.prefix_len),
         )
         b_parts.append("_kp")
-    b_stage = f"{index_path}/bands__stage_b{batch_id}"
+    b_stage = f"{index_path}/bands__stage_{slug}_b{batch_id}"
     b_dest = b_stage if exactly_once else f"{index_path}/bands"
     b_out.write.mode("overwrite" if exactly_once else "append").partitionBy(
         *b_parts
     ).parquet(b_dest)
     h_out = base.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb"))
-    h_stage = f"{index_path}/hashes__stage_b{batch_id}"
+    h_stage = f"{index_path}/hashes__stage_{slug}_b{batch_id}"
     h_dest = h_stage if exactly_once else f"{index_path}/hashes"
     h_mode = "overwrite" if exactly_once else "append"
     if meta.prefix_len > 0:
