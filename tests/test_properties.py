@@ -224,3 +224,70 @@ def test_chunking_covers_every_token_in_order(spark_prop, doc_lens, chunk_tokens
             toks = ch.split() if ch else []
             rebuilt.extend(toks if ci == 0 else toks[overlap:])
         assert rebuilt == [f"t{i}x{j}" for j in range(n)], (i, n, chunks)
+
+
+@st.composite
+def scrub_corpus(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    n_docs = draw(st.integers(1, 6))
+    texts = [
+        " ".join(
+            draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=12))
+        )
+        for _ in range(n_docs)
+    ]
+    dup_factor = draw(st.integers(1, 3))
+    return texts, dup_factor
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scrub_corpus())
+def test_substring_span_scrub_matches_naive(spark_prop, corpus):
+    """substring_span_scrub must equal the naive per-doc definition:
+    a position is duplicated iff its k-shingle occurs in any smaller-id
+    doc; runs >= min_run cut tokens [start, start+run+k-2] (union
+    mask); first occurrences keep their text."""
+    from voter_gateway_spark.operators import dedup_ops
+
+    texts, dup_factor = corpus
+    docs = [(i, t) for i, t in enumerate(t for t in texts for _ in range(dup_factor))]
+    k, min_run = 3, 2
+    df = spark_prop.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed, r.n_spans)
+        for r in dedup_ops.substring_span_scrub(
+            df, "doc_id", "text", k=k, min_run=min_run
+        ).collect()
+    }
+
+    def words(t):
+        return [w for w in t.lower().split() if w]
+
+    def shingles(ws):
+        m = max(len(ws) - (k - 1), 1)
+        return [" ".join(ws[p : p + k]) for p in range(m)]
+
+    first = {}
+    for i, t in docs:
+        for s in shingles(words(t)):
+            first.setdefault(s, i)
+    exp = {}
+    for i, t in docs:
+        ws = words(t)
+        dup_pos = [p for p, s in enumerate(shingles(ws)) if first[s] < i]
+        runs, cur = [], []
+        for p in dup_pos:
+            if cur and p == cur[-1] + 1:
+                cur.append(p)
+            else:
+                if len(cur) >= min_run:
+                    runs.append(cur)
+                cur = [p]
+        if len(cur) >= min_run:
+            runs.append(cur)
+        mask = set()
+        for r in runs:
+            mask.update(range(r[0], r[-1] + k))
+        kept = [w for j, w in enumerate(ws) if j not in mask]
+        exp[i] = (" ".join(kept), len(ws) - len(kept), len(runs))
+    assert got == exp
