@@ -5,7 +5,8 @@ exact-duplicated documents (the crawl worst case), so their ratio also
 absorbs the d-squared pair pressure the collapse stages exist to kill.
 
 Usage: python tools/scale_compare.py /tmp/bench_sf01.json /tmp/bench_sf1.json
-Prints a markdown table and writes BENCH_r04_sf1.json at the repo root.
+Prints a markdown table and writes the big-side JSON to the path given
+as an optional third argument (default: no copy).
 """
 
 import json
@@ -19,7 +20,8 @@ REPO = Path(__file__).resolve().parent.parent
 def main() -> None:
     small = json.loads(Path(sys.argv[1]).read_text())
     big = json.loads(Path(sys.argv[2]).read_text())
-    shutil.copy(sys.argv[2], REPO / "BENCH_r04_sf1.json")
+    if len(sys.argv) > 3:
+        shutil.copy(sys.argv[2], REPO / sys.argv[3])
     rows = []
     for q, t_small in small["queries"].items():
         t_big = big["queries"].get(q)

@@ -2916,10 +2916,15 @@ def pipeline_corpus_prep(spark, sf_dir):
     return chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
 
 
-def _pipeline_sql() -> str:
-    """Composed oracle: the quality, langid, fingerprint, dedup, and
-    chunking formulas of the individual oracles chained as CTEs."""
-    norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+_NORM_SQL = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+
+
+def _scored_ctes(src: str) -> str:
+    """The s/scored CTE pair of the quality + langid + fingerprint
+    pass over `src` (a table or prior CTE name) — shared by the
+    corpus-prep and curation-audit oracles so the formulas can never
+    drift apart."""
+    norm = _NORM_SQL
     stop_parts = _token_set_count_sql(f"string_split({norm}, ' ')", text.STOPWORDS)
     toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
     punct = r"round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1), 6)"
@@ -2934,15 +2939,14 @@ def _pipeline_sql() -> str:
         f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
         for lang in sorted(score_exprs)
     )
-    return f"""
-WITH s AS (
+    return f"""s AS (
   SELECT doc_id, text,
          {toks} AS toks,
          {stop_parts} AS stops,
          {punct} AS pr,
          {scores},
          md5(lower({norm})) AS fp
-  FROM documents
+  FROM {src}
 ), scored AS (
   SELECT doc_id, text, fp,
          round(0.4 * least(toks / 100.0, 1.0)
@@ -2950,7 +2954,15 @@ WITH s AS (
                + 0.2 * (1.0 - pr), 6) AS quality,
          CASE {case} ELSE 'und' END AS lang_guess
   FROM s
-), kept AS (
+)"""
+
+
+def _pipeline_sql() -> str:
+    """Composed oracle: the quality, langid, fingerprint, dedup, and
+    chunking formulas of the individual oracles chained as CTEs."""
+    norm = _NORM_SQL
+    return f"""
+WITH {_scored_ctes("documents")}, kept AS (
   SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess <> 'und'
 ), dd AS (
   SELECT doc_id, text FROM (
@@ -2969,6 +2981,127 @@ WITH s AS (
 SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
        CAST(len(wl[i * 56 + 1 : i * 56 + 64]) AS INTEGER) AS n_chunk_tokens
 FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
+def pipeline_curation_audit(spark, sf_dir):
+    """Dry-run audit of a 4-stage curation chain over the train slice
+    (doc_id % 7 != 0; the % 7 == 0 slice is the eval suite): quality +
+    language filter → exact dedup (content fingerprint, min-id kept) →
+    near-dup prune (n-gram Jaccard ≥ 0.12, min-id side kept) →
+    eval-decontamination (shingle overlap with the eval corpus ≥ 0.5
+    drops the doc). Output: one (stage_idx, stage, n_rows) row per
+    stage plus the input row — the per-stage survivor counts a
+    curation review reads before committing anything
+    (pipeline.CurationPipeline.counts_plan; the reference's
+    perform_audit lifecycle applied to corpus curation)."""
+    from voter_gateway_spark.pipeline import CurationPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    evals = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+
+    def quality_lang(df):
+        return (
+            df.select(
+                "doc_id",
+                "text",
+                text.quality_score("text").alias("_q"),
+                text.lang_id("text").alias("_lg"),
+            )
+            .where((F.col("_q") >= 0.5) & (F.col("_lg") != "und"))
+            .select("doc_id", "text")
+        )
+
+    def exact(df):
+        return dedup_ops.exact_dedup(
+            df.withColumn("_fp", text.content_fingerprint("text")),
+            ["_fp"],
+            "doc_id",
+        ).select("doc_id", "text")
+
+    def near(df):
+        losers = (
+            dedup_ops.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.12)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        return df.join(losers, "doc_id", "left_anti")
+
+    def decon(df):
+        dirty = (
+            dedup_ops.cross_corpus_overlap(df, evals, "doc_id", "text", k=3)
+            .where(F.col("contamination") >= 0.5)
+            .select("doc_id")
+        )
+        return df.join(dirty, "doc_id", "left_anti")
+
+    pipe = CurationPipeline(
+        [
+            ("quality_lang", quality_lang),
+            ("exact_dedup", exact),
+            ("near_dup", near),
+            ("decontaminate", decon),
+        ]
+    )
+    return pipe.counts_plan(train)
+
+
+def _curation_audit_sql() -> str:
+    """Stage-count mirror of pipeline_curation_audit: the same CTE
+    formulas as the prep/ngram/contamination oracles, one count per
+    stage."""
+    norm = _NORM_SQL
+    jac = (
+        "round(len(list_intersect(a.hl, b.hl)) * 1.0"
+        " / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+), {_scored_ctes("base")}, kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess <> 'und'
+), dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), w2 AS (
+  SELECT doc_id,
+         list_filter(string_split(lower({norm}), ' '), x -> x <> '') AS wl
+  FROM dd
+), sh2 AS (SELECT doc_id, {_SHINGLES} AS s FROM w2),
+hh2 AS (SELECT doc_id, {_HASHED} AS hl FROM sh2),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM hh2 a, hh2 b
+  WHERE a.doc_id < b.doc_id AND {jac} >= 0.12
+), nd AS (
+  SELECT dd.doc_id FROM dd
+  WHERE dd.doc_id NOT IN (SELECT doc_id FROM losers)
+), evw AS (
+  SELECT doc_id,
+         list_filter(string_split(lower({norm}), ' '), x -> x <> '') AS wl
+  FROM documents WHERE doc_id % 7 = 0
+), evsh AS (SELECT doc_id, {_SHINGLES} AS s FROM evw),
+evidx AS (
+  SELECT DISTINCT unnest({_HASHED}) AS h FROM evsh
+), ndh AS (
+  SELECT hh2.doc_id, unnest(hh2.hl) AS h
+  FROM hh2 WHERE hh2.doc_id IN (SELECT doc_id FROM nd)
+), cont AS (
+  SELECT ndh.doc_id,
+         round(count(evidx.h) * 1.0 / count(*), 6) AS contamination
+  FROM ndh LEFT JOIN evidx ON ndh.h = evidx.h
+  GROUP BY ndh.doc_id
+), clean AS (
+  SELECT doc_id FROM cont WHERE contamination < 0.5
+)
+SELECT 0 AS stage_idx, 'input' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM base
+UNION ALL SELECT 1, 'quality_lang', CAST(count(*) AS BIGINT) FROM kept
+UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM dd
+UNION ALL SELECT 3, 'near_dup', CAST(count(*) AS BIGINT) FROM nd
+UNION ALL SELECT 4, 'decontaminate', CAST(count(*) AS BIGINT) FROM clean
 """
 
 
@@ -3924,10 +4057,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
-    # new in r6 — frequent-ngram mining takes the prefix slot of
-    # text_boilerplate_scrub (green r5), which rotates to the tail
+    # new in r6 — frequent-ngram mining and the curation-audit
+    # pipeline take the prefix slots of text_boilerplate_scrub and
+    # pipeline_corpus_prep (both green r5), which rotate to the tail
     "text_frequent_ngrams": text_frequent_ngrams,
-    "pipeline_corpus_prep": pipeline_corpus_prep,
+    "pipeline_curation_audit": pipeline_curation_audit,
     "corpus_contamination": corpus_contamination,
     "contamination_span_pairs": contamination_span_pairs,
     "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
@@ -3966,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green in CORRECTNESS_local.json every round ---
     "docs_training_shuffle": docs_training_shuffle,
     "text_boilerplate_scrub": text_boilerplate_scrub,
+    "pipeline_corpus_prep": pipeline_corpus_prep,
     "copy_column_nation_name": copy_column_nation_name,
     "match_join_table_constraint": match_join_table_constraint,
     "merge_returning_to_source": merge_returning_to_source,
@@ -4083,6 +4218,7 @@ ORACLES: dict[str, str] = {
     "text_chunks": CHUNK_SQL,
     "text_boilerplate_scrub": BOILERPLATE_SQL,
     "text_frequent_ngrams": FREQUENT_NGRAMS_SQL,
+    "pipeline_curation_audit": _curation_audit_sql(),
     "pipeline_corpus_prep": _pipeline_sql(),
     "audit_distinct_users_by_type": DISTINCT_USERS_SQL,
     "audit_orphan_orders": ORPHAN_SQL,
