@@ -269,6 +269,7 @@ def _train_centroids(
     iters: int,
     centroid_round: int | None = None,
     train_per_cell: int | None = None,
+    dup_mult: float | None = None,
 ) -> tuple[int, DataFrame]:
     """The ONE deterministic coarse-quantizer trainer shared by
     ivf_topk, build_ivf_index, and semantic_dedup — any determinism
@@ -284,6 +285,19 @@ def _train_centroids(
     under floor(2⁶⁰·min(1, per_cell·cells/N)) — every term exact or
     single-rounded in doubles, so the SQL oracle computes the same
     bigint cut (training set is binomial around per_cell·cells).
+    `dup_mult` (the caller's already-probed identical-vector fanout
+    multiplier): above the collapse threshold, each Lloyd round
+    assigns cells per UNIQUE training vector and joins the assignment
+    back to the sample rows for the mean — identical vectors assign
+    identically, and the join restores the exact row multiset the
+    mean always saw, so every per-(cell,dim) average runs over the
+    same values (the mean's fold order shifts with the new
+    partitioning, which `centroid_round` snapping absorbs exactly as
+    it absorbs partition-count variance; the oracle-pinned Lloyd
+    queries all pass centroid_round). On the 100× replica the
+    training sample is ~28-way duplicated, so this cuts each
+    assignment pass's interpreted per-cell scoring ~28×.
+
     Returns (resolved n_centroids, (cell, centroid) frame). The
     count action only runs when auto cells or an engaged training
     sample needs N — iters=0 never samples."""
@@ -318,8 +332,18 @@ def _train_centroids(
                 10,
             ).cast("bigint")
             tr = c.where(h60 < F.lit(cut)).transform(ckpt)
+    collapse_train = (
+        dup_mult is not None and dup_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
+    )
     for _ in range(iters):
-        assigned = _nearest_cells(tr, "_cv", centroids, 1)
+        if collapse_train:
+            uniq = tr.select("_cv").distinct()
+            cells_u = _nearest_cells(uniq, "_cv", centroids, 1).select(
+                "_cv", "_cell"
+            )
+            assigned = tr.join(cells_u, "_cv").select("_cell", "_cv")
+        else:
+            assigned = _nearest_cells(tr, "_cv", centroids, 1)
         centroids = _vector_mean(assigned, "_cell", "_cv")
         if centroid_round is not None:
             centroids = centroids.select(
@@ -438,6 +462,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
     )
     do_collapse = False
+    c_mult = None
     if collapse_exact:
         # a NULL vector OR a null ELEMENT inside one declines the
         # collapse: their cos_sim is NULL, and the plain window orders
@@ -466,8 +491,10 @@ def ivf_topk(
             c_nulls + q_nulls == 0
             and c_mult * q_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
         )
+        if c_nulls + q_nulls != 0:
+            c_mult = None  # keep training on the plain path too
     n_centroids, centroids = _train_centroids(
-        c, n_centroids, iters, centroid_round, train_per_cell
+        c, n_centroids, iters, centroid_round, train_per_cell, dup_mult=c_mult
     )
 
     if do_collapse:
@@ -950,6 +977,7 @@ def semantic_dedup(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
     groups: DataFrame | None = None
+    mult = None
     if collapse_exact:
         mult, _ = _fanout_probe(
             c.select(
@@ -971,7 +999,9 @@ def semantic_dedup(
         if groups is not None
         else c
     )
-    n_centroids, centroids = _train_centroids(c, n_centroids, iters, centroid_round)
+    n_centroids, centroids = _train_centroids(
+        c, n_centroids, iters, centroid_round, dup_mult=mult
+    )
     cells = (
         _nearest_cells(pool, "_cv", centroids, 1)
         .select("_cid", "_cv", "_cell")
