@@ -21,7 +21,7 @@ def main() -> None:
     small = json.loads(Path(sys.argv[1]).read_text())
     big = json.loads(Path(sys.argv[2]).read_text())
     if len(sys.argv) > 3:
-        shutil.copy(sys.argv[2], REPO / sys.argv[3])
+        shutil.copy(sys.argv[2], sys.argv[3])
     rows = []
     for q, t_small in small["queries"].items():
         t_big = big["queries"].get(q)

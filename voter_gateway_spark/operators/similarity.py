@@ -335,9 +335,13 @@ def _train_centroids(
     collapse_train = (
         dup_mult is not None and dup_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
     )
+    uniq = None
+    if collapse_train and iters > 0:
+        # loop-invariant: the unique-vector set of the fixed training
+        # sample — built and materialized once, re-assigned per round
+        uniq = tr.select("_cv").distinct().transform(ckpt)
     for _ in range(iters):
-        if collapse_train:
-            uniq = tr.select("_cv").distinct()
+        if uniq is not None:
             cells_u = _nearest_cells(uniq, "_cv", centroids, 1).select(
                 "_cv", "_cell"
             )

@@ -8,13 +8,15 @@ documents each filter/dedup/decontamination stage dropped — without
 writing anything.
 
 `counts_plan` is ONE DataFrame (no driver-side loop of count()
-actions): every stage output is lazily checkpointed so stage i's work
-is computed once and reused by all downstream stage counts, and the
-per-stage one-row aggregates union into a single (stage_idx, stage,
-n_rows) result. That keeps the audit oracle-checkable — the catalog's
-`pipeline_curation_audit` pins a 5-stage chain (quality/lang filter →
-exact dedup → near-dup prune → eval-decontamination) row-for-row
-against a DuckDB CTE mirror.
+actions): every stage output is EAGERLY checkpointed — each frame has
+two consumers (its own count branch and the next stage), and a lazy
+checkpoint would let them race and recompute the stage lineage per
+branch (the multi-consumer trap ngram_jaccard_pairs documents) — and
+the per-stage one-row aggregates union into a single (stage_idx,
+stage, n_rows) result. That keeps the audit oracle-checkable — the
+catalog's `pipeline_curation_audit` pins a 4-stage chain (quality/lang
+filter → exact dedup → near-dup prune → eval-decontamination)
+row-for-row against a DuckDB CTE mirror.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from voter_gateway_spark.session import ckpt_lazy
+from voter_gateway_spark.session import ckpt
 
 Stage = tuple[str, Callable[[DataFrame], DataFrame]]
 
@@ -58,13 +60,13 @@ class CurationPipeline:
 
     def counts_plan(self, docs: DataFrame) -> DataFrame:
         """Dry-run audit as ONE plan: ('input', |docs|) plus a row per
-        stage with its surviving count. Stage outputs are lazily
+        stage with its surviving count. Stage outputs are eagerly
         checkpointed — each stage's work runs once, not once per
-        downstream count."""
-        frames: list[tuple[str, DataFrame]] = [("input", docs.transform(ckpt_lazy))]
+        consumer branch."""
+        frames: list[tuple[str, DataFrame]] = [("input", docs.transform(ckpt))]
         cur = frames[0][1]
         for name, fn in self.stages:
-            cur = fn(cur).transform(ckpt_lazy)
+            cur = fn(cur).transform(ckpt)
             frames.append((name, cur))
         counts = [
             f.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(

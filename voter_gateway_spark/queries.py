@@ -3002,12 +3002,29 @@ def pipeline_curation_audit(spark, sf_dir):
     evals = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
 
     def quality_lang(df):
+        # _norm/_toks/_ltoks staged once per row (the
+        # pipeline_corpus_prep pattern — scoring references each
+        # several times and CollapseProject keeps the multi-referenced
+        # aliases staged)
+        staged = df.select(
+            "doc_id", "text", text.normalized("text").alias("_norm")
+        ).select(
+            "doc_id",
+            "text",
+            "_norm",
+            text.tokens("text", norm_col=F.col("_norm")).alias("_toks"),
+            text.tokens("text", lower=True, norm_col=F.col("_norm")).alias(
+                "_ltoks"
+            ),
+        )
         return (
-            df.select(
+            staged.select(
                 "doc_id",
                 "text",
-                text.quality_score("text").alias("_q"),
-                text.lang_id("text").alias("_lg"),
+                text.quality_score(
+                    "text", norm_col=F.col("_norm"), words_col=F.col("_toks")
+                ).alias("_q"),
+                text.lang_id("text", words_col=F.col("_ltoks")).alias("_lg"),
             )
             .where((F.col("_q") >= 0.5) & (F.col("_lg") != "und"))
             .select("doc_id", "text")
