@@ -1458,3 +1458,43 @@ def test_ivf_topk_null_element_vectors_decline_collapse(spark):
         )
 
     assert canon(True) == canon(False)
+
+
+def test_wav_decode_real_roundtrip():
+    """make_wav -> wav_decode round-trips known PCM with integer-exact
+    statistics (the third real codec, first audio one)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import make_wav, wav_decode
+
+    s = np.array([0, 100, -200, 300, -400, 0, 32767, -32768], dtype=np.int64)
+    f = wav_decode(make_wav(8000, s))
+    assert f[0] == 8.0  # n_samples
+    assert f[1] == 8000.0
+    assert f[2] == float(s.sum()) / 8
+    assert f[3] == 32767.0 and f[4] == -32768.0
+    # strict sign changes: 100/-200, -200/300, 300/-400, 32767/-32768
+    # (products through a 0 sample are 0, not negative — no crossing)
+    assert f[5] == 4.0
+    assert f[6] == float(np.abs(s).sum()) / 8
+    assert f[7] == float((s * s).sum()) / 8
+
+
+def test_wav_decode_rejects_bad_payloads():
+    import numpy as np
+    import pytest as _pytest
+
+    from voter_gateway_spark.operators.multimodal import make_wav, wav_decode
+
+    good = make_wav(8000, np.arange(16, dtype=np.int64))
+    with _pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav_decode(b"nope" + good[4:])
+    with _pytest.raises(ValueError, match="size mismatch"):
+        wav_decode(good[:-2])
+    # stereo rejected: patch channels field (offset 22, <H)
+    import struct
+
+    stereo = bytearray(good)
+    struct.pack_into("<H", stereo, 22, 2)
+    with _pytest.raises(ValueError, match="unsupported WAVE shape"):
+        wav_decode(bytes(stereo))

@@ -345,10 +345,93 @@ def png_decode(payload: bytes) -> list[float]:
     ]
 
 
+def make_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Encode mono 16-bit PCM as a canonical RIFF/WAVE byte stream
+    (RIFF header, fmt chunk, data chunk) — stdlib struct only."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> list[float]:
+    """REAL audio decode for RIFF/WAVE PCM — stdlib struct + numpy, no
+    audio libraries. Walks the RIFF chunk stream (word-aligned, so odd
+    chunks' pad bytes are honored), validates the fmt chunk (PCM, mono,
+    16-bit — anything else raises; a decode error MUST surface, not
+    produce junk features), demuxes the little-endian int16 samples,
+    and returns an 8-dim feature vector of integer-exact statistics:
+
+        [n_samples, sample_rate, mean, peak_max, peak_min,
+         zero_crossings, mean_abs, energy_per_sample]
+
+    Every numerator is an exact int64 sum converted once to double and
+    divided once — bit-identical across engines, which is what lets
+    the catalog query pin the decode against an analytic DuckDB oracle
+    the way the PPM/PNG codecs are pinned."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (declared,) = struct.unpack("<I", payload[4:8])
+    if declared != len(payload) - 8:
+        raise ValueError(
+            f"RIFF size mismatch: declared {declared}, have {len(payload) - 8}"
+        )
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (ln,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        chunk = payload[i + 8 : i + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError(f"truncated WAVE chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("fmt chunk too short")
+    audio_fmt, channels, rate, _brate, _block, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAVE shape: fmt={audio_fmt} channels={channels} "
+            f"bits={bits} (PCM mono 16-bit only)"
+        )
+    if len(data) % 2:
+        raise ValueError("odd PCM data length for 16-bit samples")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if s.size < 2:
+        raise ValueError("too few samples for crossing features")
+    n = s.size
+    zc = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+    return [
+        float(n),
+        float(rate),
+        float(s.sum()) / n,
+        float(s.max()),
+        float(s.min()),
+        float(zc),
+        float(np.abs(s).sum()) / n,
+        float((s * s).sum()) / n,
+    ]
+
+
 _DECODERS: dict[str, object] = {
     "fake": fake_decode,
     "ppm": ppm_decode,
     "png": png_decode,
+    "wav": wav_decode,
 }
 
 
@@ -363,8 +446,10 @@ def get_decoder(kind: str):
             f"no decoder registered for kind={kind!r}: compressed formats need "
             "a codec library (PIL/opencv/ffmpeg) — register one with "
             "multimodal.register_decoder(kind, fn). Built-ins: 'ppm' (real "
-            "binary-PPM decode, numpy only) and 'fake' (deterministic "
-            "plumbing stand-in)"
+            "binary-PPM decode), 'png' (real PNG: chunk/CRC/inflate/all "
+            "five filters), 'wav' (real RIFF PCM audio decode) — all "
+            "stdlib+numpy only — and 'fake' (deterministic plumbing "
+            "stand-in)"
         )
     return _DECODERS[kind]
 

@@ -1615,6 +1615,57 @@ def multimodal_png_decode(spark, sf_dir):
     )
 
 
+def multimodal_wav_decode(spark, sf_dir):
+    """Third REAL codec through the decoder registry, and the first
+    AUDIO one: 64 mono 16-bit PCM RIFF/WAVE clips whose samples are an
+    analytic function of (media_id, i) are encoded on the driver
+    (multimodal.make_wav) and decoded on executors by the stdlib+numpy
+    wav_decode (RIFF chunk walk with word alignment, fmt validation,
+    int16 demux, integer-exact statistics). The oracle recomputes every
+    feature from the closed-form sample formula — a header mis-parse,
+    endianness bug, or sign error fails the hash."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import MEDIA_SCHEMA, make_wav
+
+    N, RATE = 480, 16000
+    idx = np.arange(N, dtype=np.int64)
+    rows = []
+    for m in range(64):
+        s = ((idx * idx + 13 * m * idx + 7 * m) % 4096) - 2048
+        rows.append(
+            (m, "audio", bytearray(make_wav(RATE, s)), "audio/wav",
+             None, None, float(N) / RATE)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, kind="wav")
+    return feat.select(
+        "media_id",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+WAV_DECODE_SQL = """
+WITH s AS (
+  SELECT m, i, ((i*i + 13*m*i + 7*m) % 4096) - 2048 AS v
+  FROM (SELECT unnest(generate_series(0, 63)) AS m),
+       (SELECT unnest(generate_series(0, 479)) AS i)
+), z AS (
+  SELECT m, i, v, lag(v) OVER (PARTITION BY m ORDER BY i) AS pv FROM s
+)
+SELECT m AS media_id,
+       round(480 * 1.0, 6) AS f0,
+       round(16000 * 1.0, 6) AS f1,
+       round(sum(v) * 1.0 / 480, 6) AS f2,
+       round(max(v) * 1.0, 6) AS f3,
+       round(min(v) * 1.0, 6) AS f4,
+       round(count(*) FILTER (pv * v < 0) * 1.0, 6) AS f5,
+       round(sum(abs(v)) * 1.0 / 480, 6) AS f6,
+       round(sum(v * v) * 1.0 / 480, 6) AS f7
+FROM z GROUP BY m
+"""
+
+
 _IMG_FIELD_SQL = """
 WITH px AS (
   SELECT m, x, y,
@@ -4087,12 +4138,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r6 — substring-span scrub sits in the prefix for its first
     # driver row; docs_training_shuffle (green r5) rotates to the tail
     "dedup_substring_scrub": dedup_substring_scrub,
-    "events_sessionized": events_sessionized,
     "asof_order_revenue_events": asof_order_revenue_events,
     "interval_join_events_windows": interval_join_events_windows,
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "events_view_purchase_attribution": events_view_purchase_attribution,
     "multimodal_png_decode": multimodal_png_decode,
+    # r6: the WAV codec (first real audio decode) sits in the prefix;
+    # events_sessionized (green r5) rotates to the tail
+    "multimodal_wav_decode": multimodal_wav_decode,
     # --- round-6 rotation block: first-ever driver rows ---
     "zorder_customers": zorder_customers,
     "geo_wkt_export": geo_wkt_export,
@@ -4116,6 +4169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all have driver-run green rows from earlier rounds and remain
     # green in CORRECTNESS_local.json every round ---
     "docs_training_shuffle": docs_training_shuffle,
+    "events_sessionized": events_sessionized,
     "text_boilerplate_scrub": text_boilerplate_scrub,
     "pipeline_corpus_prep": pipeline_corpus_prep,
     "copy_column_nation_name": copy_column_nation_name,
@@ -4246,6 +4300,7 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": _pii_sql(),
     "multimodal_ppm_decode": PPM_DECODE_SQL,
     "multimodal_png_decode": PNG_DECODE_SQL,
+    "multimodal_wav_decode": WAV_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
     # the probe is roundtrip-tested equal to the in-memory bipartite
     # probe, so the same bit-exact oracle applies
