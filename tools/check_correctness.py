@@ -3,9 +3,10 @@ entry on Spark and its oracle_sql() on DuckDB, compare row count,
 schema (column names), and order-insensitive values.
 
 Writes CORRECTNESS_local.json at the repo root (driver-gate schema:
-per-query rows/schema/hash match + err) so the full 71-query status is
-a committed artifact every round — the driver samples ~50 of them, and
-a skipped query must never silently rot (VERDICT r2 item 6).
+per-query rows/schema/hash match + err) so the full catalog's status
+is a committed artifact every round — the driver samples the first ~50
+entries, and a skipped query must never silently rot (VERDICT r2
+item 6).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 (query args restrict the run and skip the artifact write)
