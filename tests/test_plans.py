@@ -243,3 +243,30 @@ def test_ivf_cell_assignment_is_shuffle_free(spark, sf_dir):
     plan = _plan(QUERIES["embed_ivf_lloyd_topk"](spark, sf_dir), "simple")
     plain_windows = plan.count("Window") - plan.count("WindowGroupLimit")
     assert plain_windows == 1, plan
+
+
+def test_substring_scrub_is_pair_free(spark, sf_dir):
+    # the span scrub's whole design claim is NO pair enumeration:
+    # positional index + groupBy(hash) first-occurrence map + per-doc
+    # window + scan-stage rewrite — never a doc x doc join shape
+    plan = _plan(QUERIES["dedup_substring_scrub"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan, "scrub must stay JVM-side"
+
+
+def test_frequent_ngrams_lowers_to_take_ordered(spark, sf_dir):
+    # top-k must be TakeOrderedAndProject (streams partial top-k per
+    # partition), not a global Sort + Limit materialization
+    plan = _plan(QUERIES["text_frequent_ngrams"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, "top-k fell back to global sort"
+
+
+def test_curation_audit_counts_plan_shape(spark, sf_dir):
+    # the audit is ONE union-of-aggregates plan; each stage count is a
+    # one-row partial aggregate, and nothing in the chain goes
+    # cartesian or Python-side
+    plan = _plan(QUERIES["pipeline_curation_audit"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Union") >= 1
