@@ -1498,3 +1498,20 @@ def test_wav_decode_rejects_bad_payloads():
     struct.pack_into("<H", stereo, 22, 2)
     with _pytest.raises(ValueError, match="unsupported WAVE shape"):
         wav_decode(bytes(stereo))
+    # a second data chunk must raise, not silently win (a malformed
+    # file yielding plausible stats from the wrong chunk is the exact
+    # junk-features failure the decoder contract forbids)
+    extra = np.array([1, -1], dtype=np.int64).astype("<i2").tobytes()
+    dup = bytearray(good)
+    dup += b"data" + struct.pack("<I", len(extra)) + extra
+    struct.pack_into("<I", dup, 4, len(dup) - 8)
+    with _pytest.raises(ValueError, match="duplicate data"):
+        wav_decode(bytes(dup))
+    # trailing sub-chunk garbage inside the declared RIFF size raises
+    tail = bytearray(good) + b"xyz"
+    struct.pack_into("<I", tail, 4, len(tail) - 8)
+    with _pytest.raises(ValueError, match="trailing bytes"):
+        wav_decode(bytes(tail))
+    # out-of-int16 samples refuse to encode rather than wrapping
+    with _pytest.raises(ValueError, match="int16 range"):
+        make_wav(8000, np.array([40000, 0], dtype=np.int64))

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Decoding is pluggable (see the decoder contract below). One REAL
-decoder ships built-in: `ppm_decode` parses binary PPM (P6) images with
-numpy alone — header tokenization, raw pixel demux, channel/quadrant
-statistics — so the decode path is genuinely exercised end-to-end
-without codec libraries. Compressed formats (JPEG/PNG/audio/video)
+Decoding is pluggable (see the decoder contract below). THREE real
+decoders ship built-in, all stdlib+numpy with no codec libraries:
+`ppm_decode` (binary PPM P6 — header tokenization, raw pixel demux,
+channel/quadrant statistics), `png_decode` (chunk/CRC parse, inflate,
+all five scanline filter reconstructions), and `wav_decode` (RIFF/WAVE
+PCM — word-aligned chunk walk, fmt validation, int16 demux,
+integer-exact audio statistics) — so image AND audio decode paths are
+genuinely exercised end-to-end. Other compressed formats (JPEG, video)
 still need external codecs and register through the same contract; the
 deterministic `fake_decode` remains for plumbing tests.
 
@@ -350,6 +353,8 @@ def make_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     (RIFF header, fmt chunk, data chunk) — stdlib struct only."""
     import struct
 
+    if samples.size and (samples.max() > 32767 or samples.min() < -32768):
+        raise ValueError("samples out of int16 range")
     data = samples.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (
@@ -392,10 +397,18 @@ def wav_decode(payload: bytes) -> list[float]:
         if len(chunk) != ln:
             raise ValueError(f"truncated WAVE chunk {cid!r}")
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk")
             fmt = chunk
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk")
             data = chunk
         i += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if i != len(payload):
+        # a sub-8-byte tail inside the declared RIFF size is malformed,
+        # not skippable — junk must surface, never be silently ignored
+        raise ValueError(f"{len(payload) - i} trailing bytes after last chunk")
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
     if len(fmt) < 16:
