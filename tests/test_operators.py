@@ -1374,6 +1374,47 @@ def test_semantic_dedup_nan_vectors_collapse_matches_plain(spark):
     ]
 
 
+def test_semantic_dedup_null_elements_decline_collapse(spark):
+    """ADVICE r6 #1: a null ELEMENT inside a vector breaks SQL array
+    equality (never true), so the collapse's member-expansion join and
+    Lloyd's collapsed-training re-join would silently drop such rows.
+    The fanout probe must therefore decline the collapse — output with
+    collapse_exact=True must equal the plain plan even on a dup-heavy
+    corpus containing null-element and NULL vectors, including with
+    Lloyd refinement engaged (iters>0), where the r6 code diverged."""
+    from voter_gateway_spark.operators import similarity
+
+    rows = []
+    # 6-way duplicated clean vectors -> fanout > 2 gate would fire
+    for g, vec in enumerate([[1.0, 0.0], [0.0, 1.0], [0.6, 0.8]]):
+        for r in range(6):
+            rows.append(Row(vec_id=g * 100 + r, embedding=vec))
+    rows.append(Row(vec_id=900, embedding=[None, 1.0]))
+    rows.append(Row(vec_id=901, embedding=[None, 1.0]))
+    rows.append(Row(vec_id=902, embedding=None))
+    df = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+
+    def canon(collapse, iters):
+        return sorted(
+            (r.dup_id, r.keep_id, repr(r.cos_sim))
+            for r in similarity.semantic_dedup(
+                df, threshold=0.9, iters=iters,
+                centroid_round=6, collapse_exact=collapse,
+            ).collect()
+        )
+
+    for iters in (0, 2):
+        collapsed, plain = canon(True, iters), canon(False, iters)
+        assert collapsed == plain, f"diverged at iters={iters}"
+    # the clean duplicate groups must still all resolve to their min id
+    keeps = {d: k for d, k, _ in canon(True, 0)}
+    for g in range(3):
+        for r in range(1, 6):
+            assert keeps.get(g * 100 + r) == g * 100
+
+
 def test_substring_span_scrub_removes_copied_spans(spark):
     """Spans >= min_run duplicated shingle positions are cut from the
     later doc only; short duplications and unique text survive; empty

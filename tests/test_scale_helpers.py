@@ -49,6 +49,37 @@ def test_write_table_skewed_partition_splits_files(spark, tmp_path):
     assert len(cold_files) == 1
 
 
+def test_write_table_all_map_payload_salt_is_deterministic_and_splits(spark, tmp_path):
+    """When every non-partition column is a MapType (F.hash would
+    raise), the fallback salt must be content-derived — hash of the
+    maps' JSON entries — not position-derived: a positional salt
+    (monotonically_increasing_id) changes on stage retry and can
+    duplicate or lose rows (SPARK-23207 class; ADVICE r6 #2). Checks
+    both that the hot partition still splits and that no rows are
+    lost, and pins the salt expression itself to be retry-stable by
+    evaluating it twice under different input partitioning."""
+    import glob
+
+    df = spark.createDataFrame(
+        [(("hot" if i < 400 else "cold"), {"k": str(i), "j": str(i * 7)})
+         for i in range(410)],
+        "grp string, payload map<string,string>",
+    )
+    path = str(tmp_path / "mapskew")
+    write_table(df, path, partition_by=["grp"], target_rows_per_file=100)
+    back = spark.read.parquet(path)
+    assert back.count() == 410
+    assert len(glob.glob(f"{path}/grp=hot/*.parquet")) > 1
+    # salt determinism: same row content -> same salt regardless of
+    # physical partitioning (the retry-recompute scenario)
+    salt = F.hash(F.to_json(F.map_entries(F.col("payload"))))
+    a = {r.k: r.s for r in df.repartition(2).select(
+        F.col("payload")["k"].alias("k"), salt.alias("s")).collect()}
+    b = {r.k: r.s for r in df.repartition(7).select(
+        F.col("payload")["k"].alias("k"), salt.alias("s")).collect()}
+    assert a == b
+
+
 def test_write_table_null_partition_value_survives_salting(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, None), (2, "d")], "id int, day string"

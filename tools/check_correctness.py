@@ -35,10 +35,16 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-strict canon: stringify EVERY column (not just object
+    dtype) before comparing, mirroring the driver's stringify-then-hash
+    gate. A dtype-only divergence — e.g. DuckDB promoting sum(BIGINT)
+    to HUGEINT, which pandas renders as float64 `149174.0` while Spark
+    returns int64 `149174` — must fail here exactly as it fails the
+    driver (VERDICT r6, What's wrong #1/#2). A mirror laxer than the
+    gate it mirrors is worse than no mirror."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -104,7 +110,7 @@ def main() -> int:
             continue
         g, e = canon(got), canon(exp)
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            pd.testing.assert_frame_equal(g, e, check_exact=True)
             print(f"OK    {name}: {len(got)} rows  [spark {spark_t:.1f}s, duck {duck_t:.1f}s]")
             record(name, spark_rows=len(got), oracle_rows=len(exp),
                    rows_match=True, schema_match=True, hash_match=True)

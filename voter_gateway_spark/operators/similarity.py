@@ -473,20 +473,12 @@ def ivf_topk(
         # NULLs last while the in-row struct sort would order a NULL
         # distance field first — the one ordering the expansion can't
         # reproduce
-        def _has_null(col: str) -> Column:
-            return (
-                F.col(col).isNull()
-                | F.coalesce(
-                    F.exists(col, lambda x: x.isNull()), F.lit(False)
-                )
-            ).cast("int")
-
         probe = _fanout_probe(
             c.select(F.lit("c").alias("_side"), F.xxhash64("_cv").alias("_h"),
-                     _has_null("_cv").alias("_nul"))
+                     _null_vec_flag("_cv").alias("_nul"))
             .unionByName(
                 q.select(F.lit("q").alias("_side"), F.xxhash64("_qv").alias("_h"),
-                         _has_null("_qv").alias("_nul"))
+                         _null_vec_flag("_qv").alias("_nul"))
             )
         )
         c_mult, c_nulls = probe.get("c", (1.0, 0))
@@ -896,6 +888,21 @@ def near_dup_pairs(
 SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD = 2.0
 
 
+def _null_vec_flag(col: str) -> Column:
+    """1 when the vector is NULL or contains a null element. Such rows
+    decline the exact-dup collapse everywhere it is offered: SQL array
+    equality with a null element is never true, so the collapse's
+    equality joins (`groupBy(_cv)` expansion, Lloyd's training
+    re-join) silently drop those rows and the output/centroids would
+    diverge from the plain plan, breaking the bit-identical contract
+    (ADVICE r6 #1). The flag rides the fanout probe so the decision
+    costs no extra job."""
+    return (
+        F.col(col).isNull()
+        | F.coalesce(F.exists(col, lambda x: x.isNull()), F.lit(False))
+    ).cast("int")
+
+
 def _fanout_probe(rows: DataFrame) -> dict[str, tuple[float, int]]:
     """The ONE dup-fanout gate job shared by the vector collapses:
     `rows` is (_side, _h, _nul) — a hash per vector plus a 0/1
@@ -983,14 +990,20 @@ def semantic_dedup(
     groups: DataFrame | None = None
     mult = None
     if collapse_exact:
-        mult, _ = _fanout_probe(
+        mult, nulls = _fanout_probe(
             c.select(
                 F.lit("c").alias("_side"),
                 F.xxhash64("_cv").alias("_h"),
-                F.lit(0).alias("_nul"),
+                _null_vec_flag("_cv").alias("_nul"),
             )
         ).get("c", (1.0, 0))
-        if mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD:
+        if nulls:
+            # null vectors / null elements: both the member-expansion
+            # join on _cv and Lloyd's collapsed-training re-join use
+            # array equality, which drops such rows — keep the plain
+            # path end to end (ADVICE r6 #1)
+            mult = None
+        elif mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD:
             # exact grouping on the vector itself (not the hash — a
             # collision must not merge distinct vectors)
             groups = (

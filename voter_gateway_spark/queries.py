@@ -920,7 +920,7 @@ clustered AS (
 SELECT component,
        count(*) AS n_members,
        count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        max(n_chars) AS max_chars
 FROM clustered GROUP BY component
 """
@@ -4080,7 +4080,7 @@ CORPUS_SUMMARY_SQL = r"""
 SELECT count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
        round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
        count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_exact_dups

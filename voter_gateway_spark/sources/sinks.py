@@ -79,20 +79,31 @@ def write_table(
             # raises on MapType (anywhere in the type) since Spark 3.0,
             # and hashing the partition columns alone is constant per
             # partition value — the skew split would silently do
-            # nothing. When no usable column remains, fall back to the
-            # row's position id: deterministic per task slot and
-            # uniform, which is all the split needs.
+            # nothing. When every non-partition column is a map, hash
+            # its canonical JSON rendering instead: a stage retry after
+            # a fetch failure recomputes rows with the SAME salt (a
+            # monotonically_increasing_id salt is position-dependent —
+            # the SPARK-23207 round-robin class, rows duplicated or
+            # lost on retry; ADVICE r6 #2).
             hashable = [
                 f.name
                 for f in df.schema.fields
                 if f.name not in partition_by
                 and "map<" not in f.dataType.simpleString()
             ]
-            salt_src = (
-                F.hash(*[out[c] for c in hashable])
-                if hashable
-                else F.monotonically_increasing_id()
-            )
+            if hashable:
+                salt_src = F.hash(*[out[c] for c in hashable])
+            else:
+                map_cols = [
+                    f.name for f in df.schema.fields
+                    if f.name not in partition_by
+                ]
+                salt_src = F.hash(
+                    *[
+                        F.to_json(F.map_entries(out[c]))
+                        for c in map_cols
+                    ]
+                ) if map_cols else F.lit(0)
             salt = F.pmod(salt_src, F.col("_splits"))
             out = out.repartition(
                 n_parts, *[F.col(c) for c in partition_by], salt
