@@ -204,3 +204,52 @@ def test_blank_rows_never_pair_under_collapse(spark):
     a, b = canon(True), canon(False)
     assert a == b
     assert not [t for t in a if 100 <= t[0] < 200]  # blanks match nothing
+
+
+def test_gate_declined_hazard_guard_engages_auto_cap(spark, monkeypatch):
+    """ADVICE r6 #4: on a heavy-tailed DISTINCT-text corpus the
+    gate-declined branch must not run the inverted-index join
+    uncapped once the estimated candidate row count crosses
+    HAZARD_EST_PAIRS. Pins the wiring by forcing the threshold to 0
+    (guard always fires) and asserting the result equals an explicit
+    max_trigram_freq="auto" call; and that with the real (huge)
+    threshold the default path equals the uncapped one."""
+    from voter_gateway_spark.operators import fuzzy as fz
+
+    # distinct texts sharing a dominant phrase: fanout probe ~1.0
+    # (gate declines), hot trigrams present
+    rows = [Row(sid=i, addr=f"{i} main street apt {i % 7}") for i in range(1, 61)]
+    source = spark.createDataFrame(rows, "sid int, addr string")
+    target = spark.createDataFrame(
+        [Row(tid=i, addr=f"{i} main street apt {i % 7}") for i in range(1, 41)],
+        "tid int, addr string",
+    )
+    kw = dict(column="addr", source_id="sid", target_id="tid", threshold=0.5)
+
+    explicit_auto = {
+        (r.sid, r.matched_tid, r.similarity)
+        for r in top1_fuzzy_match(
+            source, target, collapse_exact=False, max_trigram_freq="auto", **kw
+        ).collect()
+    }
+    uncapped = {
+        (r.sid, r.matched_tid, r.similarity)
+        for r in top1_fuzzy_match(
+            source, target, collapse_exact=False, max_trigram_freq=0, **kw
+        ).collect()
+    }
+
+    monkeypatch.setattr(fz, "HAZARD_EST_PAIRS", 0)
+    guarded = {
+        (r.sid, r.matched_tid, r.similarity)
+        for r in top1_fuzzy_match(source, target, **kw).collect()
+    }
+    assert guarded == explicit_auto
+
+    monkeypatch.setattr(fz, "HAZARD_EST_PAIRS", 10**15)
+    unguarded = {
+        (r.sid, r.matched_tid, r.similarity)
+        for r in top1_fuzzy_match(source, target, **kw).collect()
+    }
+    assert unguarded == uncapped
+    assert len(unguarded) > 0

@@ -264,3 +264,84 @@ def test_admission_none_query_id_never_skips_but_lands_once(
     )
     assert replayed is not None  # never marker-skipped
     _assert_exactly_once(spark, cp, corpus, admitted_ids)
+
+
+def test_admission_replay_undo_is_manifest_driven_not_a_scan(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r6 #5: once a lineage has committed a batch, no replay
+    may pay a recursive live-dir listing — the move manifest (written
+    before the first rename) bounds the undo to this batch's own
+    files. Crash mid-commit after a prior committed batch, then assert
+    the replay never calls _delete_tagged and still lands the batch
+    exactly once."""
+    import pytest as _pytest
+
+    import voter_gateway_spark.streaming.index_dedup as idx_mod
+
+    corpus, idx, cp, batch = _bootstrap_small(spark, sf_dir, tmp_path, "manif")
+    docs = _docs(spark, sf_dir)
+
+    # batch 1 commits cleanly -> lineage marker + manifest exist
+    b1 = docs.where(F.col("doc_id") % 5 == 0).limit(3)
+    first = admit_batch(spark, b1, idx, cp, "doc_id", "text", batch_id=1, query_id="qm")
+    ids1 = {r.doc_id for r in first.select("doc_id").collect()}
+    assert ids1
+
+    # batch 2 crashes mid-commit (corpus committed, index partial)
+    real_commit = idx_mod._commit_staged
+
+    def dying_commit(spark_, staged_dir, live_dir, tag):
+        real_commit(spark_, staged_dir, live_dir, tag)
+        if "/bands" in live_dir:
+            raise RuntimeError("injected crash after bands commit")
+
+    monkeypatch.setattr(idx_mod, "_commit_staged", dying_commit)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        admit_batch(spark, batch, idx, cp, "doc_id", "text", batch_id=2, query_id="qm")
+    monkeypatch.setattr(idx_mod, "_commit_staged", real_commit)
+
+    def no_scan(*a, **kw):
+        raise AssertionError("replay paid a recursive live-dir scan")
+
+    monkeypatch.setattr(idx_mod, "_delete_tagged", no_scan)
+    replayed = admit_batch(
+        spark, batch, idx, cp, "doc_id", "text", batch_id=2, query_id="qm"
+    )
+    ids2 = {r.doc_id for r in replayed.select("doc_id").collect()}
+    assert ids2
+    _assert_exactly_once(spark, cp, corpus, ids1 | ids2)
+    # index consistent after manifest-undo replay: copies rejected
+    copies = replayed.select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    again = admit_batch(
+        spark, copies, idx, cp, "doc_id", "text", batch_id=3, query_id="qm"
+    )
+    assert again.count() == 0
+
+
+def test_admission_interleaved_lineages_keep_independent_skip_state(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r6 #5 (second half): markers are per-lineage files, so
+    lineage B committing between lineage A's commit and A's replay
+    must NOT degrade A's skip into delete-and-redo — A's replay still
+    returns None (skipped) and B's rows survive."""
+    corpus, idx, cp, batch = _bootstrap_small(spark, sf_dir, tmp_path, "ilv")
+    docs = _docs(spark, sf_dir)
+
+    a = admit_batch(spark, batch, idx, cp, "doc_id", "text", batch_id=5, query_id="la")
+    a_ids = {r.doc_id for r in a.select("doc_id").collect()}
+    assert a_ids
+
+    b_batch = docs.where(F.col("doc_id") % 5 == 4).limit(3)
+    b = admit_batch(
+        spark, b_batch, idx, cp, "doc_id", "text", batch_id=2, query_id="lb"
+    )
+    b_ids = {r.doc_id for r in b.select("doc_id").collect()}
+
+    # A's committed-batch replay after B's write: still marker-skipped
+    assert (
+        admit_batch(spark, batch, idx, cp, "doc_id", "text", batch_id=5, query_id="la")
+        is None
+    )
+    _assert_exactly_once(spark, cp, corpus, a_ids | b_ids)

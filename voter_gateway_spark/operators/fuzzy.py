@@ -101,6 +101,39 @@ DEFAULT_TRIGRAM_FREQ_FLOOR = 100
 # own fixed stage latency is worth.
 COLLAPSE_FANOUT_THRESHOLD = 2.0
 
+# Gate-declined hazard guard (ADVICE r6 #4): when the dup-fanout gate
+# declines the collapse, the inverted-index join runs uncapped — on a
+# heavy-tailed DISTINCT-text corpus (many rows sharing one dominant
+# value's trigrams without being duplicates) a hot trigram fans out
+# O(rows). Before joining, one small job computes the EXACT candidate
+# row count the uncapped join would produce (Σ_tg s_freq·t_freq over
+# per-trigram counts); above this many candidate rows the auto
+# stop-trigram cap engages (its ~2.5 s of fixed re-verify latency is
+# noise against a multi-hundred-million-row join, and its fingerprint
+# safety channel preserves sim-1.0 recall). The oracle corpora probe
+# ~1-9 M — far below — so driver-checked results are byte-unchanged.
+HAZARD_EST_PAIRS = 200_000_000
+
+
+def _index_fanout_estimate(s: DataFrame, t: DataFrame) -> int:
+    """Exact row count of the uncapped inverted-index join: per-side
+    per-trigram occurrence counts, joined on trigram, Σ s_n·t_n. One
+    job over the (checkpoint-materialized) trigram frames; the
+    per-trigram aggregates are map-side-combined, so the shuffle is
+    bounded by the distinct-trigram vocabulary, not the corpus."""
+    s_cnt = (
+        s.select(F.explode("_stg").alias("_tg"))
+        .groupBy("_tg").agg(F.count(F.lit(1)).alias("_sn"))
+    )
+    t_cnt = (
+        t.select(F.explode("_ttg").alias("_tg"))
+        .groupBy("_tg").agg(F.count(F.lit(1)).alias("_tn"))
+    )
+    row = s_cnt.join(t_cnt, "_tg").agg(
+        F.sum(F.col("_sn") * F.col("_tn")).alias("_est")
+    ).collect()[0]
+    return int(row["_est"] or 0)
+
 
 def _fp_expr(col: str) -> Column:
     """Canonical fingerprint of a trigram array: md5 over the SORTED
@@ -275,19 +308,19 @@ def top1_fuzzy_match(
     `max_trigram_freq=None` (the default) engages the data-proportional
     in-plan stop-trigram cap ("auto" — see _pairs_from_trigram_frames)
     on the `collapse_exact=False` path only, where the caller has
-    explicitly chosen raw-row joins. BOTH `collapse_exact=True`
-    branches default to UNCAPPED — the collapse branch because its rep
-    pool is distinct texts (duplication-driven fanout structurally
-    bounded), and the gate-DECLINED branch deliberately: the probe
-    declining means duplication ≤ 2×, and the cap's exact re-verify
-    join-backs cost a measured ~2.5 s of FIXED stage latency per call
-    (sf0.1 and 100× alike), which is the exact regression the r5→r6
-    rework removed. The residual exposure on the declined branch is a
-    heavy-tailed DISTINCT-text corpus (many rows sharing one dominant
-    value's trigrams without being duplicates) — there a hot trigram
-    fans out O(rows) with no cap; pass "auto" or an int to engage the
-    cap (with its fingerprint exact-match safety channel) on such
-    corpora. Pass 0 to disable capping everywhere.
+    explicitly chosen raw-row joins. The collapse branch defaults to
+    UNCAPPED (its rep pool is distinct texts — duplication-driven
+    fanout structurally bounded). The gate-DECLINED branch defaults to
+    uncapped too — the cap's exact re-verify join-backs cost a
+    measured ~2.5 s of FIXED stage latency per call, the regression
+    the r5→r6 rework removed — but is HAZARD-GUARDED (ADVICE r6 #4):
+    one small job computes the exact candidate row count the uncapped
+    inverted-index join would produce, and above HAZARD_EST_PAIRS the
+    auto cap engages anyway, because on a heavy-tailed DISTINCT-text
+    corpus a hot trigram fans out O(rows) and the fixed cap cost is
+    noise against a multi-hundred-million-row join (the fingerprint
+    safety channel preserves sim-1.0 recall under the cap). Pass 0 to
+    disable capping everywhere.
     """
     if not collapse_exact:
         if max_trigram_freq is None:
@@ -346,9 +379,13 @@ def top1_fuzzy_match(
     mult = {r["_side"]: float(r["_mult"]) for r in probe}
     fanout = mult.get("s", 1.0) * mult.get("t", 1.0)
     if fanout <= COLLAPSE_FANOUT_THRESHOLD:
-        pairs = _pairs_from_trigram_frames(
-            s, t, 0 if max_trigram_freq is None else max_trigram_freq
-        )
+        cap = 0 if max_trigram_freq is None else max_trigram_freq
+        if max_trigram_freq is None:
+            # hazard guard: engage the auto cap only when the uncapped
+            # join would be explosive (see HAZARD_EST_PAIRS)
+            if _index_fanout_estimate(s, t) > HAZARD_EST_PAIRS:
+                cap = "auto"
+        pairs = _pairs_from_trigram_frames(s, t, cap)
         if exclude_self:
             pairs = pairs.where(F.col("_sid") != F.col("_tid"))
         qualified = pairs.where(F.col("similarity") > F.lit(1.0 - threshold))

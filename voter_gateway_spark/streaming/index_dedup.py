@@ -29,29 +29,40 @@ Crash/replay guarantees (batch_id-tagged admission, the streaming
 path's default): each micro-batch's appends are staged to
 lineage+batch-scoped directories, then MOVED into the live
 corpus/index dirs under deterministic `vgsb<lineage>-<batch_id>-`
-file names, and an admission marker (batch_id + query lineage id)
-commits the batch. A replay after a crash at ANY point first deletes
-every live file carrying ITS OWN lineage+batch tag (undoing partial
-moves — the lineage in the tag means a NEW query whose batch ids
-restart at 0 can never delete a previous lineage's committed files),
-re-runs the probe against the now-consistent index, and re-commits —
-so a batch lands exactly once: no duplicate corpus rows, no lost
-admissions, and no index entry without its corpus row surviving
-recovery. A replay of a FULLY committed batch (crash between marker
-write and checkpoint commit) is skipped by the marker; the skip
-requires a real `query_id` (None identifies no lineage, so None-vs-
-None never suppresses a batch — direct callers replaying the same
-work re-land idempotently under the shared "adhoc" lineage tag, and
-two INDEPENDENT adhoc runs reusing a batch_id replace each other's
-files; pass a stable query_id to namespace independent pipelines).
-Direct `admit_batch(...)` calls without a `batch_id` keep the plain
-append-only behavior (no staging, no idempotence) for ad-hoc batch
-use.
+file names, and a PER-LINEAGE admission marker (batch_id + query
+lineage id) commits the batch. Before the first rename, the complete
+list of planned destinations is durably written to a per-lineage MOVE
+MANIFEST — a replay after a crash at ANY point deletes exactly the
+manifest's paths (undoing partial moves in O(this batch's files),
+never a scan of the live dirs, whose file count grows with stream
+lifetime — ADVICE r6 #5), re-runs the probe against the
+now-consistent index, and re-commits — so a batch lands exactly once:
+no duplicate corpus rows, no lost admissions, and no index entry
+without its corpus row surviving recovery. A manifest recording an
+OLDER batch is never acted on (that batch committed — its marker
+write preceded the checkpoint commit that advanced the stream); a
+torn manifest write is safe because it proves no rename happened. The
+one recursive tagged scan that remains runs at most once per lineage:
+no manifest + no lineage marker means a brand-new lineage or one
+upgraded mid-crash from the pre-manifest (r6) protocol, and the scan
+recovers exactly that migration window. A replay of a FULLY committed
+batch (crash between marker write and checkpoint commit) is skipped
+by the lineage's own marker — markers are per-lineage files, so
+interleaved pipelines on one corpus never clobber each other's skip
+state. The skip requires a real `query_id` (None identifies no
+lineage, so None-vs-None never suppresses a batch — direct callers
+replaying the same work re-land idempotently under the shared "adhoc"
+lineage tag, and two INDEPENDENT adhoc runs reusing a batch_id
+replace each other's files; pass a stable query_id to namespace
+independent pipelines). Direct `admit_batch(...)` calls without a
+`batch_id` keep the plain append-only behavior (no staging, no
+idempotence) for ad-hoc batch use.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,12 +84,95 @@ from voter_gateway_spark.streaming.upsert_sink import (
 )
 
 _ADMIT_MARKER = "_vgs_admit_marker"
+_MANIFEST = "_vgs_admit_manifest"
 
 
 def _lineage_slug(query_id: str | None) -> str:
     return (
         hashlib.md5(query_id.encode()).hexdigest()[:12] if query_id else "adhoc"
     )
+
+
+def _marker_name(query_id: str | None) -> str:
+    """Per-LINEAGE marker file (ADVICE r6 #5): interleaved pipelines on
+    one corpus each keep their own committed-batch watermark, so one
+    lineage's marker can never clobber another's skip state (the r6
+    single shared marker degraded a committed replay's skip into
+    delete-and-redo whenever another lineage had written since)."""
+    return f"{_ADMIT_MARKER}-{_lineage_slug(query_id)}"
+
+
+def _manifest_path(jvm, corpus_path: str, slug: str):
+    return jvm.org.apache.hadoop.fs.Path(f"{corpus_path}/{_MANIFEST}-{slug}")
+
+
+def _read_manifest(
+    spark: SparkSession, corpus_path: str, slug: str
+) -> dict | None:
+    """The lineage's move manifest: {'batch_id': N, 'dests': [...]} —
+    the complete list of live-file destinations the last attempt
+    PLANNED before its first rename. None when absent; a torn write
+    (crash mid-create) reads as {'batch_id': -1, 'dests': []}, which
+    is safe: the manifest is written before any rename, so a torn
+    manifest proves no rename of the current attempt happened."""
+    fs, _, jvm = _fs(spark, corpus_path)
+    mpath = _manifest_path(jvm, corpus_path, slug)
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 16_000_000:
+            data.append(b)
+            b = stream.read()
+        return json.loads(bytes(data))
+    except (ValueError, KeyError):
+        return {"batch_id": -1, "dests": []}
+    finally:
+        stream.close()
+
+
+def _write_manifest(
+    spark: SparkSession,
+    corpus_path: str,
+    slug: str,
+    batch_id: int,
+    dests: list[str],
+) -> None:
+    fs, _, jvm = _fs(spark, corpus_path)
+    out = fs.create(_manifest_path(jvm, corpus_path, slug), True)
+    out.write(bytearray(json.dumps({"batch_id": batch_id, "dests": dests}).encode()))
+    out.close()
+
+
+def _list_staged(spark: SparkSession, staged_dir: str) -> list[tuple]:
+    """Sorted (src Path, rel-subdir) listing of a staging dir. SORTED
+    by qualified source path so the seq→dest-name assignment is
+    identical across the manifest-planning pass and the commit pass
+    (and across replay attempts over the same staged content)."""
+    fs, sroot, jvm = _fs(spark, staged_dir)
+    if not fs.exists(sroot):
+        return []
+    sroot_q = str(fs.makeQualified(sroot))
+    it = fs.listFiles(sroot, True)
+    moves = []
+    while it.hasNext():
+        fpath = it.next().getPath()
+        if not fpath.getName().endswith(".parquet"):
+            continue  # _SUCCESS and friends
+        rel = str(fs.makeQualified(fpath.getParent()))[len(sroot_q):].lstrip("/")
+        moves.append((str(fs.makeQualified(fpath)), fpath, rel))
+    moves.sort(key=lambda m: m[0])
+    return [(fpath, rel) for _, fpath, rel in moves]
+
+
+def _plan_dests(live_dir: str, tag: str, listing: list[tuple]) -> list[str]:
+    return [
+        f"{live_dir}/{rel}/{tag}{seq}.parquet" if rel
+        else f"{live_dir}/{tag}{seq}.parquet"
+        for seq, (_, rel) in enumerate(listing)
+    ]
 
 
 def _batch_tag(batch_id: int, query_id: str | None) -> str:
@@ -90,10 +184,11 @@ def _batch_tag(batch_id: int, query_id: str | None) -> str:
 
 
 def _delete_tagged(spark: SparkSession, root_dir: str, tag: str) -> None:
-    """Remove live files left by a crashed attempt at this batch
-    (partial commit undo). Recursive listing cost ∝ files under the
-    root — the corpus/index dirs, whose file counts the deterministic
-    naming itself keeps bounded to O(batches × partitions)."""
+    """Migration-window undo: remove live files left by a crashed
+    attempt under the pre-manifest (r6) protocol. Recursive listing
+    cost ∝ files under the root; since the manifest protocol this runs
+    at most ONCE per lineage (first batch with no lineage marker), not
+    per batch."""
     fs, root, jvm = _fs(spark, root_dir)
     if not fs.exists(root):
         return
@@ -120,15 +215,7 @@ def _commit_staged(
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(sroot):
         return
-    sroot_q = str(fs.makeQualified(sroot))
-    it = fs.listFiles(sroot, True)
-    moves = []
-    while it.hasNext():
-        fpath = it.next().getPath()
-        if not fpath.getName().endswith(".parquet"):
-            continue  # _SUCCESS and friends
-        rel = str(fs.makeQualified(fpath.getParent()))[len(sroot_q):].lstrip("/")
-        moves.append((fpath, rel))
+    moves = _list_staged(spark, staged_dir)
     for seq, (fpath, rel) in enumerate(moves):
         dest_dir = f"{live_dir}/{rel}" if rel else live_dir
         fs.mkdirs(Path(dest_dir))
@@ -164,16 +251,39 @@ def admit_batch(
     None when the marker proves this batch already fully committed."""
     exactly_once = batch_id is not None
     if exactly_once:
-        m_batch, m_qid = _read_marker(spark, corpus_path, name=_ADMIT_MARKER)
+        slug = _lineage_slug(query_id)
+        m_batch, m_qid = _read_marker(
+            spark, corpus_path, name=_marker_name(query_id)
+        )
         # the skip needs a REAL lineage id: None == None must not
         # suppress batches of an unrelated later run whose batch ids
         # restart (the upsert_sink hazard) — None-qid replays instead
-        # re-land idempotently via the tagged undo below
+        # re-land idempotently via the manifest undo below
         if query_id is not None and m_qid == query_id and m_batch >= batch_id:
             return None  # fully committed replay — skip
         tag = _batch_tag(batch_id, query_id)
-        for root in (corpus_path, f"{index_path}/bands", f"{index_path}/hashes"):
-            _delete_tagged(spark, root, tag)
+        # Partial-commit undo, O(this batch's files) not O(corpus):
+        # the manifest (written BEFORE the first rename) lists every
+        # destination the crashed attempt could have created — delete
+        # exactly those. A manifest for an OLDER batch records a
+        # COMMITTED batch's files (its marker write preceded the
+        # checkpoint commit that advanced us here) — never deleted. No
+        # manifest + no lineage marker = either a brand-new lineage or
+        # a lineage upgraded from the pre-manifest protocol mid-crash:
+        # one recursive tagged scan covers both (it runs at most once
+        # per lineage — every committed batch leaves a marker).
+        man = _read_manifest(spark, corpus_path, slug)
+        if man is not None and man.get("batch_id") == batch_id:
+            fs, _, jvm = _fs(spark, corpus_path)
+            for dest in man.get("dests", []):
+                dpath = jvm.org.apache.hadoop.fs.Path(dest)
+                if fs.exists(dpath):
+                    _must(fs.delete(dpath, False), f"manifest undo {dest}")
+        elif man is None and m_batch == -1:
+            for root in (
+                corpus_path, f"{index_path}/bands", f"{index_path}/hashes"
+            ):
+                _delete_tagged(spark, root, tag)
     meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
     dup_ids = (
         probe_band_index(
@@ -196,7 +306,10 @@ def admit_batch(
     admitted = admitted.transform(ckpt)
     if not admitted.take(1):
         if exactly_once:
-            _write_marker(spark, corpus_path, batch_id, query_id, name=_ADMIT_MARKER)
+            _write_marker(
+                spark, corpus_path, batch_id, query_id,
+                name=_marker_name(query_id),
+            )
         return admitted
     slug = _lineage_slug(query_id)
     c_stage = f"{corpus_path}__stage_{slug}_b{batch_id}"
@@ -239,13 +352,25 @@ def admit_batch(
     else:
         h_out.write.mode(h_mode).parquet(h_dest)
     if exactly_once:
-        # commit order corpus -> bands -> hashes; a crash anywhere is
-        # undone on replay by the up-front tagged-file delete, and only
-        # the marker (last) makes the batch skippable
+        # manifest BEFORE the first rename: every destination any
+        # rename could create is durably listed, so a crash at any
+        # later point is undone on replay by deleting exactly these
+        # paths — no directory scans. Commit order corpus -> bands ->
+        # hashes; only the marker (last) makes the batch skippable.
+        dests: list[str] = []
+        for stage, live in (
+            (c_stage, corpus_path),
+            (b_stage, f"{index_path}/bands"),
+            (h_stage, f"{index_path}/hashes"),
+        ):
+            dests.extend(_plan_dests(live, tag, _list_staged(spark, stage)))
+        _write_manifest(spark, corpus_path, slug, batch_id, dests)
         _commit_staged(spark, c_stage, corpus_path, tag)
         _commit_staged(spark, b_stage, f"{index_path}/bands", tag)
         _commit_staged(spark, h_stage, f"{index_path}/hashes", tag)
-        _write_marker(spark, corpus_path, batch_id, query_id, name=_ADMIT_MARKER)
+        _write_marker(
+            spark, corpus_path, batch_id, query_id, name=_marker_name(query_id)
+        )
     return admitted
 
 
