@@ -291,3 +291,73 @@ def test_substring_span_scrub_matches_naive(spark_prop, corpus):
         kept = [w for j, w in enumerate(ws) if j not in mask]
         exp[i] = (" ".join(kept), len(ws) - len(kept), len(runs))
     assert got == exp
+
+
+# -- WAV codec vs the stdlib `wave` reference ---------------------------------
+
+
+def _wav_reference_stats(payload: bytes) -> list[float]:
+    """Independent decode via the stdlib `wave` module (the reference
+    implementation the PNG codec's analytic oracle plays for images):
+    parse with wave, compute the same 8 integer-exact statistics."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n = s.size
+    zc = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+    return [
+        float(n), float(rate), float(s.sum()) / n,
+        float(s.max()), float(s.min()), float(zc),
+        float(np.abs(s).sum()) / n, float((s * s).sum()) / n,
+    ]
+
+
+def _inject_odd_chunk(payload: bytes, chunk_body: bytes) -> bytes:
+    """Insert an auxiliary chunk (odd-length bodies exercise the RIFF
+    word-alignment path: a pad byte follows, honored by both the
+    engine decoder and stdlib wave/chunk) between fmt and data, fixing
+    up the declared RIFF size."""
+    import struct
+
+    ln = len(chunk_body)
+    aux = b"junk" + struct.pack("<I", ln) + chunk_body + (b"\x00" if ln & 1 else b"")
+    data_at = payload.index(b"data", 12)
+    out = payload[:data_at] + aux + payload[data_at:]
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=400
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    odd_aux=st.one_of(
+        st.none(), st.binary(min_size=1, max_size=9).filter(lambda b: len(b) & 1)
+    ),
+)
+def test_wav_decode_matches_stdlib_wave_reference(samples, rate, odd_aux):
+    """VERDICT r6 ask #8: the WAV codec's 8 statistics must agree
+    bit-for-bit with an independent stdlib-`wave` decode over
+    randomized PCM buffers, including payloads carrying an odd-length
+    auxiliary chunk (the word-alignment path both parsers must honor
+    identically)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import make_wav, wav_decode
+
+    payload = make_wav(rate, np.array(samples, dtype=np.int64))
+    if odd_aux is not None:
+        payload = _inject_odd_chunk(payload, odd_aux)
+    assert wav_decode(payload) == _wav_reference_stats(payload)
