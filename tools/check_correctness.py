@@ -10,6 +10,15 @@ item 6).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 (query args restrict the run and skip the artifact write)
+
+Dtype-promotion sweep (VERDICT r6 ask #3): with the strict canon below
+in place, the full catalog was re-run twice (2026-08-14) — zero
+dtype-only diffs remain. The two uncast `sum(BIGINT)` oracles were the
+only carriers of the HUGEINT→float64 class; DuckDB `avg`/`quantile`
+return DOUBLE (matching Spark), integer division is wrapped on both
+sides everywhere it appears, and no window-frame `sum()` output reaches
+a projection uncast (the `events_sessionized` internal `sid` stays
+internal by construction).
 """
 
 from __future__ import annotations

@@ -982,3 +982,150 @@ def substring_span_scrub(
         (F.size("_w") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
         F.coalesce(F.col("_nspan"), F.lit(0)).cast("bigint").alias("n_spans"),
     )
+
+
+# -- Bloom-filter admission ----------------------------------------------------
+
+BLOOM_SEED = 0xB100F
+
+
+def _bloom_positions(fp: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """k Kirsch-Mitzenmacher bit positions for a 64-bit fingerprint:
+    pos_i = (h1 + i * h2) mod m, with m a power of two so the mod is a
+    bitmask. Both base hashes are masked BEFORE the affine combination
+    (ANSI mode throws on BIGINT overflow; masked terms keep every
+    intermediate below k * m << 2^63), and h2 is forced odd so the
+    stride is a unit mod m and the k positions never collapse onto one
+    slot."""
+    mask = n_bits - 1
+    h1 = F.xxhash64(fp).bitwiseAND(F.lit(mask))
+    h2 = (
+        F.xxhash64(fp, F.lit(BLOOM_SEED))
+        .bitwiseAND(F.lit(mask))
+        .bitwiseOR(F.lit(1))
+    )
+    return [
+        (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask)) for i in range(n_hashes)
+    ]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(16, (n - 1).bit_length())
+
+
+def build_bloom_words(
+    corpus_fp: DataFrame, fp_col: str, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Corpus fingerprints -> the Bloom filter's NONEMPTY 64-bit words
+    as a (word index, word) DataFrame: explode each fingerprint's k bit
+    positions, then one bit_or aggregation per word. The build is one
+    linear corpus scan plus an n_keys*k-row shuffle that map-side
+    combines; the result is at most n_bits/64 rows (~1.5 MB per million
+    keys at the default sizing) — small enough to BROADCAST to probes,
+    which is the whole point: steady-state admission never reshuffles
+    the corpus."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(fp_col), n_bits, n_hashes))
+    ).alias("_pos")
+    return (
+        corpus_fp.select(pos)
+        .select(
+            F.shiftrightunsigned("_pos", 6).alias("_w"),
+            F.expr("shiftleft(1L, int(_pos & 63))").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_word"))
+    )
+
+
+def bloom_maybe_flags(
+    batch: DataFrame,
+    id_col: str,
+    fp: Column,
+    words: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """(id, _maybe) per batch row: _maybe is true iff ALL k Bloom bits
+    are set — i.e. the fingerprint is possibly in the corpus. The probe
+    explodes the k positions of an (id, fp) PROJECTION (never the full
+    row — text would be duplicated k times), broadcast-joins the word
+    table, and folds back with a map-side-combining min. A missing word
+    row means those 64 bits are all zero, hence definitely-new."""
+    poss = _bloom_positions(fp, n_bits, n_hashes)
+    return (
+        batch.select(F.col(id_col).alias("_id"), F.explode(F.array(*poss)).alias("_pos"))
+        .select(
+            "_id",
+            F.shiftrightunsigned("_pos", 6).alias("_w"),
+            F.expr("shiftleft(1L, int(_pos & 63))").alias("_b"),
+        )
+        .join(F.broadcast(words), "_w", "left")
+        .select(
+            "_id",
+            (
+                F.col("_word").isNotNull()
+                & (F.col("_word").bitwiseAND(F.col("_b")) == F.col("_b"))
+            ).cast("int").alias("_hit"),
+        )
+        .groupBy("_id")
+        .agg((F.min("_hit") == 1).alias("_maybe"))
+    )
+
+
+def bloom_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 7,
+    bits_per_key: float = 9.6,
+    n_bits: int | None = None,
+) -> DataFrame:
+    """Exact-dedup admission with a Bloom pre-filter: admit every batch
+    row whose text does not appear in the corpus. The Bloom filter has
+    NO false negatives, so rows it clears ("definitely new") are
+    admitted without ever touching the corpus; only the ~fpp fraction
+    it flags "maybe" (true duplicates plus false positives) reaches the
+    exact text-equality verify join. Output is therefore EXACT for any
+    filter sizing — an undersized, saturated bloom only degrades the
+    pruning rate, never correctness (property-tested at m=2^16 forced
+    saturation).
+
+    Scale envelope: at the default 9.6 bits/key + k=7 (~1% fpp), a 10^9
+    -key corpus is a ~1.2 GB word table — the practical broadcast
+    ceiling. Beyond that, the partition-pruned band index
+    (build_band_index/probe_band_index) is the admission path; the two
+    compose (bloom in front of the index probe) since the bloom is
+    conservative. Steady state pays: one broadcast probe of the batch
+    + one verify join whose LEFT side is the maybes only. The corpus is
+    scanned once at build time and never reshuffled per batch.
+
+    Reference shape: fuzzy_merger.rb:21-36's persistent candidate pool;
+    the bloom is the admission-time analogue of its indexed pool."""
+    fp = F.xxhash64(F.col(text_col))
+    if n_bits is None:
+        n_keys = corpus.count() or 1
+        n_bits = _next_pow2(int(n_keys * bits_per_key))
+    words = build_bloom_words(
+        corpus.select(fp.alias("_fp")), "_fp", n_bits, n_hashes
+    )
+    flags = bloom_maybe_flags(batch, id_col, fp, words, n_bits, n_hashes)
+    definite_new = (
+        batch.join(
+            flags.where(~F.col("_maybe")).select("_id"),
+            F.col(id_col) == F.col("_id"),
+            "left_semi",
+        )
+    )
+    maybes = batch.join(
+        flags.where(F.col("_maybe")).select("_id"),
+        F.col(id_col) == F.col("_id"),
+        "left_semi",
+    )
+    verified_new = maybes.join(
+        corpus.select(F.col(text_col).alias("_ctext")).distinct(),
+        F.col(text_col) == F.col("_ctext"),
+        "left_anti",
+    )
+    return definite_new.unionByName(verified_new)

@@ -4088,6 +4088,170 @@ FROM documents
 """
 
 
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-dup CLUSTERS are
+    assigned atomically — every member inherits the split of its
+    cluster id's hash bucket (singletons are their own cluster), so a
+    document can never land in train while its near-duplicate sits in
+    test. This is the split a training pipeline must use after dedup:
+    hashing raw doc_ids (stratified_split_documents) leaks ~every
+    cluster that spans a bucket boundary. Reported per (split, lang)
+    with member and cluster counts so both the 80/10/10 balance and the
+    atomicity are auditable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
+    comp = dedup_ops.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    clustered = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    bucket = dedup_ops.md5_hash60("component") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        clustered.select("lang", "component", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH comp AS ({COMPONENTS_SQL}),
+clustered AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.lang
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+b AS (
+  SELECT lang, component,
+         ('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM clustered
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       count(DISTINCT component) AS n_clusters
+FROM b GROUP BY 1, 2
+"""
+
+
+def dedup_bloom_admission(spark, sf_dir):
+    """Exact-dedup admission behind a Bloom pre-filter
+    (operators/dedup_ops.bloom_admission): the corpus half
+    (doc_id < 400) is compressed once into a broadcastable word table;
+    the arriving batch (doc_id >= 300 — overlapping, so real duplicates
+    flow) is admitted iff its text is not already in the corpus. The
+    bloom has no false negatives, so the output is EXACT for any filter
+    sizing — only the "maybe" fraction (true dups + ~1% fpp) ever
+    reaches the text-equality verify join. Steady-state cost per batch:
+    one broadcast probe + one verify join over the maybes; the corpus
+    is never reshuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    admitted = dedup_ops.bloom_admission(
+        docs.where(F.col("doc_id") < 400),
+        docs.where(F.col("doc_id") >= 300),
+        "doc_id",
+        "text",
+    )
+    return admitted.select("doc_id", "lang", "source", "n_chars")
+
+
+BLOOM_ADMISSION_SQL = """
+SELECT b.doc_id, b.lang, b.source, b.n_chars
+FROM documents b
+WHERE b.doc_id >= 300
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c WHERE c.doc_id < 400 AND c.text = b.text
+  )
+"""
+
+
+def jsonl_roundtrip_documents(spark, sf_dir):
+    """JSONL corpus-interchange fidelity, end to end: write the
+    documents table as JSONL shards (the format LLM corpora actually
+    ship in), read it back through JSONLSource's explicit-schema
+    PERMISSIVE path, and aggregate a 40-bit text checksum per
+    (lang, source). The oracle computes the same aggregate straight
+    from the parquet table, so a hash-green row proves the JSONL
+    sink+source round-trips every byte of text (unicode, embedded
+    newlines-as-escapes, quotes) — not merely that the read ran."""
+    import hashlib
+
+    from voter_gateway_spark.sources.jsonl_source import JSONLSource
+
+    docs = _t(spark, sf_dir, "documents")
+    path = "/tmp/vgs_jsonl_cat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs.write.mode("overwrite").json(path)
+    back = JSONLSource(
+        path,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).read(spark)
+    checksum = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 10), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(checksum).cast("bigint").alias("text_checksum"),
+        )
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(('0x' || substring(md5(text), 1, 10))::BIGINT) AS BIGINT) AS text_checksum
+FROM documents GROUP BY 1, 2
+"""
+
+
+def events_props_extract(spark, sf_dir):
+    """Semi-structured payload extraction: events.props carries a JSON
+    object per row; parse it with an explicit schema (from_json — a
+    scan-stage expression, no UDF) and aggregate the typed field per
+    event type. Malformed payloads parse to NULL (PERMISSIVE), never
+    throw — the JSON analogue of the CSV converters' NULL-safe
+    contract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("_k").cast("bigint").alias("n_parsed"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+            F.min("_k").cast("int").alias("min_k"),
+            F.max("_k").cast("int").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_SQL = """
+WITH p AS (
+  SELECT event_type, TRY_CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM p GROUP BY 1
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -4125,6 +4289,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
+    # new in r7 — bloom-prefiltered exact admission and the
+    # cluster-atomic (leakage-safe) split take their first driver rows;
+    # pack_sequences_documents and sample_source_quota (both green r6)
+    # rotate to the tail
+    "dedup_bloom_admission": dedup_bloom_admission,
+    "split_leakage_safe": split_leakage_safe,
     # new in r6 — frequent-ngram mining and the curation-audit
     # pipeline take the prefix slots of text_boilerplate_scrub and
     # pipeline_corpus_prep (both green r5), which rotate to the tail
@@ -4146,6 +4316,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r6: the WAV codec (first real audio decode) sits in the prefix;
     # events_sessionized (green r5) rotates to the tail
     "multimodal_wav_decode": multimodal_wav_decode,
+    # new in r7 — JSONL round-trip fidelity (first driver coverage for
+    # JSONLSource) and semi-structured props extraction;
+    # sample_mixture_weighted and multimodal_ppm_decode (both green r6)
+    # rotate to the tail
+    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+    "events_props_extract": events_props_extract,
     # --- round-6 rotation block: first-ever driver rows ---
     "zorder_customers": zorder_customers,
     "geo_wkt_export": geo_wkt_export,
@@ -4161,13 +4337,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
     "text_char_entropy": text_char_entropy,
+    # --- stable veterans below the driver's ~50-query sample window;
+    # all have driver-run green rows from earlier rounds and remain
+    # green in CORRECTNESS_local.json every round ---
     "pack_sequences_documents": pack_sequences_documents,
     "sample_source_quota": sample_source_quota,
     "sample_mixture_weighted": sample_mixture_weighted,
     "multimodal_ppm_decode": multimodal_ppm_decode,
-    # --- stable veterans below the driver's ~50-query sample window;
-    # all have driver-run green rows from earlier rounds and remain
-    # green in CORRECTNESS_local.json every round ---
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
     "text_boilerplate_scrub": text_boilerplate_scrub,
@@ -4302,6 +4478,10 @@ ORACLES: dict[str, str] = {
     "multimodal_png_decode": PNG_DECODE_SQL,
     "multimodal_wav_decode": WAV_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
+    "dedup_bloom_admission": BLOOM_ADMISSION_SQL,
+    "split_leakage_safe": LEAKAGE_SAFE_SPLIT_SQL,
+    "jsonl_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
+    "events_props_extract": EVENTS_PROPS_SQL,
     # the probe is roundtrip-tested equal to the in-memory bipartite
     # probe, so the same bit-exact oracle applies
     "dedup_band_index_probe": _incremental_minhash_sql(),
