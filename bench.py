@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     # sf0.1/10x/100x measured at introduction), so it stays in the
     # bench to keep that shape pinned
     "dedup_substring_scrub",
+    # r7: bloom-prefiltered exact admission — steady-state dedup
+    # ingestion; tracked so the probe/verify split stays cheap
+    "dedup_bloom_admission",
 ]
 
 

@@ -1081,6 +1081,7 @@ def bloom_admission(
     n_hashes: int = 7,
     bits_per_key: float = 9.6,
     n_bits: int | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-dedup admission with a Bloom pre-filter: admit every batch
     row whose text does not appear in the corpus. The Bloom filter has
@@ -1097,19 +1098,31 @@ def bloom_admission(
     ceiling. Beyond that, the partition-pruned band index
     (build_band_index/probe_band_index) is the admission path; the two
     compose (bloom in front of the index probe) since the bloom is
-    conservative. Steady state pays: one broadcast probe of the batch
-    + one verify join whose LEFT side is the maybes only. The corpus is
-    scanned once at build time and never reshuffled per batch.
+    conservative. Steady state pays: one broadcast probe of the batch,
+    one column-pruned corpus scan semi-filtered by the maybes' tiny
+    candidate-fp set (partition-pruned further on an fp-bucketed
+    persisted corpus), and broadcast-only verify joins — the corpus is
+    NEVER shuffled or broadcast per batch, which is what the plain
+    anti-join cannot avoid once the corpus key set outgrows the
+    broadcast threshold (measured crossover in SCALING.md).
+
+    Steady-state callers build the word table ONCE (build_bloom_words,
+    optionally persisted/cached) and pass it via `words` (+ its
+    `n_bits`) so successive batches pay only the probe; omitting it
+    rebuilds the filter from `corpus` per call.
 
     Reference shape: fuzzy_merger.rb:21-36's persistent candidate pool;
     the bloom is the admission-time analogue of its indexed pool."""
     fp = F.xxhash64(F.col(text_col))
-    if n_bits is None:
-        n_keys = corpus.count() or 1
-        n_bits = _next_pow2(int(n_keys * bits_per_key))
-    words = build_bloom_words(
-        corpus.select(fp.alias("_fp")), "_fp", n_bits, n_hashes
-    )
+    if words is None:
+        if n_bits is None:
+            n_keys = corpus.count() or 1
+            n_bits = _next_pow2(int(n_keys * bits_per_key))
+        words = build_bloom_words(
+            corpus.select(fp.alias("_fp")), "_fp", n_bits, n_hashes
+        )
+    elif n_bits is None:
+        raise ValueError("n_bits is required when passing a prebuilt words table")
     flags = bloom_maybe_flags(batch, id_col, fp, words, n_bits, n_hashes)
     definite_new = (
         batch.join(
@@ -1123,8 +1136,18 @@ def bloom_admission(
         F.col(id_col) == F.col("_id"),
         "left_semi",
     )
+    # Verify WITHOUT ever shuffling or broadcasting the corpus: pull
+    # only the corpus rows whose fingerprint is among the maybes'
+    # (a broadcast semi-join against the tiny candidate-fp set — on a
+    # fp-bucketed persisted corpus this scan partition-prunes too),
+    # then compare TEXT on that tiny hit set so a fingerprint collision
+    # can never reject a genuinely new document.
+    cand_fps = maybes.select(fp.alias("_cfp")).distinct()
+    corpus_hits = corpus.select(
+        fp.alias("_cfp"), F.col(text_col).alias("_ctext")
+    ).join(F.broadcast(cand_fps), "_cfp", "left_semi").distinct()
     verified_new = maybes.join(
-        corpus.select(F.col(text_col).alias("_ctext")).distinct(),
+        F.broadcast(corpus_hits),
         F.col(text_col) == F.col("_ctext"),
         "left_anti",
     )
