@@ -73,7 +73,9 @@ class TestBloomAdmission:
             words = build_bloom_words(
                 corpus.select(fp.alias("_fp")), "_fp", n_bits, 7
             )
-            flags = bloom_maybe_flags(batch, "doc_id", fp, words, n_bits, 7)
+            flags = bloom_maybe_flags(
+                batch.withColumn("_bfp", fp), "_bfp", words, n_bits, 7
+            )
             assert flags.where(~F.col("_maybe")).count() == 0
 
     def test_prunes_definite_new(self, spark):
@@ -84,8 +86,39 @@ class TestBloomAdmission:
         fp = F.xxhash64(F.col("text"))
         n_bits = dedup_ops._next_pow2(int(400 * 9.6))
         words = build_bloom_words(corpus.select(fp.alias("_fp")), "_fp", n_bits, 7)
-        flags = bloom_maybe_flags(batch, "doc_id", fp, words, n_bits, 7)
+        flags = bloom_maybe_flags(
+            batch.withColumn("_bfp", fp), "_bfp", words, n_bits, 7
+        )
         assert flags.where(F.col("_maybe")).count() <= 10  # ~1% fpp of 200
+
+    def test_duplicate_ids_do_not_mix_fingerprints(self, spark):
+        """Regression (r7 code review): the probe is keyed on the
+        FINGERPRINT, not the row id — a batch carrying two different
+        texts under one id must reject exactly the duplicate one, and
+        duplicate id+text pairs must all be admitted/rejected
+        together."""
+        corpus = _docs(spark, [(0, "in corpus")])
+        batch = _docs(
+            spark,
+            [(1, "in corpus"), (1, "brand new"), (2, "brand new")],
+        )
+        got = sorted(
+            (r.doc_id, r.text)
+            for r in bloom_admission(corpus, batch, "doc_id", "text").collect()
+        )
+        assert got == [(1, "brand new"), (2, "brand new")]
+
+    def test_null_ids_are_admitted(self, spark):
+        """Regression (r7 code review): NULL row ids must flow through
+        admission like any other row — membership is a property of the
+        text."""
+        corpus = _docs(spark, [(0, "in corpus")])
+        batch = _docs(
+            spark, [(None, "fresh text"), (None, "in corpus"), (5, "fresh text")]
+        )
+        rows = bloom_admission(corpus, batch, "doc_id", "text").collect()
+        got = sorted(((r.doc_id, r.text) for r in rows), key=str)
+        assert got == sorted([(None, "fresh text"), (5, "fresh text")], key=str)
 
     def test_plan_is_jvm_native(self, spark):
         corpus = _docs(spark, [(i, f"t{i}") for i in range(50)])

@@ -162,8 +162,8 @@ def test_admission_crash_between_corpus_and_index_commit(
 
     real_commit = idx_mod._commit_staged
 
-    def dying_commit(spark_, staged_dir, live_dir, tag):
-        real_commit(spark_, staged_dir, live_dir, tag)
+    def dying_commit(spark_, staged_dir, live_dir, tag, moves=None):
+        real_commit(spark_, staged_dir, live_dir, tag, moves=moves)
         if "/bands" in live_dir:
             raise RuntimeError("injected crash after bands commit")
 
@@ -291,8 +291,8 @@ def test_admission_replay_undo_is_manifest_driven_not_a_scan(
     # batch 2 crashes mid-commit (corpus committed, index partial)
     real_commit = idx_mod._commit_staged
 
-    def dying_commit(spark_, staged_dir, live_dir, tag):
-        real_commit(spark_, staged_dir, live_dir, tag)
+    def dying_commit(spark_, staged_dir, live_dir, tag, moves=None):
+        real_commit(spark_, staged_dir, live_dir, tag, moves=moves)
         if "/bands" in live_dir:
             raise RuntimeError("injected crash after bands commit")
 

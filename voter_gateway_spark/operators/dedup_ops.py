@@ -1040,35 +1040,39 @@ def build_bloom_words(
 
 def bloom_maybe_flags(
     batch: DataFrame,
-    id_col: str,
-    fp: Column,
+    fp_col: str,
     words: DataFrame,
     n_bits: int,
     n_hashes: int,
 ) -> DataFrame:
-    """(id, _maybe) per batch row: _maybe is true iff ALL k Bloom bits
-    are set — i.e. the fingerprint is possibly in the corpus. The probe
-    explodes the k positions of an (id, fp) PROJECTION (never the full
-    row — text would be duplicated k times), broadcast-joins the word
-    table, and folds back with a map-side-combining min. A missing word
-    row means those 64 bits are all zero, hence definitely-new."""
-    poss = _bloom_positions(fp, n_bits, n_hashes)
+    """(_fp, _maybe) per DISTINCT batch fingerprint: _maybe is true iff
+    ALL k Bloom bits are set — i.e. the fingerprint is possibly in the
+    corpus. Keyed on the fingerprint, NOT a row id: membership is a
+    property of the content, so duplicate or NULL row ids cannot mix
+    the bit positions of different texts (a batch with two texts under
+    one id must still reject exactly the duplicate one). The probe
+    explodes the k positions of the distinct-fp PROJECTION (never the
+    full row — text would be duplicated k times), broadcast-joins the
+    word table, and folds back with a map-side-combining min. A missing
+    word row means those 64 bits are all zero, hence definitely-new."""
+    fps = batch.select(F.col(fp_col).alias("_fp")).distinct()
+    poss = _bloom_positions(F.col("_fp"), n_bits, n_hashes)
     return (
-        batch.select(F.col(id_col).alias("_id"), F.explode(F.array(*poss)).alias("_pos"))
+        fps.select("_fp", F.explode(F.array(*poss)).alias("_pos"))
         .select(
-            "_id",
+            "_fp",
             F.shiftrightunsigned("_pos", 6).alias("_w"),
             F.expr("shiftleft(1L, int(_pos & 63))").alias("_b"),
         )
         .join(F.broadcast(words), "_w", "left")
         .select(
-            "_id",
+            "_fp",
             (
                 F.col("_word").isNotNull()
                 & (F.col("_word").bitwiseAND(F.col("_b")) == F.col("_b"))
             ).cast("int").alias("_hit"),
         )
-        .groupBy("_id")
+        .groupBy("_fp")
         .agg((F.min("_hit") == 1).alias("_maybe"))
     )
 
@@ -1123,32 +1127,38 @@ def bloom_admission(
         )
     elif n_bits is None:
         raise ValueError("n_bits is required when passing a prebuilt words table")
-    flags = bloom_maybe_flags(batch, id_col, fp, words, n_bits, n_hashes)
-    definite_new = (
-        batch.join(
-            flags.where(~F.col("_maybe")).select("_id"),
-            F.col(id_col) == F.col("_id"),
-            "left_semi",
-        )
+    fp_batch = batch.withColumn("_bfp", fp)
+    flags = bloom_maybe_flags(fp_batch, "_bfp", words, n_bits, n_hashes)
+    # fp is a pure function of the text, so flags join back by
+    # FINGERPRINT equality — row ids may be duplicated or NULL without
+    # affecting admission (membership is a property of the content).
+    definite_new = fp_batch.join(
+        flags.where(~F.col("_maybe")).select("_fp"),
+        F.col("_bfp") == F.col("_fp"),
+        "left_semi",
     )
-    maybes = batch.join(
-        flags.where(F.col("_maybe")).select("_id"),
-        F.col(id_col) == F.col("_id"),
+    maybes = fp_batch.join(
+        flags.where(F.col("_maybe")).select("_fp"),
+        F.col("_bfp") == F.col("_fp"),
         "left_semi",
     )
     # Verify WITHOUT ever shuffling or broadcasting the corpus: pull
     # only the corpus rows whose fingerprint is among the maybes'
-    # (a broadcast semi-join against the tiny candidate-fp set — on a
-    # fp-bucketed persisted corpus this scan partition-prunes too),
-    # then compare TEXT on that tiny hit set so a fingerprint collision
-    # can never reject a genuinely new document.
-    cand_fps = maybes.select(fp.alias("_cfp")).distinct()
+    # candidate set (batch-bounded, 8 bytes per key — broadcastable
+    # even for dup-heavy batches; on a fp-bucketed persisted corpus
+    # this scan partition-prunes too), then compare TEXT on that hit
+    # set so a fingerprint collision can never reject a genuinely new
+    # document. The hit set carries text payloads and is sized by the
+    # batch's distinct duplicate texts, so it is NOT broadcast-hinted:
+    # AQE broadcasts it when small, and a pathological all-dup batch
+    # degrades to a BATCH-sized shuffle — never a corpus-sized one.
+    cand_fps = maybes.select(F.col("_bfp").alias("_cfp")).distinct()
     corpus_hits = corpus.select(
         fp.alias("_cfp"), F.col(text_col).alias("_ctext")
     ).join(F.broadcast(cand_fps), "_cfp", "left_semi").distinct()
     verified_new = maybes.join(
-        F.broadcast(corpus_hits),
+        corpus_hits,
         F.col(text_col) == F.col("_ctext"),
         "left_anti",
     )
-    return definite_new.unionByName(verified_new)
+    return definite_new.unionByName(verified_new).drop("_bfp")

@@ -368,22 +368,50 @@ def top1_fuzzy_match(
     # and run the plain plan when the product is small: a dup-free
     # corpus probes 1.0, the 100×-replica stress probes ~100.
     probe = (
-        s.select(F.lit("s").alias("_side"), s_fp.alias("_fp"))
-        .unionByName(t.select(F.lit("t").alias("_side"), t_fp.alias("_fp")))
+        s.select(
+            F.lit("s").alias("_side"),
+            s_fp.alias("_fp"),
+            F.coalesce(F.size("_stg"), F.lit(0)).alias("_sz"),
+        )
+        .unionByName(
+            t.select(
+                F.lit("t").alias("_side"),
+                t_fp.alias("_fp"),
+                F.coalesce(F.size("_ttg"), F.lit(0)).alias("_sz"),
+            )
+        )
         .groupBy("_side", "_fp")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_sz").alias("_szs"))
         .groupBy("_side")
-        .agg((F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"))
+        .agg(
+            (F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"),
+            F.sum("_n").alias("_rows"),
+            F.sum("_szs").alias("_occ"),
+        )
         .collect()
     )
     mult = {r["_side"]: float(r["_mult"]) for r in probe}
+    rows = {r["_side"]: int(r["_rows"] or 0) for r in probe}
+    occ = {r["_side"]: int(r["_occ"] or 0) for r in probe}
     fanout = mult.get("s", 1.0) * mult.get("t", 1.0)
     if fanout <= COLLAPSE_FANOUT_THRESHOLD:
         cap = 0 if max_trigram_freq is None else max_trigram_freq
         if max_trigram_freq is None:
             # hazard guard: engage the auto cap only when the uncapped
-            # join would be explosive (see HAZARD_EST_PAIRS)
-            if _index_fanout_estimate(s, t) > HAZARD_EST_PAIRS:
+            # join would be explosive (see HAZARD_EST_PAIRS). The exact
+            # estimate is itself a Spark job, so it only runs when a
+            # PROVABLE upper bound — Σ_tg s_n·t_n ≤ min(s_occ·t_rows,
+            # t_occ·s_rows), every factor already aggregated by the
+            # fanout probe above for free — says a blowup is even
+            # possible; small/normal corpora pay no extra job (r7 code
+            # review)
+            bound = min(
+                occ.get("s", 0) * rows.get("t", 0),
+                occ.get("t", 0) * rows.get("s", 0),
+            )
+            if bound > HAZARD_EST_PAIRS and (
+                _index_fanout_estimate(s, t) > HAZARD_EST_PAIRS
+            ):
                 cap = "auto"
         pairs = _pairs_from_trigram_frames(s, t, cap)
         if exclude_self:

@@ -98,11 +98,30 @@ def write_table(
                     f.name for f in df.schema.fields
                     if f.name not in partition_by
                 ]
+
+                # entry ORDER inside a map is not part of its value —
+                # map_from_entries(collect_list(...)) can legally emit
+                # the same entries in a different order on a stage
+                # retry, so the entries are key-sorted before the JSON
+                # rendering (entry-order-dependent salt = the same
+                # SPARK-23207 retry instability, one level down; r7
+                # code review). Values that are THEMSELVES maps would
+                # still render order-dependently — acceptable residual:
+                # map-of-map payload columns are not produced anywhere
+                # in the engine.
+                def _canon_map(c):
+                    ents = F.map_entries(out[c])
+                    return F.to_json(
+                        F.array_sort(
+                            ents,
+                            lambda l, r: F.when(l["key"] < r["key"], -1)
+                            .when(l["key"] > r["key"], 1)
+                            .otherwise(0),
+                        )
+                    )
+
                 salt_src = F.hash(
-                    *[
-                        F.to_json(F.map_entries(out[c]))
-                        for c in map_cols
-                    ]
+                    *[_canon_map(c) for c in map_cols]
                 ) if map_cols else F.lit(0)
             salt = F.pmod(salt_src, F.col("_splits"))
             out = out.repartition(

@@ -119,14 +119,37 @@ def _read_manifest(
     mpath = _manifest_path(jvm, corpus_path, slug)
     if not fs.exists(mpath):
         return None
+    # refuse rather than guess on an absurd manifest: truncating a
+    # VALID oversized manifest and misreading it as a torn write would
+    # skip the undo of an attempt whose renames DID happen (r7 code
+    # review); 64 MB ≈ 400k dest paths, far beyond any real batch
+    size = fs.getFileStatus(mpath).getLen()
+    if size > 64_000_000:
+        raise RuntimeError(
+            f"admission manifest implausibly large ({size} bytes) at "
+            f"{mpath} — refusing to classify; inspect/remove it manually"
+        )
     stream = fs.open(mpath)
     try:
-        data = bytearray()
-        b = stream.read()
-        while b != -1 and len(data) < 16_000_000:
-            data.append(b)
+        try:
+            # one py4j call for the whole file (a per-byte stream.read()
+            # loop is ~100-500us per ROUND TRIP — r7 code review)
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        except (ValueError, KeyError):
+            raise
+        except Exception:
+            # commons-io absent from the classpath: fall back to the
+            # byte loop, full-length (the size guard above bounds it)
+            buf = bytearray()
             b = stream.read()
-        return json.loads(bytes(data))
+            while b != -1:
+                buf.append(b)
+                b = stream.read()
+            data = bytes(buf)
+        # the read is complete (never truncated), so a parse failure
+        # really does mean a torn write — safe to classify: the
+        # manifest is created before any rename
+        return json.loads(data)
     except (ValueError, KeyError):
         return {"batch_id": -1, "dests": []}
     finally:
@@ -203,19 +226,30 @@ def _delete_tagged(spark: SparkSession, root_dir: str, tag: str) -> None:
 
 
 def _commit_staged(
-    spark: SparkSession, staged_dir: str, live_dir: str, tag: str
+    spark: SparkSession,
+    staged_dir: str,
+    live_dir: str,
+    tag: str,
+    moves: list[tuple] | None = None,
 ) -> None:
     """Move every staged parquet file into the live dir, preserving
     partition subdirectories, under deterministic `<tag><seq>.parquet`
     names — deterministic so a replay can find and undo a partial
     move. Renames are per-file (atomic on HDFS; copies on object
     stores, where a real table format should replace this protocol,
-    as with upsert_sink)."""
+    as with upsert_sink).
+
+    Pass the `_list_staged` result as `moves` when the caller already
+    listed the stage for manifest planning: the commit MUST see the
+    identical ordering for the seq→dest mapping to match the manifest,
+    and reusing it halves the recursive listings per commit (each one
+    is a paged remote call on object stores; r7 code review)."""
     fs, sroot, jvm = _fs(spark, staged_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(sroot):
         return
-    moves = _list_staged(spark, staged_dir)
+    if moves is None:
+        moves = _list_staged(spark, staged_dir)
     for seq, (fpath, rel) in enumerate(moves):
         dest_dir = f"{live_dir}/{rel}" if rel else live_dir
         fs.mkdirs(Path(dest_dir))
@@ -358,16 +392,20 @@ def admit_batch(
         # paths — no directory scans. Commit order corpus -> bands ->
         # hashes; only the marker (last) makes the batch skippable.
         dests: list[str] = []
+        listings: list[tuple[str, str, list[tuple]]] = []
         for stage, live in (
             (c_stage, corpus_path),
             (b_stage, f"{index_path}/bands"),
             (h_stage, f"{index_path}/hashes"),
         ):
-            dests.extend(_plan_dests(live, tag, _list_staged(spark, stage)))
+            listing = _list_staged(spark, stage)
+            listings.append((stage, live, listing))
+            dests.extend(_plan_dests(live, tag, listing))
         _write_manifest(spark, corpus_path, slug, batch_id, dests)
-        _commit_staged(spark, c_stage, corpus_path, tag)
-        _commit_staged(spark, b_stage, f"{index_path}/bands", tag)
-        _commit_staged(spark, h_stage, f"{index_path}/hashes", tag)
+        for stage, live, listing in listings:
+            # the SAME listing the manifest was planned from, so the
+            # seq→dest mapping is identical by construction
+            _commit_staged(spark, stage, live, tag, moves=listing)
         _write_marker(
             spark, corpus_path, batch_id, query_id, name=_marker_name(query_id)
         )
