@@ -35,6 +35,53 @@ def test_as_of_join_rejects_column_clash(spark):
         as_of_join(df, df.select("k", F.col("t").alias("rt"), "px"), "k", "t", "rt")
 
 
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=t) for t in (5, 10, 15, 25, 31, 50)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rt=10, v="a"), Row(k=1, rt=20, v="b"), Row(k=1, rt=40, v="c")],
+        "k int, rt int, v string",
+    )
+    return left, right
+
+
+def _asof_map(df):
+    return {r.t: r.v for r in df.collect()}
+
+
+def test_as_of_join_forward(spark):
+    left, right = _asof_fixture(spark)
+    got = _asof_map(as_of_join(left, right, "k", "t", "rt", direction="forward"))
+    assert got == {5: "a", 10: "a", 15: "b", 25: "c", 31: "c", 50: None}
+
+
+def test_as_of_join_nearest_ties_backward(spark):
+    left, right = _asof_fixture(spark)
+    got = _asof_map(as_of_join(left, right, "k", "t", "rt", direction="nearest"))
+    # 15 is 5 from both 10 and 20 -> backward tie-break picks 'a';
+    # 31 is 9 from 40 vs 11 from 20 -> 'c'
+    assert got == {5: "a", 10: "a", 15: "a", 25: "b", 31: "c", 50: "c"}
+
+
+def test_as_of_join_tolerance(spark):
+    left, right = _asof_fixture(spark)
+    back = _asof_map(
+        as_of_join(left, right, "k", "t", "rt", tolerance=5)
+    )
+    assert back == {5: None, 10: "a", 15: "a", 25: "b", 31: None, 50: None}
+    near = _asof_map(
+        as_of_join(left, right, "k", "t", "rt", direction="nearest", tolerance=5)
+    )
+    assert near == {5: "a", 10: "a", 15: "a", 25: "b", 31: None, 50: None}
+
+
+def test_as_of_join_rejects_unknown_direction(spark):
+    left, right = _asof_fixture(spark)
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, "k", "t", "rt", direction="sideways")
+
+
 def test_interval_join_inclusive_and_bucket_spanning(spark):
     points = spark.createDataFrame(
         [Row(k=1, t=0), Row(k=1, t=10), Row(k=1, t=25), Row(k=2, t=10)],

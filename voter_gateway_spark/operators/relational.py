@@ -24,6 +24,15 @@ from pyspark.sql import types as T
 from voter_gateway_spark.session import ckpt_lazy
 
 
+def _asof_num(col: Column, dtype: str) -> Column:
+    """Numeric rendering of an as-of time for delta arithmetic: epoch
+    seconds (fractional) for timestamps/dates, the value itself for
+    numerics."""
+    if dtype.startswith("timestamp") or dtype == "date":
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -31,12 +40,21 @@ def as_of_join(
     left_time: str,
     right_time: str,
     right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the right row with the
-    LARGEST right_time <= left_time for the same key (inclusive, the
-    ASOF JOIN convention); right columns are NULL when no prior right
-    row exists.
+    """As-of join with the full pandas-merge_asof surface:
 
+    - direction='backward' (default): LARGEST right_time <= left_time
+      per key (inclusive, the ASOF JOIN convention);
+    - direction='forward': SMALLEST right_time >= left_time;
+    - direction='nearest': whichever of the two is closer in time,
+      ties broken backward (the pandas convention);
+    - tolerance: maximum |Δt| (inclusive; seconds for time-typed
+      columns, same units as the column for numerics) — a match beyond
+      it returns NULLs, exactly like no match at all.
+
+    Right columns are NULL when no qualifying right row exists.
     `right` must be unique per (on, right_time) — pre-aggregate
     otherwise (ambiguous picks are the caller's modeling bug, not a
     tie-break to hide).
@@ -44,7 +62,9 @@ def as_of_join(
     Plan: union both sides with a marker, one window per key ordered by
     (time, marker — right rows first so equal timestamps match), then
     `last(payload, ignorenulls=True)` over the running frame. ONE
-    shuffle on the key; scales as a sort within partitions.
+    shuffle on the key; 'nearest' adds the mirrored window over the
+    SAME partitioning (a second sort, not a second shuffle). Scales as
+    a sort within partitions.
 
     The payload is carried as ONE struct, not per-column: per-column
     last(ignorenulls) would reach back to an OLDER right row for any
@@ -53,7 +73,12 @@ def as_of_join(
     The struct is non-null exactly on right rows, so ignorenulls skips
     left rows only and the whole matched row travels together —
     NULL-payload columns stay NULL, as a real ASOF join returns them.
+    The matched right TIME rides inside the struct (reserved field
+    `_asof_rt`), so tolerance and nearest-choice see the exact row that
+    matched.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
@@ -63,6 +88,8 @@ def as_of_join(
             f"as_of_join right columns {sorted(clash)} collide with left "
             "columns; alias the right payload first"
         )
+    if "_asof_rt" in right_cols:
+        raise ValueError("right column name _asof_rt is reserved")
     l = left.withColumn("_asof_t", F.col(left_time)).withColumn(
         "_is_left", F.lit(1)
     )
@@ -70,18 +97,49 @@ def as_of_join(
         F.col(on),
         F.col(right_time).alias("_asof_t"),
         F.lit(0).alias("_is_left"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
+        F.struct(
+            F.col(right_time).alias("_asof_rt"),
+            *[F.col(c) for c in right_cols],
+        ).alias("_asof_payload"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_asof_t").asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        *[c for c in unioned.columns if c != "_asof_payload"],
-        F.last("_asof_payload", ignorenulls=True).over(w).alias("_asof_payload"),
-    )
+    rt_dtype = dict(right.dtypes)[right_time]
+    lt_num = _asof_num(F.col("_asof_t"), rt_dtype)
+
+    def carry(descending: bool) -> Column:
+        # backward: ascending scan, last right row at or before me.
+        # forward: descending scan, last right row at or after me.
+        # Marker asc keeps right rows first at equal timestamps in both
+        # directions, so equal-ts matches stay inclusive.
+        order = F.col("_asof_t").desc() if descending else F.col("_asof_t").asc()
+        w = (
+            Window.partitionBy(on)
+            .orderBy(order, F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_asof_payload", ignorenulls=True).over(w)
+
+    def gated(payload: Column) -> tuple[Column, Column]:
+        """(payload-or-null-under-tolerance, |Δt|)."""
+        delta = F.abs(lt_num - _asof_num(payload["_asof_rt"], rt_dtype))
+        if tolerance is not None:
+            payload = F.when(delta <= F.lit(float(tolerance)), payload)
+        return payload, delta
+
+    cols = [c for c in unioned.columns if c != "_asof_payload"]
+    if direction == "nearest":
+        pb, db = gated(carry(False))
+        pf, df_ = gated(carry(True))
+        picked = (
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(db <= df_, pb)  # tie -> backward
+            .otherwise(pf)
+        )
+        carried = unioned.select(*cols, picked.alias("_asof_payload"))
+    else:
+        p, _ = gated(carry(direction == "forward"))
+        carried = unioned.select(*cols, p.alias("_asof_payload"))
     return (
         carried.where(F.col("_is_left") == 1)
         .select(

@@ -4252,6 +4252,84 @@ FROM p GROUP BY 1
 """
 
 
+def asof_nearest_purchase_events(spark, sf_dir):
+    """Nearest-in-time as-of join with tolerance (the full pandas
+    merge_asof surface on the union-marker plan): each view event picks
+    the user's closest purchase within ±1800 s — backward OR forward,
+    ties backward — or NULLs beyond the tolerance. One key shuffle;
+    'nearest' adds only a second sort over the same partitioning
+    (operators/relational.as_of_join(direction='nearest'))."""
+    from voter_gateway_spark.operators.relational import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("matched_ts", F.col("ts"))
+    )
+    out = as_of_join(
+        views,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        right_cols=["purchase_value", "matched_ts"],
+        direction="nearest",
+        tolerance=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round(
+            F.abs(F.col("ts").cast("double") - F.col("matched_ts").cast("double")),
+            6,
+        ).alias("delta_s"),
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts, epoch(ts) AS lt
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch(ts) AS rt, max(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+  SELECT v.event_id, p.rt AS brt, p.pval AS bval
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.lt >= p.rt
+),
+f AS (
+  SELECT v.event_id, p.rt AS frt, p.pval AS fval
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.lt <= p.rt
+),
+g AS (
+  SELECT v.event_id, v.user_id, v.lt,
+         CASE WHEN abs(v.lt - b.brt) <= 1800 THEN b.bval END AS bv,
+         CASE WHEN abs(v.lt - b.brt) <= 1800 THEN b.brt END AS brt,
+         CASE WHEN abs(f.frt - v.lt) <= 1800 THEN f.fval END AS fv,
+         CASE WHEN abs(f.frt - v.lt) <= 1800 THEN f.frt END AS frt
+  FROM v LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+)
+SELECT event_id, user_id,
+       round(CASE WHEN bv IS NULL THEN fv
+                  WHEN fv IS NULL THEN bv
+                  WHEN abs(lt - brt) <= abs(frt - lt) THEN bv
+                  ELSE fv END, 6) AS purchase_value,
+       round(CASE WHEN bv IS NULL THEN abs(frt - lt)
+                  WHEN fv IS NULL THEN abs(lt - brt)
+                  WHEN abs(lt - brt) <= abs(frt - lt) THEN abs(lt - brt)
+                  ELSE abs(frt - lt) END, 6) AS delta_s
+FROM g
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -4309,10 +4387,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver row; docs_training_shuffle (green r5) rotates to the tail
     "dedup_substring_scrub": dedup_substring_scrub,
     "asof_order_revenue_events": asof_order_revenue_events,
+    # new in r7 — nearest/tolerance as-of (pandas merge_asof surface);
+    # multimodal_png_decode (green r6) rotates to the tail
+    "asof_nearest_purchase_events": asof_nearest_purchase_events,
     "interval_join_events_windows": interval_join_events_windows,
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "events_view_purchase_attribution": events_view_purchase_attribution,
-    "multimodal_png_decode": multimodal_png_decode,
     # r6: the WAV codec (first real audio decode) sits in the prefix;
     # events_sessionized (green r5) rotates to the tail
     "multimodal_wav_decode": multimodal_wav_decode,
@@ -4344,6 +4424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_source_quota": sample_source_quota,
     "sample_mixture_weighted": sample_mixture_weighted,
     "multimodal_ppm_decode": multimodal_ppm_decode,
+    "multimodal_png_decode": multimodal_png_decode,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
     "text_boilerplate_scrub": text_boilerplate_scrub,
@@ -4478,6 +4559,7 @@ ORACLES: dict[str, str] = {
     "multimodal_png_decode": PNG_DECODE_SQL,
     "multimodal_wav_decode": WAV_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
+    "asof_nearest_purchase_events": ASOF_NEAREST_SQL,
     "dedup_bloom_admission": BLOOM_ADMISSION_SQL,
     "split_leakage_safe": LEAKAGE_SAFE_SPLIT_SQL,
     "jsonl_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
