@@ -157,3 +157,42 @@ def test_file_skipping_stats_quantify_zorder(spark, tmp_path):
 
     # clustered files cover strictly narrower value ranges on average
     assert avg_width(zed) < avg_width(flat)
+
+
+def test_write_training_shards_jsonl_parity(spark, tmp_path):
+    """JSONL shards carry the identical layout/manifest/determinism
+    contract as parquet shards, and the text survives byte-exact."""
+    from voter_gateway_spark.operators.layout import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} — ünïcode\tand 中文") for i in range(1, 201)],
+        "doc_id bigint, text string",
+    )
+    pq = write_training_shards(df, "doc_id", str(tmp_path / "pq"), n_shards=4)
+    js = write_training_shards(
+        df, "doc_id", str(tmp_path / "js"), n_shards=4, file_format="json"
+    )
+    assert js["shard_rows"] == pq["shard_rows"]
+    assert js["format"] == "json"
+    back = (
+        spark.read.format("json")
+        .schema("doc_id bigint, text string, pos bigint")
+        .load(str(tmp_path / "js"))
+    )
+    assert back.count() == 200
+    got = {r.doc_id: (r.text, r.shard, r.pos) for r in back.collect()}
+    pq_rows = {
+        r.doc_id: (r.text, r.shard, r.pos)
+        for r in spark.read.parquet(str(tmp_path / "pq")).collect()
+    }
+    assert got == pq_rows
+
+
+def test_write_training_shards_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    from voter_gateway_spark.operators.layout import write_training_shards
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with _pytest.raises(ValueError, match="format"):
+        write_training_shards(df, "doc_id", str(tmp_path / "x"), file_format="csv")

@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def morton_code(cols: list[Column | str], bits: int = 16) -> Column:
@@ -76,11 +77,17 @@ def write_training_shards(
     id_col: str,
     out_dir: str,
     n_shards: int = 8,
+    file_format: str = "parquet",
 ) -> dict:
     """Materialize deterministic training shards: rows get (shard, pos)
     addresses from the md5 shuffle (analytics.training_shuffle), land
     partitioned by shard and sorted by pos within each file, and a
     manifest records per-shard row counts for the data loader.
+
+    `file_format` is 'parquet' (default) or 'json' — JSONL shards are
+    the interchange form LLM data loaders consume directly (one
+    document object per line, `shard=K/*.json`); same layout, same
+    manifest, same determinism contract either way.
 
     Read side: a loader streams `shard=K/` sequentially and rows
     arrive in the deterministic shuffled order — no shuffle at
@@ -93,18 +100,29 @@ def write_training_shards(
     input."""
     from voter_gateway_spark.operators.analytics import training_shuffle
 
+    if file_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format {file_format!r}")
     shuffled = training_shuffle(df, id_col, n_shards=n_shards)
     (
         shuffled.repartition("shard")
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(out_dir)
+        .format(file_format)
+        .save(out_dir)
     )
     spark = df.sparkSession
+    reader = spark.read.format(file_format)
+    if file_format == "json":
+        # JSON re-read must not re-infer: pin the written schema minus
+        # the partition column (restored from the directory layout)
+        data_schema = T.StructType(
+            [f for f in shuffled.schema.fields if f.name != "shard"]
+        )
+        reader = reader.schema(data_schema)
     counts = {
         int(r["shard"]): int(r["n"])
-        for r in spark.read.parquet(out_dir)
+        for r in reader.load(out_dir)
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -114,6 +132,7 @@ def write_training_shards(
         "total_rows": sum(counts.values()),
         "shard_rows": {str(k): counts.get(k, 0) for k in range(n_shards)},
         "id_col": id_col,
+        "format": file_format,
     }
     import json
 
