@@ -206,3 +206,37 @@ def test_point_wkb_roundtrip(spark):
     byte_order, geom_type, x, y = struct.unpack("<BIdd", got[1])
     assert byte_order == 1 and geom_type == 1
     assert x == 1.5 and y == -2.25
+
+
+def test_session_paths_truncation_gap_and_tie_order(spark):
+    from datetime import datetime
+
+    from voter_gateway_spark.operators.analytics import session_paths
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, secs, typ, uid=1):
+        from datetime import timedelta
+
+        return (eid, base + timedelta(seconds=secs), uid, typ)
+
+    rows = (
+        # session 1: nine rapid events -> capped at 8 with '>+'
+        [ev(i, i, "view") for i in range(9)]
+        # session 2 (gap > 1800s): tie timestamps -> event_id order
+        + [ev(100, 4000, "click"), ev(99, 4000, "view")]
+        # second user, single event
+        + [ev(200, 0, "purchase", uid=2)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        r.path: (r.n_sessions, r.n_events)
+        for r in session_paths(df).collect()
+    }
+    assert got == {
+        ">".join(["view"] * 8) + ">+": (1, 9),
+        "view>click": (1, 2),  # event_id 99 (view) precedes 100 (click)
+        "purchase": (1, 1),
+    }

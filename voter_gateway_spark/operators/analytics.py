@@ -385,3 +385,68 @@ def contamination_spans(
             F.col("max_run").cast("bigint"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    max_len: int = 8,
+) -> DataFrame:
+    """Session path mining: gap-sessionize per user (the SESSION_SQL
+    lag/sum form — identical boundaries to the session_window operator),
+    render each session as its ordered event-type sequence capped at
+    `max_len` steps ('a>b>c>+' marks truncation), and aggregate per
+    path. The behavioral-sequence feature prep a funnel/recommender
+    pipeline runs: which journeys exist and how heavy each is.
+
+    Plan: one key shuffle for the two stacked user-windows (lag + the
+    running session counter share partitioning and ordering — one Sort),
+    one (user, sid) aggregation collecting the BOUNDED in-session event
+    structs, one path aggregation. collect_list is order-nondeterministic
+    across retries, so the struct array is array_sort-ed on (time, id)
+    — the deterministic render both engines agree on."""
+    us = F.unix_micros(F.col(time_col))
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_e"),
+        F.col(type_col).alias("_t"),
+        us.alias("_us"),
+    )
+    w = Window.partitionBy("_u").orderBy("_us", "_e")
+    lag_us = F.lag("_us").over(w)
+    m = e.withColumn(
+        "_new",
+        F.when(
+            lag_us.isNull()
+            | ((F.col("_us") - lag_us) >= gap_seconds * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    g = m.withColumn(
+        "_sid",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = g.groupBy("_u", "_sid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_us"), F.col("_e"), F.col("_t")))
+        ).alias("_evs")
+    )
+    head = F.transform(F.slice("_evs", 1, max_len), lambda s: s["_t"])
+    path = F.when(
+        F.size("_evs") > max_len,
+        F.concat(F.concat_ws(">", head), F.lit(">+")),
+    ).otherwise(F.concat_ws(">", head))
+    return (
+        sess.select(path.alias("path"), F.size("_evs").alias("_ne"))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("_ne").cast("bigint").alias("n_events"),
+        )
+    )

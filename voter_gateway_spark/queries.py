@@ -4330,6 +4330,47 @@ FROM g
 """
 
 
+def events_session_paths(spark, sf_dir):
+    """Session path mining (operators/analytics.session_paths): 30-min
+    gap sessions rendered as ordered event-type journeys capped at 8
+    steps, aggregated per path — the behavioral-sequence profile
+    ('view>view>purchase' and friends) with session/event mass."""
+    from voter_gateway_spark.operators.analytics import session_paths
+
+    return session_paths(_t(spark, sf_dir, "events"))
+
+
+SESSION_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+g AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM m
+),
+s AS (
+  SELECT user_id, sid, list(event_type ORDER BY us, event_id) AS evs
+  FROM g GROUP BY user_id, sid
+),
+p AS (
+  SELECT CASE WHEN len(evs) > 8
+              THEN array_to_string(evs[1:8], '>') || '>+'
+              ELSE array_to_string(evs, '>') END AS path,
+         len(evs) AS ne
+  FROM s
+)
+SELECT path, count(*) AS n_sessions, CAST(sum(ne) AS BIGINT) AS n_events
+FROM p GROUP BY 1
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -4387,9 +4428,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver row; docs_training_shuffle (green r5) rotates to the tail
     "dedup_substring_scrub": dedup_substring_scrub,
     "asof_order_revenue_events": asof_order_revenue_events,
-    # new in r7 — nearest/tolerance as-of (pandas merge_asof surface);
-    # multimodal_png_decode (green r6) rotates to the tail
+    # new in r7 — nearest/tolerance as-of (pandas merge_asof surface)
+    # and session path mining; multimodal_png_decode and cube_revenue
+    # (both green r6) rotate to the tail
     "asof_nearest_purchase_events": asof_nearest_purchase_events,
+    "events_session_paths": events_session_paths,
     "interval_join_events_windows": interval_join_events_windows,
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "events_view_purchase_attribution": events_view_purchase_attribution,
@@ -4409,7 +4452,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_outliers_acctbal": audit_outliers_acctbal,
     "text_unigram_logprob": text_unigram_logprob,
     "corpus_summary": corpus_summary,
-    "cube_revenue": cube_revenue,
     "ntile_customer_value": ntile_customer_value,
     "hist_order_totals": hist_order_totals,
     "events_daily_pivot": events_daily_pivot,
@@ -4425,6 +4467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture_weighted": sample_mixture_weighted,
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
+    "cube_revenue": cube_revenue,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
     "text_boilerplate_scrub": text_boilerplate_scrub,
@@ -4560,6 +4603,7 @@ ORACLES: dict[str, str] = {
     "multimodal_wav_decode": WAV_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
     "asof_nearest_purchase_events": ASOF_NEAREST_SQL,
+    "events_session_paths": SESSION_PATHS_SQL,
     "dedup_bloom_admission": BLOOM_ADMISSION_SQL,
     "split_leakage_safe": LEAKAGE_SAFE_SPLIT_SQL,
     "jsonl_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
