@@ -164,9 +164,14 @@ def test_write_training_shards_jsonl_parity(spark, tmp_path):
     contract as parquet shards, and the text survives byte-exact."""
     from voter_gateway_spark.operators.layout import write_training_shards
 
+    from datetime import datetime
+
     df = spark.createDataFrame(
-        [(i, f"doc {i} — ünïcode\tand 中文") for i in range(1, 201)],
-        "doc_id bigint, text string",
+        [
+            (i, f"doc {i} — ünïcode\tand 中文", datetime(2024, 1, 1, 12, 0, 0, 123456 + i))
+            for i in range(1, 201)
+        ],
+        "doc_id bigint, text string, ts timestamp",
     )
     pq = write_training_shards(df, "doc_id", str(tmp_path / "pq"), n_shards=4)
     js = write_training_shards(
@@ -176,13 +181,14 @@ def test_write_training_shards_jsonl_parity(spark, tmp_path):
     assert js["format"] == "json"
     back = (
         spark.read.format("json")
-        .schema("doc_id bigint, text string, pos bigint")
+        .schema("doc_id bigint, text string, ts timestamp, pos bigint")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .load(str(tmp_path / "js"))
     )
     assert back.count() == 200
-    got = {r.doc_id: (r.text, r.shard, r.pos) for r in back.collect()}
+    got = {r.doc_id: (r.text, r.ts, r.shard, r.pos) for r in back.collect()}
     pq_rows = {
-        r.doc_id: (r.text, r.shard, r.pos)
+        r.doc_id: (r.text, r.ts, r.shard, r.pos)
         for r in spark.read.parquet(str(tmp_path / "pq")).collect()
     }
     assert got == pq_rows

@@ -82,6 +82,32 @@ def test_as_of_join_rejects_unknown_direction(spark):
         as_of_join(left, right, "k", "t", "rt", direction="sideways")
 
 
+def test_as_of_join_null_left_time_never_matches(spark):
+    """Regression (r7 code review): a NULL left timestamp must match
+    nothing in EVERY direction — the descending forward scan orders
+    NULLs last, where they would otherwise spuriously see the earliest
+    right row."""
+    left = spark.createDataFrame([Row(k=1, t=None)], "k int, t int")
+    right = spark.createDataFrame(
+        [Row(k=1, rt=10, v="a"), Row(k=1, rt=20, v="b")], "k int, rt int, v string"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        rows = as_of_join(left, right, "k", "t", "rt", direction=direction).collect()
+        assert rows[0].v is None, direction
+
+
+def test_as_of_join_null_payload_value_is_still_the_match(spark):
+    """A matched right row whose payload VALUE is NULL is still the
+    match (the whole row travels in the struct) — nearest must not fall
+    through to a farther row with a non-null value."""
+    left = spark.createDataFrame([Row(k=1, t=100)], "k int, t int")
+    right = spark.createDataFrame(
+        [Row(k=1, rt=95, v=None), Row(k=1, rt=120, v=7)], "k int, rt int, v int"
+    )
+    got = as_of_join(left, right, "k", "t", "rt", direction="nearest").collect()[0]
+    assert got.v is None  # the 95 row (delta 5) wins over 120 (delta 20)
+
+
 def test_interval_join_inclusive_and_bucket_spanning(spark):
     points = spark.createDataFrame(
         [Row(k=1, t=0), Row(k=1, t=10), Row(k=1, t=25), Row(k=2, t=10)],

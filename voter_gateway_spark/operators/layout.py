@@ -102,15 +102,22 @@ def write_training_shards(
 
     if file_format not in ("parquet", "json"):
         raise ValueError(f"unsupported shard format {file_format!r}")
+    # Spark's default JSON timestampFormat truncates to milliseconds,
+    # which would silently break the parquet/JSONL parity contract for
+    # micros-precision columns (r7 code review) — pin a micros format
+    # on BOTH sides of the boundary
+    _json_opts = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
     shuffled = training_shuffle(df, id_col, n_shards=n_shards)
-    (
+    writer = (
         shuffled.repartition("shard")
         .sortWithinPartitions("pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .format(file_format)
-        .save(out_dir)
     )
+    if file_format == "json":
+        writer = writer.options(**_json_opts)
+    writer.save(out_dir)
     spark = df.sparkSession
     reader = spark.read.format(file_format)
     if file_format == "json":
@@ -119,7 +126,7 @@ def write_training_shards(
         data_schema = T.StructType(
             [f for f in shuffled.schema.fields if f.name != "shard"]
         )
-        reader = reader.schema(data_schema)
+        reader = reader.schema(data_schema).options(**_json_opts)
     counts = {
         int(r["shard"]): int(r["n"])
         for r in reader.load(out_dir)

@@ -120,7 +120,14 @@ def as_of_join(
         return F.last("_asof_payload", ignorenulls=True).over(w)
 
     def gated(payload: Column) -> tuple[Column, Column]:
-        """(payload-or-null-under-tolerance, |Δt|)."""
+        """(payload-or-null-under-tolerance, |Δt|). A NULL left time
+        matches nothing in ANY direction: the ascending backward scan
+        puts NULLs first (no right row precedes them — naturally
+        unmatched), but the descending forward scan puts them last,
+        where they would spuriously 'see' the earliest right row (r7
+        code review) — so the guard is explicit, not an ordering
+        accident."""
+        payload = F.when(F.col("_asof_t").isNotNull(), payload)
         delta = F.abs(lt_num - _asof_num(payload["_asof_rt"], rt_dtype))
         if tolerance is not None:
             payload = F.when(delta <= F.lit(float(tolerance)), payload)

@@ -4310,6 +4310,10 @@ f AS (
   FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.lt <= p.rt
 ),
 g AS (
+  -- match/no-match is a property of the matched TIME, never the value:
+  -- a purchase whose value is NULL is still the match (the engine
+  -- carries the whole row), so every gate below tests brt/frt, not the
+  -- payload (r7 code review)
   SELECT v.event_id, v.user_id, v.lt,
          CASE WHEN abs(v.lt - b.brt) <= 1800 THEN b.bval END AS bv,
          CASE WHEN abs(v.lt - b.brt) <= 1800 THEN b.brt END AS brt,
@@ -4318,12 +4322,12 @@ g AS (
   FROM v LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
 )
 SELECT event_id, user_id,
-       round(CASE WHEN bv IS NULL THEN fv
-                  WHEN fv IS NULL THEN bv
+       round(CASE WHEN brt IS NULL THEN fv
+                  WHEN frt IS NULL THEN bv
                   WHEN abs(lt - brt) <= abs(frt - lt) THEN bv
                   ELSE fv END, 6) AS purchase_value,
-       round(CASE WHEN bv IS NULL THEN abs(frt - lt)
-                  WHEN fv IS NULL THEN abs(lt - brt)
+       round(CASE WHEN brt IS NULL THEN abs(frt - lt)
+                  WHEN frt IS NULL THEN abs(lt - brt)
                   WHEN abs(lt - brt) <= abs(frt - lt) THEN abs(lt - brt)
                   ELSE abs(frt - lt) END, 6) AS delta_s
 FROM g
