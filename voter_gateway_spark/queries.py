@@ -4375,6 +4375,59 @@ FROM p GROUP BY 1
 """
 
 
+def corpus_dedup_report(spark, sf_dir):
+    """Per-source dedup report card — the reference's audit-report DNA
+    (A8) applied to corpus curation: for every source, how many rows it
+    contributes, how many are exact duplicates of ANYTHING in the
+    corpus (normalized-fingerprint group size > 1), and how many a
+    near-dup prune would drop (non-representative members of ngram
+    Jaccard components). One scan + one fingerprint window + the
+    components join; the numbers a curation run reports per provider
+    before deciding what to keep."""
+    docs = _t(spark, sf_dir, "documents")
+    norm_fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast("binary")
+    )
+    fp = docs.select("doc_id", "source", norm_fp.alias("_f"))
+    sized = fp.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_f"))
+    )
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
+    comp = dedup_ops.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    joined = sized.join(comp, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("_c") > 1).cast("int")).cast("bigint").alias("n_exact_dup_rows"),
+        F.sum(
+            (
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id"))
+            ).cast("int")
+        ).cast("bigint").alias("n_near_dup_losers"),
+    )
+
+
+DEDUP_REPORT_SQL = rf"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM documents
+),
+szs AS (SELECT f, count(*) AS c FROM fp GROUP BY 1),
+comp AS ({COMPONENTS_SQL})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN szs.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_rows,
+       CAST(sum(CASE WHEN comp.component IS NOT NULL
+                      AND comp.component <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup_losers
+FROM fp d JOIN szs USING (f) LEFT JOIN comp ON comp.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -4418,6 +4471,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate to the tail
     "dedup_bloom_admission": dedup_bloom_admission,
     "split_leakage_safe": split_leakage_safe,
+    # new in r7 — the per-source dedup report card;
+    # hist_order_totals (green r6) rotates to the tail
+    "corpus_dedup_report": corpus_dedup_report,
     # new in r6 — frequent-ngram mining and the curation-audit
     # pipeline take the prefix slots of text_boilerplate_scrub and
     # pipeline_corpus_prep (both green r5), which rotate to the tail
@@ -4457,7 +4513,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": text_unigram_logprob,
     "corpus_summary": corpus_summary,
     "ntile_customer_value": ntile_customer_value,
-    "hist_order_totals": hist_order_totals,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
     "text_repetition": text_repetition,
@@ -4472,6 +4527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "cube_revenue": cube_revenue,
+    "hist_order_totals": hist_order_totals,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
     "text_boilerplate_scrub": text_boilerplate_scrub,
@@ -4608,6 +4664,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental_batch": _incremental_minhash_sql(),
     "asof_nearest_purchase_events": ASOF_NEAREST_SQL,
     "events_session_paths": SESSION_PATHS_SQL,
+    "corpus_dedup_report": DEDUP_REPORT_SQL,
     "dedup_bloom_admission": BLOOM_ADMISSION_SQL,
     "split_leakage_safe": LEAKAGE_SAFE_SPLIT_SQL,
     "jsonl_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
