@@ -4445,6 +4445,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5-green veterans rotate to the local-gate tail. With this
     # rotation every catalog query has a driver-run row on record
     # across rounds 1-6.
+    # round-7 rotation: the seven r7-new queries (bloom admission,
+    # leakage-safe split, dedup report card, nearest-asof, session
+    # paths, JSONL roundtrip, props extract) enter the prefix for
+    # their first driver rows; seven r6-green veterans (packing,
+    # quota/mixture sampling, PPM/PNG decode, cube, hist) rotate to
+    # the tail. corpus_summary and dedup_cluster_rollup stay in the
+    # prefix so their r6 oracle-dtype fix gets a green driver row.
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
