@@ -404,11 +404,17 @@ def session_paths(
     pipeline runs: which journeys exist and how heavy each is.
 
     Plan: one key shuffle for the two stacked user-windows (lag + the
-    running session counter share partitioning and ordering — one Sort),
-    one (user, sid) aggregation collecting the BOUNDED in-session event
-    structs, one path aggregation. collect_list is order-nondeterministic
-    across retries, so the struct array is array_sort-ed on (time, id)
-    — the deterministic render both engines agree on."""
+    running session counter share partitioning and ordering — one Sort);
+    the per-session rank window and the (user, sid) aggregation reuse
+    the same hash distribution (HashPartitioning(user) satisfies
+    clustering on (user, sid) — no second exchange). The collected
+    array is BOUNDED at max_len+1 structs per session BEFORE the
+    collect (collect_list over a rank-gated when(): a bot user with a
+    million-event session contributes max_len+1 rows of window state,
+    never the whole session), while the true event count rides in the
+    same aggregation. collect_list is order-nondeterministic across
+    retries, so the struct array is array_sort-ed on (time, id) — the
+    deterministic render both engines agree on."""
     us = F.unix_micros(F.col(time_col))
     e = events.select(
         F.col(user_col).alias("_u"),
@@ -432,18 +438,28 @@ def session_paths(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    sess = g.groupBy("_u", "_sid").agg(
+    ws = Window.partitionBy("_u", "_sid").orderBy("_us", "_e")
+    ranked = g.withColumn("_rn", F.row_number().over(ws))
+    sess = ranked.groupBy("_u", "_sid").agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("_us"), F.col("_e"), F.col("_t")))
-        ).alias("_evs")
+            F.collect_list(
+                # collect_list drops NULLs, so the rank gate bounds the
+                # array at max_len+1 structs (enough to detect overflow)
+                F.when(
+                    F.col("_rn") <= max_len + 1,
+                    F.struct(F.col("_us"), F.col("_e"), F.col("_t")),
+                )
+            )
+        ).alias("_evs"),
+        F.count(F.lit(1)).alias("_ne"),
     )
     head = F.transform(F.slice("_evs", 1, max_len), lambda s: s["_t"])
     path = F.when(
-        F.size("_evs") > max_len,
+        F.col("_ne") > max_len,
         F.concat(F.concat_ws(">", head), F.lit(">+")),
     ).otherwise(F.concat_ws(">", head))
     return (
-        sess.select(path.alias("path"), F.size("_evs").alias("_ne"))
+        sess.select(path.alias("path"), "_ne")
         .groupBy("path")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
