@@ -5,6 +5,9 @@ and the WKT/WKB geometry export."""
 import datetime
 import struct
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -240,3 +243,68 @@ def test_session_paths_truncation_gap_and_tie_order(spark):
         "view>click": (1, 2),  # event_id 99 (view) precedes 100 (click)
         "purchase": (1, 1),
     }
+
+
+def _py_session_paths(rows, gap_s=1800, max_len=8):
+    """Pure-Python reference for session_paths: rows = (event_id, ts
+    epoch-seconds, user_id, event_type)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, secs, uid, typ in rows:
+        by_user[uid].append((secs, eid, typ))
+    agg = defaultdict(lambda: [0, 0])
+    for uid, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        for e in evs:
+            if sessions and e[0] - sessions[-1][-1][0] < gap_s:
+                sessions[-1].append(e)
+            else:
+                sessions.append([e])
+        for s in sessions:
+            types = [t for _, _, t in s]
+            path = ">".join(types[:max_len]) + (">+" if len(types) > max_len else "")
+            agg[path][0] += 1
+            agg[path][1] += len(types)
+    return {p: tuple(v) for p, v in agg.items()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9999),   # seconds offset
+            st.integers(min_value=1, max_value=3),      # user
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session_paths_matches_python_reference(spark_prop, events):
+    from datetime import datetime, timedelta
+
+    from voter_gateway_spark.operators.analytics import session_paths
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=secs), uid, typ)
+        for i, (secs, uid, typ) in enumerate(events)
+    ]
+    df = spark_prop.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        r.path: (r.n_sessions, r.n_events)
+        for r in session_paths(df, max_len=3).collect()
+    }
+    ref = _py_session_paths(
+        [(i, secs, uid, typ) for i, (secs, uid, typ) in enumerate(events)],
+        max_len=3,
+    )
+    assert got == ref
