@@ -67,6 +67,16 @@ def main() -> None:
         .cache()
     )
     arrivals.count()
+    # ACTUAL rows per batch, computed outside the timed loops: a
+    # replica smaller than n_batches*batch_rows leaves trailing batches
+    # short, and assuming full batches would inflate rows/sec (r7
+    # review)
+    bcounts = {
+        r["_b"]: r["n"]
+        for r in arrivals.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
 
     out: dict[str, dict] = {}
     for mode in ("plain", "exactly_once"):
@@ -84,7 +94,7 @@ def main() -> None:
                 query_id=("bench" if mode == "exactly_once" else None),
             )
             per_batch.append(round(time.time() - b0, 2))
-            rows += batch_rows
+            rows += bcounts.get(i, 0)
             del admitted
         wall = time.time() - t0
         out[mode] = {

@@ -438,7 +438,11 @@ def session_paths(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    ws = Window.partitionBy("_u", "_sid").orderBy("_us", "_e")
+    # rank order includes the type as the final key: rows tying on
+    # (time, id) — duplicate event ids in a feed — would otherwise make
+    # the rank gate retry-nondeterministic at the max_len+1 boundary
+    # (r7 code review); array_sort below sorts by the same triple
+    ws = Window.partitionBy("_u", "_sid").orderBy("_us", "_e", "_t")
     ranked = g.withColumn("_rn", F.row_number().over(ws))
     sess = ranked.groupBy("_u", "_sid").agg(
         F.array_sort(

@@ -4415,15 +4415,19 @@ WITH fp AS (
          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
   FROM documents
 ),
-szs AS (SELECT f, count(*) AS c FROM fp GROUP BY 1),
+-- group size via a window, NOT an equi-join on f: a USING(f) join
+-- would drop NULL-text rows (NULL never equi-matches), while the
+-- engine's count window groups NULL fingerprints together and keeps
+-- the rows in their source's tallies (r7 code review)
+sized AS (SELECT *, count(*) OVER (PARTITION BY f) AS c FROM fp),
 comp AS ({COMPONENTS_SQL})
 SELECT d.source,
        count(*) AS n_docs,
-       CAST(sum(CASE WHEN szs.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_rows,
+       CAST(sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_rows,
        CAST(sum(CASE WHEN comp.component IS NOT NULL
                       AND comp.component <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_near_dup_losers
-FROM fp d JOIN szs USING (f) LEFT JOIN comp ON comp.doc_id = d.doc_id
+FROM sized d LEFT JOIN comp ON comp.doc_id = d.doc_id
 GROUP BY 1
 """
 
@@ -4505,8 +4509,13 @@ perq AS (
 ),
 bn AS (SELECT query_id, count(*) AS nb FROM brute GROUP BY 1),
 grid AS (
+  -- the method list is FIXED, never derived from tagged: a method
+  -- returning zero rows corpus-wide must still report recall 0, not
+  -- vanish from the audit (r7 code review)
   SELECT m.method, bn.query_id, bn.nb
-  FROM (SELECT DISTINCT method FROM tagged) m CROSS JOIN bn
+  FROM (SELECT 'lsh' AS method UNION ALL SELECT 'int8'
+        UNION ALL SELECT 'ivf') m
+  CROSS JOIN bn
 )
 SELECT g.method, count(*) AS n_queries,
        round(avg(coalesce(p.nh, 0) / g.nb), 6) AS recall_at_5
