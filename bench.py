@@ -175,10 +175,28 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if shuffle_bytes:
-        out["shuffle_bytes"] = shuffle_bytes
-        out["spill_bytes"] = spill_bytes
+        # totals stay in the summary line (2 short ints); the per-query
+        # byte maps go to a side file — the driver captures only the
+        # LAST 2000 chars of stdout and parses the final line, and the
+        # full byte maps pushed the wall-clock numbers out of that
+        # window in r6/r7 (BENCH_r0{6,7}.json "parsed": null).
+        # SCALING.md's decade tables read the maps from the detail file.
         out["shuffle_bytes_total"] = sum(shuffle_bytes.values())
         out["spill_bytes_total"] = sum(spill_bytes.values())
+        detail = {
+            "sf": out["sf"],
+            "shuffle_bytes": shuffle_bytes,
+            "spill_bytes": spill_bytes,
+        }
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            str(Path(__file__).resolve().parent / "BENCH_detail.json"),
+        )
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh)
+        except OSError:
+            pass  # detail is best-effort; the summary line must print
     print(json.dumps(out))
     spark.stop()
 

@@ -9,7 +9,11 @@ from voter_gateway_spark.operators.skew import (
     salted_aggregate,
 )
 from voter_gateway_spark.plans import WorkingFrame
-from voter_gateway_spark.sources.sinks import overwrite_partitions, write_table
+from voter_gateway_spark.sources.sinks import (
+    canon_map_json,
+    overwrite_partitions,
+    write_table,
+)
 
 
 def test_write_table_partitioned_roundtrip(spark, tmp_path):
@@ -49,6 +53,25 @@ def test_write_table_skewed_partition_splits_files(spark, tmp_path):
     assert len(cold_files) == 1
 
 
+def test_canon_map_json_is_entry_order_invariant(spark):
+    """The salt canonicalization itself: two maps with the SAME entries
+    built in opposite insertion order must render to one JSON string.
+    map_from_arrays preserves construction order in the underlying
+    entry array, so without the key-sort these would differ."""
+    df = spark.createDataFrame([(1,)], "i int").select(
+        canon_map_json(
+            F.map_from_arrays(F.array(F.lit("a"), F.lit("b")),
+                              F.array(F.lit("1"), F.lit("2")))
+        ).alias("fwd"),
+        canon_map_json(
+            F.map_from_arrays(F.array(F.lit("b"), F.lit("a")),
+                              F.array(F.lit("2"), F.lit("1")))
+        ).alias("rev"),
+    )
+    row = df.collect()[0]
+    assert row.fwd == row.rev
+
+
 def test_write_table_all_map_payload_salt_is_deterministic_and_splits(spark, tmp_path):
     """When every non-partition column is a MapType (F.hash would
     raise), the fallback salt must be content-derived — hash of the
@@ -71,8 +94,11 @@ def test_write_table_all_map_payload_salt_is_deterministic_and_splits(spark, tmp
     assert back.count() == 410
     assert len(glob.glob(f"{path}/grp=hot/*.parquet")) > 1
     # salt determinism: same row content -> same salt regardless of
-    # physical partitioning (the retry-recompute scenario)
-    salt = F.hash(F.to_json(F.map_entries(F.col("payload"))))
+    # physical partitioning (the retry-recompute scenario). Uses the
+    # SAME canonicalized expression write_table ships (canon_map_json)
+    # so a regression of the key-sort canonicalization fails HERE too,
+    # not only in production (r8 advice).
+    salt = F.hash(canon_map_json(F.col("payload")))
     a = {r.k: r.s for r in df.repartition(2).select(
         F.col("payload")["k"].alias("k"), salt.alias("s")).collect()}
     b = {r.k: r.s for r in df.repartition(7).select(

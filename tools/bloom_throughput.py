@@ -41,6 +41,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bench import _stage_totals  # noqa: E402
 from voter_gateway_spark.operators.dedup_ops import (  # noqa: E402
+    BloomIndex,
     _next_pow2,
     bloom_admission,
     build_bloom_words,
@@ -81,6 +82,7 @@ def main() -> None:
         corpus.select(fp.alias("_fp")), "_fp", n_bits, 7
     ).cache()
     n_words = words.count()  # materialize
+    index = BloomIndex(words, n_bits, 7)  # sizing bound to the build
     build_s = round(time.time() - t0, 2)
 
     # NOT cached/pre-partitioned: the naive anti-join steady state
@@ -109,9 +111,7 @@ def main() -> None:
         timed("anti_join", batch.join(corpus_text, "text", "left_anti"))
         timed(
             "bloom",
-            bloom_admission(
-                corpus, batch, "doc_id", "text", words=words, n_bits=n_bits
-            ),
+            bloom_admission(corpus, batch, "doc_id", "text", words=index),
         )
         assert admitted["bloom"][-1] == admitted["anti_join"][-1], (
             i,

@@ -18,6 +18,7 @@ dominant shuffle; band width trades recall for fanout.
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1013,6 +1014,39 @@ def _next_pow2(n: int) -> int:
     return 1 << max(16, (n - 1).bit_length())
 
 
+class BloomIndex(NamedTuple):
+    """A built Bloom filter with its sizing BOUND to it: probing with a
+    different (n_bits, n_hashes) than the build silently yields FALSE
+    NEGATIVES (true duplicates admitted), which is the one failure mode
+    the filter's exactness contract forbids (r8 advice). Steady-state
+    callers persist/cache `words` and pass the whole struct to
+    bloom_admission so the pairing can't drift."""
+
+    words: DataFrame
+    n_bits: int
+    n_hashes: int
+
+
+def build_bloom_index(
+    corpus: DataFrame,
+    text_col: str,
+    n_hashes: int = 7,
+    bits_per_key: float = 9.6,
+    n_bits: int | None = None,
+) -> BloomIndex:
+    """One-stop steady-state build: fingerprint `text_col`, size the
+    filter (next pow2 of n_keys*bits_per_key unless `n_bits` given),
+    and return the word table WITH its sizing as a BloomIndex."""
+    fp = F.xxhash64(F.col(text_col))
+    if n_bits is None:
+        n_keys = corpus.count() or 1
+        n_bits = _next_pow2(int(n_keys * bits_per_key))
+    words = build_bloom_words(
+        corpus.select(fp.alias("_fp")), "_fp", n_bits, n_hashes
+    )
+    return BloomIndex(words, n_bits, n_hashes)
+
+
 def build_bloom_words(
     corpus_fp: DataFrame, fp_col: str, n_bits: int, n_hashes: int
 ) -> DataFrame:
@@ -1085,7 +1119,7 @@ def bloom_admission(
     n_hashes: int = 7,
     bits_per_key: float = 9.6,
     n_bits: int | None = None,
-    words: DataFrame | None = None,
+    words: DataFrame | BloomIndex | None = None,
 ) -> DataFrame:
     """Exact-dedup admission with a Bloom pre-filter: admit every batch
     row whose text does not appear in the corpus. The Bloom filter has
@@ -1118,7 +1152,23 @@ def bloom_admission(
     Reference shape: fuzzy_merger.rb:21-36's persistent candidate pool;
     the bloom is the admission-time analogue of its indexed pool."""
     fp = F.xxhash64(F.col(text_col))
-    if words is None:
+    if isinstance(words, BloomIndex):
+        # sizing comes FROM the build — a probe with different
+        # (n_bits, n_hashes) than the build has false negatives, so
+        # explicit conflicting values are an error, not a preference
+        if n_bits is not None and n_bits != words.n_bits:
+            raise ValueError(
+                f"n_bits={n_bits} conflicts with the BloomIndex build "
+                f"(n_bits={words.n_bits}); drop the explicit value"
+            )
+        if n_hashes != words.n_hashes and n_hashes != 7:
+            raise ValueError(
+                f"n_hashes={n_hashes} conflicts with the BloomIndex "
+                f"build (n_hashes={words.n_hashes}); drop the explicit value"
+            )
+        n_bits, n_hashes = words.n_bits, words.n_hashes
+        words = words.words
+    elif words is None:
         if n_bits is None:
             n_keys = corpus.count() or 1
             n_bits = _next_pow2(int(n_keys * bits_per_key))
@@ -1127,6 +1177,9 @@ def bloom_admission(
         )
     elif n_bits is None:
         raise ValueError("n_bits is required when passing a prebuilt words table")
+    # raw-DataFrame words path: n_hashes MUST equal the build's value —
+    # a mismatch probes the wrong bit positions and admits true
+    # duplicates. Prefer build_bloom_index/BloomIndex, which binds both.
     fp_batch = batch.withColumn("_bfp", fp)
     flags = bloom_maybe_flags(fp_batch, "_bfp", words, n_bits, n_hashes)
     # fp is a pure function of the text, so flags join back by

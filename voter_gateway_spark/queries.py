@@ -783,9 +783,19 @@ def dedup_band_index_probe(spark, sf_dir):
     Reference shape: fuzzy_merger.rb:21-36's persistent candidate pool,
     generalized to the LSH band structure."""
     import hashlib
+    import uuid
 
     docs = _t(spark, sf_dir, "documents")
-    path = "/tmp/vgs_band_index_cat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # uuid suffix: same overlap race as jsonl_roundtrip (r8 advice) —
+    # two concurrent runs over one fixture must not share a scratch
+    # index dir. Left lazy (the probe's partition-pruned file reads ARE
+    # the point), so the per-run dir persists until /tmp reaping.
+    path = (
+        "/tmp/vgs_band_index_cat_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + "_"
+        + uuid.uuid4().hex[:12]
+    )
     dedup_ops.build_band_index(
         docs.where(F.col("doc_id") < 400), path, "doc_id", "text",
         k=3, n_hashes=16, bands=4,
@@ -4182,11 +4192,22 @@ def jsonl_roundtrip_documents(spark, sf_dir):
     sink+source round-trips every byte of text (unicode, embedded
     newlines-as-escapes, quotes) — not merely that the read ran."""
     import hashlib
+    import shutil
+    import uuid
 
     from voter_gateway_spark.sources.jsonl_source import JSONLSource
 
     docs = _t(spark, sf_dir, "documents")
-    path = "/tmp/vgs_jsonl_cat_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-run unique suffix: a path derived only from sf_dir races when
+    # two runs over the same fixture overlap (gate + bench) — one's
+    # overwrite-write against the other's re-read can flake or read a
+    # torn directory (r8 advice)
+    path = (
+        "/tmp/vgs_jsonl_cat_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + "_"
+        + uuid.uuid4().hex[:12]
+    )
     docs.write.mode("overwrite").json(path)
     back = JSONLSource(
         path,
@@ -4195,7 +4216,7 @@ def jsonl_roundtrip_documents(spark, sf_dir):
     checksum = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 10), 16, 10).cast(
         "bigint"
     )
-    return (
+    agg = (
         back.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -4203,6 +4224,13 @@ def jsonl_roundtrip_documents(spark, sf_dir):
             F.sum(checksum).cast("bigint").alias("text_checksum"),
         )
     )
+    # materialize the (dozens-of-rows) aggregate on the driver so the
+    # uuid scratch dir can be deleted NOW — returning the lazy plan
+    # would keep a dangling dependency on /tmp past this call, and
+    # leaving the dir would leak one copy of the corpus per run
+    rows = agg.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 JSONL_ROUNDTRIP_SQL = """

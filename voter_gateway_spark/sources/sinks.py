@@ -12,8 +12,32 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def canon_map_json(col: Column) -> Column:
+    """Order-canonical JSON rendering of a map column: key-sort the
+    entries before to_json. Entry ORDER inside a map is not part of its
+    value — map_from_entries(collect_list(...)) can legally emit the
+    same entries in a different order on a stage retry, so any salt or
+    hash derived from a map must go through this (entry-order-dependent
+    salt = the same SPARK-23207 retry instability, one level down; r7
+    code review). Values that are THEMSELVES maps would still render
+    order-dependently — acceptable residual: map-of-map payload columns
+    are not produced anywhere in the engine.
+
+    Module-level so tests assert THIS expression, not a re-derivation
+    that could drift from production (r8 advice)."""
+    ents = F.map_entries(col)
+    return F.to_json(
+        F.array_sort(
+            ents,
+            lambda l, r: F.when(l["key"] < r["key"], -1)
+            .when(l["key"] > r["key"], 1)
+            .otherwise(0),
+        )
+    )
 
 
 def write_table(
@@ -99,29 +123,8 @@ def write_table(
                     if f.name not in partition_by
                 ]
 
-                # entry ORDER inside a map is not part of its value —
-                # map_from_entries(collect_list(...)) can legally emit
-                # the same entries in a different order on a stage
-                # retry, so the entries are key-sorted before the JSON
-                # rendering (entry-order-dependent salt = the same
-                # SPARK-23207 retry instability, one level down; r7
-                # code review). Values that are THEMSELVES maps would
-                # still render order-dependently — acceptable residual:
-                # map-of-map payload columns are not produced anywhere
-                # in the engine.
-                def _canon_map(c):
-                    ents = F.map_entries(out[c])
-                    return F.to_json(
-                        F.array_sort(
-                            ents,
-                            lambda l, r: F.when(l["key"] < r["key"], -1)
-                            .when(l["key"] > r["key"], 1)
-                            .otherwise(0),
-                        )
-                    )
-
                 salt_src = F.hash(
-                    *[_canon_map(c) for c in map_cols]
+                    *[canon_map_json(out[c]) for c in map_cols]
                 ) if map_cols else F.lit(0)
             salt = F.pmod(salt_src, F.col("_splits"))
             out = out.repartition(

@@ -139,7 +139,15 @@ def _read_manifest(
             raise
         except Exception:
             # commons-io absent from the classpath: fall back to the
-            # byte loop, full-length (the size guard above bounds it)
+            # byte loop, full-length (the size guard above bounds it).
+            # REOPEN first — toByteArray may have failed mid-read
+            # (transient IO error, not class absence); resuming the
+            # partially-consumed stream would read only the tail, fail
+            # json.loads, and misclassify a valid manifest as a torn
+            # write, silently skipping the undo of an attempt whose
+            # renames DID happen (r8 advice)
+            stream.close()
+            stream = fs.open(mpath)
             buf = bytearray()
             b = stream.read()
             while b != -1:
