@@ -308,3 +308,66 @@ def test_session_paths_matches_python_reference(spark_prop, events):
         max_len=3,
     )
     assert got == ref
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Independent pure-Python Stupid Backoff (Brants et al. 2007)
+    recomputation over the sf0.001 fixture: counts trained on even
+    doc_ids, S(c|p) = cb/cp if seen else 0.4*coalesce(cc,1)/N. Also
+    pins that the held-out split actually EXERCISES the backoff branch
+    (a model trained on the scored corpus itself never would)."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from voter_gateway_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logprob, r.backoff_rate)
+        for r in QUERIES["text_bigram_logprob"](spark, sf).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    toks = {
+        int(r.doc_id): [
+            t
+            for t in re.sub(r"\s+", " ", r.text).strip().lower().split(" ")
+            if t
+        ]
+        for r in docs.itertuples()
+    }
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for d, ts in toks.items():
+        if d % 2 == 0:
+            uni.update(ts)
+            big.update(zip(ts, ts[1:]))
+    n = float(sum(uni.values()))
+    exp = {}
+    for d, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        scores = [
+            math.log(big[pr] / uni[pr[0]])
+            if pr in big
+            else math.log(0.4 * (uni.get(pr[1]) or 1) / n)
+            for pr in pairs
+        ]
+        backoff = sum(1 for pr in pairs if pr not in big) / len(pairs)
+        exp[d] = (
+            len(pairs),
+            round(sum(scores) / len(scores), 6),
+            round(backoff, 6),
+        )
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0], d
+        assert abs(got[d][1] - exp[d][1]) < 2e-6, (d, got[d], exp[d])
+        assert abs(got[d][2] - exp[d][2]) < 2e-6, (d, got[d], exp[d])
+    # the backoff branch is live: odd (held-out) docs contain bigrams
+    # the even-doc model never saw
+    assert any(v[2] > 0 for v in exp.values())

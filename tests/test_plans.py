@@ -193,6 +193,22 @@ def test_tfidf_single_document_scan(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # partial per-doc top-k
 
 
+def test_bigram_logprob_shares_scan_and_broadcasts_counts(spark, sf_dir):
+    # token + bigram arrays materialize ONCE (shared lazy checkpoint —
+    # the plan scans the checkpointed RDD, never re-reads parquet per
+    # branch), and the unigram count table is itself checkpointed so
+    # the cp/cc/total branches don't re-run the token explode+count.
+    # Exactly TWO explodes remain visible: scoring bigrams and train
+    # bigram counts (the unigram explode runs once INSIDE the uni
+    # checkpoint's boundary — its three consumers scan the RDD). The
+    # vocabulary-bounded unigram tables (both orders) must broadcast.
+    plan = _plan(QUERIES["text_bigram_logprob"](spark, sf_dir), "simple")
+    assert plan.count("Generate explode") == 2, plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cp + cc unigram joins
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_training_shuffle_no_global_sort(spark, sf_dir):
     # (shard, pos) comes from two-phase numbering: a range exchange on
     # (shard, hash) + per-(shard, partition) windows. Never a global

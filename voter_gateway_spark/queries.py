@@ -4057,6 +4057,137 @@ GROUP BY doc_id
 """
 
 
+def text_bigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality scoring, bigram order with Stupid
+    Backoff (Brants et al. 2007, public): every document scored by the
+    mean log-score of its bigram positions under counts trained on a
+    REFERENCE HALF of the corpus (even doc_ids — a deterministic stand-
+    in for the held-out reference corpus CCNet trains on; scoring the
+    training corpus under itself would never exercise the backoff).
+
+        S(c|p) = count(p,c)/count(p)         if the bigram was seen
+               = 0.4 * count(c)/N            else (unigram backoff)
+               = 0.4 * 1/N                   for unseen unigrams
+
+    Plan: ONE pass builds each doc's token array and its zip_with
+    bigram array (scan-stage, no posexplode window), lazily
+    checkpointed so the train-count aggregates and the scoring explode
+    share it. The two count tables are vocabulary-bounded (Heaps'
+    law — sublinear in corpus size): the unigram table is
+    broadcast-hinted; the bigram table is left to AQE, which
+    broadcasts it at these scales and degrades to a keyed shuffle on
+    the (p, c) key beyond the broadcast ceiling — the scan-stage
+    log-score is unchanged either way. `backoff_rate` (fraction of
+    positions that backed off) rides along: it is the OOV-ish signal a
+    curation pipeline thresholds on.
+
+    Reference shape: F6 scalar vocabulary over staged columns
+    (lib/voter_file/custom_functions.rb); the LM score is the
+    curation-grade analogue of its record-quality predicates."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.filter(F.split(F.lower(norm), " "), lambda t: t != "")
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    base = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2 == 0).alias("_train"),
+            toks.alias("_t"),
+        )
+        .select(
+            "doc_id",
+            "_train",
+            "_t",
+            F.zip_with(
+                F.slice("_t", 1, n1),
+                F.slice("_t", 2, n1),
+                lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+            ).alias("_bg"),
+        )
+        .transform(ckpt_lazy)
+    )
+    # the unigram table feeds THREE branches (cp join, cc join, total);
+    # without its own lazy checkpoint each broadcast subtree re-runs
+    # the token explode + count over the train half
+    uni = (
+        base.where("_train")
+        .select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .transform(ckpt_lazy)
+    )
+    total = uni.agg(F.sum("cw").cast("double").alias("_n"))
+    big = (
+        base.where("_train")
+        .select(F.explode("_bg").alias("b"))
+        .groupBy(F.col("b.p").alias("p"), F.col("b.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    scored = (
+        base.select("doc_id", F.explode("_bg").alias("b"))
+        .select("doc_id", F.col("b.p").alias("p"), F.col("b.c").alias("c"))
+        .join(big, ["p", "c"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("p"), F.col("cw").alias("cp"))),
+            "p",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("c"), F.col("cw").alias("cc"))),
+            "c",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # seen bigram implies seen prefix, so cp is non-NULL on that branch
+    score = F.when(
+        F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cp"))
+    ).otherwise(F.log(F.lit(0.4) * F.coalesce(F.col("cc"), F.lit(1)) / F.col("_n")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(score), 6).alias("mean_logprob"),
+            F.round(F.avg(F.col("cb").isNull().cast("int")), 6).alias(
+                "backoff_rate"
+            ),
+        )
+    )
+
+
+BIGRAM_LP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 2 = 0 AS train,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id, train, z[1] AS p, z[2] AS c
+  FROM (
+    SELECT doc_id, train,
+           unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+    FROM base WHERE len(t) >= 2
+  )
+), uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM base WHERE train)
+  GROUP BY 1
+), n AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni
+), bic AS (
+  SELECT p, c, count(*) AS cb FROM pairs WHERE train GROUP BY 1, 2
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(CASE WHEN bic.cb IS NOT NULL THEN ln(bic.cb / up.cw)
+                      ELSE ln(0.4 * coalesce(uc.cw, 1) / n.n) END), 6) AS mean_logprob,
+       round(avg(CASE WHEN bic.cb IS NULL THEN 1 ELSE 0 END), 6) AS backoff_rate
+FROM pairs
+LEFT JOIN bic USING (p, c)
+LEFT JOIN uni up ON pairs.p = up.w
+LEFT JOIN uni uc ON pairs.c = uc.w
+CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
 def corpus_summary(spark, sf_dir):
     """Dataset-card summary row: doc/lang/source cardinalities, length
     quantiles, exact-duplicate rate — the one-scan profile a corpus
@@ -4645,6 +4776,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_latency": events_funnel_latency,
     "audit_outliers_acctbal": audit_outliers_acctbal,
     "text_unigram_logprob": text_unigram_logprob,
+    # new in r8 — bigram Stupid-Backoff LM scoring (CCNet-style quality
+    # signal; the unigram form above is its order-1 degenerate)
+    "text_bigram_logprob": text_bigram_logprob,
     "corpus_summary": corpus_summary,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
@@ -4831,6 +4965,7 @@ ORACLES: dict[str, str] = {
     "events_funnel_latency": FUNNEL_LATENCY_SQL,
     "audit_outliers_acctbal": OUTLIER_SQL,
     "text_unigram_logprob": UNIGRAM_LP_SQL,
+    "text_bigram_logprob": BIGRAM_LP_SQL,
     "corpus_summary": CORPUS_SUMMARY_SQL,
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
