@@ -1556,3 +1556,57 @@ def test_wav_decode_rejects_bad_payloads():
     # out-of-int16 samples refuse to encode rather than wrapping
     with _pytest.raises(ValueError, match="int16 range"):
         make_wav(8000, np.array([40000, 0], dtype=np.int64))
+
+
+def test_ppm_pool_grid_matches_numpy_reference():
+    import numpy as np
+    from voter_gateway_spark.operators.multimodal import make_ppm, ppm_pool_grid
+
+    rng_y, rng_x = np.mgrid[0:32, 0:36]
+    px = np.stack(
+        [(rng_x * rng_y) % 256, (rng_x * rng_x + rng_y) % 256, (rng_y * rng_y) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    got = ppm_pool_grid(make_ppm(36, 32, px))
+    gray = px.astype(np.int64).sum(axis=2)
+    exp = gray.reshape(8, 4, 9, 4).sum(axis=(1, 3)).flatten()
+    assert got == [float(v) for v in exp]
+    # non-tiling dims must refuse, not silently truncate a block
+    with pytest.raises(ValueError, match="tile"):
+        ppm_pool_grid(make_ppm(35, 32, px[:, :35]))
+
+
+def test_hamming_band_pairs_pigeonhole_bound_and_recall(spark):
+    from voter_gateway_spark.operators.dedup_ops import hamming_band_pairs
+
+    # distance 3 pair (bits 0, 20, 40 differ -> three distinct bands),
+    # distance 4 pair must NOT appear even though it shares a band
+    h0 = 0
+    h3 = (1 << 0) | (1 << 20) | (1 << 40)
+    h4 = (1 << 0) | (1 << 1) | (1 << 2) | (1 << 3)
+    base = spark.createDataFrame(
+        [(0, h0), (1, h3), (2, h4)], "_id bigint, _h bigint"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(base, 4, 16, 3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 3
+    assert (0, 2) not in got  # hamming 4 > max
+    # beyond the pigeonhole bound the blocking is lossy -> must raise
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_band_pairs(base, 4, 16, 4)
+
+
+def test_phash_neardup_variant_pairs_surface(spark):
+    from voter_gateway_spark.queries import QUERIES
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in QUERIES["multimodal_phash_neardup"](spark, "/root/testdata/sf0.001").collect()
+    }
+    # every (base m, variant 100+m) pair is a near-dup: the bump
+    # touches ONE pooled cell, so at most one dHash bit flips
+    for m in range(16):
+        assert (m, 100 + m) in got, m
+        assert got[(m, 100 + m)] <= 1

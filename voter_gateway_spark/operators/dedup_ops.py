@@ -672,6 +672,40 @@ def simhash_pairs(
         lambda acc, x: acc + x,
     )
     base = votes.select("_id", sim.alias("_h"))
+    # strict=False: simhash's public contract has always allowed
+    # max_hamming past the pigeonhole bound as an approximate mode
+    rep_pairs = hamming_band_pairs(
+        base, n_bands, band_width, max_hamming, strict=False
+    )
+    return expand(rep_pairs)
+
+
+def hamming_band_pairs(
+    base: DataFrame,
+    n_bands: int,
+    band_width: int,
+    max_hamming: int,
+    strict: bool = True,
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs with hamming ≤ max_hamming over
+    `base` rows of (_id, _h) — _h an up-to-64-bit integer hash —
+    WITHOUT all-pairs: explode each hash into n_bands contiguous
+    band keys and equi-join on (band, key). Pigeonhole guarantees
+    losslessness for max_hamming ≤ n_bands - 1 (≤ n_bands-1 differing
+    bits leave at least one band untouched), asserted here because a
+    silently lossy blocking is the classic near-dup recall bug.
+
+    Shared by simhash_pairs (60-bit text simhash) and the image
+    perceptual-hash near-dup (64-bit dHash) — the banding is hash-
+    agnostic. `strict=False` permits max_hamming beyond the bound as a
+    deliberately APPROXIMATE mode (simhash's historical contract: the
+    band join becomes a recall heuristic, like multi-band LSH) — the
+    caller owns the disclosure."""
+    if strict and max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound "
+            f"n_bands-1={n_bands - 1}; banding would silently lose pairs"
+        )
     banded = base.select(
         "_id",
         "_h",
@@ -706,11 +740,10 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    rep_pairs = (
+    return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
-    return expand(rep_pairs)
 
 
 def build_band_index(

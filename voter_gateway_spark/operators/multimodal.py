@@ -440,11 +440,57 @@ def wav_decode(payload: bytes) -> list[float]:
     ]
 
 
+def ppm_pool_grid(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> list[float]:
+    """Average-pool front half of the dHash perceptual hash: decode a
+    binary PPM (same header contract as ppm_decode) and return the
+    grid_h x grid_w block-SUM grayscale grid, row-major. Block sums of
+    the integer channel-sum gray (0..765 per px) are integer-valued
+    doubles, so the grid — and every dHash bit derived from it — is
+    bit-identical across engines and recomputable by a SQL oracle from
+    a closed-form pixel field. The image must tile exactly (w % grid_w
+    == h % grid_h == 0): silent partial blocks would make the pooled
+    values depend on remainder-handling conventions, the kind of
+    ambiguity an oracle-pinned codec must refuse."""
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w % grid_w or h % grid_h:
+        raise ValueError(
+            f"image {w}x{h} does not tile into a {grid_w}x{grid_h} pool grid"
+        )
+    i += 1
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError(f"truncated PPM: want {w * h * 3} pixel bytes, got {len(raw)}")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    gray = px.sum(axis=2)
+    pooled = gray.reshape(grid_h, h // grid_h, grid_w, w // grid_w).sum(axis=(1, 3))
+    return [float(v) for v in pooled.flatten()]
+
+
 _DECODERS: dict[str, object] = {
     "fake": fake_decode,
     "ppm": ppm_decode,
     "png": png_decode,
     "wav": wav_decode,
+    "ppm_pool": ppm_pool_grid,
 }
 
 

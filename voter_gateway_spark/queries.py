@@ -1734,6 +1734,107 @@ GROUP BY m
 """
 
 
+def multimodal_phash_neardup(spark, sf_dir):
+    """Image perceptual-hash near-dup — the multimodal analogue of
+    dedup_minhash_lsh, composing two families the engine already has:
+    the real PPM codec path (multimodal.ppm_pool_grid: executor-side
+    decode to an 8x9 block-SUM grayscale grid) and the pigeonhole
+    Hamming banding (dedup_ops.hamming_band_pairs, shared with
+    simhash). dHash (public algorithm: bit = right pooled cell
+    brighter than left, 8 rows x 8 comparisons = 64 bits) is built
+    from the grid with native codegen'd expressions — the Python side
+    ends at the Arrow decode batch.
+
+    Fixture: 64 base 36x32 PPMs whose pixels are a nonlinear analytic
+    field of (m, x, y) — nonlinear so dHash's shift-invariance can't
+    collapse distinct bases — plus 16 variants (media_id 100+m) that
+    bump the red channel inside the single top-left pool block, which
+    perturbs exactly one pooled cell and hence at most one dHash bit:
+    every (m, 100+m) pair must surface with hamming <= 1. The oracle
+    recomputes pooled sums, bits, and pairwise Hamming from the same
+    closed-form pixel formula (all integer-exact), so a pooling stride
+    bug, bit-order bug, or a LOSSY banding (the classic near-dup
+    recall bug) fails the hash — the oracle is all-pairs, the engine
+    is banded, and they must agree.
+
+    Scale: no all-pairs anywhere — banding is the same O(candidates)
+    equi-join contract as minhash_lsh_pairs; decode is one Arrow pass.
+    max_hamming=3 with 4x16-bit bands sits exactly at the pigeonhole
+    bound (asserted in hamming_band_pairs)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import MEDIA_SCHEMA, make_ppm
+
+    W, H = 36, 32
+    y, x = np.mgrid[0:H, 0:W]
+    rows = []
+    for mid in list(range(64)) + [100 + m for m in range(16)]:
+        m = mid % 100
+        r = (x * y + 3 * m * x) % 256
+        if mid >= 100:
+            r = np.where((x < 4) & (y < 4), (r + 40) % 256, r)
+        px = np.stack([r, (x * x + m * y) % 256, (y * y + 5 * m) % 256], axis=-1)
+        rows.append(
+            (mid, "image", bytearray(make_ppm(W, H, px)),
+             "image/x-portable-pixmap", W, H, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, kind="ppm_pool")
+    p = lambda r, c: F.element_at("features", r * 9 + c + 1)  # noqa: E731
+    dhash = F.lit(0).cast("bigint")
+    for r in range(8):
+        for c in range(8):
+            bit = F.when(
+                p(r, c + 1) > p(r, c),
+                F.shiftleft(F.lit(1).cast("bigint"), r * 8 + c),
+            ).otherwise(F.lit(0).cast("bigint"))
+            dhash = dhash.bitwiseOR(bit)
+    base = feat.select(F.col("media_id").alias("_id"), dhash.alias("_h"))
+    pairs = dedup_ops.hamming_band_pairs(
+        base, n_bands=4, band_width=16, max_hamming=3
+    )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+PHASH_NEARDUP_SQL = """
+WITH ids AS (
+  SELECT unnest(generate_series(0, 63)) AS id
+  UNION ALL
+  SELECT 100 + unnest(generate_series(0, 15))
+), px AS (
+  SELECT id, x, y,
+         CASE WHEN id >= 100 AND x < 4 AND y < 4
+              THEN ((x*y + 3*(id % 100)*x) % 256 + 40) % 256
+              ELSE (x*y + 3*(id % 100)*x) % 256 END
+         + (x*x + (id % 100)*y) % 256
+         + (y*y + 5*(id % 100)) % 256 AS gray
+  FROM ids,
+       (SELECT unnest(generate_series(0, 35)) AS x),
+       (SELECT unnest(generate_series(0, 31)) AS y)
+), pooled AS (
+  SELECT id, y // 4 AS gr, x // 4 AS gc, sum(gray) AS s
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT cur.id, cur.gr, cur.gc,
+         CASE WHEN nxt.s > cur.s THEN 1 ELSE 0 END AS bit
+  FROM pooled cur
+  JOIN pooled nxt ON nxt.id = cur.id AND nxt.gr = cur.gr
+                 AND nxt.gc = cur.gc + 1
+  WHERE cur.gc < 8
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM bits a
+JOIN bits b ON a.gr = b.gr AND a.gc = b.gc AND a.id < b.id
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+"""
+
+
 # =============================================================================
 # Merge variants (M6, M7) + rule-count audit (A6) + scalar functions (F1–F3)
 # =============================================================================
@@ -4779,6 +4880,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r8 — bigram Stupid-Backoff LM scoring (CCNet-style quality
     # signal; the unigram form above is its order-1 degenerate)
     "text_bigram_logprob": text_bigram_logprob,
+    # new in r8 — image dHash near-dup (PPM pool decode + shared
+    # pigeonhole Hamming banding)
+    "multimodal_phash_neardup": multimodal_phash_neardup,
     "corpus_summary": corpus_summary,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
@@ -4966,6 +5070,7 @@ ORACLES: dict[str, str] = {
     "audit_outliers_acctbal": OUTLIER_SQL,
     "text_unigram_logprob": UNIGRAM_LP_SQL,
     "text_bigram_logprob": BIGRAM_LP_SQL,
+    "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
     "corpus_summary": CORPUS_SUMMARY_SQL,
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
