@@ -9,6 +9,7 @@ templates end-to-end on fixture-shaped frames.
 """
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from voter_gateway_spark.audit import DedupAuditResult, MergeAuditResult
 from voter_gateway_spark.jobs import AuditGateway, DedupJob, ImportJob
@@ -174,3 +175,72 @@ def test_audit_results_survive_cleanup(spark):
     results = ProbeJob(spark, _source(spark), _target(spark)).perform_audit()
     assert len(results) == 1
     assert gw_holder["gw"]._working == {}  # clean_up ran
+
+
+# -- sketch audit variants (100 TB audit path) ---------------------------------
+
+
+def test_approx_distinct_by_within_error_bound(spark):
+    """HLL++ estimate per group within 3x the configured rsd of the
+    exact count on the events fixture. Deterministic: HLL is
+    hash-based with order-insensitive register merges, so this is a
+    regression test, not a flaky tolerance."""
+    from voter_gateway_spark.audit import approx_distinct_by
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rsd = 0.05
+    approx = {
+        r.event_type: r.approx_n_user_id
+        for r in approx_distinct_by(ev, ["event_type"], "user_id", rsd=rsd).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= 3 * rsd * n, (t, approx[t], n)
+
+
+def test_approx_quantiles_by_rank_guarantee(spark):
+    """Every percentile_approx value satisfies the Greenwald-Khanna
+    RANK contract: the returned element's rank interval is within
+    eps*n (+1 element of discreteness slack) of the target rank.
+    Verified in rank space against the fully sorted per-group values —
+    the exact property the audit_sketch_profile envelope boolean
+    certifies in value space."""
+    import bisect
+
+    from voter_gateway_spark.audit import approx_quantiles_by
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    probs, acc = [0.25, 0.5, 0.9], 1000
+    eps = 1.0 / acc
+    approx = {
+        r.event_type: r.approx_q_value
+        for r in approx_quantiles_by(ev, ["event_type"], "value", probs, acc).collect()
+    }
+    vals = ev.select("event_type", "value").toPandas()
+    for t, qs in approx.items():
+        v = sorted(vals[vals.event_type == t].value)
+        n = len(v)
+        for p, q in zip(probs, qs):
+            lo = bisect.bisect_left(v, q)   # ranks below q
+            hi = bisect.bisect_right(v, q)  # ranks at-or-below q
+            target = p * n
+            slack = eps * n + 1.0
+            assert lo - slack <= target <= hi + slack, (t, p, q, lo, hi, n)
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    """Every value at >= support frequency must surface (false
+    positives allowed, false negatives not — the freq-items sketch
+    contract)."""
+    from voter_gateway_spark.audit import heavy_hitters
+
+    rows = [("hot",)] * 400 + [("warm",)] * 250 + [(f"cold{i}",) for i in range(350)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = set(heavy_hitters(df, "v", support=0.2))
+    assert {"hot", "warm"} <= got

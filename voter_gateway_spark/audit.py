@@ -77,6 +77,58 @@ def grouped_flag_distribution(df: DataFrame, expr, alias: str = "flag") -> DataF
     return df.groupBy(expr.alias(alias)).agg(F.count(F.lit(1)).alias("count"))
 
 
+def approx_distinct_by(
+    df: DataFrame, group_cols: list[str], col: str, rsd: float = 0.05
+) -> DataFrame:
+    """A3/A4's 100 TB form: per-group cardinality via HyperLogLog++
+    (approx_count_distinct). The exact two-phase distinct shuffles
+    every distinct (group, value) pair; the sketch shuffles ONE fixed-
+    size HLL register block per (partition, group) — at a billion
+    distinct users that is the difference between a key-sized shuffle
+    and a few KB per group. `rsd` is the sketch's target relative
+    standard deviation (Spark sizes the registers from it); the error
+    envelope is property-tested against the exact count (tests/
+    test_jobs_audit.py) rather than oracle-hashed — approximate values
+    are implementation-defined, their BOUND is the contract."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(col, rsd=rsd).alias(f"approx_n_{col}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def approx_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    probabilities: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """A4's quantile form at scale: per-group percentile_approx
+    (Greenwald-Khanna style sketch, mergeable, fixed memory per
+    group). Guarantee: each returned value's RANK is within
+    n/accuracy of the target rank, so it lies between the exact
+    quantiles at p ± 1/accuracy — the property the tests pin. Exact
+    F.percentile needs the full sorted value multiset per group;
+    the sketch keeps O(accuracy) entries regardless of n."""
+    return df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            col, F.lit(probabilities), F.lit(accuracy)
+        ).alias(f"approx_q_{col}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> list:
+    """A4's top-k at scale without a full groupBy: single-pass
+    frequent-items sketch (Karp/Misra-Gries family via
+    df.stat.freqItems). Contract: every value with frequency ≥
+    `support` fraction of rows IS in the result (no false negatives);
+    false positives are possible and callers filter with an exact
+    count over the returned (small) candidate list if needed."""
+    row = df.stat.freqItems([col], support).collect()[0]
+    return list(row[f"{col}_freqItems"])
+
+
 def match_rule_counts(matches: DataFrame) -> DataFrame:
     """A6: per-rule match counts from the tagged cascade output."""
     return (

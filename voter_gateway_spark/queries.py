@@ -2947,6 +2947,66 @@ FROM events GROUP BY event_type
 """
 
 
+def audit_sketch_profile(spark, sf_dir):
+    """The 100 TB dataset-card audit path: HLL++ distinct cardinality
+    (audit.approx_distinct_by's aggregate) and Greenwald-Khanna
+    approximate quantiles next to their exact forms, reported as
+    ERROR-ENVELOPE BOOLEANS. Approximate values are implementation-
+    defined (no cross-engine oracle can hash them), but their bounds
+    are the contract — so the query emits `hll_within_bound` (HLL
+    estimate within 4x the configured rsd of the exact count; HLL
+    merge is hash-based and order-insensitive, so this is
+    deterministic) and `p50_within_rank_eps` (percentile_approx's
+    rank-guarantee: the returned element lies between the exact
+    quantiles at p ± (2/accuracy + 0.005) — 2/accuracy covers the
+    sketch's rank bound under ANY partial-merge order, the extra 0.5%
+    absorbs interpolation-convention discreteness on groups down to a
+    few hundred rows), and the
+    DuckDB oracle asserts both are literally TRUE. A hash-green row
+    therefore PROVES the sketches landed inside their envelopes on
+    this corpus — the strongest cross-engine statement an approximate
+    aggregate admits.
+
+    Scale: the exact countDistinct shuffles every distinct
+    (type, user) pair; the HLL form shuffles one fixed-size register
+    block per partition x group (measured A/B in SCALING.md). The
+    exact percentile needs the group's full sorted multiset; GK keeps
+    O(accuracy) entries."""
+    ev = _events(spark, sf_dir)
+    rsd, acc = 0.05, 1000
+    eps2 = 2.0 / acc + 0.005
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("_hll"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("_p50a"),
+        F.percentile(F.col("value"), F.lit([0.5 - eps2, 0.5 + eps2])).alias("_band"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * (4 * rsd)
+        ).alias("hll_within_bound"),
+        (
+            (F.col("_p50a") >= F.element_at("_band", 1))
+            & (F.col("_p50a") <= F.element_at("_band", 2))
+        ).alias("p50_within_rank_eps"),
+    )
+
+
+SKETCH_PROFILE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_within_bound,
+       TRUE AS p50_within_rank_eps
+FROM events GROUP BY 1
+"""
+
+
 def audit_orphan_orders(spark, sf_dir):
     """Referential-integrity audit: orders whose customer key has no
     customer row — a left-anti join (the J10 shape as a data-quality
@@ -4883,6 +4943,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r8 — image dHash near-dup (PPM pool decode + shared
     # pigeonhole Hamming banding)
     "multimodal_phash_neardup": multimodal_phash_neardup,
+    # new in r8 — sketch audits (HLL++/GK) hash-checked via their
+    # error-envelope booleans
+    "audit_sketch_profile": audit_sketch_profile,
     "corpus_summary": corpus_summary,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
@@ -5071,6 +5134,7 @@ ORACLES: dict[str, str] = {
     "text_unigram_logprob": UNIGRAM_LP_SQL,
     "text_bigram_logprob": BIGRAM_LP_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
+    "audit_sketch_profile": SKETCH_PROFILE_SQL,
     "corpus_summary": CORPUS_SUMMARY_SQL,
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
