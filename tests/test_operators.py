@@ -4,6 +4,8 @@ plumbing, streaming parity with batch."""
 
 import pytest
 from pyspark.sql import Row
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
@@ -1610,3 +1612,94 @@ def test_phash_neardup_variant_pairs_surface(spark):
     for m in range(16):
         assert (m, 100 + m) in got, m
         assert got[(m, 100 + m)] <= 1
+
+
+def _full_map(spark, pairs, all_ids):
+    from voter_gateway_spark.operators.dedup_ops import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in all_ids], "id bigint")
+    if pairs:
+        comp = connected_components(
+            spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        )
+        full = ids.join(comp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    else:
+        full = ids.select("id", F.col("id").alias("component"))
+    return {r.id: r.component for r in full.collect()}
+
+
+def test_incremental_component_assign_bridges_clusters(spark):
+    """A batch doc that links TWO settled corpus clusters must merge
+    them exactly as a full recompute would — including the case where
+    the merged component's min id is the BATCH doc itself."""
+    from voter_gateway_spark.operators.dedup_ops import incremental_component_assign
+
+    corpus_pairs = [(10, 11), (20, 21)]
+    corpus_ids = [10, 11, 20, 21, 30]
+    cmap = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30)],
+        "id bigint, component bigint",
+    )
+    batch_ids = spark.createDataFrame([(1,), (40,), (41,), (50,)], "id bigint")
+    bp = spark.createDataFrame([(1, 11), (1, 21)], "new_id bigint, corpus_id bigint")
+    nn = spark.createDataFrame([(40, 41)], "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.component
+        for r in incremental_component_assign(cmap, batch_ids, bp, nn).collect()
+    }
+    exp = _full_map(
+        spark,
+        corpus_pairs + [(1, 11), (1, 21), (40, 41)],
+        corpus_ids + [1, 40, 41, 50],
+    )
+    assert got == exp
+    # the bridge merged 10's and 20's clusters under the batch id
+    assert got[10] == got[21] == got[1] == 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda e: e[0] != e[1]),
+        max_size=14,
+    )
+)
+def test_incremental_component_assign_matches_full_recompute(spark_prop, edges):
+    """Parity property: split a random pair graph at id 8 into
+    corpus/bipartite/batch edges, settle the corpus side, fold the
+    batch in incrementally — the result must equal components over the
+    whole graph (singletons completed)."""
+    from voter_gateway_spark.operators.dedup_ops import incremental_component_assign
+
+    edges = [(min(a, b), max(a, b)) for a, b in edges]
+    corpus_ids = list(range(8))
+    batch = list(range(8, 16))
+    c_edges = [e for e in edges if e[1] < 8]
+    bp_edges = [e for e in edges if e[0] < 8 <= e[1]]  # (corpus, batch)
+    n_edges = [e for e in edges if e[0] >= 8]
+    cmap_d = _full_map(spark_prop, c_edges, corpus_ids)
+    cmap = spark_prop.createDataFrame(
+        list(cmap_d.items()), "id bigint, component bigint"
+    )
+    batch_ids = spark_prop.createDataFrame([(i,) for i in batch], "id bigint")
+    bp = spark_prop.createDataFrame(
+        [(b, c) for c, b in bp_edges] or [(None, None)],
+        "new_id bigint, corpus_id bigint",
+    ).dropna()
+    nn = spark_prop.createDataFrame(
+        n_edges or [(None, None)], "id_a bigint, id_b bigint"
+    ).dropna()
+    got = {
+        r.id: r.component
+        for r in incremental_component_assign(cmap, batch_ids, bp, nn).collect()
+    }
+    assert got == _full_map(spark_prop, edges, list(range(16)))

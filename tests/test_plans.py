@@ -32,6 +32,7 @@ def _plan(df, mode: str = "formatted") -> str:
 # pipelines, so plan-shape checks cover the single-plan queries.
 _ITERATIVE = {
     "dedup_cluster_components",
+    "dedup_incremental_components",
     "dedup_corpus_pruned",
     "fuzzy_claiming_documents",
     "embed_ivf_topk",

@@ -544,6 +544,86 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def incremental_component_assign(
+    cluster_map: DataFrame,
+    batch_ids: DataFrame,
+    bipartite_pairs: DataFrame,
+    batch_pairs: DataFrame,
+) -> DataFrame:
+    """Incremental cluster maintenance: fold an arriving batch into an
+    EXISTING cluster map without recomputing corpus-internal pairs —
+    the daily-ingest counterpart of connected_components, and what
+    keeps the leakage-safe split (split_leakage_safe) maintainable: a
+    pipeline that recomputed all-pairs components per batch would pay
+    the full corpus join daily.
+
+    Inputs:
+      - cluster_map: complete (id, component) for the corpus,
+        singletons included (component = own id) — the convention
+        split_leakage_safe materializes;
+      - batch_ids: (id) of the arriving documents;
+      - bipartite_pairs: (new_id, corpus_id) similarity pairs from a
+        batch→corpus probe (incremental_minhash_pairs, or the
+        persisted band index probe in production);
+      - batch_pairs: (id_a, id_b) similarity pairs within the batch.
+
+    Invariant (the parity contract, property-tested): the returned
+    full map EQUALS connected_components over the union corpus+batch
+    pair graph (completed with singletons), provided corpus-internal
+    pairs used the same similarity family/threshold. That holds
+    because contracting each corpus cluster to its label node (labels
+    are min member ids, so min-label components are unchanged by the
+    contraction) preserves both connectivity and minima; a batch that
+    bridges TWO existing clusters therefore merges them here exactly
+    as a full recompute would.
+
+    Scale: the component iteration runs over a graph of batch nodes +
+    TOUCHED cluster labels (batch-sized); the corpus-side update is a
+    single broadcast join against the (batch-bounded) relabel table —
+    the corpus is never shuffled, which is the entire point."""
+    bid = batch_ids.select(F.col(batch_ids.columns[0]).alias("id")).distinct()
+    cm = cluster_map.select(
+        F.col(cluster_map.columns[0]).alias("_cid"),
+        F.col(cluster_map.columns[1]).alias("_ccomp"),
+    )
+    # contract corpus endpoints to their existing cluster labels
+    bc = (
+        bipartite_pairs.select(
+            F.col(bipartite_pairs.columns[0]).alias("id_a"),
+            F.col(bipartite_pairs.columns[1]).alias("_cid"),
+        )
+        .join(cm, "_cid")
+        .select("id_a", F.col("_ccomp").alias("id_b"))
+    )
+    nn = batch_pairs.select(
+        F.col(batch_pairs.columns[0]).alias("id_a"),
+        F.col(batch_pairs.columns[1]).alias("id_b"),
+    )
+    comp = connected_components(bc.unionByName(nn))
+    # corpus clusters whose label got absorbed into a smaller-id
+    # component — batch-bounded by construction
+    touched_labels = bc.select(F.col("id_b").alias("id")).distinct()
+    relabel = (
+        comp.join(touched_labels, "id")
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("_old"), F.col("component").alias("_new"))
+    )
+    updated_corpus = (
+        cm.join(F.broadcast(relabel), cm["_ccomp"] == F.col("_old"), "left")
+        .select(
+            F.col("_cid").alias("id"),
+            F.coalesce(F.col("_new"), F.col("_ccomp")).alias("component"),
+        )
+    )
+    batch_assigned = comp.join(bid, "id")
+    batch_singletons = bid.join(comp, "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return updated_corpus.unionByName(batch_assigned).unionByName(
+        batch_singletons
+    )
+
+
 # -- cross-corpus contamination ------------------------------------------------
 
 def cross_corpus_overlap(

@@ -768,6 +768,99 @@ def dedup_incremental_batch(spark, sf_dir):
     )
 
 
+def dedup_incremental_components(spark, sf_dir):
+    """Incremental cluster maintenance end-to-end: the corpus
+    (doc_id < 400) has a settled cluster map; the arriving batch
+    (doc_id >= 400) is folded in via the bipartite band probe + a
+    batch-internal pair pass + dedup_ops.incremental_component_assign
+    — corpus-internal pairs are never recomputed and the corpus map is
+    updated with one broadcast relabel join. The ORACLE is the full
+    recompute (recursive-CTE components over the union minhash pair
+    graph, singletons completed), so a hash-green row IS the parity
+    proof: incremental assignment == full recompute, including batches
+    that bridge two existing clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    mh = dict(k=3, n_hashes=16, bands=4, threshold=0.1)
+    cpairs = dedup_ops.minhash_lsh_pairs(corpus, "doc_id", "text", **mh)
+    cmap = (
+        corpus.select("doc_id")
+        .join(
+            dedup_ops.connected_components(cpairs).withColumnRenamed("id", "doc_id"),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+    bp = dedup_ops.incremental_minhash_pairs(
+        batch, corpus, "doc_id", "text", **mh
+    ).select("new_id", "corpus_id")
+    nn = dedup_ops.minhash_lsh_pairs(batch, "doc_id", "text", **mh).select(
+        "id_a", "id_b"
+    )
+    updated = dedup_ops.incremental_component_assign(
+        cmap, batch.select("doc_id"), bp, nn
+    )
+    return updated.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def _minhash_components_full_sql(threshold: float = 0.1) -> str:
+    """Full-recompute oracle for dedup_incremental_components: the
+    same minhash CTE skeleton as _incremental_minhash_sql but with
+    ALL-pairs candidates, recursive-CTE components, and singleton
+    completion."""
+    from voter_gateway_spark.operators.dedup_ops import _MINHASH_P, _affine_consts
+
+    n_hashes, bands, rows = 16, 4, 4
+    sig = ", ".join(
+        f"list_min(list_transform(hl, h -> ((h % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P})) AS h{seed}"
+        for seed, (a, b) in enumerate(_affine_consts(n_hashes))
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        + "(" + " || '|' || ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)) + ") AS k FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh),
+sig AS (SELECT doc_id, hl, {sig} FROM hh),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hh x ON cand.id_a = x.doc_id JOIN hh y ON cand.id_b = y.doc_id
+  WHERE round(len(list_intersect(x.hl, y.hl)) * 1.0
+        / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w2.id, e.b FROM walk w2 JOIN edges e ON w2.r = e.a
+),
+comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def dedup_band_index_probe(spark, sf_dir):
     """Incremental dedup against a PERSISTED MinHash band index: the
     corpus half (doc_id < 400) is written once as a partition-pruned
@@ -4946,6 +5039,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r8 — sketch audits (HLL++/GK) hash-checked via their
     # error-envelope booleans
     "audit_sketch_profile": audit_sketch_profile,
+    # new in r8 — incremental cluster maintenance; the oracle is the
+    # FULL recompute, so green == the parity proof
+    "dedup_incremental_components": dedup_incremental_components,
     "corpus_summary": corpus_summary,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
@@ -5135,6 +5231,7 @@ ORACLES: dict[str, str] = {
     "text_bigram_logprob": BIGRAM_LP_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
     "audit_sketch_profile": SKETCH_PROFILE_SQL,
+    "dedup_incremental_components": _minhash_components_full_sql(0.1),
     "corpus_summary": CORPUS_SUMMARY_SQL,
     "text_structure": STRUCTURE_SQL,
     "events_hourly_anomalies": ANOMALY_SQL,
