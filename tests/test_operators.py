@@ -1703,3 +1703,40 @@ def test_incremental_component_assign_matches_full_recompute(spark_prop, edges):
         for r in incremental_component_assign(cmap, batch_ids, bp, nn).collect()
     }
     assert got == _full_map(spark_prop, edges, list(range(16)))
+
+
+def test_stream_session_paths_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-vs-batch session-path parity: session_window gap
+    sessionization (streaming, availableNow) finished by the SHARED
+    renderer must equal the batch lag/sum form per (path, n_sessions,
+    n_events) — the boundary-semantics equivalence the two operators
+    claim (gap of exactly 30min starts a new session in both)."""
+    import shutil
+
+    from voter_gateway_spark.operators.analytics import (
+        render_session_paths,
+        session_paths,
+    )
+    from voter_gateway_spark.streaming.events import stream_session_collect
+
+    batch = session_paths(load_events(spark, sf_dir), gap_seconds=1800, max_len=8)
+    stream_dir = tmp_path / "events_stream_sp"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    q = (
+        stream_session_collect(spark, str(stream_dir), gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.path): (r.n_sessions, r.n_events)
+        for r in render_session_paths(
+            spark.table("t_stream_sessions"), max_len=8
+        ).collect()
+    }
+    exp = {(r.path): (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert got == exp

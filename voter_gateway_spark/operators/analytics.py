@@ -457,6 +457,17 @@ def session_paths(
         ).alias("_evs"),
         F.count(F.lit(1)).alias("_ne"),
     )
+    return render_session_paths(sess, max_len)
+
+
+def render_session_paths(sess: DataFrame, max_len: int = 8) -> DataFrame:
+    """Path render + rollup over per-session rows of (_evs: sorted
+    array<struct<_us,_e,_t>>, _ne: true event count): first max_len
+    types joined with '>', '>+' marking truncation, aggregated per
+    path. Shared by the batch window form (session_paths) and the
+    streaming session_window form (streaming.events.
+    stream_session_collect) so stream-vs-batch parity is a property of
+    ONE renderer, not two copies."""
     head = F.transform(F.slice("_evs", 1, max_len), lambda s: s["_t"])
     path = F.when(
         F.col("_ne") > max_len,

@@ -103,6 +103,51 @@ def _event_stream(spark: SparkSession, parquet_dir: str, watermark: str):
     return events_stream_reader(spark, parquet_dir, watermark)
 
 
+def stream_session_collect(
+    spark: SparkSession,
+    parquet_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming half of session-path mining: session_window gap
+    sessionization — IDENTICAL boundaries to analytics.session_paths'
+    batch lag/sum form (session_window's interval is [start, last+gap),
+    so an event exactly `gap` after its predecessor starts a new
+    session, matching the batch `>= gap` test) — collecting each
+    session's ordered (time, id, type) struct array plus the true
+    event count.
+
+    Run with trigger(availableNow=True) and complete/update mode, then
+    finish with analytics.render_session_paths on the materialized
+    sessions: the final per-path rollup is a SECOND aggregation, which
+    Structured Streaming does not chain — the split is the documented
+    micro-batch form, and sharing one renderer with the batch operator
+    is what makes stream-vs-batch parity testable as a property of the
+    sessionization alone.
+
+    State note: this form keeps whole sessions in state until the
+    watermark closes them; the batch form bounds per-session window
+    state at max_len+1 structs. A production stream with adversarial
+    (bot) sessions would gate the collect through
+    applyInPandasWithState the way stream_value_cap_admissions does."""
+    ev = _event_stream(spark, parquet_dir, watermark)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("_us"),
+                        F.col("event_id").alias("_e"),
+                        F.col("event_type").alias("_t"),
+                    )
+                )
+            ).alias("_evs"),
+            F.count(F.lit(1)).alias("_ne"),
+        )
+    )
+
+
 def enrich_events(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static enrichment: join each event to a (small) dimension
     table. Works identically on a batch or streaming `events` frame —
