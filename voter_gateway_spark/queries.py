@@ -4947,21 +4947,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # core relational/staging/merge first, then one window per
     # family (dedup, fuzzy, text, contamination, embeddings,
     # events, sampling/layout); stable variants trail.
-    # round-6 rotation: the eighteen tail queries that had never had
-    # a driver-run row (layout, geo export, funnel latency, outliers,
-    # unigram LM, corpus summary, cube/ntile/hist/pivot, cluster
-    # rollup, text structure trio, packing, quota/mixture sampling,
-    # PPM decode) move into the 50-query prefix; eighteen stable
-    # r5-green veterans rotate to the local-gate tail. With this
-    # rotation every catalog query has a driver-run row on record
-    # across rounds 1-6.
-    # round-7 rotation: the seven r7-new queries (bloom admission,
-    # leakage-safe split, dedup report card, nearest-asof, session
-    # paths, JSONL roundtrip, props extract) enter the prefix for
-    # their first driver rows; seven r6-green veterans (packing,
-    # quota/mixture sampling, PPM/PNG decode, cube, hist) rotate to
-    # the tail. corpus_summary and dedup_cluster_rollup stay in the
-    # prefix so their r6 oracle-dtype fix gets a green driver row.
+    # Rotation history: r6 moved the 18 never-driver-run tail queries
+    # into the prefix; r7 moved in its 7 new queries. round-8
+    # rotation: (a) the 4 r8-new queries (bigram LM, phash near-dup,
+    # sketch audits, incremental components) take prefix slots;
+    # (b) every query whose CODE changed this round stays/moves into
+    # the prefix (jsonl_roundtrip scratch-path fix, session_paths
+    # shared renderer, band_index_probe scratch-path fix, dedup_simhash
+    # banding refactor, dedup_bloom_admission BloomIndex binding);
+    # (c) the 15 LONGEST-unsampled veterans (last driver row r2:
+    # multimodal_features .. multimodal_frame_sample) rotate back in
+    # per the r7 verdict ask; (d) 21 r6/r7-green stables rotate to the
+    # tail (all remain green in the full-catalog local gate).
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_revenue": q5_region_revenue,
@@ -4973,8 +4970,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
     "scd2_customers": scd2_customers,
     "cdc_apply_orders": cdc_apply_orders,
-    # fuzzy family stays in the prefix: its plan changed this round
-    # (cost-based collapse gate, canonical fingerprints)
     "fuzzy_claiming_documents": fuzzy_claiming_documents,
     "fuzzy_top1_documents": fuzzy_top1_documents,
     "dedup_documents_lang_source": dedup_documents_lang_source,
@@ -4982,75 +4977,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
-    # new in r7 — bloom-prefiltered exact admission and the
-    # cluster-atomic (leakage-safe) split take their first driver rows;
-    # pack_sequences_documents and sample_source_quota (both green r6)
-    # rotate to the tail
     "dedup_bloom_admission": dedup_bloom_admission,
     "split_leakage_safe": split_leakage_safe,
-    # new in r7 — the per-source dedup report card and the ANN recall
-    # audit; hist_order_totals and ntile_customer_value (green r6)
-    # rotate to the tail
     "corpus_dedup_report": corpus_dedup_report,
     "embed_recall_report": embed_recall_report,
-    # new in r6 — frequent-ngram mining and the curation-audit
-    # pipeline take the prefix slots of text_boilerplate_scrub and
-    # pipeline_corpus_prep (both green r5), which rotate to the tail
     "text_frequent_ngrams": text_frequent_ngrams,
     "pipeline_curation_audit": pipeline_curation_audit,
     "corpus_contamination": corpus_contamination,
     "contamination_span_pairs": contamination_span_pairs,
     "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
+    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+    "events_session_paths": events_session_paths,
+    "dedup_band_index_probe": dedup_band_index_probe,
+    "dedup_simhash": dedup_simhash,
+    "text_bigram_logprob": text_bigram_logprob,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
+    "audit_sketch_profile": audit_sketch_profile,
+    "dedup_incremental_components": dedup_incremental_components,
+    "multimodal_features": multimodal_features,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q_late_ship_orders": q_late_ship_orders,
+    "audit_orphan_orders": audit_orphan_orders,
+    "rollup_revenue": rollup_revenue,
+    "window_customer_orders": window_customer_orders,
+    "set_ops_nations": set_ops_nations,
+    "stats_quantiles_lineitem": stats_quantiles_lineitem,
+    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
+    "dedup_corpus_pruned": dedup_corpus_pruned,
+    "embed_normalize": embed_normalize,
+    "embed_group_centroids": embed_group_centroids,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    # --- below the driver 50-query sample window: green on their
+    #     most recent driver rows and in CORRECTNESS_local.json ---
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
     "embed_semantic_dedup": embed_semantic_dedup,
-    # new in r6 — substring-span scrub sits in the prefix for its first
-    # driver row; docs_training_shuffle (green r5) rotates to the tail
     "dedup_substring_scrub": dedup_substring_scrub,
     "asof_order_revenue_events": asof_order_revenue_events,
-    # new in r7 — nearest/tolerance as-of (pandas merge_asof surface)
-    # and session path mining; multimodal_png_decode and cube_revenue
-    # (both green r6) rotate to the tail
     "asof_nearest_purchase_events": asof_nearest_purchase_events,
-    "events_session_paths": events_session_paths,
     "interval_join_events_windows": interval_join_events_windows,
     "audit_distinct_users_by_type": audit_distinct_users_by_type,
     "events_view_purchase_attribution": events_view_purchase_attribution,
-    # r6: the WAV codec (first real audio decode) sits in the prefix;
-    # events_sessionized (green r5) rotates to the tail
     "multimodal_wav_decode": multimodal_wav_decode,
-    # new in r7 — JSONL round-trip fidelity (first driver coverage for
-    # JSONLSource) and semi-structured props extraction;
-    # sample_mixture_weighted and multimodal_ppm_decode (both green r6)
-    # rotate to the tail
-    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     "events_props_extract": events_props_extract,
-    # --- round-6 rotation block: first-ever driver rows ---
     "zorder_customers": zorder_customers,
     "geo_wkt_export": geo_wkt_export,
     "events_funnel_latency": events_funnel_latency,
     "audit_outliers_acctbal": audit_outliers_acctbal,
     "text_unigram_logprob": text_unigram_logprob,
-    # new in r8 — bigram Stupid-Backoff LM scoring (CCNet-style quality
-    # signal; the unigram form above is its order-1 degenerate)
-    "text_bigram_logprob": text_bigram_logprob,
-    # new in r8 — image dHash near-dup (PPM pool decode + shared
-    # pigeonhole Hamming banding)
-    "multimodal_phash_neardup": multimodal_phash_neardup,
-    # new in r8 — sketch audits (HLL++/GK) hash-checked via their
-    # error-envelope booleans
-    "audit_sketch_profile": audit_sketch_profile,
-    # new in r8 — incremental cluster maintenance; the oracle is the
-    # FULL recompute, so green == the parity proof
-    "dedup_incremental_components": dedup_incremental_components,
     "corpus_summary": corpus_summary,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
     "text_char_entropy": text_char_entropy,
-    # --- stable veterans below the driver's ~50-query sample window;
-    # all have driver-run green rows from earlier rounds and remain
-    # green in CORRECTNESS_local.json every round ---
     "pack_sequences_documents": pack_sequences_documents,
     "sample_source_quota": sample_source_quota,
     "sample_mixture_weighted": sample_mixture_weighted,
@@ -5074,7 +5055,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
     "audit_duplicate_custkeys": audit_duplicate_custkeys,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "dedup_band_index_probe": dedup_band_index_probe,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -5082,7 +5062,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_topk": embed_ivf_topk,
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
-    "dedup_simhash": dedup_simhash,
     "dedup_edit_distance": dedup_edit_distance,
     "text_vocabulary": text_vocabulary,
     "text_chunks": text_chunks,
@@ -5099,21 +5078,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_split_documents": stratified_split_documents,
     "events_hourly_anomalies": events_hourly_anomalies,
     "sample_weighted_reservoir": sample_weighted_reservoir,
-    "multimodal_features": multimodal_features,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q10_returned_items": q10_returned_items,
-    "q_late_ship_orders": q_late_ship_orders,
-    "audit_orphan_orders": audit_orphan_orders,
-    "rollup_revenue": rollup_revenue,
-    "window_customer_orders": window_customer_orders,
-    "set_ops_nations": set_ops_nations,
-    "stats_quantiles_lineitem": stats_quantiles_lineitem,
-    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
-    "dedup_corpus_pruned": dedup_corpus_pruned,
-    "embed_normalize": embed_normalize,
-    "embed_group_centroids": embed_group_centroids,
-    "text_fingerprint": text_fingerprint,
-    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
