@@ -127,10 +127,25 @@ def main() -> None:
     skip = set(
         s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
     )
+    # SPARK_GRAFT_BENCH_EXTRA: comma-separated catalog queries appended
+    # for THIS run only — used by the decade runs to measure queries
+    # that aren't part of the stable 33-query headline (adding them to
+    # BENCH_QUERIES would shift the sf0.1 total every round and break
+    # the baseline comparison)
+    extra = []
+    for s in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(","):
+        if not s:
+            continue
+        if s in QUERIES and s not in BENCH_QUERIES:
+            extra.append(s)
+        else:
+            # no silent caps: a typo'd extra must be visible before the
+            # (long) decade run, not after it
+            print(f"bench: ignoring unknown/duplicate extra {s!r}", file=sys.stderr)
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
     spill_bytes: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + extra:
         if name in skip:
             continue
         best = float("inf")
@@ -166,7 +181,10 @@ def main() -> None:
         # cleaner between queries to keep per-query numbers independent
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 3)
+    # extras are reported per-query but EXCLUDED from the headline sum —
+    # the whole point of the env hook is that the total stays comparable
+    # to the stable 33-query baseline across rounds
+    total = round(sum(v for k, v in timings.items() if k not in extra), 3)
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,

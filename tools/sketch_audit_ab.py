@@ -34,7 +34,9 @@ from voter_gateway_spark.session import build_spark  # noqa: E402
 def main() -> None:
     argv = sys.argv[1:]
     src = argv[0] if argv else "/root/testdata/sf0.1"
-    runs = int(argv[1]) if len(argv) > 1 else 2
+    # floor at 1: runs=0 would leave `rows` unbound and wall at inf
+    # (json.dumps would then emit the non-RFC Infinity token)
+    runs = max(1, int(argv[1])) if len(argv) > 1 else 2
     path = src if src.endswith(".parquet") else f"{src}/events.parquet"
     spark = build_spark(app_name="vgs-sketch-audit-ab")
     spark.sparkContext.setLogLevel("ERROR")

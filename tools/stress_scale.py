@@ -212,6 +212,10 @@ EVENT_DECADE_QUERIES = [
     "audit_flag_distribution_events",
     "events_daily_pivot",
     "events_funnel_latency",
+    # r7 newcomer with a bounded-state claim (max_len+1 structs per
+    # session before the collect_list) — measured here so the claim
+    # has a decade row, not just a plan test
+    "events_session_paths",
 ]
 
 

@@ -1229,7 +1229,7 @@ def bloom_admission(
     batch: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 7,
+    n_hashes: int | None = None,
     bits_per_key: float = 9.6,
     n_bits: int | None = None,
     words: DataFrame | BloomIndex | None = None,
@@ -1274,7 +1274,11 @@ def bloom_admission(
                 f"n_bits={n_bits} conflicts with the BloomIndex build "
                 f"(n_bits={words.n_bits}); drop the explicit value"
             )
-        if n_hashes != words.n_hashes and n_hashes != 7:
+        # None default (not 7) so an EXPLICIT n_hashes=7 against an
+        # index built with a different value is still caught — with a
+        # value sentinel the conflict check couldn't tell "omitted"
+        # from "asked for 7"
+        if n_hashes is not None and n_hashes != words.n_hashes:
             raise ValueError(
                 f"n_hashes={n_hashes} conflicts with the BloomIndex "
                 f"build (n_hashes={words.n_hashes}); drop the explicit value"
@@ -1282,6 +1286,8 @@ def bloom_admission(
         n_bits, n_hashes = words.n_bits, words.n_hashes
         words = words.words
     elif words is None:
+        if n_hashes is None:
+            n_hashes = 7
         if n_bits is None:
             n_keys = corpus.count() or 1
             n_bits = _next_pow2(int(n_keys * bits_per_key))
@@ -1293,6 +1299,8 @@ def bloom_admission(
     # raw-DataFrame words path: n_hashes MUST equal the build's value —
     # a mismatch probes the wrong bit positions and admits true
     # duplicates. Prefer build_bloom_index/BloomIndex, which binds both.
+    if n_hashes is None:
+        n_hashes = 7
     fp_batch = batch.withColumn("_bfp", fp)
     flags = bloom_maybe_flags(fp_batch, "_bfp", words, n_bits, n_hashes)
     # fp is a pure function of the text, so flags join back by

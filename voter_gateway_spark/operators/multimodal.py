@@ -107,26 +107,14 @@ def make_ppm(width: int, height: int, pixels: "np.ndarray") -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
 
 
-def ppm_decode(payload: bytes) -> list[float]:
-    """REAL image decode for binary PPM (P6) — numpy only, no codec
-    libraries. Parses the header (magic, whitespace/`#`-comment
-    tokenization, width/height/maxval), demuxes the raw RGB plane, and
-    returns an 8-dim feature vector in [0, 1]:
-
-        [mean_r, mean_g, mean_b, mean_gray,
-         q00, q01, q10, q11]   (gray means of the four image quadrants)
-
-    Gray is the channel SUM (0..765) normalized by 765, not the /3
-    average: every intermediate is then an integer-valued double, so
-    the statistics are bit-identical across engines and the DuckDB
-    oracle can recompute them exactly from the generative pixel
-    formula. Quadrant split: rows < h//2 are the top half, cols < w//2
-    the left half (remainder rows/cols fall in the bottom/right
-    quadrants). Raises ValueError on a bad magic, truncated pixel
-    data, or an unsupported maxval — a decode error MUST surface, not
-    produce junk features.
-    """
-    # header: magic + 3 integers, '#' comments run to end of line
+def _ppm_parse(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Shared PPM (P6) header parser + pixel-plane extraction: magic,
+    whitespace/`#`-comment tokenization, width/height/maxval, the
+    single-whitespace byte after maxval, and the truncated-payload
+    check. Returns (w, h, uint8 pixel array of shape (h, w, 3)).
+    ppm_decode and ppm_pool_grid both consume this so a header-contract
+    fix (e.g. two-byte samples for maxval > 255) can never diverge the
+    two decoders."""
     tokens: list[bytes] = []
     i = 0
     while len(tokens) < 4 and i < len(payload):
@@ -147,16 +135,39 @@ def ppm_decode(payload: bytes) -> list[float]:
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # single whitespace byte after maxval
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError(f"truncated PPM: want {w * h * 3} pixel bytes, got {len(raw)}")
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_decode(payload: bytes) -> list[float]:
+    """REAL image decode for binary PPM (P6) — numpy only, no codec
+    libraries. Parses the header (magic, whitespace/`#`-comment
+    tokenization, width/height/maxval), demuxes the raw RGB plane, and
+    returns an 8-dim feature vector in [0, 1]:
+
+        [mean_r, mean_g, mean_b, mean_gray,
+         q00, q01, q10, q11]   (gray means of the four image quadrants)
+
+    Gray is the channel SUM (0..765) normalized by 765, not the /3
+    average: every intermediate is then an integer-valued double, so
+    the statistics are bit-identical across engines and the DuckDB
+    oracle can recompute them exactly from the generative pixel
+    formula. Quadrant split: rows < h//2 are the top half, cols < w//2
+    the left half (remainder rows/cols fall in the bottom/right
+    quadrants). Raises ValueError on a bad magic, truncated pixel
+    data, or an unsupported maxval — a decode error MUST surface, not
+    produce junk features.
+    """
+    w, h, px8 = _ppm_parse(payload)
     if w < 2 or h < 2:
         # the quadrant features need both halves non-empty; an empty
         # slice would silently yield NaN features, and a decode error
         # must surface instead of producing junk
         raise ValueError(f"image too small for quadrant features: {w}x{h}")
-    i += 1  # single whitespace byte after maxval
-    raw = payload[i : i + w * h * 3]
-    if len(raw) != w * h * 3:
-        raise ValueError(f"truncated PPM: want {w * h * 3} pixel bytes, got {len(raw)}")
-    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    px = px8.astype(np.float64)
     gray = px.sum(axis=2)  # 0..765, integer-valued
     hh, wh = h // 2, w // 2
     return [
@@ -451,35 +462,12 @@ def ppm_pool_grid(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> list[floa
     == h % grid_h == 0): silent partial blocks would make the pooled
     values depend on remainder-handling conventions, the kind of
     ambiguity an oracle-pinned codec must refuse."""
-    tokens: list[bytes] = []
-    i = 0
-    while len(tokens) < 4 and i < len(payload):
-        c = payload[i : i + 1]
-        if c == b"#":
-            while i < len(payload) and payload[i : i + 1] != b"\n":
-                i += 1
-        elif c.isspace():
-            i += 1
-        else:
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            tokens.append(payload[i:j])
-            i = j
-    if len(tokens) < 4 or tokens[0] != b"P6":
-        raise ValueError("not a binary PPM (P6) payload")
-    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-    if maxval != 255:
-        raise ValueError(f"unsupported PPM maxval {maxval}")
+    w, h, px8 = _ppm_parse(payload)
     if w % grid_w or h % grid_h:
         raise ValueError(
             f"image {w}x{h} does not tile into a {grid_w}x{grid_h} pool grid"
         )
-    i += 1
-    raw = payload[i : i + w * h * 3]
-    if len(raw) != w * h * 3:
-        raise ValueError(f"truncated PPM: want {w * h * 3} pixel bytes, got {len(raw)}")
-    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    px = px8.astype(np.int64)
     gray = px.sum(axis=2)
     pooled = gray.reshape(grid_h, h // grid_h, grid_w, w // grid_w).sum(axis=(1, 3))
     return [float(v) for v in pooled.flatten()]

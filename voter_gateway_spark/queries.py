@@ -875,20 +875,27 @@ def dedup_band_index_probe(spark, sf_dir):
 
     Reference shape: fuzzy_merger.rb:21-36's persistent candidate pool,
     generalized to the LSH band structure."""
+    import atexit
+    import functools
     import hashlib
+    import shutil
     import uuid
 
     docs = _t(spark, sf_dir, "documents")
     # uuid suffix: same overlap race as jsonl_roundtrip (r8 advice) —
     # two concurrent runs over one fixture must not share a scratch
-    # index dir. Left lazy (the probe's partition-pruned file reads ARE
-    # the point), so the per-run dir persists until /tmp reaping.
+    # index dir. The returned plan stays lazy (the probe's
+    # partition-pruned file reads ARE the point, and plan tests pin
+    # them), so the dir can't be deleted here; register it for reap at
+    # process exit so repeated gate/bench invocations in one process
+    # don't accumulate corpus-sized copies past the run.
     path = (
         "/tmp/vgs_band_index_cat_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         + "_"
         + uuid.uuid4().hex[:12]
     )
+    atexit.register(functools.partial(shutil.rmtree, path, ignore_errors=True))
     dedup_ops.build_band_index(
         docs.where(F.col("doc_id") < 400), path, "doc_id", "text",
         k=3, n_hashes=16, bands=4,
