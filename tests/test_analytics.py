@@ -371,3 +371,132 @@ def test_bigram_logprob_matches_python_reference(spark):
     # the backoff branch is live: odd (held-out) docs contain bigrams
     # the even-doc model never saw
     assert any(v[2] > 0 for v in exp.values())
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """Independent pure-Python DSIR (Xie et al. 2023) recomputation
+    over the sf0.001 fixture: hashed-bigram (60-bit md5 % 4096) bucket
+    counts, add-one smoothed target (lang='en') vs raw models, per-doc
+    log-weight = sum of per-position log ratios. Also pins the method's
+    point: English docs must score higher on average than non-English
+    ones (the target model was built from them)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from voter_gateway_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight, r.mean_logratio)
+        for r in QUERIES["text_dsir_importance"](spark, sf).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text", "lang"]]
+    B = 4096
+
+    def buckets(text):
+        ts = [t for t in re.sub(r"\s+", " ", text).strip().lower().split(" ") if t]
+        return [
+            int(hashlib.md5(f"{p}|{c}".encode()).hexdigest()[:15], 16) % B
+            for p, c in zip(ts, ts[1:])
+        ]
+
+    doc_b = {int(r.doc_id): buckets(r.text) for r in docs.itertuples()}
+    is_en = {int(r.doc_id): r.lang == "en" for r in docs.itertuples()}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for d, bs in doc_b.items():
+        raw.update(bs)
+        if is_en[d]:
+            tgt.update(bs)
+    nr, nt = float(sum(raw.values())), float(sum(tgt.values()))
+    score = {
+        b: math.log((tgt.get(b, 0) + 1) / (nt + B))
+        - math.log((raw[b] + 1) / (nr + B))
+        for b in raw
+    }
+    exp = {
+        d: (
+            len(bs),
+            round(sum(score[b] for b in bs), 6),
+            round(sum(score[b] for b in bs) / len(bs), 6),
+        )
+        for d, bs in doc_b.items()
+        if bs
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0], d
+        assert abs(got[d][1] - exp[d][1]) < 2e-5, (d, got[d], exp[d])
+        assert abs(got[d][2] - exp[d][2]) < 2e-6, (d, got[d], exp[d])
+    # the importance signal is live: target-language docs score higher
+    # on the length-normalized ratio than non-target docs on average
+    en = [exp[d][2] for d in exp if is_en[d]]
+    other = [exp[d][2] for d in exp if not is_en[d]]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_token_budget_matches_python_reference(spark):
+    """Independent pure-Python recomputation of the UniMax-style
+    token-budget selection over sf0.001: sqrt-of-mass integer budgets,
+    md5-hash order within source, whole-doc-fits admission. Also pins
+    the two semantic invariants: per-source selected tokens never
+    exceed the source budget, and no source is over-admitted relative
+    to the flattened share."""
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    from voter_gateway_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in QUERIES["sample_token_budget"](spark, sf).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text", "source"]]
+    rows = [
+        (
+            int(r.doc_id),
+            r.source,
+            len([t for t in re.sub(r"\s+", " ", r.text).strip().lower().split(" ") if t]),
+            hashlib.md5(str(int(r.doc_id)).encode()).hexdigest(),
+        )
+        for r in docs.itertuples()
+    ]
+    tot = {}
+    for _, s, n, _h in rows:
+        tot[s] = tot.get(s, 0) + n
+    w = {s: int(math.floor(math.sqrt(t))) for s, t in tot.items()}
+    t_half = sum(tot.values()) // 2
+    w_sum = sum(w.values())
+    budget = {s: t_half * w[s] // w_sum for s in tot}
+    # prefix-cut semantics (what the query computes): the cumulative
+    # sum runs over ALL docs in hash order, so the selected set is the
+    # maximal prefix of each source's stream where every doc still
+    # fits — NOT greedy-with-skip (a non-fitting doc ends the source's
+    # admission; later smaller docs are not back-filled)
+    exp = set()
+    cum = {s: 0 for s in tot}
+    for d, s, n, _h in sorted(rows, key=lambda r: (r[1], r[3], f"{r[0]:020d}")):
+        if cum[s] + n <= budget[s]:
+            exp.add((d, s, n))
+        cum[s] += n
+    assert got == exp
+    # invariants: budgets respected, and the sqrt flattening admitted a
+    # HIGHER fraction of small sources than of the largest source
+    sel_tok = {}
+    for _, s, n in got:
+        sel_tok[s] = sel_tok.get(s, 0) + n
+    assert all(sel_tok.get(s, 0) <= budget[s] for s in tot)
+    big = max(tot, key=tot.get)
+    small = min(tot, key=tot.get)
+    assert budget[small] / tot[small] >= budget[big] / tot[big]

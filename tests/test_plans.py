@@ -287,3 +287,32 @@ def test_curation_audit_counts_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Union") >= 1
+
+
+def test_dsir_importance_broadcasts_bucket_scores(spark, sf_dir):
+    # the position stream materializes once (lazy checkpoint) and the
+    # bucket-count dictionary is B-bounded, so the score table joins
+    # back by BROADCAST; the only corpus-sized exchange is the final
+    # per-doc hash aggregate. One explode (the bigram positions); the
+    # totals crossJoin is a broadcast of one row, never a cartesian of
+    # two distributed sides.
+    plan = _plan(QUERIES["text_dsir_importance"](spark, sf_dir), "simple")
+    assert plan.count("Generate explode") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_no_per_source_window(spark, sf_dir):
+    # the per-source cumulative sum must come from the two-phase global
+    # prefix sum (range exchange + per-(_pid) window), never a window
+    # partitioned by source alone (one task per source: a source
+    # holding half the corpus funnels through one task) and never a
+    # SinglePartition global window; the dims join is broadcast.
+    import re
+
+    plan = _plan(QUERIES["sample_token_budget"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in plan
+    assert not re.search(r"windowspecdefinition\(source#\d+,", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

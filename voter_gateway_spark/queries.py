@@ -2802,6 +2802,102 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
 """
 
 
+def sample_token_budget(spark, sf_dir):
+    """Token-budget mixture selection (UniMax-style, Chung et al. 2023,
+    public): spend a global token budget (half the corpus) across
+    sources with sqrt-of-mass shares — the temperature-0.5 flattening
+    that keeps big web sources from drowning small curated ones — and
+    select each source's docs deterministically (md5-hash order) with
+    PREFIX-CUT semantics: the cumulative sum runs over the whole
+    stream, so the selected set is the maximal prefix where every doc
+    still fits wholly; the first doc that does not fit ends the
+    source's admission (no back-filling of later smaller docs — the
+    one-pass rule a streaming ingest can apply without lookahead).
+    All budget arithmetic is integer (w_s = floor(sqrt(tokens_s)),
+    budget_s = T/2 * w_s div sum(w)), so the selected set is bit-exact
+    across engines.
+
+    Scale shape: the per-source cumulative token sum is NOT a
+    per-source window (one task per source = the skew killer when one
+    source is half the corpus); it is ONE global two-phase prefix sum
+    (relational.prefix_sum) over a source-major order key, minus each
+    source's start offset — source offsets and budgets are a
+    sources-sized driver computation joined back broadcast.
+
+    Reference shape: the reference's quota-driven load splits
+    (import_job.rb batching); the budget here is tokens, not rows."""
+    from voter_gateway_spark.operators.relational import prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    n_tok = F.size(F.filter(F.split(F.lower(norm), " "), lambda t: t != ""))
+    # source-major order key: md5 hex is fixed-width so string order ==
+    # hash order; the zero-padded doc_id breaks (astronomically rare)
+    # md5 ties so prefix_sum's unique-order contract holds. The \x01
+    # separator sorts below every printable char, which makes the
+    # concatenated key's block order equal PLAIN string order of the
+    # source values ('|' would put 'src10' before 'src1' because '0' <
+    # '|') — the driver-side _base offsets below assume exactly that
+    # plain-sorted block order.
+    ord_key = F.concat_ws(
+        "\x01",
+        F.col("source"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")),
+        F.lpad(F.col("doc_id").cast("string"), 20, "0"),
+    )
+    base = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), ord_key.alias("_ord")
+    )
+    g = prefix_sum(base, "_ord", "n_tokens", "_goff")
+    # sources-sized driver step: per-source totals -> start offsets in
+    # _ord (= source string) order, sqrt weights, integer budgets
+    tots = sorted(
+        (r["source"], r["_t"])
+        for r in base.groupBy("source").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    import math
+
+    weights = {s: int(math.floor(math.sqrt(t))) for s, t in tots}
+    w_sum = sum(weights.values()) or 1
+    t_half = sum(t for _, t in tots) // 2
+    rows, acc = [], 0
+    for s, t in tots:
+        rows.append((s, acc, t_half * weights[s] // w_sum))
+        acc += t
+    dims = spark.createDataFrame(rows, "source string, _base bigint, _budget bigint")
+    return (
+        g.join(F.broadcast(dims), "source")
+        .where(F.col("_goff") - F.col("_base") + F.col("n_tokens") <= F.col("_budget"))
+        .select("doc_id", "source", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), st AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t,
+         CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+  FROM d GROUP BY 1
+), b AS (
+  SELECT source,
+         (SELECT CAST(sum(t) AS BIGINT) // 2 FROM st) * w // (SELECT CAST(sum(w) AS BIGINT) FROM st) AS budget
+  FROM st
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, lpad(CAST(doc_id AS VARCHAR), 20, '0')
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS c
+  FROM d
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM cum JOIN b USING (source)
+WHERE c + n_tokens <= budget
+"""
+
+
 def text_char_entropy(spark, sf_dir):
     """Character-entropy gibberish detector over a 2 KB prefix — the
     explode is bounded per doc, so the (id, char) shuffle is
@@ -4449,6 +4545,126 @@ GROUP BY doc_id
 """
 
 
+_DSIR_B = 4096
+
+
+def text_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection via
+    Importance Resampling", public): score every raw document by how
+    target-like it is under hashed-bigram bag-of-ngrams models — the
+    standard way to up-select web text toward a high-quality target
+    domain without training a classifier. Feature space: word bigrams
+    hashed into B=4096 buckets (60-bit md5 prefix % B — the repo's
+    cross-engine-exact hash). Target distribution p: bucket counts over
+    the lang='en' docs (the fixture's stand-in for the Wikipedia/books
+    target DSIR uses); raw distribution q: bucket counts over the whole
+    corpus. Both add-one smoothed over the B buckets. Per document:
+
+        log w(doc) = sum_i [ ln p(b_i) - ln q(b_i) ]   (positions i)
+
+    `mean_logratio` (log w / n_feats) is the length-normalized form a
+    curation threshold or resampling temperature applies.
+
+    Scale shape: the position stream is scanned ONCE (lazy checkpoint)
+    and feeds three consumers; the two count dictionaries are
+    bucket-bounded (<= B rows regardless of corpus size, map-side
+    combined), so the score table broadcast is O(B) and the only
+    corpus-sized shuffle is the final per-doc aggregate, which
+    partial-aggregates to one row per (task, doc) before the exchange.
+
+    Reference shape: F6 scalar vocabulary over staged columns
+    (lib/voter_file/custom_functions.rb); the importance weight is the
+    corpus-curation analogue of its record-quality predicates."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.filter(F.split(F.lower(norm), " "), lambda t: t != "")
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+    pos = (
+        docs.select(
+            "doc_id", (F.col("lang") == "en").alias("_tgt"), toks.alias("_t")
+        )
+        .select(
+            "doc_id",
+            "_tgt",
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, n1),
+                    F.slice("_t", 2, n1),
+                    lambda a, b: F.concat(a, F.lit("|"), b),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "_tgt", bucket.alias("b"))
+        .transform(ckpt_lazy)
+    )
+    # bucket-bounded count dictionaries: <= B rows each after map-side
+    # combine, whatever the corpus size
+    bt = (
+        pos.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.col("_tgt").cast("bigint")).alias("ct"),
+        )
+        .transform(ckpt_lazy)
+    )
+    totals = bt.agg(
+        F.sum("cr").cast("double").alias("_nr"),
+        F.sum("ct").cast("double").alias("_nt"),
+    )
+    scores = bt.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("_nt") + _DSIR_B))
+            - F.log((F.col("cr") + 1) / (F.col("_nr") + _DSIR_B))
+        ).alias("s"),
+    )
+    return (
+        pos.join(F.broadcast(scores), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.sum("s"), 6).alias("log_weight"),
+            F.round(F.avg("s"), 6).alias("mean_logratio"),
+        )
+    )
+
+
+DSIR_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, tgt,
+         ('0x' || substring(md5(g), 1, 15))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id, tgt,
+           unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                                 z -> z[1] || '|' || z[2])) AS g
+    FROM base WHERE len(t) >= 2
+  )
+), bt AS (
+  SELECT b, count(*) AS cr, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM pos GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt FROM bt
+), sc AS (
+  SELECT bt.b,
+         ln((bt.ct + 1) / (tot.nt + 4096)) - ln((bt.cr + 1) / (tot.nr + 4096)) AS s
+  FROM bt CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_feats,
+       round(sum(s), 6) AS log_weight,
+       round(avg(s), 6) AS mean_logratio
+FROM pos JOIN sc USING (b)
+GROUP BY doc_id
+"""
+
+
 def corpus_summary(spark, sf_dir):
     """Dataset-card summary row: doc/lang/source cardinalities, length
     quantiles, exact-duplicate rate — the one-scan profile a corpus
@@ -5015,9 +5231,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_normalize": embed_normalize,
     "embed_group_centroids": embed_group_centroids,
     "text_fingerprint": text_fingerprint,
-    "multimodal_frame_sample": multimodal_frame_sample,
+    # r8 late addition: DSIR hashed-ngram importance weighting takes
+    # the 50th slot; multimodal_frame_sample (green this round via the
+    # full local gate, last driver row r2) moves just below the line
+    # and should rotate back in next round, as should the other r8
+    # late addition sample_token_budget (strict-local green this
+    # round, never driver-sampled).
+    "text_dsir_importance": text_dsir_importance,
     # --- below the driver 50-query sample window: green on their
     #     most recent driver rows and in CORRECTNESS_local.json ---
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "sample_token_budget": sample_token_budget,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
     "embed_semantic_dedup": embed_semantic_dedup,
     "dedup_substring_scrub": dedup_substring_scrub,
@@ -5200,6 +5424,8 @@ ORACLES: dict[str, str] = {
     "audit_outliers_acctbal": OUTLIER_SQL,
     "text_unigram_logprob": UNIGRAM_LP_SQL,
     "text_bigram_logprob": BIGRAM_LP_SQL,
+    "text_dsir_importance": DSIR_SQL,
+    "sample_token_budget": TOKEN_BUDGET_SQL,
     "multimodal_phash_neardup": PHASH_NEARDUP_SQL,
     "audit_sketch_profile": SKETCH_PROFILE_SQL,
     "dedup_incremental_components": _minhash_components_full_sql(0.1),
