@@ -500,3 +500,117 @@ def test_token_budget_matches_python_reference(spark):
     big = max(tot, key=tot.get)
     small = min(tot, key=tot.get)
     assert budget[small] / tot[small] >= budget[big] / tot[big]
+
+
+def test_encoding_anomaly_sensitivity_and_specificity(spark):
+    """The oracle run on the clean fixture only proves specificity
+    (all-zero counts); this pins SENSITIVITY on injected damage, per
+    detector, plus exact counts — and that clean multilingual text
+    with legitimate non-ASCII does NOT trip the mojibake detector."""
+    from voter_gateway_spark.operators.text import encoding_anomaly
+
+    rows = [
+        (1, "perfectly clean ascii text."),
+        (2, "café naïve résumé straße"),  # real accents: clean
+        (3, "bad\ufffdbyte and another \ufffd"),  # 2 replacement chars
+        (4, "ctrl\x01chars\x02here\x1f and \x85"),  # 4 control chars
+        # mangled smart quotes: 'â€œ' ... 'â€\x9d' — two 'â€' signatures,
+        # and the trailing U+009D is ALSO a stray C1 control char
+        (5, "smart quote gone wrong: \u00e2\u20ac\u0153hello\u00e2\u20ac\u009d"),
+        (6, "double encoded: caf\u00c3\u00a9 and se\u00c3\u00b1or"),  # Ã© Ã±
+        (7, "A-circumflex smear: \u00c2\u00a0nbsp\u00c2\u00bfq"),  # Â+nbsp, Â¿
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in encoding_anomaly(df).collect()}
+    assert got[1] == {"doc_id": 1, "n_replacement": 0, "n_control": 0,
+                      "n_mojibake": 0, "is_suspect": False}
+    # legitimate Latin-1 accents must NOT flag (specificity on real text)
+    assert got[2]["n_mojibake"] == 0 and not got[2]["is_suspect"]
+    assert got[3]["n_replacement"] == 2 and got[3]["is_suspect"]
+    assert got[4]["n_control"] == 4 and got[4]["is_suspect"]
+    assert got[5]["n_mojibake"] == 2 and got[5]["is_suspect"]
+    assert got[5]["n_control"] == 1  # the stray U+009D
+    # 'Ã©' and 'Ã±' both match Ã + U+0080..U+00BF
+    assert got[6]["n_mojibake"] == 2 and got[6]["is_suspect"]
+    # 'Â '(nbsp) and 'Â¿' both match Â + U+0080..U+00BF
+    assert got[7]["n_mojibake"] == 2 and got[7]["is_suspect"]
+
+
+def test_source_overlap_matches_python_reference(spark):
+    """Independent recomputation of the exact-pair side from raw
+    fingerprints (true all-pairs over each duplicate group, which the
+    engine deliberately avoids via count products) and of the near-pair
+    side from the catalog's own verified ngram pair query — plus matrix
+    invariants (canonical source order, no all-zero rows)."""
+    import hashlib
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    from voter_gateway_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.source_a, r.source_b): (r.n_exact_pairs, r.n_near_pairs)
+        for r in QUERIES["corpus_source_overlap"](spark, sf).collect()
+    }
+    assert all(a <= b for a, b in got)
+    assert all(e + n > 0 for e, n in got.values())
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text").collect()
+    src = {r.doc_id: r.source for r in docs}
+    fp_groups: dict[str, list[int]] = {}
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text).strip().lower()
+        f = hashlib.md5(norm.encode()).hexdigest()
+        fp_groups.setdefault(f, []).append(r.doc_id)
+    exp_exact: Counter = Counter()
+    for ids in fp_groups.values():
+        for x, y in combinations(sorted(ids), 2):
+            sa, sb = sorted((src[x], src[y]))
+            exp_exact[(sa, sb)] += 1
+    exp_near: Counter = Counter()
+    for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect():
+        sa, sb = sorted((src[r.id_a], src[r.id_b]))
+        exp_near[(sa, sb)] += 1
+    exp = {
+        k: (exp_exact.get(k, 0), exp_near.get(k, 0))
+        for k in set(exp_exact) | set(exp_near)
+    }
+    assert got == exp
+    # the fixture actually exercises the cross-source case
+    assert any(a != b for a, b in got)
+
+
+def test_quality_by_source_matches_python_reference(spark):
+    """Per-source mean/stddev/share-low/z recomputed in pure Python
+    from the catalog's own per-doc quality query."""
+    import math
+
+    from voter_gateway_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents").select("doc_id", "source").collect()
+    src = {r.doc_id: r.source for r in docs}
+    q = {r.doc_id: r.quality for r in QUERIES["text_quality"](spark, sf).collect()}
+    by_src: dict[str, list[float]] = {}
+    for d, s in src.items():
+        by_src.setdefault(s, []).append(q[d])
+    allq = list(q.values())
+    gm = sum(allq) / len(allq)
+    gsd = math.sqrt(sum((x - gm) ** 2 for x in allq) / len(allq))
+    got = {
+        r.source: r
+        for r in QUERIES["text_quality_by_source"](spark, sf).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, vals in by_src.items():
+        m = sum(vals) / len(vals)
+        sd = math.sqrt(sum((x - m) ** 2 for x in vals) / len(vals))
+        lo = sum(1 for x in vals if x < 0.45) / len(vals)
+        r = got[s]
+        assert r.n_docs == len(vals)
+        assert abs(r.mean_quality - m) < 2e-6, s
+        assert abs(r.stddev_quality - sd) < 2e-6, s
+        assert abs(r.share_low_quality - lo) < 2e-6, s
+        assert abs(r.z_mean - (m - gm) / gsd) < 2e-6, s

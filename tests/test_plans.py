@@ -316,3 +316,51 @@ def test_token_budget_no_per_source_window(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(source#\d+,", plan), plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_encoding_anomaly_is_scan_stage(spark, sf_dir):
+    # three regexp_count exprs in one projection: no exchange, no
+    # Python, no join — the whole detector runs inside the scan stage.
+    plan = _plan(QUERIES["text_encoding_anomaly"](spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_source_overlap_no_document_self_join(spark, sf_dir):
+    # the exact-duplicate side must pair-count via per-(fingerprint,
+    # source) aggregates (count products), never an all-pairs self-join
+    # of documents on the fingerprint: no CartesianProduct and no
+    # BroadcastNestedLoopJoin anywhere; the near side inherits the
+    # prefix-filtered ngram join.
+    plan = _plan(QUERIES["corpus_source_overlap"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_by_source_single_corpus_pass(spark, sf_dir):
+    # per-doc scoring is scan-stage; the global mean/stddev is a 1-row
+    # aggregate joined back broadcast (BroadcastNestedLoopJoin on a
+    # single-row side is the cross-join lowering Spark picks — fine);
+    # the corpus must NOT be window-scanned or re-shuffled twice: only
+    # the per-source hash aggregate exchanges corpus-derived rows.
+    plan = _plan(QUERIES["text_quality_by_source"](spark, sf_dir), "simple")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_round_is_jvm_native(spark, sf_dir):
+    # one merge round = explode + hash aggregate on the vocabulary
+    # table plus the greedy fold — all Catalyst exprs, no Python; the
+    # word-frequency cap lowers to TakeOrdered (no full sort).
+    from voter_gateway_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    syms = bpe._to_symbols(bpe.word_frequencies(docs, max_words=100))
+    plan = syms._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    counts = bpe._pair_counts(bpe._apply_merge(syms, "e", "r"))
+    plan2 = counts._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2
+    assert "CartesianProduct" not in plan2

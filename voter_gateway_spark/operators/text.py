@@ -514,6 +514,41 @@ def token_frequencies(
     return out.where(F.col("count") >= min_count)
 
 
+# -- encoding-anomaly detection ------------------------------------------------
+
+# Mojibake / encoding-damage signatures (public knowledge):
+#  - U+FFFD REPLACEMENT CHARACTER: a decoder already gave up.
+#  - C0/C1 control chars (minus \t\n\r): binary junk or charset smear.
+#  - UTF-8-read-as-Latin-1 artifacts: lead byte 0xC3/0xC2 mis-decoded
+#    becomes 'Ã'/'Â' + a char in U+0080..U+00BF; 'â€' is the mangled
+#    smart-quote family (U+2018..U+201D).
+REPLACEMENT_RE = "\ufffd"
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]"
+MOJIBAKE_RE = "(\u00e2\u20ac|\u00c3[\u0080-\u00bf]|\u00c2[\u0080-\u00bf])"
+
+
+def encoding_anomaly(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-row encoding-damage counts + the is_suspect curation flag.
+    Three scan-stage regexp_count exprs — no UDF, no shuffle. The
+    reference guards its ingest against this damage class at the CSV
+    boundary (csv_driver.rb Latin-1 handling, malformed-row filters);
+    this runs the same check on already-ingested text."""
+    t = _c(text_col)
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(REPLACEMENT_RE)).cast("bigint").alias("n_replacement"),
+        F.regexp_count(t, F.lit(CONTROL_RE)).cast("bigint").alias("n_control"),
+        F.regexp_count(t, F.lit(MOJIBAKE_RE)).cast("bigint").alias("n_mojibake"),
+        (
+            F.regexp_count(
+                t, F.lit(f"({REPLACEMENT_RE}|{CONTROL_RE}|{MOJIBAKE_RE})")
+            )
+            > 0
+        ).alias("is_suspect"),
+    )
+
+
 # -- DataFrame-level convenience ---------------------------------------------
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

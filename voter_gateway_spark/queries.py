@@ -5161,6 +5161,299 @@ GROUP BY 1
 """
 
 
+def corpus_source_overlap(spark, sf_dir):
+    """Cross-source duplicate overlap matrix: for every (unordered)
+    pair of sources, how many EXACT-duplicate document pairs and how
+    many NEAR-duplicate pairs (3-gram Jaccard >= 0.12, the catalog's
+    standard near-dup definition) straddle them. The diagonal rows
+    (source_a == source_b) count within-source duplication. This is
+    the provider-overlap question a curation team asks before paying
+    for a new data source — "how much of source X is already in
+    source Y?" — the reference's cross-table match-rate audits
+    (merge_audit.rb) generalized to a full matrix.
+
+    Scale shape: the exact side NEVER self-joins documents — it
+    aggregates to a (fingerprint, source, count) table first, and the
+    pair counts come from products of per-group counts (c_a*c_b cross,
+    C(c,2) diagonal), so a million-row duplicate group costs one row
+    per source, not 10^12 pairs. The near side reuses the AllPairs
+    prefix-filtered ngram pair generator (linear in candidate pairs,
+    never all-pairs). One union + one keyed agg at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    norm_fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast("binary")
+    )
+    fs = (
+        docs.select(norm_fp.alias("_f"), "source")
+        .groupBy("_f", "source")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a, b = fs.alias("a"), fs.alias("b")
+    ex = (
+        a.join(b, "_f")
+        .where(F.col("a.source") <= F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.when(
+                F.col("a.source") == F.col("b.source"),
+                (F.col("a._c") * (F.col("a._c") - F.lit(1))) / F.lit(2),
+            )
+            .otherwise(F.col("a._c") * F.col("b._c"))
+            .cast("bigint")
+            .alias("_n"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("_n").alias("n_exact_pairs"), F.lit(0).alias("n_near_pairs"))
+    )
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
+    src = docs.select("doc_id", "source")
+    near = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.lit(0).alias("n_exact_pairs"), F.count(F.lit(1)).alias("n_near_pairs"))
+    )
+    return (
+        ex.unionByName(near)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("n_exact_pairs").cast("bigint").alias("n_exact_pairs"),
+            F.sum("n_near_pairs").cast("bigint").alias("n_near_pairs"),
+        )
+        .where((F.col("n_exact_pairs") + F.col("n_near_pairs")) > 0)
+    )
+
+
+SOURCE_OVERLAP_SQL = rf"""
+WITH fp AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f, source
+  FROM documents
+),
+fs AS (SELECT f, source, count(*) AS c FROM fp GROUP BY 1, 2),
+ex AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+                       ELSE a.c * b.c END) AS BIGINT) AS n_exact_pairs,
+         CAST(0 AS BIGINT) AS n_near_pairs
+  FROM fs a JOIN fs b ON a.f = b.f AND a.source <= b.source
+  GROUP BY 1, 2
+),
+np AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(0 AS BIGINT) AS n_exact_pairs,
+         CAST(count(*) AS BIGINT) AS n_near_pairs
+  FROM ({_ngram_sql(0.12)}) p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(sum(n_exact_pairs) AS BIGINT) AS n_exact_pairs,
+       CAST(sum(n_near_pairs) AS BIGINT) AS n_near_pairs
+FROM (SELECT * FROM ex UNION ALL SELECT * FROM np)
+GROUP BY 1, 2
+HAVING sum(n_exact_pairs) + sum(n_near_pairs) > 0
+"""
+
+
+def text_quality_by_source(spark, sf_dir):
+    """Per-source quality calibration: each source's document-quality
+    distribution (mean, population stddev, share below the global 0.45
+    cut) plus the z-score of the source mean against the corpus-wide
+    distribution — the per-provider report a mixture designer reads
+    before assigning sampling weights, and the direct generalization
+    of the reference's per-table coverage audits (csv_audit.rb) from
+    NULL-rates to a learned quality signal.
+
+    Scale shape: ONE corpus scan computes the per-doc score in the
+    scan stage (pure Catalyst exprs, no UDF); one keyed agg per
+    source; the global mean/stddev is a 1-row aggregate broadcast back
+    — no second corpus shuffle, no window over the full corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("source", text.quality_score("text").alias("_q"))
+    per = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("_q").alias("_mean"),
+        F.stddev_pop("_q").alias("_sd"),
+        F.avg((F.col("_q") < 0.45).cast("double")).alias("_low"),
+    )
+    glob = q.agg(
+        F.avg("_q").alias("_gmean"), F.stddev_pop("_q").alias("_gsd")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        F.round("_mean", 6).alias("mean_quality"),
+        F.round("_sd", 6).alias("stddev_quality"),
+        F.round("_low", 6).alias("share_low_quality"),
+        F.round((F.col("_mean") - F.col("_gmean")) / F.col("_gsd"), 6).alias(
+            "z_mean"
+        ),
+    )
+
+
+QUALITY_BY_SOURCE_SQL = f"""
+WITH qq AS ({_quality_sql()}),
+perdoc AS (
+  SELECT d.source, qq.quality AS q
+  FROM documents d JOIN qq ON qq.doc_id = d.doc_id
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         avg(q) AS m, stddev_pop(q) AS sd,
+         avg(CASE WHEN q < 0.45 THEN 1.0 ELSE 0.0 END) AS lo
+  FROM perdoc GROUP BY 1
+),
+g AS (SELECT avg(q) AS gm, stddev_pop(q) AS gsd FROM perdoc)
+SELECT source, n_docs,
+       round(m, 6) AS mean_quality,
+       round(sd, 6) AS stddev_quality,
+       round(lo, 6) AS share_low_quality,
+       round((m - g.gm) / g.gsd, 6) AS z_mean
+FROM per, g
+"""
+
+
+def text_encoding_anomaly(spark, sf_dir):
+    """Encoding-anomaly detection: per-document counts of replacement
+    characters, stray control characters, and classic UTF-8-as-Latin-1
+    mojibake signatures, plus the is_suspect flag a curation filter
+    keys on. The reference guards its CSV ingest against exactly this
+    damage class (csv_driver.rb's Latin-1 handling + malformed-row
+    filters, csv_file.rb); here the check runs on already-ingested
+    text at corpus scale. All three detectors are scan-stage
+    regexp_count exprs (operators/text.py:encoding_anomaly) — zero
+    UDFs, zero shuffles. On the clean synthetic fixture every count is
+    zero, which proves SPECIFICITY; SENSITIVITY is pinned by the
+    pytest suite's injected-mojibake fixtures
+    (tests/test_analytics.py)."""
+    return text.encoding_anomaly(_t(spark, sf_dir, "documents"))
+
+
+ENCODING_ANOMALY_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text.REPLACEMENT_RE}')) AS BIGINT) AS n_replacement,
+       CAST(len(regexp_extract_all(text, '{text.CONTROL_RE}')) AS BIGINT) AS n_control,
+       CAST(len(regexp_extract_all(text, '{text.MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake,
+       len(regexp_extract_all(text,
+           '({text.REPLACEMENT_RE}|{text.CONTROL_RE}|{text.MOJIBAKE_RE})')) > 0 AS is_suspect
+FROM documents
+"""
+
+
+def text_bpe_vocab(spark, sf_dir):
+    """BPE vocabulary induction (Sennrich et al. 2016): the top-8 merge
+    rules learned from the corpus word-frequency table — the real form
+    of the engine's "BPE-ish" token counting, and the tokenizer-training
+    step an LLM data pipeline runs over its curated corpus.
+
+    Scale shape (operators/bpe.py): training NEVER iterates the corpus —
+    one corpus-sized token aggregation builds the distinct-word
+    frequency table (capped top-3000, ties word ASC), then every merge
+    round runs on that vocabulary-sized table: pair counts by explode +
+    sum, a ONE-row argmax collect (the bounded Lloyd-loop pattern), and
+    greedy-leftmost merge application as a Catalyst aggregate fold (no
+    UDFs). The oracle unrolls the same 8 rounds as chained DuckDB CTEs
+    with gaps-and-islands greedy application, so driver green proves
+    the full iterative semantics, not just round one."""
+    from voter_gateway_spark.operators import bpe
+
+    return bpe.bpe_train(
+        spark, _t(spark, sf_dir, "documents"), n_merges=8, max_words=3000
+    )
+
+
+def _bpe_sql(n_merges: int = 8, max_words: int = 3000) -> str:
+    """Unrolled n_merges-round BPE training in DuckDB SQL. Greedy
+    leftmost application per round: candidate positions (pair match)
+    grouped into runs of consecutive positions (only possible when
+    lhs == rhs), keep every other position in each run, fuse kept
+    positions with their successor, drop the consumed successor."""
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    parts = [
+        f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
+  ORDER BY f DESC, word LIMIT {max_words}
+),
+w_0 AS MATERIALIZED (
+  SELECT word AS w, f,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> substring(word, i, 1)), '</w>') AS syms
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""
+, p_{i} AS (
+  SELECT f, unnest(list_transform(generate_series(1, len(syms) - 1),
+                   j -> {{'a': syms[j], 'b': syms[j + 1]}})) AS pr
+  FROM w_{p} WHERE len(syms) > 1
+),
+pc_{i} AS (
+  SELECT pr.a AS a, pr.b AS b, CAST(sum(f) AS BIGINT) AS cnt
+  FROM p_{i} GROUP BY 1, 2
+),
+top_{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc_{i} ORDER BY cnt DESC, a, b LIMIT 1),
+u_{i} AS (
+  SELECT w, f, unnest(list_transform(generate_series(1, len(syms)),
+                      j -> {{'s': syms[j], 'j': j}})) AS x
+  FROM w_{p}
+),
+ux_{i} AS MATERIALIZED (
+  SELECT w, f, x.s AS s, x.j AS j,
+         lead(x.s) OVER (PARTITION BY w ORDER BY x.j) AS ns
+  FROM u_{i}
+),
+c_{i} AS (
+  SELECT w, j, j - row_number() OVER (PARTITION BY w ORDER BY j) AS g
+  FROM ux_{i}
+  WHERE s = (SELECT a FROM top_{i}) AND ns = (SELECT b FROM top_{i})
+),
+k_{i} AS MATERIALIZED (
+  SELECT w, j FROM (
+    SELECT w, j, row_number() OVER (PARTITION BY w, g ORDER BY j) AS rn
+    FROM c_{i}
+  ) WHERE rn % 2 = 1
+),
+w_{i} AS MATERIALIZED (
+  SELECT l.w, l.f,
+         list(CASE WHEN k.j IS NOT NULL THEN l.s || l.ns ELSE l.s END
+              ORDER BY l.j) AS syms
+  FROM ux_{i} l
+  LEFT JOIN k_{i} k ON k.w = l.w AND k.j = l.j
+  LEFT JOIN k_{i} kd ON kd.w = l.w AND kd.j = l.j - 1
+  WHERE kd.j IS NULL
+  GROUP BY l.w, l.f
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"cnt AS pair_count FROM top_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+BPE_VOCAB_SQL = _bpe_sql(8, 3000)
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -5228,18 +5521,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_quantiles_lineitem": stats_quantiles_lineitem,
     "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_corpus_pruned": dedup_corpus_pruned,
+    # r8 late additions take the last prefix slots: DSIR hashed-ngram
+    # importance weighting, the cross-source overlap matrix, per-source
+    # quality calibration, and encoding-anomaly detection (all new this
+    # round, never driver-sampled). Three r5/r6-green stables
+    # (embed_normalize, embed_group_centroids, text_fingerprint) move
+    # just below the line with multimodal_frame_sample and
+    # sample_token_budget; all should rotate back in next round.
+    "text_dsir_importance": text_dsir_importance,
+    "corpus_source_overlap": corpus_source_overlap,
+    "text_quality_by_source": text_quality_by_source,
+    "text_bpe_vocab": text_bpe_vocab,
+    # --- below the driver 50-query sample window: green on their
+    #     most recent driver rows and in CORRECTNESS_local.json ---
+    "text_encoding_anomaly": text_encoding_anomaly,
     "embed_normalize": embed_normalize,
     "embed_group_centroids": embed_group_centroids,
     "text_fingerprint": text_fingerprint,
-    # r8 late addition: DSIR hashed-ngram importance weighting takes
-    # the 50th slot; multimodal_frame_sample (green this round via the
-    # full local gate, last driver row r2) moves just below the line
-    # and should rotate back in next round, as should the other r8
-    # late addition sample_token_budget (strict-local green this
-    # round, never driver-sampled).
-    "text_dsir_importance": text_dsir_importance,
-    # --- below the driver 50-query sample window: green on their
-    #     most recent driver rows and in CORRECTNESS_local.json ---
     "multimodal_frame_sample": multimodal_frame_sample,
     "sample_token_budget": sample_token_budget,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
@@ -5435,4 +5733,8 @@ ORACLES: dict[str, str] = {
     "sample_weighted_reservoir": RESERVOIR_SQL,
     "dedup_edit_distance": EDIT_DIST_SQL,
     "text_bigram_pmi": PMI_SQL,
+    "corpus_source_overlap": SOURCE_OVERLAP_SQL,
+    "text_quality_by_source": QUALITY_BY_SOURCE_SQL,
+    "text_encoding_anomaly": ENCODING_ANOMALY_SQL,
+    "text_bpe_vocab": BPE_VOCAB_SQL,
 }
