@@ -569,8 +569,13 @@ def test_source_overlap_matches_python_reference(spark):
         for x, y in combinations(sorted(ids), 2):
             sa, sb = sorted((src[x], src[y]))
             exp_exact[(sa, sb)] += 1
+    fp_of = {i: f for f, ids in fp_groups.items() for i in ids}
     exp_near: Counter = Counter()
     for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect():
+        # near is STRICTLY near: exact-fingerprint pairs count only on
+        # the exact side (disjoint columns, r8 advice fix)
+        if fp_of[r.id_a] == fp_of[r.id_b]:
+            continue
         sa, sb = sorted((src[r.id_a], src[r.id_b]))
         exp_near[(sa, sb)] += 1
     exp = {
@@ -614,3 +619,120 @@ def test_quality_by_source_matches_python_reference(spark):
         assert abs(r.stddev_quality - sd) < 2e-6, s
         assert abs(r.share_low_quality - lo) < 2e-6, s
         assert abs(r.z_mean - (m - gm) / gsd) < 2e-6, s
+
+
+def test_gopher_rules_per_rule_sensitivity(spark):
+    """One injected violation per rule, each failing EXACTLY its own
+    rule (plus pass_gopher), with a control doc that passes all seven —
+    so a threshold or detector regression is attributed to the rule
+    that broke. The empty doc pins the explicit degenerate-denominator
+    convention (all word-denominated rules false, never NULL)."""
+    from voter_gateway_spark.operators.text import gopher_rules
+
+    good = ("the cat and the dog went to the market of the town that "
+            "have been with them for many good years " * 2 +
+            "extra words fill this document nicely with plain prose "
+            "about the weather and the harvest that people have with")
+    rows = [
+        (1, good),                                     # control: passes
+        (2, "the cat and that have with to of"),       # word_count (8 words)
+        (3, " ".join(["a"] * 30 + ["the", "be", "to", "of", "and",
+                                   "that", "have", "with"] * 3)),  # mean len < 3
+        (4, good + " " + "dealing... " * 8 + "end"),   # symbol ratio > 0.1
+        (5, "\n".join(["- the documents and the weather market harvest"]
+                      * 10)),                          # all lines bulleted
+        (6, "\n".join([good[:100] + "..."] * 10)),     # all lines ellipsis
+        (7, good + " " + " ".join(str(i) for i in range(100, 500))),  # alpha<0.8
+        (8, " ".join(["zebra lion tiger puma"] * 20)),  # no stop words
+        (9, ""),                                        # degenerate empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_rules(df).collect()}
+    rule_cols = ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+                 "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+                 "ok_stop_words"]
+    assert all(got[1][c] for c in rule_cols) and got[1]["pass_gopher"]
+    expected_broken = {
+        2: "ok_word_count", 3: "ok_mean_word_len", 4: "ok_symbol_ratio",
+        5: "ok_bullet_lines", 6: "ok_ellipsis_lines", 7: "ok_alpha_words",
+        8: "ok_stop_words",
+    }
+    for doc, broken in expected_broken.items():
+        assert not got[doc][broken], (doc, broken, got[doc])
+        assert not got[doc]["pass_gopher"]
+        for c in rule_cols:
+            if c != broken:
+                assert got[doc][c], (doc, c, got[doc])
+    # empty doc: every word-denominated rule is EXPLICITLY false (the
+    # line rules see one empty line -> 0 shares -> pass; stop words 0)
+    e = got[9]
+    for c in ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+              "ok_alpha_words", "ok_stop_words"]:
+        assert e[c] is False, (c, e)
+    assert e["ok_bullet_lines"] and e["ok_ellipsis_lines"]
+    assert e["pass_gopher"] is False
+
+
+def test_trigram_logprob_matches_python_reference(spark):
+    """Pure-Python chained Stupid Backoff recomputation on the sf0.001
+    fixture — trains on the even-doc_id half exactly like the engine,
+    checks every doc's mean log-score, backoff rates, and that BOTH
+    backoff branches are actually live on the scored half."""
+    import math
+    import re
+    from collections import Counter
+
+    from voter_gateway_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents").select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [w for w in re.sub(r"\s+", " ", r.text).strip().lower().split(" ") if w]
+        for r in docs
+    }
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    tri: Counter = Counter()
+    for d, t in toks.items():
+        if d % 2 == 0:
+            uni.update(t)
+            big.update(zip(t, t[1:]))
+            tri.update(zip(t, t[1:], t[2:]))
+    n = float(sum(uni.values()))
+    exp = {}
+    n_bi_backoff = n_uni_backoff = 0
+    for d, t in toks.items():
+        pos = list(zip(t, t[1:], t[2:]))
+        if not pos:
+            continue
+        scores, nback, nuback = [], 0, 0
+        for p1, p2, c in pos:
+            if (p1, p2, c) in tri:
+                scores.append(math.log(tri[(p1, p2, c)] / big[(p1, p2)]))
+            elif (p2, c) in big:
+                scores.append(math.log(0.4 * big[(p2, c)] / uni[p2]))
+                nback += 1
+            else:
+                scores.append(math.log(0.16 * uni.get(c, 1) / n))
+                nback += 1
+                nuback += 1
+        n_bi_backoff += nback - nuback
+        n_uni_backoff += nuback
+        exp[d] = (
+            len(pos),
+            round(sum(scores) / len(pos), 6),
+            round(nback / len(pos), 6),
+            round(nuback / len(pos), 6),
+        )
+    # the split must exercise both backoff branches or the test is vacuous
+    assert n_bi_backoff > 0 and n_uni_backoff > 0
+    got = {
+        r.doc_id: (r.n_trigrams, r.mean_logprob, r.backoff_rate,
+                   r.unigram_backoff_rate)
+        for r in QUERIES["text_trigram_logprob"](spark, sf).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        for i in (1, 2, 3):
+            assert abs(got[d][i] - exp[d][i]) < 1e-9, (d, got[d], exp[d])

@@ -331,8 +331,10 @@ def test_source_overlap_no_document_self_join(spark, sf_dir):
     # the exact-duplicate side must pair-count via per-(fingerprint,
     # source) aggregates (count products), never an all-pairs self-join
     # of documents on the fingerprint: no CartesianProduct and no
-    # BroadcastNestedLoopJoin anywhere; the near side inherits the
-    # prefix-filtered ngram join.
+    # BroadcastNestedLoopJoin anywhere; the near side runs the ngram
+    # generator with prefix_filter forced ON (lossless; prunes ~12% at
+    # t=0.12 — the hot-shingle protection at this threshold is mostly
+    # the generator's exact-group collapse).
     plan = _plan(QUERIES["corpus_source_overlap"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -364,3 +366,42 @@ def test_bpe_round_is_jvm_native(spark, sf_dir):
     plan2 = counts._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_trigram_logprob_plan_shape(spark, sf_dir):
+    # r9 ask #4: <= 3 visible explodes (scoring trigrams + train
+    # trigram counts; the unigram AND bigram count explodes run inside
+    # their own lazy-checkpoint boundaries, so their three/two
+    # consumers scan the RDD instead of re-exploding), the two unigram
+    # probe joins broadcast, and there is no cartesian anywhere. The
+    # bigram/trigram count joins are left to AQE (broadcast at test
+    # scale, keyed shuffle beyond the ceiling).
+    plan = _plan(QUERIES["text_trigram_logprob"](spark, sf_dir), "simple")
+    n_explodes = plan.count("Generate explode")
+    assert 2 <= n_explodes <= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cp2 + cc unigram joins
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_encode_plan_one_explode_fold_chain(spark, sf_dir):
+    # r9 ask #3: encoding is ONE explode + a chain of Catalyst
+    # aggregate folds, all scan-stage — no joins (the 8 merge rules are
+    # baked in as literals after the bounded 8-row collect), no Python,
+    # and NO shuffle before the final per-doc aggregate (exactly one
+    # Exchange: the doc_id hash partitioning).
+    plan = _plan(QUERIES["text_bpe_encode"](spark, sf_dir), "simple")
+    assert plan.count("Generate explode") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    # r9 ask #5: the whole 7-rule composite is one scan-stage
+    # projection — no exchange, no join, no Python, no window.
+    plan = _plan(QUERIES["text_gopher_rules"](spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

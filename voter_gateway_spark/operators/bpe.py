@@ -25,9 +25,17 @@ leftmost-non-overlapping replacement. 'aaa' + (a,a) -> [aa, a];
 
 Determinism: pair-count ties break on (count DESC, lhs ASC, rhs ASC)
 in both engines; word-cap ties break on (freq DESC, word ASC); all
-counts are exact integers, so the merge table is bit-identical
-cross-engine (the DuckDB oracle unrolls the same rounds as chained
-CTEs with the greedy application done via gaps-and-islands windows).
+counts are exact integers, so for BMP text the merge table is
+bit-identical cross-engine (the DuckDB oracle unrolls the same rounds
+as chained CTEs with the greedy application done via
+gaps-and-islands windows). SCOPE: the cross-engine claim holds for
+BMP (and a fortiori ASCII) corpora only — Spark's substring/length
+in `_to_symbols` operate on UTF-16 code units, so an astral
+(non-BMP) character splits into two surrogate symbols, while
+DuckDB's substring/length are codepoint-based, and string ordering
+for tie-breaks also diverges beyond the BMP. For non-BMP corpora
+the Spark result is still internally deterministic, just not
+oracle-comparable symbol-for-symbol.
 """
 
 from __future__ import annotations

@@ -549,6 +549,94 @@ def encoding_anomaly(df: DataFrame, text_col: str = "text",
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_SYMBOL_RE = r"(#|\.\.\.|…)"
+GOPHER_BULLET_RE = r"^[•\-\*]"
+GOPHER_ELLIPSIS_END_RE = r"(\.\.\.|…)$"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1, public;
+    the same composite RedPajama/Dolma reuse): per-document booleans
+    for each rule plus the conjunctive pass flag. Rules, with the
+    paper's thresholds:
+
+      ok_word_count     50 <= n_words <= 100,000
+      ok_mean_word_len  mean word length in [3, 10]
+      ok_symbol_ratio   (# + ellipsis occurrences) / n_words <= 0.1
+      ok_bullet_lines   <= 90% of lines start with a bullet (•/-/*)
+      ok_ellipsis_lines <= 30% of lines end with an ellipsis
+      ok_alpha_words    >= 80% of words contain an ASCII letter
+      ok_stop_words     >= 2 DISTINCT Gopher stop words present
+
+    Degenerate docs are decided explicitly, identically cross-engine:
+    zero words fails every word-denominated rule via CASE (never a
+    NULL/inf divide — Spark's non-ANSI 0-divide and DuckDB's IEEE one
+    disagree); the line denominator is never 0 (split yields ['']).
+    All ratio thresholds compare doubles computed from the same exact
+    integers on both engines, so the booleans are engine-stable. One
+    scan-stage projection — zero UDFs, zero shuffles, zero joins; the
+    alpha test is ASCII-[a-z] by design (Gopher is an English-corpus
+    filter; tokens arrive lowercased)."""
+    zero = F.lit(False)
+    staged = df.select(
+        id_col,
+        _c(text_col).alias("_t"),
+        tokens(text_col, lower=True).alias("_w"),
+        F.split(_c(text_col), "\n").alias("_l"),
+    )
+    nw = F.size("_w")
+    sumlen = F.aggregate(
+        "_w", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    mwl = sumlen / nw
+    nsym = F.regexp_count(F.col("_t"), F.lit(GOPHER_SYMBOL_RE))
+    nl = F.size("_l")
+    n_bullet = F.size(
+        F.filter("_l", lambda l: F.ltrim(l).rlike(GOPHER_BULLET_RE))
+    )
+    n_ell = F.size(
+        F.filter("_l", lambda l: F.rtrim(l).rlike(GOPHER_ELLIPSIS_END_RE))
+    )
+    n_alpha = F.size(F.filter("_w", lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("_w"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    ok = {
+        "ok_word_count": (nw >= min_words) & (nw <= max_words),
+        "ok_mean_word_len": F.when(nw == 0, zero).otherwise(
+            (mwl >= 3) & (mwl <= 10)
+        ),
+        "ok_symbol_ratio": F.when(nw == 0, zero).otherwise(
+            nsym / nw <= 0.1
+        ),
+        "ok_bullet_lines": n_bullet / nl <= 0.9,
+        "ok_ellipsis_lines": n_ell / nl <= 0.3,
+        "ok_alpha_words": F.when(nw == 0, zero).otherwise(
+            n_alpha / nw >= 0.8
+        ),
+        "ok_stop_words": n_stop >= 2,
+    }
+    passed = None
+    for c in ok.values():
+        passed = c if passed is None else (passed & c)
+    return staged.select(
+        id_col,
+        nw.cast("bigint").alias("n_words"),
+        *[c.alias(n) for n, c in ok.items()],
+        passed.alias("pass_gopher"),
+    )
+
+
 # -- DataFrame-level convenience ---------------------------------------------
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -4545,6 +4545,198 @@ GROUP BY doc_id
 """
 
 
+def text_trigram_logprob(spark, sf_dir):
+    """CCNet-ladder LM scoring, trigram order with chained Stupid
+    Backoff (Brants et al. 2007, public) — the next rung above
+    `text_bigram_logprob` toward the 5-gram KenLM filter CCNet runs.
+    Counts train on the held-out even-doc_id half (same split as the
+    bigram query) so EVERY backoff branch is live on the scored half:
+
+        S(c|p1,p2) = count(p1,p2,c)/count(p1,p2)   trigram seen
+                   = 0.4  * count(p2,c)/count(p2)  else, bigram seen
+                   = 0.4^2 * count(c)/N            else (0.16 unigram)
+                   = 0.4^2 * 1/N                   unseen unigram
+
+    `backoff_rate` = share of positions that left the trigram table;
+    `unigram_backoff_rate` = share that fell all the way through —
+    the two OOV-ish signals a curation threshold reads.
+
+    Plan: ONE scan builds each doc's token array plus its bigram and
+    trigram struct arrays via sliced zip_with (scan-stage — slices
+    clamp with greatest(n-2, 0), never a descending `sequence`), lazily
+    checkpointed so the three vocabulary-bounded count tables (uni /
+    bigram / trigram, Heaps'-law sublinear) and the scoring explode all
+    share it. Unigram joins are broadcast-hinted; the bigram table is
+    probed TWICE from one materialization (as (p1,p2) context count and
+    as (p2,c) backoff count); the bigram/trigram joins are left to AQE
+    (broadcast at these scales, keyed shuffle beyond the ceiling — the
+    scan-stage log-score is unchanged either way).
+
+    Reference shape: F6 scalar vocabulary over staged columns
+    (lib/voter_file/custom_functions.rb); curation-grade analogue of
+    its record-quality predicates."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.filter(F.split(F.lower(norm), " "), lambda t: t != "")
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    n2 = F.greatest(F.size("_t") - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("_t", 1, n2),
+            F.slice("_t", 2, n2),
+            lambda a, b: F.struct(a.alias("p1"), b.alias("p2")),
+        ),
+        F.slice("_t", 3, n2),
+        lambda ab, c: F.struct(
+            ab["p1"].alias("p1"), ab["p2"].alias("p2"), c.alias("c")
+        ),
+    )
+    base = (
+        docs.select(
+            "doc_id", (F.col("doc_id") % 2 == 0).alias("_train"), toks.alias("_t")
+        )
+        .select(
+            "doc_id",
+            "_train",
+            "_t",
+            F.zip_with(
+                F.slice("_t", 1, n1),
+                F.slice("_t", 2, n1),
+                lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+            ).alias("_bg"),
+            tri.alias("_tg"),
+        )
+        .transform(ckpt_lazy)
+    )
+    uni = (
+        base.where("_train")
+        .select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .transform(ckpt_lazy)
+    )
+    total = uni.agg(F.sum("cw").cast("double").alias("_n"))
+    # one bigram-count materialization, probed twice below
+    big = (
+        base.where("_train")
+        .select(F.explode("_bg").alias("b"))
+        .groupBy(F.col("b.p").alias("p"), F.col("b.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .transform(ckpt_lazy)
+    )
+    tric = (
+        base.where("_train")
+        .select(F.explode("_tg").alias("t"))
+        .groupBy(
+            F.col("t.p1").alias("p1"),
+            F.col("t.p2").alias("p2"),
+            F.col("t.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    scored = (
+        base.select("doc_id", F.explode("_tg").alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.p1").alias("p1"),
+            F.col("t.p2").alias("p2"),
+            F.col("t.c").alias("c"),
+        )
+        .join(tric, ["p1", "p2", "c"], "left")
+        .join(
+            big.select(
+                F.col("p").alias("p1"), F.col("c").alias("p2"),
+                F.col("cb").alias("ctx"),
+            ),
+            ["p1", "p2"],
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("p").alias("p2"), F.col("c").alias("c"),
+                F.col("cb").alias("bo"),
+            ),
+            ["p2", "c"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("p2"), F.col("cw").alias("cp2"))),
+            "p2",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("c"), F.col("cw").alias("cc"))),
+            "c",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # seen trigram implies seen (p1,p2) context; seen backoff bigram
+    # implies seen p2 — each branch's denominator is non-NULL on it
+    score = (
+        F.when(F.col("c3").isNotNull(), F.log(F.col("c3") / F.col("ctx")))
+        .when(
+            F.col("bo").isNotNull(),
+            F.log(F.lit(0.4) * F.col("bo") / F.col("cp2")),
+        )
+        .otherwise(
+            F.log(F.lit(0.16) * F.coalesce(F.col("cc"), F.lit(1)) / F.col("_n"))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.round(F.avg(score), 6).alias("mean_logprob"),
+        F.round(F.avg(F.col("c3").isNull().cast("int")), 6).alias("backoff_rate"),
+        F.round(
+            F.avg((F.col("c3").isNull() & F.col("bo").isNull()).cast("int")), 6
+        ).alias("unigram_backoff_rate"),
+    )
+
+
+TRIGRAM_LP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 2 = 0 AS train,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS t
+  FROM documents
+), tris AS (
+  SELECT doc_id, train, z[1] AS p1, z[2] AS p2, z[3] AS c
+  FROM (
+    SELECT doc_id, train,
+           unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS z
+    FROM base WHERE len(t) >= 3
+  )
+), uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM base WHERE train)
+  GROUP BY 1
+), n AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni
+), bic AS (
+  SELECT z[1] AS p, z[2] AS c, count(*) AS cb
+  FROM (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+    FROM base WHERE train AND len(t) >= 2
+  )
+  GROUP BY 1, 2
+), tric AS (
+  SELECT p1, p2, c, count(*) AS c3 FROM tris WHERE train GROUP BY 1, 2, 3
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       round(avg(CASE WHEN tric.c3 IS NOT NULL THEN ln(tric.c3 / ctx.cb)
+                      WHEN bo.cb IS NOT NULL THEN ln(0.4 * bo.cb / u2.cw)
+                      ELSE ln(0.16 * coalesce(uc.cw, 1) / n.n) END), 6) AS mean_logprob,
+       round(avg(CASE WHEN tric.c3 IS NULL THEN 1 ELSE 0 END), 6) AS backoff_rate,
+       round(avg(CASE WHEN tric.c3 IS NULL AND bo.cb IS NULL THEN 1 ELSE 0 END), 6) AS unigram_backoff_rate
+FROM tris
+LEFT JOIN tric USING (p1, p2, c)
+LEFT JOIN bic ctx ON tris.p1 = ctx.p AND tris.p2 = ctx.c
+LEFT JOIN bic bo ON tris.p2 = bo.p AND tris.c = bo.c
+LEFT JOIN uni u2 ON tris.p2 = u2.w
+LEFT JOIN uni uc ON tris.c = uc.w
+CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
 _DSIR_B = 4096
 
 
@@ -5172,17 +5364,27 @@ def corpus_source_overlap(spark, sf_dir):
     source Y?" — the reference's cross-table match-rate audits
     (merge_audit.rb) generalized to a full matrix.
 
+    The two columns are DISJOINT: a pair whose normalized fingerprints
+    are identical counts only in n_exact_pairs; n_near_pairs holds
+    strictly-near pairs (Jaccard >= 0.12 but fingerprints differ), so
+    summing the columns never double-counts exact dups.
+
     Scale shape: the exact side NEVER self-joins documents — it
     aggregates to a (fingerprint, source, count) table first, and the
     pair counts come from products of per-group counts (c_a*c_b cross,
     C(c,2) diagonal), so a million-row duplicate group costs one row
-    per source, not 10^12 pairs. The near side reuses the AllPairs
-    prefix-filtered ngram pair generator (linear in candidate pairs,
-    never all-pairs). One union + one keyed agg at the end."""
+    per source, not 10^12 pairs. The near side uses the ngram
+    inverted-index pair generator with prefix_filter=True forced ON
+    (lossless for any t > 0; at t=0.12 the prefix keeps ~88% of each
+    set so the pruning is modest — the real fanout protection at this
+    threshold is the generator's exact-group collapse, which blocks
+    duplicate-heavy hot shingles from self-joining). One union + one
+    keyed agg at the end."""
     docs = _t(spark, sf_dir, "documents")
     norm_fp = F.md5(
         F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast("binary")
     )
+    fps = docs.select(F.col("doc_id"), norm_fp.alias("_f"))
     fs = (
         docs.select(norm_fp.alias("_f"), "source")
         .groupBy("_f", "source")
@@ -5206,17 +5408,30 @@ def corpus_source_overlap(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.sum("_n").alias("n_exact_pairs"), F.lit(0).alias("n_near_pairs"))
     )
-    pairs = dedup_ops.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.12)
-    src = docs.select("doc_id", "source")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.12, prefix_filter=True
+    )
+    src = docs.select("doc_id", "source").join(fps, "doc_id")
     near = (
         pairs.join(
-            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("_sa"),
+                F.col("_f").alias("_fa"),
+            ),
             "id_a",
         )
         .join(
-            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("_sb"),
+                F.col("_f").alias("_fb"),
+            ),
             "id_b",
         )
+        # disjointness: exact-fingerprint pairs count ONLY in
+        # n_exact_pairs (they'd otherwise also pass Jaccard ~1.0 here)
+        .where(F.col("_fa") != F.col("_fb"))
         .select(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),
@@ -5250,6 +5465,8 @@ ex AS (
   GROUP BY 1, 2
 ),
 np AS (
+  -- strictly-near only: exact-fingerprint pairs are excluded so the
+  -- two output columns are disjoint (mirrors the engine's _fa != _fb)
   SELECT least(da.source, db.source) AS source_a,
          greatest(da.source, db.source) AS source_b,
          CAST(0 AS BIGINT) AS n_exact_pairs,
@@ -5257,6 +5474,8 @@ np AS (
   FROM ({_ngram_sql(0.12)}) p
   JOIN documents da ON p.id_a = da.doc_id
   JOIN documents db ON p.id_b = db.doc_id
+  WHERE md5(lower(trim(regexp_replace(da.text, '\s+', ' ', 'g'))))
+     <> md5(lower(trim(regexp_replace(db.text, '\s+', ' ', 'g'))))
   GROUP BY 1, 2
 )
 SELECT source_a, source_b,
@@ -5298,9 +5517,14 @@ def text_quality_by_source(spark, sf_dir):
         F.round("_mean", 6).alias("mean_quality"),
         F.round("_sd", 6).alias("stddev_quality"),
         F.round("_low", 6).alias("share_low_quality"),
-        F.round((F.col("_mean") - F.col("_gmean")) / F.col("_gsd"), 6).alias(
-            "z_mean"
-        ),
+        # gsd = 0 (degenerate all-identical corpus) -> NULL explicitly:
+        # Spark's non-ANSI divide yields NULL but DuckDB's IEEE float
+        # divide yields inf/NaN, so the guard must be in BOTH engines
+        F.when(F.col("_gsd") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.col("_mean") - F.col("_gmean")) / F.col("_gsd"), 6)
+        )
+        .alias("z_mean"),
     )
 
 
@@ -5321,7 +5545,8 @@ SELECT source, n_docs,
        round(m, 6) AS mean_quality,
        round(sd, 6) AS stddev_quality,
        round(lo, 6) AS share_low_quality,
-       round((m - g.gm) / g.gsd, 6) AS z_mean
+       CASE WHEN g.gsd = 0 THEN NULL
+            ELSE round((m - g.gm) / g.gsd, 6) END AS z_mean
 FROM per, g
 """
 
@@ -5353,6 +5578,67 @@ FROM documents
 """
 
 
+def text_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality composite (Rae et al. 2021 §A1.1 —
+    the industry-standard pre-LM filter RedPajama/Dolma reuse): seven
+    per-rule booleans plus the conjunctive pass flag, per document.
+    The repo's individual signals (repetition_stats, text_structure,
+    char_entropy, encoding_anomaly) profile; THIS is the composite a
+    curation pipeline actually gates on.
+
+    Scale shape (operators/text.py:gopher_rules): one scan-stage
+    projection — zero UDFs, zero shuffles, zero joins; all degenerate
+    denominators decided by explicit CASE identically cross-engine.
+    Reference shape: the record-quality predicates of F6
+    (lib/voter_file/custom_functions.rb), composed."""
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+GOPHER_RULES_SQL = r"""
+WITH g AS (
+  SELECT doc_id, text AS t,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS w,
+         string_split(text, chr(10)) AS l
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  len(w) >= 50 AND len(w) <= 100000 AS ok_word_count,
+  CASE WHEN len(w) = 0 THEN false
+       ELSE list_sum(list_transform(w, x -> length(x))) / len(w) >= 3
+        AND list_sum(list_transform(w, x -> length(x))) / len(w) <= 10
+  END AS ok_mean_word_len,
+  CASE WHEN len(w) = 0 THEN false
+       ELSE len(regexp_extract_all(t, '(#|\.\.\.|…)')) / len(w) <= 0.1
+  END AS ok_symbol_ratio,
+  len(list_filter(l, x -> regexp_matches(ltrim(x), '^[•\-\*]'))) / len(l) <= 0.9
+    AS ok_bullet_lines,
+  len(list_filter(l, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) / len(l) <= 0.3
+    AS ok_ellipsis_lines,
+  CASE WHEN len(w) = 0 THEN false
+       ELSE len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w) >= 0.8
+  END AS ok_alpha_words,
+  len(list_intersect(list_distinct(w),
+      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2
+    AS ok_stop_words,
+  (len(w) >= 50 AND len(w) <= 100000)
+  AND (CASE WHEN len(w) = 0 THEN false
+            ELSE list_sum(list_transform(w, x -> length(x))) / len(w) >= 3
+             AND list_sum(list_transform(w, x -> length(x))) / len(w) <= 10 END)
+  AND (CASE WHEN len(w) = 0 THEN false
+            ELSE len(regexp_extract_all(t, '(#|\.\.\.|…)')) / len(w) <= 0.1 END)
+  AND (len(list_filter(l, x -> regexp_matches(ltrim(x), '^[•\-\*]'))) / len(l) <= 0.9)
+  AND (len(list_filter(l, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) / len(l) <= 0.3)
+  AND (CASE WHEN len(w) = 0 THEN false
+            ELSE len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w) >= 0.8 END)
+  AND (len(list_intersect(list_distinct(w),
+       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2)
+    AS pass_gopher
+FROM g
+"""
+
+
 def text_bpe_vocab(spark, sf_dir):
     """BPE vocabulary induction (Sennrich et al. 2016): the top-8 merge
     rules learned from the corpus word-frequency table — the real form
@@ -5375,19 +5661,19 @@ def text_bpe_vocab(spark, sf_dir):
     )
 
 
-def _bpe_sql(n_merges: int = 8, max_words: int = 3000) -> str:
-    """Unrolled n_merges-round BPE training in DuckDB SQL. Greedy
-    leftmost application per round: candidate positions (pair match)
-    grouped into runs of consecutive positions (only possible when
-    lhs == rhs), keep every other position in each run, fuse kept
-    positions with their successor, drop the consumed successor."""
-    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_BPE_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _bpe_train_chain(n_merges: int, max_words: int, prefix: str) -> str:
+    """Unrolled n_merges-round BPE training CTE chain in DuckDB SQL
+    (no final SELECT — composable). Greedy leftmost application per
+    round: candidate positions (pair match) grouped into runs of
+    consecutive positions (only possible when lhs == rhs), keep every
+    other position in each run, fuse kept positions with their
+    successor, drop the consumed successor. `prefix` must open the
+    WITH clause and define `tok(word)`."""
     parts = [
-        f"""
-WITH tok AS (
-  SELECT unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS word
-  FROM documents
-),
+        f"""{prefix}
 wf AS (
   SELECT word, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
   ORDER BY f DESC, word LIMIT {max_words}
@@ -5443,15 +5729,125 @@ w_{i} AS MATERIALIZED (
   WHERE kd.j IS NULL
   GROUP BY l.w, l.f
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = 8, max_words: int = 3000) -> str:
+    prefix = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split({_BPE_NORM}, ' '), x -> x <> '')) AS word
+  FROM documents
+),"""
     selects = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
         f"cnt AS pair_count FROM top_{i}"
         for i in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _bpe_train_chain(n_merges, max_words, prefix) + "\n" + selects
 
 
 BPE_VOCAB_SQL = _bpe_sql(8, 3000)
+
+
+def _bpe_encode_sql(n_merges: int = 8, max_words: int = 3000) -> str:
+    """Training chain (identical to BPE_VOCAB_SQL's) + greedy
+    application of the learned top_{{i}} rules to EVERY distinct word
+    of the corpus (not just the capped training vocabulary), then the
+    per-doc rollup: n_bpe_tokens(doc) = sum over occurrences of the
+    final symbol count of each word — exactly the engine's
+    per-occurrence fold, factored through distinct words (the fold is
+    a pure function of the word)."""
+    prefix = f"""
+WITH dtok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_BPE_NORM}, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+tok AS (SELECT word FROM dtok),"""
+    parts = [_bpe_train_chain(n_merges, max_words, prefix)]
+    parts.append("""
+, aw_0 AS MATERIALIZED (
+  SELECT word AS w,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> substring(word, i, 1)), '</w>') AS syms
+  FROM (SELECT DISTINCT word FROM tok)
+)""")
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""
+, au_{i} AS (
+  SELECT w, unnest(list_transform(generate_series(1, len(syms)),
+                   j -> {{'s': syms[j], 'j': j}})) AS x
+  FROM aw_{p}
+),
+aux_{i} AS MATERIALIZED (
+  SELECT w, x.s AS s, x.j AS j,
+         lead(x.s) OVER (PARTITION BY w ORDER BY x.j) AS ns
+  FROM au_{i}
+),
+ac_{i} AS (
+  SELECT w, j, j - row_number() OVER (PARTITION BY w ORDER BY j) AS g
+  FROM aux_{i}
+  WHERE s = (SELECT a FROM top_{i}) AND ns = (SELECT b FROM top_{i})
+),
+ak_{i} AS MATERIALIZED (
+  SELECT w, j FROM (
+    SELECT w, j, row_number() OVER (PARTITION BY w, g ORDER BY j) AS rn
+    FROM ac_{i}
+  ) WHERE rn % 2 = 1
+),
+aw_{i} AS MATERIALIZED (
+  SELECT l.w,
+         list(CASE WHEN k.j IS NOT NULL THEN l.s || l.ns ELSE l.s END
+              ORDER BY l.j) AS syms
+  FROM aux_{i} l
+  LEFT JOIN ak_{i} k ON k.w = l.w AND k.j = l.j
+  LEFT JOIN ak_{i} kd ON kd.w = l.w AND kd.j = l.j - 1
+  WHERE kd.j IS NULL
+  GROUP BY l.w
+)""")
+    parts.append(f"""
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(a.syms)) AS BIGINT) AS n_bpe_tokens
+FROM dtok d JOIN aw_{n_merges} a ON d.word = a.w
+GROUP BY 1""")
+    return "".join(parts)
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql(8, 3000)
+
+
+def text_bpe_encode(spark, sf_dir):
+    """The corpus-sized half of BPE — apply the merge table learned by
+    `text_bpe_vocab`'s training run to every token of every document
+    (operators/bpe.py:bpe_encode, the distributed fold chain a
+    tokenization pipeline actually runs at scale), rolled up to per-doc
+    totals: n_words (token occurrences) and n_bpe_tokens (BPE symbols
+    after all 8 merges, </w> terminals included).
+
+    Scale shape: training stays vocabulary-sized (see text_bpe_vocab);
+    the 8-row merge table is the ONLY driver-side transfer (bounded
+    collect, Lloyd pattern). Encoding is one explode + a chain of 8
+    Catalyst aggregate folds — all scan-stage JVM exprs, zero UDFs, no
+    shuffle until the final per-doc aggregate. The oracle re-learns the
+    same 8 rules in unrolled CTEs, applies them gaps-and-islands-wise
+    to every DISTINCT word, and rolls up per doc — mathematically the
+    per-occurrence fold factored through distinct words — so driver
+    green proves train AND encode end-to-end."""
+    from voter_gateway_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    table = bpe.bpe_train(spark, docs, n_merges=8, max_words=3000)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in table.orderBy("merge_rank").collect()  # <= 8 rows
+    ]
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    )
 
 
 # =============================================================================
@@ -5607,6 +6003,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_split_documents": stratified_split_documents,
     "events_hourly_anomalies": events_hourly_anomalies,
     "sample_weighted_reservoir": sample_weighted_reservoir,
+    "text_trigram_logprob": text_trigram_logprob,
+    "text_bpe_encode": text_bpe_encode,
+    "text_gopher_rules": text_gopher_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -5737,4 +6136,7 @@ ORACLES: dict[str, str] = {
     "text_quality_by_source": QUALITY_BY_SOURCE_SQL,
     "text_encoding_anomaly": ENCODING_ANOMALY_SQL,
     "text_bpe_vocab": BPE_VOCAB_SQL,
+    "text_trigram_logprob": TRIGRAM_LP_SQL,
+    "text_bpe_encode": BPE_ENCODE_SQL,
+    "text_gopher_rules": GOPHER_RULES_SQL,
 }
