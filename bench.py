@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     # r7: bloom-prefiltered exact admission — steady-state dedup
     # ingestion; tracked so the probe/verify split stays cheap
     "dedup_bloom_admission",
+    # r9: trigram Stupid-Backoff LM scoring (the CCNet-ladder rung —
+    # three count joins over one shared scan) and the two-batch
+    # daily-ingest composite (bloom admission → band probe →
+    # incremental components → split refresh; the steady-state path
+    # whose batch-sized-shuffle claim the decade runs check)
+    "text_trigram_logprob",
+    "pipeline_daily_ingest",
 ]
 
 

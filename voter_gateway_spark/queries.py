@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.audit import column_coverage, value_distribution
-from voter_gateway_spark.session import ckpt_lazy
+from voter_gateway_spark.session import ckpt, ckpt_lazy
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
 from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
@@ -4858,23 +4858,80 @@ GROUP BY doc_id
 
 
 def corpus_summary(spark, sf_dir):
-    """Dataset-card summary row: doc/lang/source cardinalities, length
-    quantiles, exact-duplicate rate — the one-scan profile a corpus
-    release ships with."""
+    """Dataset-card summary row, v2 (r8 verdict ask #8): the v1
+    profile (doc/lang/source cardinalities, length quantiles,
+    exact-duplicate rate) extended with the per-source signals the
+    catalog learned to measure in r8 — global quality mean + low-share,
+    encoding-anomaly suspect rate, the largest per-source quality
+    z-score (the calibration outlier a mixture designer checks first),
+    and DSIR importance-weight quantiles.
+
+    Scale shape: ONE text scan computes fingerprint + quality +
+    suspect in the scan stage and is lazily checkpointed for its three
+    consumers (global card, per-source means, nothing else); the
+    source-z branch is a keyed agg over that scan plus a 1-row global
+    broadcast; the DSIR branch reuses text_dsir_importance's own
+    single-materialized position stream. All cross-branch joins are
+    1-row broadcasts. gsd = 0 yields NULL max_abs_source_z explicitly
+    (same guard as text_quality_by_source)."""
     docs = _t(spark, sf_dir, "documents")
     norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast("binary"))
+    suspect = (
+        F.regexp_count(
+            F.col("text"),
+            F.lit(f"({text.REPLACEMENT_RE}|{text.CONTROL_RE}|{text.MOJIBAKE_RE})"),
+        )
+        > 0
+    ).cast("int")
     pct = F.percentile(F.col("n_chars"), F.lit([0.5, 0.9]))
-    return (
-        docs.select("doc_id", "lang", "source", "n_chars", norm.alias("_fp"))
-        .agg(
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        norm.alias("_fp"),
+        text.quality_score("text").alias("_q"),
+        suspect.alias("_sus"),
+    ).transform(ckpt_lazy)
+    card = (
+        base.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("lang").alias("n_langs"),
             F.countDistinct("source").alias("n_sources"),
             F.sum("n_chars").alias("total_chars"),
             pct.alias("_p"),
             (F.count(F.lit(1)) - F.countDistinct("_fp")).alias("n_exact_dups"),
+            F.round(F.avg("_q"), 6).alias("mean_quality"),
+            F.round(F.avg((F.col("_q") < 0.45).cast("double")), 6).alias(
+                "share_low_quality"
+            ),
+            F.round(F.avg("_sus"), 6).alias("suspect_rate"),
+            F.avg("_q").alias("_gm"),
+            F.stddev_pop("_q").alias("_gsd"),
         )
-        .select(
+    )
+    src_z = (
+        base.groupBy("source")
+        .agg(F.avg("_q").alias("_m"))
+        .crossJoin(F.broadcast(card.select("_gm", "_gsd")))
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("_gsd") == 0, F.lit(None).cast("double"))
+                    .otherwise(F.abs((F.col("_m") - F.col("_gm")) / F.col("_gsd")))
+                ),
+                6,
+            ).alias("max_abs_source_z")
+        )
+    )
+    dsir_q = text_dsir_importance(spark, sf_dir).agg(
+        F.percentile(F.col("mean_logratio"), F.lit([0.5, 0.9])).alias("_dq")
+    ).select(
+        F.round(F.element_at("_dq", 1), 6).alias("p50_dsir_logratio"),
+        F.round(F.element_at("_dq", 2), 6).alias("p90_dsir_logratio"),
+    )
+    return (
+        card.select(
             "n_docs",
             "n_langs",
             "n_sources",
@@ -4882,20 +4939,61 @@ def corpus_summary(spark, sf_dir):
             F.round(F.element_at("_p", 1), 2).alias("p50_chars"),
             F.round(F.element_at("_p", 2), 2).alias("p90_chars"),
             "n_exact_dups",
+            "mean_quality",
+            "share_low_quality",
+            "suspect_rate",
         )
+        .crossJoin(F.broadcast(src_z))
+        .crossJoin(F.broadcast(dsir_q))
     )
 
 
-CORPUS_SUMMARY_SQL = r"""
-SELECT count(*) AS n_docs,
-       count(DISTINCT lang) AS n_langs,
-       count(DISTINCT source) AS n_sources,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
-       round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
-       count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_exact_dups
-FROM documents
+def _corpus_summary_sql() -> str:
+    return f"""
+WITH q AS ({_quality_sql()}),
+base AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp,
+         q.quality AS qq,
+         CASE WHEN len(regexp_extract_all(d.text,
+              '({text.REPLACEMENT_RE}|{text.CONTROL_RE}|{text.MOJIBAKE_RE})')) > 0
+              THEN 1 ELSE 0 END AS sus
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+card AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+         round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+         count(*) - count(DISTINCT fp) AS n_exact_dups,
+         round(avg(qq), 6) AS mean_quality,
+         round(avg(CASE WHEN qq < 0.45 THEN 1.0 ELSE 0.0 END), 6) AS share_low_quality,
+         round(avg(sus), 6) AS suspect_rate,
+         avg(qq) AS gm, stddev_pop(qq) AS gsd
+  FROM base
+),
+srcm AS (SELECT source, avg(qq) AS m FROM base GROUP BY 1),
+z AS (
+  SELECT round(max(CASE WHEN c.gsd = 0 THEN NULL
+                        ELSE abs((s.m - c.gm) / c.gsd) END), 6) AS max_abs_source_z
+  FROM srcm s, card c
+),
+dsir AS ({DSIR_SQL}),
+dq AS (
+  SELECT round(quantile_cont(mean_logratio, 0.5), 6) AS p50_dsir_logratio,
+         round(quantile_cont(mean_logratio, 0.9), 6) AS p90_dsir_logratio
+  FROM dsir
+)
+SELECT n_docs, n_langs, n_sources, total_chars, p50_chars, p90_chars,
+       n_exact_dups, mean_quality, share_low_quality, suspect_rate,
+       max_abs_source_z, p50_dsir_logratio, p90_dsir_logratio
+FROM card, z, dq
 """
+
+
+CORPUS_SUMMARY_SQL = _corpus_summary_sql()
 
 
 def split_leakage_safe(spark, sf_dir):
@@ -4979,6 +5077,179 @@ WHERE b.doc_id >= 300
   AND NOT EXISTS (
     SELECT 1 FROM documents c WHERE c.doc_id < 400 AND c.text = b.text
   )
+"""
+
+
+def pipeline_daily_ingest(spark, sf_dir):
+    """The steady-state DAILY ingest path, end to end over a two-batch
+    fixture: corpus (doc_id < 300) with a settled cluster map, then TWO
+    arriving batches ([300,400) and [400,...)) each folded in via
+
+      bloom exact-dedup admission → bipartite MinHash band probe +
+      batch-internal pairs → incremental_component_assign (cluster-map
+      update) → leakage-safe split refresh
+
+    — the composition of dedup_bloom_admission, dedup_incremental_batch
+    and dedup_incremental_components, run twice so the STATE HANDOFF
+    between days (yesterday's admissions are today's corpus; yesterday's
+    merged clusters are today's map) is on the hash, not just each stage
+    in isolation. Returns the refreshed per-(split, lang) doc/cluster
+    counts after day 2.
+
+    The ORACLE is the full-recompute equivalent (sequential NOT-EXISTS
+    admission, then recursive-CTE minhash components over the final
+    admitted set, then the same md5-bucket split), so a hash-green row
+    proves two chained increments land exactly where a from-scratch
+    rebuild does — including batches that bridge day-1 clusters.
+
+    Scale shape: per day, the corpus is touched by (a) one broadcast
+    bloom probe + a maybes-bounded verify (never a corpus shuffle —
+    see bloom_admission), (b) the bipartite band join (|batch| ×
+    collision rate; the persisted band index is the production form,
+    dedup_band_index_probe), and (c) ONE broadcast relabel join on the
+    cluster map. Component iteration runs on the batch-sized touched
+    graph only. Between days the state is eagerly checkpointed —
+    day 2's lineage starts at day 1's RESULT, not its plan. See
+    SCALING.md 'Daily-ingest runbook'."""
+    cols = ["doc_id", "text", "lang"]
+    docs = _t(spark, sf_dir, "documents").select(*cols)
+    mh = dict(k=3, n_hashes=16, bands=4, threshold=0.1)
+    state_docs = ckpt(docs.where(F.col("doc_id") < 300))
+    cpairs = dedup_ops.minhash_lsh_pairs(state_docs, "doc_id", "text", **mh)
+    state_map = ckpt(
+        state_docs.select("doc_id")
+        .join(
+            dedup_ops.connected_components(cpairs).withColumnRenamed(
+                "id", "doc_id"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    batches = [
+        docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+        docs.where(F.col("doc_id") >= 400),
+    ]
+    for batch in batches:
+        admitted = ckpt(
+            dedup_ops.bloom_admission(state_docs, batch, "doc_id", "text")
+        )
+        bp = dedup_ops.incremental_minhash_pairs(
+            admitted, state_docs, "doc_id", "text", **mh
+        ).select("new_id", "corpus_id")
+        nn = dedup_ops.minhash_lsh_pairs(admitted, "doc_id", "text", **mh).select(
+            "id_a", "id_b"
+        )
+        state_map = ckpt(
+            dedup_ops.incremental_component_assign(
+                state_map.select("id", "component"),
+                admitted.select("doc_id"),
+                bp,
+                nn,
+            )
+        )
+        state_docs = ckpt(state_docs.unionByName(admitted.select(*cols)))
+    clustered = state_docs.select("doc_id", "lang").join(
+        state_map.select(F.col("id").alias("doc_id"), "component"), "doc_id"
+    )
+    bucket = dedup_ops.md5_hash60("component") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        clustered.select("lang", "component", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+def _daily_ingest_sql(threshold: float = 0.1) -> str:
+    """Full-recompute oracle for pipeline_daily_ingest: sequential
+    exact-text admission (day 1, then day 2 against day 1's result),
+    recursive-CTE minhash components over the FINAL admitted set, then
+    the leakage-safe split rollup — the from-scratch rebuild the
+    incremental path must land on exactly."""
+    from voter_gateway_spark.operators.dedup_ops import _MINHASH_P, _affine_consts
+
+    n_hashes, bands, rows = 16, 4, 4
+    sig = ", ".join(
+        f"list_min(list_transform(hl, h -> ((h % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P})) AS h{seed}"
+        for seed, (a, b) in enumerate(_affine_consts(n_hashes))
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, "
+        + "(" + " || '|' || ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)) + ") AS k FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE c0 AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id < 300
+),
+b1 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 300 AND doc_id < 400),
+b2 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 400),
+a1 AS (
+  SELECT * FROM b1 t
+  WHERE NOT EXISTS (SELECT 1 FROM c0 c WHERE c.text = t.text)
+),
+c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM a1),
+a2 AS (
+  SELECT * FROM b2 t
+  WHERE NOT EXISTS (SELECT 1 FROM c1 c WHERE c.text = t.text)
+),
+fin AS (SELECT * FROM c1 UNION ALL SELECT * FROM a2),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM fin
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh),
+sig AS (SELECT doc_id, hl, {sig} FROM hh),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hh x ON cand.id_a = x.doc_id JOIN hh y ON cand.id_b = y.doc_id
+  WHERE round(len(list_intersect(x.hl, y.hl)) * 1.0
+        / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w2.id, e.b FROM walk w2 JOIN edges e ON w2.r = e.a
+),
+comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id),
+clustered AS (
+  SELECT f.doc_id, coalesce(c.component, f.doc_id) AS component, f.lang
+  FROM fin f LEFT JOIN comp c ON f.doc_id = c.id
+),
+bkt AS (
+  SELECT lang, component,
+         ('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM clustered
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       count(DISTINCT component) AS n_clusters
+FROM bkt GROUP BY 1, 2
 """
 
 
@@ -5855,57 +6126,90 @@ def text_bpe_encode(spark, sf_dir):
 # =============================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Ordered so a prefix sample covers every operator family:
-    # core relational/staging/merge first, then one window per
-    # family (dedup, fuzzy, text, contamination, embeddings,
-    # events, sampling/layout); stable variants trail.
-    # Rotation history: r6 moved the 18 never-driver-run tail queries
-    # into the prefix; r7 moved in its 7 new queries. round-8
-    # rotation: (a) the 4 r8-new queries (bigram LM, phash near-dup,
-    # sketch audits, incremental components) take prefix slots;
-    # (b) every query whose CODE changed this round stays/moves into
-    # the prefix (jsonl_roundtrip scratch-path fix, session_paths
-    # shared renderer, band_index_probe scratch-path fix, dedup_simhash
-    # banding refactor, dedup_bloom_admission BloomIndex binding);
-    # (c) the 15 LONGEST-unsampled veterans (last driver row r2:
-    # multimodal_features .. multimodal_frame_sample) rotate back in
-    # per the r7 verdict ask; (d) 21 r6/r7-green stables rotate to the
-    # tail (all remain green in the full-catalog local gate).
+    # Ordered so the driver's ~50-query prefix sample covers every
+    # operator family each round. round-9 rotation (r8 verdict asks
+    # #2/#7 + the gate-sequencing rule): (a) 20 core family
+    # representatives stay hot; (b) the 4 r9-new queries
+    # (text_trigram_logprob, text_bpe_encode, text_gopher_rules,
+    # pipeline_daily_ingest) and the 3 whose CODE changed this round
+    # (corpus_summary v2, corpus_source_overlap disjoint-near fix,
+    # text_quality_by_source z-guard) take prefix slots; (c) the two
+    # never-driver-sampled queries (text_encoding_anomaly,
+    # sample_token_budget) rotate in per the r8 verdict; (d) ALL
+    # r2/r3/r4-vintage veterans (21 queries, the full
+    # older-than-r5 set) rotate in, satisfying "no catalog query
+    # whose most recent driver row is older than r5"; (e) r6-r8
+    # green stables rotate to the tail (all stay green in the
+    # full-catalog local gate, regenerated AFTER the round's final
+    # code commit per the new sequencing rule).
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
-    "q5_region_revenue": q5_region_revenue,
     "audit_coverage_customer": audit_coverage_customer,
-    "audit_flag_distribution_events": audit_flag_distribution_events,
     "match_cascade_orders_customers": match_cascade_orders_customers,
     "merge_upsert_customers": merge_upsert_customers,
     "staging_lineitem": staging_lineitem,
     "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
     "scd2_customers": scd2_customers,
     "cdc_apply_orders": cdc_apply_orders,
-    "fuzzy_claiming_documents": fuzzy_claiming_documents,
     "fuzzy_top1_documents": fuzzy_top1_documents,
     "dedup_documents_lang_source": dedup_documents_lang_source,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_cluster_components": dedup_cluster_components,
-    "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_incremental_components": dedup_incremental_components,
     "dedup_bloom_admission": dedup_bloom_admission,
     "split_leakage_safe": split_leakage_safe,
+    "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
+    "events_session_paths": events_session_paths,
+    "multimodal_phash_neardup": multimodal_phash_neardup,
+    "audit_sketch_profile": audit_sketch_profile,
+    "text_trigram_logprob": text_trigram_logprob,
+    "text_bpe_encode": text_bpe_encode,
+    "text_gopher_rules": text_gopher_rules,
+    "pipeline_daily_ingest": pipeline_daily_ingest,
+    "corpus_summary": corpus_summary,
+    "corpus_source_overlap": corpus_source_overlap,
+    "text_quality_by_source": text_quality_by_source,
+    "text_encoding_anomaly": text_encoding_anomaly,
+    "sample_token_budget": sample_token_budget,
+    "embed_normalize": embed_normalize,
+    "embed_group_centroids": embed_group_centroids,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "events_retention": events_retention,
+    "events_value_cap": events_value_cap,
+    "sample_customers_deterministic": sample_customers_deterministic,
+    "stratified_split_documents": stratified_split_documents,
+    "events_hourly_anomalies": events_hourly_anomalies,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
+    "events_funnel": events_funnel,
+    "dedup_edit_distance": dedup_edit_distance,
+    "text_vocabulary": text_vocabulary,
+    "text_chunks": text_chunks,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_structure": text_structure,
+    "text_bigram_pmi": text_bigram_pmi,
+    "embed_lsh_topk": embed_lsh_topk,
+    "embed_int8_topk": embed_int8_topk,
+    "embed_near_dup": embed_near_dup,
+    "embed_knn_label": embed_knn_label,
+    # --- below the driver ~50-query sample window: every entry is
+    #     green on its most recent driver row AND in the post-final-
+    #     commit CORRECTNESS_local.json regeneration ---
+    "q5_region_revenue": q5_region_revenue,
+    "audit_flag_distribution_events": audit_flag_distribution_events,
+    "fuzzy_claiming_documents": fuzzy_claiming_documents,
+    "dedup_cluster_components": dedup_cluster_components,
+    "dedup_incremental_batch": dedup_incremental_batch,
     "corpus_dedup_report": corpus_dedup_report,
     "embed_recall_report": embed_recall_report,
     "text_frequent_ngrams": text_frequent_ngrams,
     "pipeline_curation_audit": pipeline_curation_audit,
     "corpus_contamination": corpus_contamination,
     "contamination_span_pairs": contamination_span_pairs,
-    "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
-    "events_session_paths": events_session_paths,
     "dedup_band_index_probe": dedup_band_index_probe,
     "dedup_simhash": dedup_simhash,
     "text_bigram_logprob": text_bigram_logprob,
-    "multimodal_phash_neardup": multimodal_phash_neardup,
-    "audit_sketch_profile": audit_sketch_profile,
-    "dedup_incremental_components": dedup_incremental_components,
     "multimodal_features": multimodal_features,
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
@@ -5917,25 +6221,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_quantiles_lineitem": stats_quantiles_lineitem,
     "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_corpus_pruned": dedup_corpus_pruned,
-    # r8 late additions take the last prefix slots: DSIR hashed-ngram
-    # importance weighting, the cross-source overlap matrix, per-source
-    # quality calibration, and encoding-anomaly detection (all new this
-    # round, never driver-sampled). Three r5/r6-green stables
-    # (embed_normalize, embed_group_centroids, text_fingerprint) move
-    # just below the line with multimodal_frame_sample and
-    # sample_token_budget; all should rotate back in next round.
     "text_dsir_importance": text_dsir_importance,
-    "corpus_source_overlap": corpus_source_overlap,
-    "text_quality_by_source": text_quality_by_source,
     "text_bpe_vocab": text_bpe_vocab,
-    # --- below the driver 50-query sample window: green on their
-    #     most recent driver rows and in CORRECTNESS_local.json ---
-    "text_encoding_anomaly": text_encoding_anomaly,
-    "embed_normalize": embed_normalize,
-    "embed_group_centroids": embed_group_centroids,
-    "text_fingerprint": text_fingerprint,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "sample_token_budget": sample_token_budget,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
     "embed_semantic_dedup": embed_semantic_dedup,
     "dedup_substring_scrub": dedup_substring_scrub,
@@ -5951,7 +6238,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_latency": events_funnel_latency,
     "audit_outliers_acctbal": audit_outliers_acctbal,
     "text_unigram_logprob": text_unigram_logprob,
-    "corpus_summary": corpus_summary,
     "events_daily_pivot": events_daily_pivot,
     "dedup_cluster_rollup": dedup_cluster_rollup,
     "text_repetition": text_repetition,
@@ -5986,26 +6272,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "events_hourly": events_hourly,
-    "events_funnel": events_funnel,
-    "dedup_edit_distance": dedup_edit_distance,
-    "text_vocabulary": text_vocabulary,
-    "text_chunks": text_chunks,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "text_structure": text_structure,
-    "text_bigram_pmi": text_bigram_pmi,
-    "embed_lsh_topk": embed_lsh_topk,
-    "embed_int8_topk": embed_int8_topk,
-    "embed_near_dup": embed_near_dup,
-    "embed_knn_label": embed_knn_label,
-    "events_retention": events_retention,
-    "events_value_cap": events_value_cap,
-    "sample_customers_deterministic": sample_customers_deterministic,
-    "stratified_split_documents": stratified_split_documents,
-    "events_hourly_anomalies": events_hourly_anomalies,
-    "sample_weighted_reservoir": sample_weighted_reservoir,
-    "text_trigram_logprob": text_trigram_logprob,
-    "text_bpe_encode": text_bpe_encode,
-    "text_gopher_rules": text_gopher_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -6139,4 +6405,5 @@ ORACLES: dict[str, str] = {
     "text_trigram_logprob": TRIGRAM_LP_SQL,
     "text_bpe_encode": BPE_ENCODE_SQL,
     "text_gopher_rules": GOPHER_RULES_SQL,
+    "pipeline_daily_ingest": _daily_ingest_sql(),
 }
