@@ -31,6 +31,11 @@ QUERY_SET = [
     "dedup_cluster_components",
     "fuzzy_claiming_documents",
     "fuzzy_top1_documents",
+    # r10: the daily-ingest composite's ~6-barrier chain (genesis map,
+    # then per day: admission, cluster map, corpus union) — the
+    # steady-state path whose per-day materialization premium the
+    # SCALING.md checkpoint table quotes
+    "pipeline_daily_ingest",
 ]
 
 

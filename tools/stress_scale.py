@@ -219,7 +219,7 @@ EVENT_DECADE_QUERIES = [
 ]
 
 
-def events_decade(n: int, dst: str) -> None:
+def events_decade(n: int, dst: str, build_only: bool = False) -> None:
     """Third measured decade, EVENTS-ONLY: the documents/embeddings
     families can't replicate past ~100× without their outputs
     themselves going d² (pair emission over d-way-duplicated corpora
@@ -254,13 +254,34 @@ def events_decade(n: int, dst: str) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     n_rows = spark.read.parquet(f"{dst}/events.parquet").count()
     print(f"built {dst} events x{n} = {n_rows} rows in {time.time() - t0:.0f}s", flush=True)
+    spark.stop()
+    if build_only:
+        return
+    # measure in a CLEAN session: the r7 methodology note showed the
+    # build session's page-cache + GC pressure inflates single-shot
+    # timings ~1.5x (202 s vs 139 s) — decade artifacts come from a
+    # fresh JVM since
+    events_measure(dst, EVENT_DECADE_QUERIES, runs=2, label=f"events x{n}")
+
+
+def events_measure(
+    dst: str, names: list[str], runs: int = 2, label: str | None = None
+) -> None:
+    """Best-of-`runs` wall-clock per query over an events replica, in
+    a session that did NOT build the replica (see events_decade)."""
+    spark = build_spark(app_name="vgs-events-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["events_hourly"](spark, dst).count()  # JVM/codegen warmup
     timings = {}
-    for name in EVENT_DECADE_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            QUERIES[name](spark, dst).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(best, 3)
         print(f"{name}: {timings[name]}s", flush=True)
-        spark.sparkContext._jvm.System.gc()
     import json
 
     print(json.dumps({
@@ -268,15 +289,37 @@ def events_decade(n: int, dst: str) -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": f"{dst} (events x{n})",
+        "sf": f"{dst} ({label or 'events replica'})",
+        "runs": runs,
     }), flush=True)
     spark.stop()
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--events":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-        events_decade(n, f"/tmp/stress_ev_x{n}")
+        rest = [a for a in sys.argv[2:] if a != "--build-only"]
+        n = int(rest[0]) if rest else 1000
+        events_decade(n, f"/tmp/stress_ev_x{n}", "--build-only" in sys.argv)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--events-measure":
+        # measure-only over an already-built replica dir; optional
+        # comma-separated query subset (e.g. the r7 watch pair in
+        # isolation) and run count
+        dst = sys.argv[2]
+        names = EVENT_DECADE_QUERIES
+        runs = 2
+        rest = sys.argv[3:]
+        i = 0
+        while i < len(rest):
+            if rest[i] == "--queries":
+                names = [q for q in rest[i + 1].split(",") if q]
+                i += 2
+            elif rest[i] == "--runs":
+                runs = int(rest[i + 1])
+                i += 2
+            else:
+                raise SystemExit(f"unknown arg {rest[i]!r}")
+        events_measure(dst, names, runs=runs, label=Path(dst).name)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
