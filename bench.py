@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     # whose batch-sized-shuffle claim the decade runs check)
     "text_trigram_logprob",
     "pipeline_daily_ingest",
+    # r10: paragraph-granularity exact dedup (the Dolma middle
+    # granularity between whole-doc dedup and substring scrub) and
+    # the perplexity-gated curation composite (gopher -> trigram-LM
+    # floor -> encoding -> exact+near dedup, per-source attrition)
+    "dedup_paragraph_scrub",
+    "pipeline_quality_gate",
 ]
 
 

@@ -51,14 +51,26 @@ THRESHOLD = 0.1
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress_x10"
-    batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/stress_x10"
+    batch_rows = int(args[1]) if len(args) > 1 else 2000
     idx_path = "/tmp/daily_ingest_band_index"
     spark = build_spark(app_name="vgs-daily-stages")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    # salt: stress replicas duplicate TEXTS n-ways, so an unsalted
+    # batch is 100% exact-duplicate and the bloom admits 0 rows —
+    # every downstream per-day stage would then run on an empty set
+    # and measure nothing. Salting (text || ' #' || doc_id, the
+    # bloom_throughput --salt convention) restores the realistic
+    # web-corpus shape: all content distinct, near-dup structure
+    # (shared shingles across replicas) preserved.
+    if "--no-salt" not in sys.argv:
+        docs = docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" #"), F.col("doc_id"))
+        )
     total = docs.count()
     # deterministic fixed-size batch: md5 bucket of the doc id — the
     # SAME absolute batch size at every replica scale

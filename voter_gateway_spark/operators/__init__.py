@@ -1,3 +1,9 @@
-from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
+from voter_gateway_spark.operators import (
+    dedup_ops,
+    fuzzy,
+    paragraphs,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup_ops", "fuzzy", "similarity", "text"]
+__all__ = ["dedup_ops", "fuzzy", "paragraphs", "similarity", "text"]

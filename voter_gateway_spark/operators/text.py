@@ -561,6 +561,7 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    min_stop_words: int = 2,
 ) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021 §A1.1, public;
     the same composite RedPajama/Dolma reuse): per-document booleans
@@ -573,7 +574,16 @@ def gopher_rules(
       ok_bullet_lines   <= 90% of lines start with a bullet (•/-/*)
       ok_ellipsis_lines <= 30% of lines end with an ellipsis
       ok_alpha_words    >= 80% of words contain an ASCII letter
-      ok_stop_words     >= 2 DISTINCT Gopher stop words present
+      ok_stop_words     >= `min_stop_words` DISTINCT Gopher stop
+                        words present (paper default 2; relax for
+                        corpora with sparse stop-word inventories)
+
+    Scope: mean word length counts UTF-16 code units (Spark
+    F.length), matching the DuckDB oracle only for BMP text — the
+    same BMP-only scope as bpe.py documents; for non-BMP scripts the
+    two engines can disagree on word length, so the engine-stable
+    boolean claim below is scoped to BMP input (the alpha rule
+    already restricts the filter to ASCII-lowercase corpora).
 
     Degenerate docs are decided explicitly, identically cross-engine:
     zero words fails every word-denominated rule via CASE (never a
@@ -624,7 +634,7 @@ def gopher_rules(
         "ok_alpha_words": F.when(nw == 0, zero).otherwise(
             n_alpha / nw >= 0.8
         ),
-        "ok_stop_words": n_stop >= 2,
+        "ok_stop_words": n_stop >= min_stop_words,
     }
     passed = None
     for c in ok.values():

@@ -4958,7 +4958,7 @@ base AS (
          CASE WHEN len(regexp_extract_all(d.text,
               '({text.REPLACEMENT_RE}|{text.CONTROL_RE}|{text.MOJIBAKE_RE})')) > 0
               THEN 1 ELSE 0 END AS sus
-  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id
 ),
 card AS (
   SELECT count(*) AS n_docs,
@@ -5080,6 +5080,17 @@ WHERE b.doc_id >= 300
 """
 
 
+# Fixture batch boundaries for the daily-ingest composite, shared by
+# the query builder and its oracle so the two can never drift (r9
+# advice): genesis corpus is doc_id < GENESIS_MAX, day-1 batch is
+# [GENESIS_MAX, DAY1_MAX), day-2 batch is >= DAY1_MAX. The cuts are
+# CORPUS-RELATIVE to the sf fixtures -- at stress replicas "day 2"
+# becomes genesis-sized (see SCALING.md, daily-ingest runbook; the
+# steady-state fixed-batch measurement is tools/daily_ingest_stages.py).
+DAILY_INGEST_GENESIS_MAX = 300
+DAILY_INGEST_DAY1_MAX = 400
+
+
 def pipeline_daily_ingest(spark, sf_dir):
     """The steady-state DAILY ingest path, end to end over a two-batch
     fixture: corpus (doc_id < 300) with a settled cluster map, then TWO
@@ -5114,7 +5125,7 @@ def pipeline_daily_ingest(spark, sf_dir):
     cols = ["doc_id", "text", "lang"]
     docs = _t(spark, sf_dir, "documents").select(*cols)
     mh = dict(k=3, n_hashes=16, bands=4, threshold=0.1)
-    state_docs = ckpt(docs.where(F.col("doc_id") < 300))
+    state_docs = ckpt(docs.where(F.col("doc_id") < DAILY_INGEST_GENESIS_MAX))
     cpairs = dedup_ops.minhash_lsh_pairs(state_docs, "doc_id", "text", **mh)
     state_map = ckpt(
         state_docs.select("doc_id")
@@ -5131,8 +5142,11 @@ def pipeline_daily_ingest(spark, sf_dir):
         )
     )
     batches = [
-        docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
-        docs.where(F.col("doc_id") >= 400),
+        docs.where(
+            (F.col("doc_id") >= DAILY_INGEST_GENESIS_MAX)
+            & (F.col("doc_id") < DAILY_INGEST_DAY1_MAX)
+        ),
+        docs.where(F.col("doc_id") >= DAILY_INGEST_DAY1_MAX),
     ]
     for batch in batches:
         admitted = ckpt(
@@ -5190,10 +5204,11 @@ def _daily_ingest_sql(threshold: float = 0.1) -> str:
     )
     return f"""
 WITH RECURSIVE c0 AS (
-  SELECT doc_id, text, lang FROM documents WHERE doc_id < 300
+  SELECT doc_id, text, lang FROM documents WHERE doc_id < {DAILY_INGEST_GENESIS_MAX}
 ),
-b1 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 300 AND doc_id < 400),
-b2 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 400),
+b1 AS (SELECT doc_id, text, lang FROM documents
+       WHERE doc_id >= {DAILY_INGEST_GENESIS_MAX} AND doc_id < {DAILY_INGEST_DAY1_MAX}),
+b2 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= {DAILY_INGEST_DAY1_MAX}),
 a1 AS (
   SELECT * FROM b1 t
   WHERE NOT EXISTS (SELECT 1 FROM c0 c WHERE c.text = t.text)
@@ -5865,7 +5880,13 @@ def text_gopher_rules(spark, sf_dir):
     return text.gopher_rules(_t(spark, sf_dir, "documents"))
 
 
-GOPHER_RULES_SQL = r"""
+def _gopher_rules_sql(
+    min_words: int = 50, max_words: int = 100_000, min_stop_words: int = 2
+) -> str:
+    """Parametrized mirror of text.gopher_rules — defaults reproduce
+    the paper thresholds (and the committed text_gopher_rules oracle
+    verbatim); pipeline_quality_gate instantiates the relaxed gate."""
+    return rf"""
 WITH g AS (
   SELECT doc_id, text AS t,
          list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
@@ -5875,7 +5896,7 @@ WITH g AS (
 )
 SELECT doc_id,
   CAST(len(w) AS BIGINT) AS n_words,
-  len(w) >= 50 AND len(w) <= 100000 AS ok_word_count,
+  len(w) >= {min_words} AND len(w) <= {max_words} AS ok_word_count,
   CASE WHEN len(w) = 0 THEN false
        ELSE list_sum(list_transform(w, x -> length(x))) / len(w) >= 3
         AND list_sum(list_transform(w, x -> length(x))) / len(w) <= 10
@@ -5891,9 +5912,9 @@ SELECT doc_id,
        ELSE len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w) >= 0.8
   END AS ok_alpha_words,
   len(list_intersect(list_distinct(w),
-      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2
+      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= {min_stop_words}
     AS ok_stop_words,
-  (len(w) >= 50 AND len(w) <= 100000)
+  (len(w) >= {min_words} AND len(w) <= {max_words})
   AND (CASE WHEN len(w) = 0 THEN false
             ELSE list_sum(list_transform(w, x -> length(x))) / len(w) >= 3
              AND list_sum(list_transform(w, x -> length(x))) / len(w) <= 10 END)
@@ -5904,10 +5925,13 @@ SELECT doc_id,
   AND (CASE WHEN len(w) = 0 THEN false
             ELSE len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w) >= 0.8 END)
   AND (len(list_intersect(list_distinct(w),
-       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 2)
+       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= {min_stop_words})
     AS pass_gopher
 FROM g
 """
+
+
+GOPHER_RULES_SQL = _gopher_rules_sql()
 
 
 def text_bpe_vocab(spark, sf_dir):
@@ -6122,26 +6146,319 @@ def text_bpe_encode(spark, sf_dir):
 
 
 # =============================================================================
+# Paragraph-granularity dedup + perplexity-gated curation (r10)
+# =============================================================================
+
+
+def dedup_paragraph_scrub(spark, sf_dir):
+    """Paragraph-granularity exact dedup (Dolma's duplicate-paragraph
+    removal; Lee et al. 2022 motivate the sub-document granularity):
+    every repeated 3-word segment keeps ONE canonical survivor
+    occurrence corpus-wide — first in (doc, position) order — and the
+    survivors reassemble per document in their original order. This is
+    the middle granularity between whole-document exact dedup
+    (dedup_documents_lang_source) and substring-span scrubbing
+    (dedup_substring_scrub), and differs from text_boilerplate_scrub's
+    frequency-floor rule, which drops ALL occurrences of frequent
+    segments and none of the rare ones.
+
+    Scale shape (operators/paragraphs.py): segment rows shuffle ONCE
+    keyed by segment text; survivor choice is a map-side-combining min
+    aggregate; the keep flag returns on the SAME key (exchange
+    reused); reassembly is one doc-keyed aggregation with the ordinal
+    riding struct(array_sort(collect_list)) — every stage linear in
+    corpus size and in the duplication factor.
+
+    Reference shape: dedup self-merge M9/M10 (fuzzy_merger.rb:21-36)
+    at sub-record granularity."""
+    from voter_gateway_spark.operators import paragraphs
+
+    return paragraphs.paragraph_scrub(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", seg_words=3
+    )
+
+
+PARAGRAPH_SCRUB_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS w
+  FROM documents
+), segs AS (
+  SELECT doc_id, u['i'] AS idx, u['seg'] AS seg FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                  i -> {'i': i, 'seg': array_to_string(w[i*3+1:i*3+3], ' ')})) AS u
+    FROM base WHERE len(w) > 0
+  )
+), flagged AS (
+  SELECT doc_id, idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+  FROM segs
+), rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), '') AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, clean_text, n_segments, n_removed FROM rebuilt
+UNION ALL
+SELECT doc_id, '' AS clean_text, CAST(0 AS BIGINT) AS n_segments, CAST(0 AS BIGINT) AS n_removed
+FROM base WHERE len(w) = 0
+"""
+
+
+def dedup_paragraph_mass(spark, sf_dir):
+    """Per-source paragraph-duplication mass — the dataset-card row
+    next to corpus_summary's whole-doc dup counts: how much of each
+    source's segment mass dedup_paragraph_scrub would remove. Same
+    linear plan as the scrub up to the survivor flag; the rollup is
+    one source-keyed aggregation instead of reassembly."""
+    from voter_gateway_spark.operators import paragraphs
+
+    return paragraphs.paragraph_dup_mass(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source", seg_words=3
+    ).withColumnRenamed("group", "source")
+
+
+PARAGRAPH_MASS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS w
+  FROM documents
+), segs AS (
+  SELECT doc_id, source, u['i'] AS idx, u['seg'] AS seg FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
+                  i -> {'i': i, 'seg': array_to_string(w[i*3+1:i*3+3], ' ')})) AS u
+    FROM base WHERE len(w) > 0
+  )
+), flagged AS (
+  SELECT doc_id, source, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+  FROM segs
+), seg_stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+  FROM flagged GROUP BY source
+), docs_per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT d.source, d.n_docs,
+       coalesce(s.n_segments, 0) AS n_segments,
+       coalesce(s.n_dup_segments, 0) AS n_dup_segments,
+       round(CASE WHEN coalesce(s.n_segments, 0) > 0
+                  THEN s.n_dup_segments * 1.0 / s.n_segments ELSE 0.0 END, 6) AS dup_ratio
+FROM docs_per d LEFT JOIN seg_stats s USING (source)
+"""
+
+
+# Quality-gate thresholds: the Gopher word floor and stop-word floor
+# are relaxed from the paper's English-crawl values (50 words, 2 stop
+# words) because the synthetic fixture's docs are short and carry a
+# sparse stop-word inventory — at the paper defaults the gate is
+# degenerate (0 survivors) and every downstream stage would be
+# vacuous. The logprob floor sits at the fixture's ~10th percentile.
+QUALITY_GATE_MIN_WORDS = 20
+QUALITY_GATE_MIN_STOP_WORDS = 1
+QUALITY_GATE_LOGPROB_FLOOR = -3.8
+QUALITY_GATE_NEAR_THRESHOLD = 0.12
+
+
+def _quality_gate_stages(spark, sf_dir):
+    """Ordered {stage_name: survivors DataFrame} for the quality-gate
+    funnel — split out so tests can assert per-doc routing. Each frame
+    carries (doc_id, source, n_tokens, text, _fp)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id", "source", "text", text.normalized("text").alias("_norm")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(text.tokens("text", lower=True, norm_col=F.col("_norm")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            text.content_fingerprint("text", norm_col=F.col("_norm")).alias("_fp"),
+        )
+        .transform(ckpt_lazy)
+    )
+    # each gate's pass-set is a doc_id-only frame, lazily checkpointed:
+    # the 6-branch report union would otherwise recompute the flag
+    # subtree (the trigram-LM scoring especially) once per downstream
+    # stage branch
+    gop_pass = (
+        text.gopher_rules(
+            docs,
+            min_words=QUALITY_GATE_MIN_WORDS,
+            min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+        )
+        .where("pass_gopher")
+        .select("doc_id")
+        .transform(ckpt_lazy)
+    )
+    s1 = base.join(gop_pass, "doc_id")
+    lm_pass = (
+        text_trigram_logprob(spark, sf_dir)
+        .where(F.col("mean_logprob") >= QUALITY_GATE_LOGPROB_FLOOR)
+        .select("doc_id")
+        .transform(ckpt_lazy)
+    )
+    s2 = s1.join(lm_pass, "doc_id")
+    enc_pass = (
+        text.encoding_anomaly(docs)
+        .where(~F.col("is_suspect"))
+        .select("doc_id")
+        .transform(ckpt_lazy)
+    )
+    s3 = s2.join(enc_pass, "doc_id")
+    s4 = dedup_ops.exact_dedup(s3, ["_fp"], "doc_id").transform(ckpt_lazy)
+    losers = (
+        dedup_ops.ngram_jaccard_pairs(
+            s4.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            k=3,
+            threshold=QUALITY_GATE_NEAR_THRESHOLD,
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s5 = s4.join(losers, "doc_id", "left_anti")
+    return {
+        "input": base,
+        "gopher": s1,
+        "lm_logprob": s2,
+        "encoding": s3,
+        "exact_dedup": s4,
+        "near_dedup": s5,
+    }
+
+
+def pipeline_quality_gate(spark, sf_dir):
+    """Perplexity-gated curation composite — the RefinedWeb/Dolma
+    steady-state quality path, chaining the now-complete signal
+    ladder into the gate it exists for:
+
+        Gopher rule pass (Rae et al. 2021, relaxed thresholds — see
+        QUALITY_GATE_* constants) → trigram Stupid-Backoff LM score
+        floor (the CCNet perplexity gate; text_trigram_logprob's
+        model, trained on the held-out even-doc_id half) → encoding-
+        anomaly rejection → exact dedup (content fingerprint, min-id
+        survivor) → near-dup prune (n-gram Jaccard, min-id side kept)
+
+    reporting, per stage AND per source, the surviving doc count and
+    token mass — the stagewise attrition table a curation review
+    reads before committing a corpus build (supersedes the r6
+    pipeline_curation_audit's signal set, which predates the r8/r9
+    gopher/LM/encoding signals).
+
+    Scale shape: ONE lazily-checkpointed base scan carries
+    (doc_id, source, n_tokens, fp); each gate is a semi-shaped join
+    of the survivor frame against a flag frame (AQE broadcasts the
+    shrinking survivor side); the LM stage reuses
+    text_trigram_logprob's one-scan three-count-table plan; exact
+    dedup is one fp-keyed window; near-dup is the prefix-filtered
+    banded pair generator — nothing all-pairs, nothing corpus² at
+    any stage. The oracle chains the SAME staged CTEs (gopher SQL
+    parametrized via _gopher_rules_sql, nested trigram-LM and
+    encoding oracles verbatim), so a hash-green row certifies every
+    stage boundary cross-engine, not just the final counts."""
+    stages = _quality_gate_stages(spark, sf_dir)
+    out = None
+    for idx, (name, df) in enumerate(stages.items()):
+        roll = (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+            .select(
+                F.lit(idx).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                "source",
+                "n_docs",
+                "n_tokens",
+            )
+        )
+        out = roll if out is None else out.unionByName(roll)
+    return out
+
+
+def _quality_gate_sql() -> str:
+    """Staged-CTE oracle for pipeline_quality_gate: the gopher /
+    trigram-LM / encoding oracles nested verbatim, then the same
+    fp-dedup and jaccard-prune formulas as the curation-audit oracle,
+    rolled up per (stage, source)."""
+    norm = _NORM_SQL
+    wl = f"list_filter(string_split(lower({norm}), ' '), x -> x <> '')"
+    jac = (
+        "round(len(list_intersect(a.hl, b.hl)) * 1.0"
+        " / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))), 6)"
+    )
+    gop = _gopher_rules_sql(
+        min_words=QUALITY_GATE_MIN_WORDS,
+        min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+    )
+    return f"""
+WITH gop AS (SELECT doc_id, pass_gopher FROM ({gop})),
+lm AS (SELECT doc_id, mean_logprob FROM ({TRIGRAM_LP_SQL})),
+enc AS (SELECT doc_id, is_suspect FROM ({ENCODING_ANOMALY_SQL})),
+toks AS (
+  SELECT doc_id, source, CAST(len({wl}) AS BIGINT) AS n_tokens,
+         md5(lower({norm})) AS fp, text
+  FROM documents
+),
+s1 AS (SELECT t.* FROM toks t JOIN gop USING (doc_id) WHERE gop.pass_gopher),
+s2 AS (SELECT s1.* FROM s1 JOIN lm USING (doc_id)
+       WHERE lm.mean_logprob >= {QUALITY_GATE_LOGPROB_FLOOR}),
+s3 AS (SELECT s2.* FROM s2 JOIN enc USING (doc_id) WHERE NOT enc.is_suspect),
+s4 AS (SELECT doc_id, source, n_tokens, text FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM s3)
+  WHERE rn = 1),
+w4 AS (SELECT doc_id, {wl} AS wl FROM s4),
+sh4 AS (SELECT doc_id, {_SHINGLES} AS s FROM w4),
+hh4 AS (SELECT doc_id, {_HASHED} AS hl FROM sh4),
+losers AS (
+  SELECT DISTINCT b.doc_id FROM hh4 a, hh4 b
+  WHERE a.doc_id < b.doc_id AND {jac} >= {QUALITY_GATE_NEAR_THRESHOLD}),
+s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, source,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage, source, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM toks GROUP BY source
+  UNION ALL SELECT 1, 'gopher', source, count(*), sum(n_tokens) FROM s1 GROUP BY source
+  UNION ALL SELECT 2, 'lm_logprob', source, count(*), sum(n_tokens) FROM s2 GROUP BY source
+  UNION ALL SELECT 3, 'encoding', source, count(*), sum(n_tokens) FROM s3 GROUP BY source
+  UNION ALL SELECT 4, 'exact_dedup', source, count(*), sum(n_tokens) FROM s4 GROUP BY source
+  UNION ALL SELECT 5, 'near_dedup', source, count(*), sum(n_tokens) FROM s5 GROUP BY source
+)
+"""
+
+
+# =============================================================================
 # Catalog
 # =============================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordered so the driver's ~50-query prefix sample covers every
-    # operator family each round. round-9 rotation (r8 verdict asks
-    # #2/#7 + the gate-sequencing rule): (a) 20 core family
-    # representatives stay hot; (b) the 4 r9-new queries
-    # (text_trigram_logprob, text_bpe_encode, text_gopher_rules,
-    # pipeline_daily_ingest) and the 3 whose CODE changed this round
-    # (corpus_summary v2, corpus_source_overlap disjoint-near fix,
-    # text_quality_by_source z-guard) take prefix slots; (c) the two
-    # never-driver-sampled queries (text_encoding_anomaly,
-    # sample_token_budget) rotate in per the r8 verdict; (d) ALL
-    # r2/r3/r4-vintage veterans (21 queries, the full
-    # older-than-r5 set) rotate in, satisfying "no catalog query
-    # whose most recent driver row is older than r5"; (e) r6-r8
-    # green stables rotate to the tail (all stay green in the
-    # full-catalog local gate, regenerated AFTER the round's final
-    # code commit per the new sequencing rule).
+    # operator family each round. round-10 rotation (r9 verdict asks
+    # #3/#4/#5/#7 + the standing gate-sequencing rule): (a) the same
+    # 20 core family representatives stay hot; (b) the 3 r10-new
+    # queries (pipeline_quality_gate, dedup_paragraph_scrub,
+    # dedup_paragraph_mass) take prefix slots; (c) the 4 whose code
+    # or oracle changed this round (text_gopher_rules min_stop_words
+    # parametrization, corpus_summary oracle LEFT JOIN,
+    # pipeline_daily_ingest boundary-constant hoist,
+    # text_trigram_logprob now feeding the quality gate) re-certify;
+    # (d) text_bpe_vocab rotates in per r9 ask #5 (its only driver
+    # row was r8's); (e) the full r5-vintage tranche plus the
+    # r6-vintage set rotate in per ask #7, keeping every catalog
+    # query's latest driver row at r6 or newer after this round;
+    # (f) r7-r9 green stables rotate to the tail (all re-verified in
+    # the post-final-commit CORRECTNESS_local.json regeneration).
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "audit_coverage_customer": audit_coverage_customer,
@@ -6162,11 +6479,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_paths": events_session_paths,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "audit_sketch_profile": audit_sketch_profile,
-    "text_trigram_logprob": text_trigram_logprob,
-    "text_bpe_encode": text_bpe_encode,
+    "pipeline_quality_gate": pipeline_quality_gate,
+    "dedup_paragraph_scrub": dedup_paragraph_scrub,
+    "dedup_paragraph_mass": dedup_paragraph_mass,
     "text_gopher_rules": text_gopher_rules,
-    "pipeline_daily_ingest": pipeline_daily_ingest,
     "corpus_summary": corpus_summary,
+    "pipeline_daily_ingest": pipeline_daily_ingest,
+    "text_trigram_logprob": text_trigram_logprob,
+    "text_bpe_vocab": text_bpe_vocab,
+    "copy_column_nation_name": copy_column_nation_name,
+    "match_join_table_constraint": match_join_table_constraint,
+    "merge_returning_to_source": merge_returning_to_source,
+    "merge_update_only": merge_update_only,
+    "functions_scalar_suite": functions_scalar_suite,
+    "geo_prep_customers": geo_prep_customers,
+    "merge_move_columns": merge_move_columns,
+    "audit_duplicate_custkeys": audit_duplicate_custkeys,
+    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
+    "audit_flag_distribution_events": audit_flag_distribution_events,
+    "audit_match_rule_counts": audit_match_rule_counts,
+    "fuzzy_claiming_documents": fuzzy_claiming_documents,
+    "dedup_substring_scrub": dedup_substring_scrub,
+    "contamination_span_pairs": contamination_span_pairs,
+    "corpus_contamination": corpus_contamination,
+    "dedup_band_index_probe": dedup_band_index_probe,
+    "dedup_simhash": dedup_simhash,
+    "text_bigram_logprob": text_bigram_logprob,
+    "multimodal_features": multimodal_features,
+    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+    "text_dsir_importance": text_dsir_importance,
+    "embed_semantic_dedup": embed_semantic_dedup,
+    # --- below the driver ~50-query sample window: every entry is
+    #     green on its most recent driver row AND in the post-final-
+    #     commit CORRECTNESS_local.json regeneration ---
+    "text_bpe_encode": text_bpe_encode,
     "corpus_source_overlap": corpus_source_overlap,
     "text_quality_by_source": text_quality_by_source,
     "text_encoding_anomaly": text_encoding_anomaly,
@@ -6192,25 +6538,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_int8_topk": embed_int8_topk,
     "embed_near_dup": embed_near_dup,
     "embed_knn_label": embed_knn_label,
-    # --- below the driver ~50-query sample window: every entry is
-    #     green on its most recent driver row AND in the post-final-
-    #     commit CORRECTNESS_local.json regeneration ---
     "q5_region_revenue": q5_region_revenue,
-    "audit_flag_distribution_events": audit_flag_distribution_events,
-    "fuzzy_claiming_documents": fuzzy_claiming_documents,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
     "corpus_dedup_report": corpus_dedup_report,
     "embed_recall_report": embed_recall_report,
     "text_frequent_ngrams": text_frequent_ngrams,
     "pipeline_curation_audit": pipeline_curation_audit,
-    "corpus_contamination": corpus_contamination,
-    "contamination_span_pairs": contamination_span_pairs,
-    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
-    "dedup_band_index_probe": dedup_band_index_probe,
-    "dedup_simhash": dedup_simhash,
-    "text_bigram_logprob": text_bigram_logprob,
-    "multimodal_features": multimodal_features,
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "q_late_ship_orders": q_late_ship_orders,
@@ -6221,11 +6555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_quantiles_lineitem": stats_quantiles_lineitem,
     "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_corpus_pruned": dedup_corpus_pruned,
-    "text_dsir_importance": text_dsir_importance,
-    "text_bpe_vocab": text_bpe_vocab,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
-    "embed_semantic_dedup": embed_semantic_dedup,
-    "dedup_substring_scrub": dedup_substring_scrub,
     "asof_order_revenue_events": asof_order_revenue_events,
     "asof_nearest_purchase_events": asof_nearest_purchase_events,
     "interval_join_events_windows": interval_join_events_windows,
@@ -6255,16 +6585,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionized": events_sessionized,
     "text_boilerplate_scrub": text_boilerplate_scrub,
     "pipeline_corpus_prep": pipeline_corpus_prep,
-    "copy_column_nation_name": copy_column_nation_name,
-    "match_join_table_constraint": match_join_table_constraint,
-    "merge_returning_to_source": merge_returning_to_source,
-    "merge_move_columns": merge_move_columns,
-    "merge_update_only": merge_update_only,
-    "functions_scalar_suite": functions_scalar_suite,
-    "geo_prep_customers": geo_prep_customers,
-    "audit_match_rule_counts": audit_match_rule_counts,
-    "audit_value_dist_mktsegment": audit_value_dist_mktsegment,
-    "audit_duplicate_custkeys": audit_duplicate_custkeys,
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
@@ -6275,6 +6595,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pipeline_quality_gate": _quality_gate_sql(),
+    "dedup_paragraph_scrub": PARAGRAPH_SCRUB_SQL,
+    "dedup_paragraph_mass": PARAGRAPH_MASS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
