@@ -222,3 +222,72 @@ class TestPlanShape:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestLateR10Queries:
+    def test_temperature_mixture_sqrt_weighting(self, spark, tmp_path):
+        import voter_gateway_spark.queries as Q
+
+        rows = [(i, "t", "en", "small" if i < 100 else "big", 1)
+                for i in range(500)]
+        df = spark.createDataFrame(
+            rows, "doc_id int, text string, lang string, source string, n_chars int"
+        )
+        d = tmp_path / "mix"
+        df.write.parquet(str(d / "documents.parquet"))
+        out = {r["source"]: r for r in
+               Q.sample_temperature_mixture(spark, str(d)).collect()}
+        # sqrt scaling: shares 0.2/0.8 -> weight ratio 1:2, not 1:4
+        ratio = out["big"]["weight"] / out["small"]["weight"]
+        assert abs(ratio - 2.0) < 1e-4
+        assert abs(out["small"]["weight"] + out["big"]["weight"] - 1.0) < 1e-5
+        for r in out.values():
+            assert 0 < r["rate"] <= 1.0
+            assert 0 <= r["n_selected"] <= r["n_docs"]
+
+    def test_temperature_mixture_rate_caps_at_one(self, spark, tmp_path):
+        import voter_gateway_spark.queries as Q
+
+        # one 2-doc source among big ones: its sqrt-quota exceeds its
+        # size, so the rate caps at 1.0 and every doc is selected
+        rows = [(i, "t", "en", "tiny" if i < 2 else "rest", 1)
+                for i in range(1000)]
+        df = spark.createDataFrame(
+            rows, "doc_id int, text string, lang string, source string, n_chars int"
+        )
+        d = tmp_path / "cap"
+        df.write.parquet(str(d / "documents.parquet"))
+        out = {r["source"]: r for r in
+               Q.sample_temperature_mixture(spark, str(d)).collect()}
+        assert out["tiny"]["rate"] == 1.0
+        assert out["tiny"]["n_selected"] == out["tiny"]["n_docs"] == 2
+
+    def test_perplexity_buckets_partition_scored_docs(self, spark):
+        import voter_gateway_spark.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        buckets = Q.text_perplexity_buckets(spark, sf).collect()
+        n_scored = Q.text_trigram_logprob(spark, sf).count()
+        assert sum(r["n_docs"] for r in buckets) == n_scored
+        assert {r["ppl_bucket"] for r in buckets} <= {"head", "middle", "tail"}
+        by_bucket = {}
+        for r in buckets:
+            t, n = by_bucket.get(r["ppl_bucket"], (0.0, 0))
+            by_bucket[r["ppl_bucket"]] = (t + r["avg_logprob"] * r["n_docs"], n + r["n_docs"])
+        means = {b: t / n for b, (t, n) in by_bucket.items()}
+        assert means["head"] > means["middle"] > means["tail"]
+
+
+class TestParagraphProperties:
+    def test_all_unique_segments_reconstruct_normalized_text(self, spark):
+        # globally unique words -> unique segments -> nothing removed
+        # and reassembly reproduces the normalized lowercase stream
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(n)))
+            for i, n in [(1, 7), (2, 3), (3, 1), (4, 12)]
+        ]
+        out = {r["doc_id"]: r for r in
+               paragraphs.paragraph_scrub(_docs(spark, rows), seg_words=3).collect()}
+        for i, text in rows:
+            assert out[i]["n_removed"] == 0
+            assert out[i]["clean_text"] == text

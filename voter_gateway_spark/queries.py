@@ -6438,6 +6438,154 @@ FROM (
 """
 
 
+
+
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixture (the GPT-3/Llama data-recipe
+    staple): per-source sampling rates proportional to share^(1/T)
+    with T=2 — i.e. sqrt-scaled, which up-weights small sources
+    without letting any source dominate — realized as a DETERMINISTIC
+    per-doc hash-threshold admission (md5_hash60 bucket < rate), so
+    the selected set is reproducible and engine-portable. alpha=0.5
+    is deliberately sqrt: IEEE-754 specifies sqrt exactly, so both
+    engines compute bit-identical weights (a general pow() would be
+    libm-dependent).
+
+    Output per source: corpus size, normalized mixture weight,
+    admission rate (capped at 1.0 for sources whose quota exceeds
+    their size), and the docs actually selected.
+
+    Scale shape: one source-keyed count, two 1-row broadcast
+    normalizations, one broadcast rate join probed in the scan stage —
+    the corpus is read once and never shuffled. Reference shape: F6
+    scalar vocabulary + the reference's deterministic sampling idiom
+    (sample_customers_deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").cast("double").alias("_N"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", F.sqrt(F.col("n_docs") / F.col("_N")).alias("_raw")
+    )
+    wsum = w.agg(F.sum("_raw").alias("_S"))
+    rates = w.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("_raw") / F.col("_S"), 6).alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(TEMPERATURE_MIXTURE_TARGET)
+                * (F.col("_raw") / F.col("_S"))
+                / F.col("n_docs"),
+                6,
+            ),
+        ).alias("rate"),
+    )
+    bucket = (
+        dedup_ops.md5_hash60(F.col("doc_id")) % 1000000
+    ) / F.lit(1000000.0)
+    sel = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(bucket < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    )
+    return rates.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "rate",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+    )
+
+
+TEMPERATURE_MIXTURE_TARGET = 200
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM per),
+w AS (SELECT source, n_docs, sqrt(n_docs / t.N) AS raw FROM per, tot t),
+ws AS (SELECT sum(raw) AS S FROM w),
+rates AS (
+  SELECT source, n_docs, round(raw / s.S, 6) AS weight,
+         least(1.0, round({{TEMPERATURE_MIXTURE_TARGET}} * (raw / s.S) / n_docs, 6)) AS rate
+  FROM w, ws s
+), sel AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN rates r USING (source)
+  WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+        / 1000000.0 < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.weight, r.rate,
+       CAST(coalesce(sel.c, 0) AS BIGINT) AS n_selected
+FROM rates r LEFT JOIN sel USING (source)
+""".format(TEMPERATURE_MIXTURE_TARGET=TEMPERATURE_MIXTURE_TARGET)
+
+
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020, public): corpus
+    terciles of the trigram Stupid-Backoff document logprob split the
+    scored corpus into head / middle / tail quality buckets (head =
+    highest logprob = lowest perplexity), reported per source — the
+    bucket assignment CCNet ships alongside each document so
+    downstream consumers can choose their quality floor.
+
+    The tercile cuts are EXACT type-7 quantiles (F.percentile /
+    quantile_cont — the engine-stable pair stats_quantiles_lineitem
+    pins) over the round-6 logprob scores, so the bucket boundaries
+    are bit-identical cross-engine. Docs with < 3 tokens have no
+    trigram score and are excluded (CCNet likewise scores only
+    tokenizable text).
+
+    Scale shape: the LM scoring plan (one shared scan, three
+    Heaps'-bounded count tables), one 1-row tercile aggregate
+    broadcast back, one scan-stage bucket expression, one
+    (source, bucket)-keyed rollup."""
+    lm = text_trigram_logprob(spark, sf_dir).select(
+        "doc_id", "mean_logprob"
+    ).transform(ckpt_lazy)
+    cuts = lm.agg(
+        F.percentile("mean_logprob", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("mean_logprob", F.lit(2.0 / 3)).alias("t2"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = lm.join(docs, "doc_id").crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("t2"), "head")
+        .when(F.col("mean_logprob") >= F.col("t1"), "middle")
+        .otherwise("tail")
+    )
+    return j.groupBy("source", bucket.alias("ppl_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("mean_logprob"), 6).alias("avg_logprob"),
+    )
+
+
+def _perplexity_buckets_sql() -> str:
+    return f"""
+WITH lm AS (SELECT doc_id, mean_logprob FROM ({TRIGRAM_LP_SQL})),
+cuts AS (
+  SELECT quantile_cont(mean_logprob, 1.0/3) AS t1,
+         quantile_cont(mean_logprob, 2.0/3) AS t2
+  FROM lm
+), j AS (
+  SELECT d.source, lm.mean_logprob,
+         CASE WHEN lm.mean_logprob >= c.t2 THEN 'head'
+              WHEN lm.mean_logprob >= c.t1 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM lm JOIN documents d USING (doc_id), cuts c
+)
+SELECT source, ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(mean_logprob), 6) AS avg_logprob
+FROM j GROUP BY source, ppl_bucket
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -6507,11 +6655,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": text_bigram_logprob,
     "multimodal_features": multimodal_features,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
-    "text_dsir_importance": text_dsir_importance,
-    "embed_semantic_dedup": embed_semantic_dedup,
+    # late-r10 additions take the last two prefix slots; the two they
+    # displace (text_dsir_importance r8-green, embed_semantic_dedup
+    # r7-green) drop to the tail, which keeps every catalog query's
+    # latest driver row at r6 or newer
+    "sample_temperature_mixture": sample_temperature_mixture,
+    "text_perplexity_buckets": text_perplexity_buckets,
     # --- below the driver ~50-query sample window: every entry is
     #     green on its most recent driver row AND in the post-final-
     #     commit CORRECTNESS_local.json regeneration ---
+    "text_dsir_importance": text_dsir_importance,
+    "embed_semantic_dedup": embed_semantic_dedup,
     "text_bpe_encode": text_bpe_encode,
     "corpus_source_overlap": corpus_source_overlap,
     "text_quality_by_source": text_quality_by_source,
@@ -6596,6 +6750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "pipeline_quality_gate": _quality_gate_sql(),
+    "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
+    "text_perplexity_buckets": _perplexity_buckets_sql(),
     "dedup_paragraph_scrub": PARAGRAPH_SCRUB_SQL,
     "dedup_paragraph_mass": PARAGRAPH_MASS_SQL,
     "q1_pricing_summary": Q1_SQL,
