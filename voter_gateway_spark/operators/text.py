@@ -528,15 +528,22 @@ MOJIBAKE_RE = "(\u00e2\u20ac|\u00c3[\u0080-\u00bf]|\u00c2[\u0080-\u00bf])"
 
 
 def encoding_anomaly(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     extra_cols: list[str] | None = None) -> DataFrame:
     """Per-row encoding-damage counts + the is_suspect curation flag.
     Three scan-stage regexp_count exprs — no UDF, no shuffle. The
     reference guards its ingest against this damage class at the CSV
     boundary (csv_driver.rb Latin-1 handling, malformed-row filters);
-    this runs the same check on already-ingested text."""
+    this runs the same check on already-ingested text.
+
+    `extra_cols` passes input columns through to the output — the
+    streaming admission path (streaming/quality.py) filters on
+    is_suspect in-stream and must keep the payload without a
+    stream-to-stream self-join."""
     t = _c(text_col)
     return df.select(
         id_col,
+        *(extra_cols or []),
         F.regexp_count(t, F.lit(REPLACEMENT_RE)).cast("bigint").alias("n_replacement"),
         F.regexp_count(t, F.lit(CONTROL_RE)).cast("bigint").alias("n_control"),
         F.regexp_count(t, F.lit(MOJIBAKE_RE)).cast("bigint").alias("n_mojibake"),
@@ -562,6 +569,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     min_stop_words: int = 2,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021 §A1.1, public;
     the same composite RedPajama/Dolma reuse): per-document booleans
@@ -597,6 +605,7 @@ def gopher_rules(
     zero = F.lit(False)
     staged = df.select(
         id_col,
+        *(extra_cols or []),
         _c(text_col).alias("_t"),
         tokens(text_col, lower=True).alias("_w"),
         F.split(_c(text_col), "\n").alias("_l"),
@@ -641,6 +650,7 @@ def gopher_rules(
         passed = c if passed is None else (passed & c)
     return staged.select(
         id_col,
+        *(extra_cols or []),
         nw.cast("bigint").alias("n_words"),
         *[c.alias(n) for n, c in ok.items()],
         passed.alias("pass_gopher"),

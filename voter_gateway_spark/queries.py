@@ -6586,6 +6586,139 @@ FROM j GROUP BY source, ppl_bucket
 """
 
 
+
+
+def corpus_drift_report(spark, sf_dir):
+    """Corpus drift monitor — the observability piece of the
+    daily-ingest runbook: compares the token distribution of two
+    corpus snapshots (here the md5-parity halves of doc_id standing in for
+    yesterday/today) per source, reporting
+
+      tv_distance   total-variation distance 0.5*sum|p_a - p_b| over
+                    the union vocabulary — a drift score in [0, 1]
+                    computed from exact counts and IEEE divisions
+                    (no logs: engine-stable without KL's libm
+                    dependence)
+      oov_rate_new  share of today's token mass whose type is absent
+                    from yesterday's snapshot (vocabulary drift)
+      mean_len_delta  mean doc token-length shift
+
+    A rising tv_distance or oov_rate on a source is the signal to
+    re-calibrate the quality gate (pipeline_quality_gate thresholds,
+    DSIR reference) before the mixture silently shifts.
+
+    Scale shape: ONE (source, token)-keyed aggregation per snapshot
+    (map-side combining; vocabulary Heaps'-bounded), one full-outer
+    join ON THE SAME KEY (exchange reuse), one source-keyed rollup —
+    no stage touches doc pairs and nothing is quadratic in corpus or
+    vocabulary size. Reference shape: A4 value-distribution audit
+    (csv_audit.rb) compared across two loads."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        # md5-parity snapshot split, NOT doc_id % 2: the fixture's
+        # source assignment is doc_id-modular, so raw parity would
+        # leave half the sources with an EMPTY yesterday-snapshot
+        # (and ANSI division by zero); the hash split is decorrelated
+        # from any id-derived column
+        (dedup_ops.md5_hash60(F.col("doc_id")) % 2 == 0).alias("_a"),
+    )
+    toks = docs.select(
+        "source",
+        "_a",
+        F.explode(text.tokens("text", lower=True)).alias("token"),
+    )
+    counts = (
+        toks.groupBy("source", "token")
+        .agg(
+            F.sum(F.col("_a").cast("int")).cast("bigint").alias("ca"),
+            F.sum((~F.col("_a")).cast("int")).cast("bigint").alias("cb"),
+        )
+        .transform(ckpt_lazy)
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    dist = (
+        counts.join(totals, "source")
+        .select(
+            "source",
+            (F.col("ca") / F.col("na")).alias("_pa"),
+            (F.col("cb") / F.col("nb")).alias("_pb"),
+            F.when(F.col("ca") == 0, F.col("cb")).otherwise(F.lit(0))
+            .cast("double")
+            .alias("_novel_mass"),
+            F.col("nb").alias("_nb"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.lit(0.5) * F.sum(F.abs(F.col("_pa") - F.col("_pb"))), 6
+            ).alias("tv_distance"),
+            F.round(F.sum("_novel_mass") / F.max("_nb"), 6).alias(
+                "oov_rate_new"
+            ),
+        )
+    )
+    lens = (
+        docs.select(
+            "source",
+            "_a",
+            F.size(text.tokens("text", lower=True)).cast("double").alias("_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("_a"), 1)).cast("bigint").alias("n_docs_a"),
+            F.count(F.when(~F.col("_a"), 1)).cast("bigint").alias("n_docs_b"),
+            F.round(
+                F.avg(F.when(~F.col("_a"), F.col("_n")))
+                - F.avg(F.when(F.col("_a"), F.col("_n"))),
+                6,
+            ).alias("mean_len_delta"),
+        )
+    )
+    return lens.join(dist, "source")
+
+
+CORPUS_DRIFT_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 AS a,
+         unnest(
+    list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')
+  ) AS token
+  FROM documents
+), counts AS (
+  SELECT source, token,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks GROUP BY source, token
+), totals AS (
+  SELECT source, CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb
+  FROM counts GROUP BY source
+), dist AS (
+  SELECT c.source,
+         round(0.5 * sum(abs(c.ca / t.na - c.cb / t.nb)), 6) AS tv_distance,
+         round(sum(CASE WHEN c.ca = 0 THEN c.cb ELSE 0 END) / max(t.nb), 6) AS oov_rate_new
+  FROM counts c JOIN totals t USING (source)
+  GROUP BY c.source
+), lens AS (
+  SELECT source,
+         CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_a,
+         CAST(sum(CASE WHEN h % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_b,
+         round(avg(CASE WHEN h % 2 <> 0 THEN len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) END)
+             - avg(CASE WHEN h % 2 = 0 THEN len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) END), 6) AS mean_len_delta
+  FROM (SELECT source, text,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents) GROUP BY source
+)
+SELECT l.source, l.n_docs_a, l.n_docs_b, l.mean_len_delta, d.tv_distance, d.oov_rate_new
+FROM lens l JOIN dist d USING (source)
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -6653,7 +6786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_band_index_probe": dedup_band_index_probe,
     "dedup_simhash": dedup_simhash,
     "text_bigram_logprob": text_bigram_logprob,
-    "multimodal_features": multimodal_features,
+    "corpus_drift_report": corpus_drift_report,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     # late-r10 additions take the last two prefix slots; the two they
     # displace (text_dsir_importance r8-green, embed_semantic_dedup
@@ -6664,6 +6797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the driver ~50-query sample window: every entry is
     #     green on its most recent driver row AND in the post-final-
     #     commit CORRECTNESS_local.json regeneration ---
+    "multimodal_features": multimodal_features,
     "text_dsir_importance": text_dsir_importance,
     "embed_semantic_dedup": embed_semantic_dedup,
     "text_bpe_encode": text_bpe_encode,
@@ -6751,6 +6885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
+    "corpus_drift_report": CORPUS_DRIFT_SQL,
     "text_perplexity_buckets": _perplexity_buckets_sql(),
     "dedup_paragraph_scrub": PARAGRAPH_SCRUB_SQL,
     "dedup_paragraph_mass": PARAGRAPH_MASS_SQL,
