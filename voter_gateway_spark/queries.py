@@ -4574,124 +4574,16 @@ def text_trigram_logprob(spark, sf_dir):
 
     Reference shape: F6 scalar vocabulary over staged columns
     (lib/voter_file/custom_functions.rb); curation-grade analogue of
-    its record-quality predicates."""
-    docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    toks = F.filter(F.split(F.lower(norm), " "), lambda t: t != "")
-    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
-    n2 = F.greatest(F.size("_t") - 2, F.lit(0))
-    tri = F.zip_with(
-        F.zip_with(
-            F.slice("_t", 1, n2),
-            F.slice("_t", 2, n2),
-            lambda a, b: F.struct(a.alias("p1"), b.alias("p2")),
-        ),
-        F.slice("_t", 3, n2),
-        lambda ab, c: F.struct(
-            ab["p1"].alias("p1"), ab["p2"].alias("p2"), c.alias("c")
-        ),
-    )
-    base = (
-        docs.select(
-            "doc_id", (F.col("doc_id") % 2 == 0).alias("_train"), toks.alias("_t")
-        )
-        .select(
-            "doc_id",
-            "_train",
-            "_t",
-            F.zip_with(
-                F.slice("_t", 1, n1),
-                F.slice("_t", 2, n1),
-                lambda a, b: F.struct(a.alias("p"), b.alias("c")),
-            ).alias("_bg"),
-            tri.alias("_tg"),
-        )
-        .transform(ckpt_lazy)
-    )
-    uni = (
-        base.where("_train")
-        .select(F.explode("_t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cw"))
-        .transform(ckpt_lazy)
-    )
-    total = uni.agg(F.sum("cw").cast("double").alias("_n"))
-    # one bigram-count materialization, probed twice below
-    big = (
-        base.where("_train")
-        .select(F.explode("_bg").alias("b"))
-        .groupBy(F.col("b.p").alias("p"), F.col("b.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .transform(ckpt_lazy)
-    )
-    tric = (
-        base.where("_train")
-        .select(F.explode("_tg").alias("t"))
-        .groupBy(
-            F.col("t.p1").alias("p1"),
-            F.col("t.p2").alias("p2"),
-            F.col("t.c").alias("c"),
-        )
-        .agg(F.count(F.lit(1)).alias("c3"))
-    )
-    scored = (
-        base.select("doc_id", F.explode("_tg").alias("t"))
-        .select(
-            "doc_id",
-            F.col("t.p1").alias("p1"),
-            F.col("t.p2").alias("p2"),
-            F.col("t.c").alias("c"),
-        )
-        .join(tric, ["p1", "p2", "c"], "left")
-        .join(
-            big.select(
-                F.col("p").alias("p1"), F.col("c").alias("p2"),
-                F.col("cb").alias("ctx"),
-            ),
-            ["p1", "p2"],
-            "left",
-        )
-        .join(
-            big.select(
-                F.col("p").alias("p2"), F.col("c").alias("c"),
-                F.col("cb").alias("bo"),
-            ),
-            ["p2", "c"],
-            "left",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("p2"), F.col("cw").alias("cp2"))),
-            "p2",
-            "left",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("c"), F.col("cw").alias("cc"))),
-            "c",
-            "left",
-        )
-        .crossJoin(F.broadcast(total))
-    )
-    # seen trigram implies seen (p1,p2) context; seen backoff bigram
-    # implies seen p2 — each branch's denominator is non-NULL on it
-    score = (
-        F.when(F.col("c3").isNotNull(), F.log(F.col("c3") / F.col("ctx")))
-        .when(
-            F.col("bo").isNotNull(),
-            F.log(F.lit(0.4) * F.col("bo") / F.col("cp2")),
-        )
-        .otherwise(
-            F.log(F.lit(0.16) * F.coalesce(F.col("cc"), F.lit(1)) / F.col("_n"))
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
-        F.round(F.avg(score), 6).alias("mean_logprob"),
-        F.round(F.avg(F.col("c3").isNull().cast("int")), 6).alias("backoff_rate"),
-        F.round(
-            F.avg((F.col("c3").isNull() & F.col("bo").isNull()).cast("int")), 6
-        ).alias("unigram_backoff_rate"),
-    )
+    its record-quality predicates.
 
+    Implementation lives in operators/lm.py (build_reference + score)
+    since r10, shared verbatim with pipeline_quality_gate's LM stage
+    and the streaming admission path — one formula, no drift."""
+    from voter_gateway_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = lm.build_reference(docs.where(F.col("doc_id") % 2 == 0))
+    return lm.score(docs, ref)
 
 TRIGRAM_LP_SQL = r"""
 WITH base AS (

@@ -10,11 +10,12 @@ stream micro-batch — the parity test's contract
 (tests/test_streaming_quality.py): filtering then streaming admits
 exactly the set that batch-filtering admits.
 
-The trigram-LM perplexity gate is deliberately NOT in the streaming
-path yet: its count tables are corpus-derived state that belongs in a
-stream-static broadcast join against a pinned reference snapshot —
-the offline composite (queries.pipeline_quality_gate) covers it, and
-wiring the pinned-snapshot join is the natural next increment.
+The trigram-LM perplexity gate joins the path via a PINNED reference
+snapshot (operators/lm.py:build_reference over a static corpus, count
+tables lazily checkpointed once): scoring runs as a plain batch op
+inside the foreachBatch body — no streaming-aggregation state; the
+tables enter each micro-batch as checkpointed static joins. Pass
+`lm_ref` + `logprob_floor` to stream_quality_admission to enable it.
 
 Reference shape: csv_driver.rb's ingest-time filtering (malformed-row
 rejection at the boundary), upgraded to corpus-quality semantics.
@@ -25,10 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from voter_gateway_spark.operators import text
+from voter_gateway_spark.operators import lm, text
 from voter_gateway_spark.streaming.index_dedup import (
+    admit_batch,
     stream_dedup_against_index,
 )
+from voter_gateway_spark.streaming.upsert_sink import _current_query_id
 
 
 def quality_filter(
@@ -76,17 +79,22 @@ def stream_quality_admission(
     intra_batch: bool = True,
     checkpoint_dir: str | None = None,
     query_name: str = "vgs_quality_admission",
+    lm_ref: "lm.LMReference | None" = None,
+    logprob_floor: float | None = None,
 ):
     """Quality-gated exactly-once streaming admission: the stateless
     quality_filter runs inside the stream plan (scan stage of each
-    micro-batch), then the index-probing dedup admission appends the
-    survivors to the corpus + band index with the crash-safe staged
-    protocol. Returns the writer; call .start().
+    micro-batch); optionally the trigram-LM gate scores each batch
+    against the pinned `lm_ref` tables (batch op inside foreachBatch,
+    keeping only docs with mean_logprob >= `logprob_floor`); then the
+    index-probing dedup admission appends the survivors to the
+    corpus + band index with the crash-safe staged protocol. Returns
+    the writer; call .start().
 
-    Per-batch cost: the gates add ZERO shuffles or state to
-    stream_dedup_against_index's profile — the plan's admission
-    shape (partition-pruned index probe + batch-sized verify) is
-    unchanged, the batch entering it is just smaller."""
+    Per-batch cost: the stateless gates add ZERO shuffles or state to
+    stream_dedup_against_index's profile; the LM gate adds the
+    batch-sized trigram explode + count-table joins (tables
+    checkpointed once at build, so no per-batch recompute)."""
     filtered = quality_filter(
         stream,
         text_col=text_col,
@@ -95,14 +103,63 @@ def stream_quality_admission(
         max_words=max_words,
         min_stop_words=min_stop_words,
     )
-    return stream_dedup_against_index(
-        filtered,
-        index_path,
-        corpus_path,
-        id_col,
-        text_col,
-        threshold=threshold,
-        intra_batch=intra_batch,
-        checkpoint_dir=checkpoint_dir,
-        query_name=query_name,
+    if lm_ref is None:
+        return stream_dedup_against_index(
+            filtered,
+            index_path,
+            corpus_path,
+            id_col,
+            text_col,
+            threshold=threshold,
+            intra_batch=intra_batch,
+            checkpoint_dir=checkpoint_dir,
+            query_name=query_name,
+        )
+    if logprob_floor is None:
+        raise ValueError("logprob_floor is required when lm_ref is given")
+    # own foreachBatch body: the LM gate must run on the materialized
+    # micro-batch (a batch-op join against the pinned tables), which
+    # stream_dedup_against_index's body has no hook for. Lineage
+    # resolution mirrors it: the query id comes from the session that
+    # OWNS the query, not foreachBatch's cloned session.
+    owner_spark = stream.sparkSession
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        passed = lm_gate(batch, lm_ref, logprob_floor,
+                         text_col=text_col, id_col=id_col)
+        admit_batch(
+            batch.sparkSession, passed, index_path, corpus_path,
+            id_col, text_col, threshold=threshold, intra_batch=intra_batch,
+            batch_id=batch_id,
+            query_id=_current_query_id(owner_spark, query_name),
+        )
+
+    writer = (
+        filtered.writeStream.foreachBatch(_body)
+        .queryName(query_name)
+        .outputMode("update")
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def lm_gate(
+    df: DataFrame,
+    lm_ref: "lm.LMReference",
+    logprob_floor: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows whose trigram mean_logprob against the pinned reference is
+    >= the floor, payload preserved. Batch op — used both by the
+    streaming body above and by parity tests' batch reference. NB:
+    docs with < 3 tokens have no trigram score and are dropped, the
+    same convention as pipeline_quality_gate (its word-count gate
+    upstream makes the case vacuous there)."""
+    passed = (
+        lm.score(df, lm_ref, text_col=text_col, id_col=id_col)
+        .where(F.col("mean_logprob") >= logprob_floor)
+        .select(id_col)
+    )
+    return df.join(passed, id_col)
