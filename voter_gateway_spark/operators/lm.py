@@ -80,6 +80,15 @@ def build_reference(
     """Count tables from a training corpus, each lazily checkpointed —
     build once, score many (the steady-state/streaming shape)."""
     base = _token_arrays(train_df, text_col, id_col).transform(ckpt_lazy)
+    return tables_from_arrays(base)
+
+
+def tables_from_arrays(base: DataFrame) -> LMReference:
+    """Count tables from an already-projected (and ideally already
+    checkpointed) `_token_arrays` frame — the hook that lets a
+    self-scoring caller (text_trigram_logprob) share ONE corpus
+    materialization between the training slice and the scoring side
+    instead of building the arrays twice."""
     uni = (
         base.select(F.explode("_t").alias("w"))
         .groupBy("w")
@@ -106,11 +115,14 @@ def score(
     ref: LMReference,
     text_col: str = "text",
     id_col: str = "doc_id",
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc (n_trigrams, mean_logprob, backoff_rate,
     unigram_backoff_rate) against a pinned reference. Docs with < 3
-    tokens produce no row (nothing to score)."""
-    base = _token_arrays(df, text_col, id_col)
+    tokens produce no row (nothing to score). `arrays` optionally
+    supplies a pre-built (pre-checkpointed) `_token_arrays` frame for
+    `df` so self-scoring callers pay the array projection once."""
+    base = arrays if arrays is not None else _token_arrays(df, text_col, id_col)
     scored = (
         base.select(id_col, F.explode("_tg").alias("t"))
         .select(

@@ -4582,8 +4582,15 @@ def text_trigram_logprob(spark, sf_dir):
     from voter_gateway_spark.operators import lm
 
     docs = _t(spark, sf_dir, "documents")
-    ref = lm.build_reference(docs.where(F.col("doc_id") % 2 == 0))
-    return lm.score(docs, ref)
+    # ONE checkpointed arrays materialization shared by the training
+    # slice's three count tables AND the scoring explode — the r9 plan
+    arrays = (
+        lm._token_arrays(docs, "text", "doc_id")
+        .withColumn("_train", F.col("doc_id") % 2 == 0)
+        .transform(ckpt_lazy)
+    )
+    ref = lm.tables_from_arrays(arrays.where("_train"))
+    return lm.score(docs, ref, arrays=arrays)
 
 TRIGRAM_LP_SQL = r"""
 WITH base AS (
