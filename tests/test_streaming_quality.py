@@ -195,3 +195,34 @@ class TestLMGatedStream:
             stream_quality_admission(
                 stream, "i", "c", "doc_id", "text", lm_ref=ref
             )
+
+
+class TestPayloadNameGuard:
+    """quality_filter rejects payload columns that collide with the
+    gate output names (ADVICE r10: a stream whose schema already has
+    n_words / pass_gopher / is_suspect / ok_* would otherwise produce
+    duplicate, ambiguous columns downstream)."""
+
+    def test_colliding_payload_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, "text here", 5)], "doc_id bigint, text string, n_words int"
+        )
+        with pytest.raises(ValueError, match="n_words"):
+            quality_filter(df)
+
+    def test_gate_output_named_payload_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, "text here", True)],
+            "doc_id bigint, text string, pass_gopher boolean",
+        )
+        with pytest.raises(ValueError, match="pass_gopher"):
+            quality_filter(df)
+
+    def test_benign_payload_passes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the words be to of and that have with " * 5, "web")],
+            "doc_id bigint, text string, source string",
+        )
+        out = quality_filter(df, min_words=5)
+        assert out.columns == ["doc_id", "text", "source"]
+        assert out.count() == 1

@@ -4439,7 +4439,7 @@ def text_bigram_logprob(spark, sf_dir):
     curation pipeline thresholds on.
 
     Reference shape: F6 scalar vocabulary over staged columns
-    (lib/voter_file/custom_functions.rb); the LM score is the
+    (lib/voter_file/csv_driver.rb:8-49); the LM score is the
     curation-grade analogue of its record-quality predicates."""
     docs = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -4573,7 +4573,7 @@ def text_trigram_logprob(spark, sf_dir):
     scan-stage log-score is unchanged either way).
 
     Reference shape: F6 scalar vocabulary over staged columns
-    (lib/voter_file/custom_functions.rb); curation-grade analogue of
+    (lib/voter_file/csv_driver.rb:8-49); curation-grade analogue of
     its record-quality predicates.
 
     Implementation lives in operators/lm.py (build_reference + score)
@@ -4664,7 +4664,7 @@ def text_dsir_importance(spark, sf_dir):
     partial-aggregates to one row per (task, doc) before the exchange.
 
     Reference shape: F6 scalar vocabulary over staged columns
-    (lib/voter_file/custom_functions.rb); the importance weight is the
+    (lib/voter_file/csv_driver.rb:8-49); the importance weight is the
     corpus-curation analogue of its record-quality predicates."""
     docs = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -5775,7 +5775,7 @@ def text_gopher_rules(spark, sf_dir):
     projection — zero UDFs, zero shuffles, zero joins; all degenerate
     denominators decided by explicit CASE identically cross-engine.
     Reference shape: the record-quality predicates of F6
-    (lib/voter_file/custom_functions.rb), composed."""
+    (lib/voter_file/csv_driver.rb:8-49), composed."""
     return text.gopher_rules(_t(spark, sf_dir, "documents"))
 
 
@@ -6087,7 +6087,7 @@ WITH base AS (
     SELECT doc_id,
            unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)),
                   i -> {'i': i, 'seg': array_to_string(w[i*3+1:i*3+3], ' ')})) AS u
-    FROM base WHERE len(w) > 0
+    FROM base WHERE coalesce(len(w), 0) > 0
   )
 ), flagged AS (
   SELECT doc_id, idx, seg,
@@ -6103,7 +6103,7 @@ WITH base AS (
 SELECT doc_id, clean_text, n_segments, n_removed FROM rebuilt
 UNION ALL
 SELECT doc_id, '' AS clean_text, CAST(0 AS BIGINT) AS n_segments, CAST(0 AS BIGINT) AS n_removed
-FROM base WHERE len(w) = 0
+FROM base WHERE coalesce(len(w), 0) = 0
 """
 
 
@@ -6259,8 +6259,13 @@ def pipeline_quality_gate(spark, sf_dir):
     of the survivor frame against a flag frame (AQE broadcasts the
     shrinking survivor side); the LM stage reuses
     text_trigram_logprob's one-scan three-count-table plan; exact
-    dedup is one fp-keyed window; near-dup is the prefix-filtered
-    banded pair generator — nothing all-pairs, nothing corpus² at
+    dedup is one fp-keyed window; near-dup is the inverted-index
+    blocked pair generator (ngram_jaccard_pairs auto-disables its
+    AllPairs prefix filter below threshold 0.5, and the gate runs at
+    QUALITY_GATE_NEAR_THRESHOLD=0.12, so blocking — shared-token
+    candidate generation — is the pruning that applies here; the
+    prefix filter re-engages for callers gating at >=0.5)
+    — nothing all-pairs, nothing corpus² at
     any stage. The oracle chains the SAME staged CTEs (gopher SQL
     parametrized via _gopher_rules_sql, nested trigram-LM and
     encoding oracles verbatim), so a hash-green row certifies every
@@ -6544,8 +6549,15 @@ def corpus_drift_report(spark, sf_dir):
         counts.join(totals, "source")
         .select(
             "source",
-            (F.col("ca") / F.col("na")).alias("_pa"),
-            (F.col("cb") / F.col("nb")).alias("_pb"),
+            # guard the empty-half case (a source whose docs all hash
+            # to one parity): p := 0 instead of NULL/ANSI-error/inf —
+            # keeps Spark, DuckDB and ANSI mode on one behavior
+            F.when(F.col("na") > 0, F.col("ca") / F.col("na"))
+            .otherwise(F.lit(0.0))
+            .alias("_pa"),
+            F.when(F.col("nb") > 0, F.col("cb") / F.col("nb"))
+            .otherwise(F.lit(0.0))
+            .alias("_pb"),
             F.when(F.col("ca") == 0, F.col("cb")).otherwise(F.lit(0))
             .cast("double")
             .alias("_novel_mass"),
@@ -6556,9 +6568,12 @@ def corpus_drift_report(spark, sf_dir):
             F.round(
                 F.lit(0.5) * F.sum(F.abs(F.col("_pa") - F.col("_pb"))), 6
             ).alias("tv_distance"),
-            F.round(F.sum("_novel_mass") / F.max("_nb"), 6).alias(
-                "oov_rate_new"
-            ),
+            F.round(
+                F.when(
+                    F.max("_nb") > 0, F.sum("_novel_mass") / F.max("_nb")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate_new"),
         )
     )
     lens = (
@@ -6599,8 +6614,10 @@ WITH toks AS (
   FROM counts GROUP BY source
 ), dist AS (
   SELECT c.source,
-         round(0.5 * sum(abs(c.ca / t.na - c.cb / t.nb)), 6) AS tv_distance,
-         round(sum(CASE WHEN c.ca = 0 THEN c.cb ELSE 0 END) / max(t.nb), 6) AS oov_rate_new
+         round(0.5 * sum(abs(coalesce(c.ca / nullif(t.na, 0), 0)
+                           - coalesce(c.cb / nullif(t.nb, 0), 0))), 6) AS tv_distance,
+         round(coalesce(sum(CASE WHEN c.ca = 0 THEN c.cb ELSE 0 END)
+                        / nullif(max(t.nb), 0), 0), 6) AS oov_rate_new
   FROM counts c JOIN totals t USING (source)
   GROUP BY c.source
 ), lens AS (

@@ -33,6 +33,33 @@ from voter_gateway_spark.streaming.index_dedup import (
 )
 from voter_gateway_spark.streaming.upsert_sink import _current_query_id
 
+# Output columns the two gate projections add alongside the payload.
+# A payload column with one of these names would come out duplicated
+# (ambiguous downstream where()/select), so quality_filter rejects it
+# up front with a clear error instead.
+_GATE_OUTPUT_COLS = frozenset(
+    {
+        # text.gopher_rules outputs + staging temporaries
+        "n_words",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullet_lines",
+        "ok_ellipsis_lines",
+        "ok_alpha_words",
+        "ok_stop_words",
+        "pass_gopher",
+        "_t",
+        "_w",
+        "_l",
+        # text.encoding_anomaly outputs
+        "n_replacement",
+        "n_control",
+        "n_mojibake",
+        "is_suspect",
+    }
+)
+
 
 def quality_filter(
     df: DataFrame,
@@ -48,6 +75,13 @@ def quality_filter(
     pipeline_quality_gate values; pass the paper defaults (50 / 2)
     for English-crawl corpora."""
     payload = [c for c in df.columns if c != id_col]
+    clash = sorted(set(payload) & _GATE_OUTPUT_COLS)
+    if clash:
+        raise ValueError(
+            "quality_filter: payload column(s) %s collide with the "
+            "quality-gate output columns; rename them before filtering "
+            "(reserved: %s)" % (clash, sorted(_GATE_OUTPUT_COLS))
+        )
     gated = text.gopher_rules(
         df,
         text_col=text_col,
