@@ -6636,6 +6636,167 @@ FROM lens l JOIN dist d USING (source)
 
 
 # =============================================================================
+# URL / domain-layer curation (operators/domains.py)
+# =============================================================================
+
+# The fixtures carry no url column, so a deterministic URL is seeded
+# per document IDENTICALLY on both engines (the text_pii_scrub
+# convention): host cycles a 10-entry list mixing plain and multi-part
+# public-suffix domains, every 3rd doc is http, every 4th carries a
+# port, every 7th a userinfo — exercising each branch of HOST_RE and
+# the naive-TLD suffix logic.
+_DOMAIN_HOSTS = [
+    "example.com",
+    "news.example.co.uk",
+    "data.example.org",
+    "blog.sample.net",
+    "cdn.sample.com.au",
+    "shop.example.de",
+    "docs.sample.io",
+    "forum.example.gov.uk",
+    "media.sample.co.jp",
+    "wiki.example.edu",
+]
+
+_DOMAIN_BLOCKLIST = ["example.co.uk", "sample.com.au", "example.gov.uk"]
+
+
+def _seed_urls(docs: DataFrame) -> DataFrame:
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _DOMAIN_HOSTS]),
+        (F.col("doc_id") % 10 + 1).cast("int"),
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("http")).otherwise(
+                F.lit("https")
+            ),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("user@")).otherwise(
+                F.lit("")
+            ),
+            host,
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":8080")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+_SEEDED_URL_SQL = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'\n"
+    "         || (CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END)\n"
+    "         || (['" + "', '".join(_DOMAIN_HOSTS) + "'])"
+    "[CAST(doc_id % 10 + 1 AS INT)]\n"
+    "         || (CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END)\n"
+    "         || '/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _domain_sql_cte() -> str:
+    """Shared seeded-URL → registrable-domain CTE chain, mirroring
+    operators/domains.py HOST_RE + MULTI_SUFFIXES verbatim."""
+    from voter_gateway_spark.operators.domains import HOST_RE, MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+seeded AS (
+  SELECT doc_id, source, text,
+         {_SEEDED_URL_SQL} AS url
+  FROM documents
+), hostx AS (
+  SELECT doc_id, source, text,
+         nullif(regexp_extract(lower(url), '{HOST_RE}', 1), '') AS host
+  FROM seeded
+), domx AS (
+  SELECT doc_id, source, text,
+         CASE WHEN host IS NULL THEN NULL
+              WHEN len(w) >= 3 AND (w[-2] || '.' || w[-1]) IN ({suffixes})
+                   THEN w[-3] || '.' || w[-2] || '.' || w[-1]
+              WHEN len(w) >= 2 THEN w[-2] || '.' || w[-1]
+              ELSE host END AS domain
+  FROM (SELECT *, string_split(host, '.') AS w FROM hostx)
+)"""
+
+
+def corpus_domain_report(spark, sf_dir):
+    """Per-domain corpus report card over seeded URLs: volume, token
+    mass, mean quality, corpus-wide exact-dup mass — the table a
+    curation run reads before writing a domain blocklist (CCNet /
+    RefinedWeb front-gate practice). Reference shape: the per-table
+    coverage + value-distribution audits (csv_audit.rb) keyed by the
+    web corpus's natural partition, the registrable domain.
+
+    Scale shape: domain extraction + quality + token count are
+    scan-stage expressions (operators/domains.py); ONE fingerprint-
+    keyed window for the dup flag; ONE domain-keyed aggregation
+    (domain cardinality ≪ doc count). No UDFs, no corpus² stage."""
+    from voter_gateway_spark.operators import domains
+
+    docs = _t(spark, sf_dir, "documents")
+    return domains.domain_rollup(
+        _seed_urls(docs.select("doc_id", "text")), "url", "text", "doc_id"
+    )
+
+
+def _domain_report_sql() -> str:
+    norm = r"trim(regexp_replace(text, '\s+', ' ', 'g'))"
+    toks = f"CASE WHEN {norm} = '' THEN 0 ELSE len(string_split({norm}, ' ')) END"
+    return f"""
+WITH {_domain_sql_cte()},
+q AS ({_quality_sql()}),
+perdoc AS (
+  SELECT d.domain, {toks} AS toks, q.quality AS quality,
+         md5(lower({norm})) AS f
+  FROM domx d JOIN q USING (doc_id)
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY f) AS c FROM perdoc
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       round(avg(quality), 6) AS mean_quality,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_rows,
+       round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+FROM sized GROUP BY domain
+"""
+
+
+def sample_domain_filtered(spark, sf_dir):
+    """Domain-blocklist admission over seeded URLs: documents whose
+    registrable domain is parseable and outside the blocklist, with
+    the domain kept on the output. The blocklist rides a DataFrame so
+    the BROADCAST anti-join path (the 100 TB shape — corpus side never
+    shuffles) is what the oracle certifies; literal-list callers get
+    the scan-stage isin path instead (tests/test_domains.py)."""
+    from voter_gateway_spark.operators import domains
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = _seed_urls(docs.select("doc_id", "source")).select(
+        "doc_id", "source", "url"
+    )
+    block = spark.createDataFrame(
+        [(d,) for d in _DOMAIN_BLOCKLIST], "domain string"
+    )
+    return domains.domain_admission(seeded, "url", blocklist=block).select(
+        "doc_id", "source", "domain"
+    )
+
+
+def _domain_filtered_sql() -> str:
+    blocked = ", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)
+    return f"""
+WITH {_domain_sql_cte()}
+SELECT doc_id, source, domain
+FROM domx
+WHERE domain IS NOT NULL AND domain NOT IN ({blocked})
+"""
+
+
+# =============================================================================
 # Catalog
 # =============================================================================
 
@@ -6796,6 +6957,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk_cosine": embed_topk_cosine,
     "embed_ivf_topk": embed_ivf_topk,
     "events_hourly": events_hourly,
+    "corpus_domain_report": corpus_domain_report,
+    "sample_domain_filtered": sample_domain_filtered,
 }
 
 ORACLES: dict[str, str] = {
@@ -6936,4 +7099,6 @@ ORACLES: dict[str, str] = {
     "text_bpe_encode": BPE_ENCODE_SQL,
     "text_gopher_rules": GOPHER_RULES_SQL,
     "pipeline_daily_ingest": _daily_ingest_sql(),
+    "corpus_domain_report": _domain_report_sql(),
+    "sample_domain_filtered": _domain_filtered_sql(),
 }
