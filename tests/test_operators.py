@@ -1740,3 +1740,96 @@ def test_stream_session_paths_matches_batch(spark, sf_dir, tmp_path):
     }
     exp = {(r.path): (r.n_sessions, r.n_events) for r in batch.collect()}
     assert got == exp
+
+
+# -- product quantization (IVF-PQ) -------------------------------------------
+
+
+def _pq_cluster_fixture(spark):
+    """10 well-separated deterministic clusters × 20 points, 64-dim —
+    the structured fixture where PQ's coarse-geometry contract is
+    testable (uniform-random embeddings are the adversarial case; the
+    recall report records that honestly instead)."""
+    rows = []
+    for c in range(10):
+        for p in range(20):
+            vec = [
+                float(((c * 31 + d * 17) % 13) - 6)
+                + (((p * 7 + d) % 5) - 2) * 0.01
+                for d in range(64)
+            ]
+            rows.append((c * 20 + p, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivfpq_cluster_recall_floor(spark):
+    """On clustered data IVF-PQ must (a) return ONLY same-cluster
+    neighbors at k=5 (cluster separation >> quantizer distortion) and
+    (b) recover >= 0.4 of the exact top-5 (the fine within-cluster
+    ordering is below PQ resolution at ks=16 — coarse geometry is the
+    contract, exact rank recovery is not)."""
+    df = _pq_cluster_fixture(spark)
+    qs = df.where(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(qs, df, k=5).collect()
+    }
+    res = similarity.ivfpq_topk(qs, df, k=5).collect()
+    assert all(r.neighbor_id // 20 == r.query_id // 20 for r in res)
+    got = {(r.query_id, r.neighbor_id) for r in res}
+    assert len(exact & got) / len(exact) >= 0.4
+
+
+def test_ivfpq_empty_cell_lut(spark):
+    """Regression: clustered data leaves PQ cells EMPTY after the
+    Lloyd round (the codebook shrinks below m*ks rows). The ADC lookup
+    table must stay dense-grid-indexed — positional indexing over the
+    shrunken codebook array shifted every later entry and threw
+    INVALID_ARRAY_INDEX. With the dense LUT each query's top-1
+    (exclude_self=False) is ITSELF: self shares its own code cells, so
+    no candidate ADC can be smaller, and the query id (p=0 in its
+    cluster) wins the equal-codes tie-break. Note self-ADC is the
+    query's own quantization distortion, NOT ~0 — seeds drawn from
+    ≤16 md5-smallest vectors can leave a cluster's subvectors poorly
+    covered, which is correct PQ behavior, not a defect."""
+    df = _pq_cluster_fixture(spark)
+    c = df.select(
+        F.col("vec_id").alias("_cid"),
+        similarity.as_double_array("embedding").alias("_cv"),
+    )
+    cb = similarity.pq_train(c, m=8, ks=16, sub=8, iters=1)
+    # the regression trigger: at least one (j, code) cell must be empty
+    assert cb.count() < 8 * 16
+    qs = df.where(F.col("vec_id") % 20 == 0)
+    res = similarity.ivfpq_topk(qs, df, k=1, exclude_self=False).collect()
+    assert len(res) == 10
+    for r in res:
+        assert r.neighbor_id == r.query_id, (r.query_id, r.neighbor_id)
+
+
+def test_pq_encode_shape(spark, sf_dir):
+    """Codes are m-length arrays of 1..ks codeword ids for every
+    corpus vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(
+        F.col("vec_id").alias("_cid"),
+        similarity.as_double_array("embedding").alias("_cv"),
+    )
+    cb = similarity.pq_train(c, m=8, ks=16, sub=8, iters=1)
+    codes = similarity.pq_encode(c, cb, m=8, sub=8)
+    assert codes.count() == emb.count()
+    bad = codes.where(
+        (F.size("_codes") != 8)
+        | F.exists("_codes", lambda x: (x < 1) | (x > 16))
+    )
+    assert bad.count() == 0
+
+
+def test_ivfpq_deterministic_rerun(spark, sf_dir):
+    """Two runs produce identical rows (seeded quantizers + snapped
+    Lloyd means + rounded distances)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    a = sorted(map(tuple, similarity.ivfpq_topk(qs, emb, k=5).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_topk(qs, emb, k=5).collect()))
+    assert a == b

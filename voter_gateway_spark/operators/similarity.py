@@ -1079,3 +1079,299 @@ def semantic_dedup(
         )
     )
     return out.unionByName(expanded)
+
+
+# =============================================================================
+# Product quantization (PQ) — the 16-32× compression rung of the ANN
+# ladder (brute → LSH → IVF → SQ8 → PQ). Jégou et al. 2011 ("Product
+# Quantization for Nearest Neighbor Search", public); FAISS's IVFPQ is
+# the reference production shape.
+# =============================================================================
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Rounded squared L2 via the dot-product identity
+    ||a−b||² = a·a + b·b − 2·a·b — three sequential folds plus exact
+    arithmetic, the SAME expression tree the DuckDB oracle computes
+    with list_dot_product, so the rounded value is engine-stable
+    (the LSH sign-bit oracles already certify the fold parity)."""
+    return F.round(dot(a, a) + dot(b, b) - F.lit(2.0) * dot(a, b), 6)
+
+
+def _subvectors(df: DataFrame, vec_col: str, m: int, sub: int) -> DataFrame:
+    """One row per (input row, subspace j): the j-th `sub`-wide slice
+    of the vector. j is 0-based; slicing is static (unrolled per j) so
+    it stays a scan-stage projection."""
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)]
+            )
+        ).alias("_j", "_sv"),
+    ).drop(vec_col)
+
+
+def _pq_seed_codebook(c: DataFrame, m: int, ks: int, sub: int) -> DataFrame:
+    """Initial codebook: the ks corpus vectors with the smallest
+    md5(id) (the repo's deterministic pseudo-random sample — the same
+    seed rule as _train_centroids), sub-sliced per subspace. Output
+    (_j, _code, _cw), codes 1..ks within every subspace."""
+    seeds = (
+        c.select(
+            "_cv",
+            F.md5(F.col("_cid").cast("string").cast("binary")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(ks)
+    )
+    coded = seeds.select(
+        F.row_number().over(Window.orderBy("_h")).alias("_code"), "_cv"
+    )
+    return _subvectors(coded, "_cv", m, sub).select(
+        "_j", "_code", F.col("_sv").alias("_cw")
+    )
+
+
+def _nearest_code(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Attach the nearest codeword id to every (row, subspace) subrow:
+    min by (rounded squared L2 asc, code asc). The whole codebook
+    (m·ks rows — 128 structs at the defaults) collapses to ONE
+    broadcast row; the argmin is an in-row array_sort over the rows of
+    the subrow's own subspace — no shuffle, no window (the
+    _nearest_cells pattern applied per subspace)."""
+    one = codebook.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_j", "_code", "_cw"))
+        ).alias("_cbs")
+    )
+    picked = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.filter(F.col("_cbs"), lambda s: s["_j"] == F.col("_j")),
+                lambda s: F.struct(
+                    _l2sq(F.col("_sv"), s["_cw"]).alias("_d"),
+                    s["_code"].alias("_code"),
+                ),
+            )
+        ),
+        1,
+    )
+    return (
+        subs.crossJoin(F.broadcast(one))
+        .withColumn("_code", picked["_code"])
+        .drop("_cbs")
+    )
+
+
+def pq_train(
+    c: DataFrame,
+    m: int,
+    ks: int,
+    sub: int,
+    iters: int = 1,
+    centroid_round: int | None = 9,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks with the repo's deterministic
+    k-means recipe: md5-seeded initial codewords, fixed-count Lloyd
+    rounds, every mean snapped to `centroid_round` decimals so the
+    trajectory is bit-reproducible across runs, partition layouts AND
+    engines (the ivf_topk centroid_round contract — what lets the PQ
+    path be DuckDB-oracle-checked rather than only recall-floored).
+
+    `c` is the canonical (_cid, _cv) frame. All m subspaces train in
+    ONE plan: subrows are keyed (_j, _code), so each Lloyd round is a
+    single broadcast-argmin projection plus one (j, code, pos)-keyed
+    mean — never a per-subspace job loop. Returns (_j, _code, _cw)."""
+    subs = _subvectors(c.select("_cid", "_cv"), "_cv", m, sub)
+    cb = _pq_seed_codebook(c, m, ks, sub).transform(ckpt)
+    for _ in range(iters):
+        assigned = _nearest_code(subs, cb)
+        means = (
+            assigned.select(
+                "_j", "_code", F.posexplode("_sv").alias("_pos", "_x")
+            )
+            .groupBy("_j", "_code", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+        )
+        if centroid_round is not None:
+            means = means.withColumn("_m", F.round("_m", centroid_round))
+        cb = (
+            means.groupBy("_j", "_code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_cw")
+            )
+            .transform(ckpt)
+        )
+    return cb
+
+
+def pq_encode(c: DataFrame, codebook: DataFrame, m: int, sub: int) -> DataFrame:
+    """Encode every vector as its array of m nearest-codeword ids
+    (j-ordered). Output (_cid, _codes array<int>) — at ks ≤ 256 each
+    code is one byte of information, so the encoded corpus is ~dim·4/m
+    × smaller than float32 (32× at dim=64, m=8 vs 256 B/vector); the
+    persisted form of a 100 TB embedding store scans codes + one
+    codebook broadcast instead of raw vectors."""
+    enc = _nearest_code(_subvectors(c, "_cv", m, sub), codebook)
+    return enc.groupBy("_cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_code"))),
+            lambda s: s["_code"],
+        ).alias("_codes")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    pq_iters: int = 1,
+    n_centroids: int | None = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 0,
+    centroid_round: int | None = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: the IVF coarse quantizer restricts
+    candidates to each query's `n_probe` nearest cells (the existing
+    md5-seeded trainer — coarse_iters=0 keeps fixed seed centroids,
+    the SQL-expressible form; >0 runs snapped Lloyd rounds), and
+    candidate DISTANCES are computed from PQ codes by asymmetric
+    distance computation (ADC): per query, a lookup table of the m·ks
+    query-subvector↔codeword squared distances is built ONCE as an
+    in-row array over the broadcast codebook; each candidate then
+    costs m array lookups + adds instead of a dim-wide fold. Output
+    (query_id, neighbor_id, rank, adc_dist) ranked by ascending ADC
+    (ties on neighbor id) — rank-compatible with the cosine searchers
+    when inputs are L2-normalized (cos = 1 − L2²/2 on the unit
+    sphere), which is how the recall report grades it.
+
+    Approximations, orthogonal and both recall-only: cell pruning
+    (IVF — same trade as ivf_topk) and code quantization (PQ — ADC
+    error bounded by per-subspace quantizer distortion). Scoring uses
+    the FULL-corpus-trained codebooks, not per-cell residuals
+    (FAISS-IVFPQ's residual refinement changes constants, not the
+    plan shape, and would put the coarse assignment inside the PQ
+    trainer — the composition here keeps both trainers independent
+    and each one oracle-checkable).
+
+    Determinism: seeds, snapped Lloyd means, rounded distances, and
+    LUT sums re-rounded to 6 — the full trajectory is reproduced by
+    queries._ivfpq_sql, and the DuckDB row is hash-equal. Expects
+    non-null fixed-dim vectors (dim divisible by m; validated).
+
+    100 TB shape: codebook + centroids broadcast (m·ks + cells rows);
+    the corpus is scanned once for coarse assignment and once for
+    encoding (both scan-stage argmin projections — at steady state
+    both persist next to the data, partitionedBy(_cell), and queries
+    prune to n_probe cell directories exactly like query_ivf_index);
+    the candidate stage shuffles only (cell, codes) pairs — m ints
+    per row instead of dim floats, the 16-32× byte cut that makes the
+    probe stage network-bound math work at 100 TB."""
+    c = widen(corpus).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).transform(ckpt)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("_qv")
+    )
+    dim_row = c.select(F.size("_cv").alias("_d")).first()
+    if dim_row is None:
+        return q.select(
+            "query_id",
+            F.lit(None).cast("bigint").alias("neighbor_id"),
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("double").alias("adc_dist"),
+        ).where(F.lit(False))
+    dim = int(dim_row["_d"])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # coarse quantizer: cells + probes (the ivf_topk front half)
+    n_centroids, centroids = _train_centroids(
+        c, n_centroids, coarse_iters, centroid_round
+    )
+    cells = _nearest_cells(c, "_cv", centroids, 1).select(
+        "_cid", "_cv", "_cell"
+    )
+    probes = _nearest_cells(q, "_qv", centroids, n_probe).select(
+        "query_id", "_qv", "_cell"
+    )
+
+    # PQ codebooks + corpus codes
+    cb = pq_train(c, m, ks, sub, iters=pq_iters, centroid_round=centroid_round)
+    codes = pq_encode(c, cb, m, sub)
+
+    # per-query ADC lookup table: _lut[j*ks + code] = ||q_j − cw||².
+    # Built DENSE over the full (j, code) grid, not positionally over
+    # the codebook array: a Lloyd round can empty a cell (no subrow
+    # assigned), which drops that (j, code) row from the codebook and
+    # would shift every later position. Missing grid entries become
+    # NULL — unreachable, because candidates are encoded against the
+    # same shrunken codebook and can only carry surviving codes.
+    one = cb.agg(
+        F.array_sort(F.collect_list(F.struct("_j", "_code", "_cw"))).alias(
+            "_cbs"
+        )
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * ks - 1)),
+        lambda idx: F.try_element_at(
+            F.transform(
+                F.filter(
+                    F.col("_cbs"),
+                    lambda s: (s["_j"] == F.floor(idx / ks).cast("int"))
+                    & (s["_code"] == (idx % ks + 1).cast("int")),
+                ),
+                lambda s: _l2sq(
+                    F.slice(F.col("_qv"), s["_j"] * sub + 1, sub), s["_cw"]
+                ),
+            ),
+            F.lit(1),
+        ),
+    )
+    probes_lut = (
+        probes.crossJoin(F.broadcast(one))
+        .withColumn("_lut", lut)
+        .drop("_cbs", "_qv")
+    )
+
+    # candidates: probed cells carry (id, codes) only — m ints/row
+    cand = probes_lut.join(
+        cells.select("_cid", "_cell").join(codes, "_cid"), "_cell"
+    )
+    if exclude_self:
+        cand = cand.where(F.col("query_id") != F.col("_cid"))
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda code, j: F.element_at(
+                    F.col("_lut"), (j * ks + code).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    sims = cand.select(
+        "query_id", F.col("_cid").alias("neighbor_id"), score.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

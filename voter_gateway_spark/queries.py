@@ -1442,6 +1442,127 @@ FROM (
 """
 
 
+def embed_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivfpq_topk): fixed-seed coarse cells
+    (the SQL-expressible iters=0 quantizer, 16 cells / 4 probes — the
+    same front half as embed_ivf_topk) + product-quantization scoring:
+    8 subspaces × 16 codewords trained with ONE snapped Lloyd round
+    (centroid_round=9, the ivf_lloyd determinism grid), candidates
+    ranked by asymmetric distance (per-query LUT over the broadcast
+    codebook, m lookups per candidate instead of a 64-dim fold).
+    Completes the ANN compression ladder: SQ8's 4× is the floor for a
+    100 TB embedding store; PQ's code array is 32× at these defaults.
+    Oracle: the full trajectory — seeds, one unrolled PQ Lloyd round,
+    encoding, LUT, ADC sums — reproduced as CTEs (_ivfpq_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivfpq_topk(
+        queries, emb, k=5, m=8, ks=16, pq_iters=1,
+        n_centroids=16, n_probe=4, coarse_iters=0, centroid_round=9,
+    )
+
+
+def _ivfpq_sql(
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    sub: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Mirror of ivfpq_topk(coarse_iters=0, pq_iters=1,
+    centroid_round=9): md5-ordered seeds feed BOTH quantizers; the PQ
+    Lloyd round unrolls as (pa1 → cb1) with means snapped to 9
+    decimals; subvector distances use the dot-product identity
+    (a·a + b·b − 2·a·b, rounded 6) — the identical expression tree as
+    similarity._l2sq; ADC = sum of the m LUT entries re-rounded to 6."""
+    l2 = (
+        "round(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}), 6)"
+    )
+    d_cb0 = l2.format(a="s.sv", b="b.cw")
+    d_q = l2.format(a="qs.sv", b="b.cw")
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {n_centroids}
+),
+cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id, v FROM c WHERE vec_id % 10 = 0),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM q, cents
+  ) WHERE rn <= {n_probe}
+),
+js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+cb0 AS (
+  SELECT js.j, sc.code, sc.cv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS cw
+  FROM (SELECT row_number() OVER (ORDER BY h) AS code, v AS cv FROM seeds) sc, js
+),
+subs AS (
+  SELECT c.vec_id, js.j, c.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv FROM c, js
+),
+pa1 AS (
+  SELECT vec_id, j, sv, code FROM (
+    SELECT s.vec_id, s.j, s.sv, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {d_cb0} ASC, b.code) AS rn
+    FROM subs s JOIN cb0 b ON s.j = b.j
+  ) WHERE rn = 1
+),
+cb1 AS (
+  SELECT j, code, list(mm ORDER BY pos) AS cw FROM (
+    SELECT j, code, i AS pos, round(avg(sv[i]), 9) AS mm
+    FROM pa1, unnest(generate_series(1, {sub})) AS t(i)
+    GROUP BY j, code, i
+  ) GROUP BY j, code
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {d_cb0} ASC, b.code) AS rn
+    FROM subs s JOIN cb1 b ON s.j = b.j
+  ) WHERE rn = 1
+),
+qsubs AS (
+  SELECT q.vec_id, js.j, q.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv FROM q, js
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, b.j, b.code, {d_q} AS d
+  FROM qsubs qs JOIN cb1 b ON qs.j = b.j
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, round(sum(l.d), 6) AS adc_dist
+  FROM cand
+  JOIN enc e ON e.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.j = e.j AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
     """Mirror of lsh_bucketed_topk: the md5-derived hyperplanes are
     baked as literals, bucket = concatenated dot-product sign bits."""
@@ -5469,13 +5590,16 @@ def embed_recall_report(spark, sf_dir):
         ("ivf", embed_ivf_topk),
         ("int8", embed_int8_topk),
         ("lsh", embed_lsh_topk),
+        ("pq", embed_ivfpq_topk),
     ):
         parts.append(
             fn(spark, sf_dir).select(
                 F.lit(name).alias("method"), "query_id", "neighbor_id"
             )
         )
-    tagged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
     hits = (
         tagged.join(
             brute.withColumn("_hit", F.lit(1)),
@@ -5487,7 +5611,7 @@ def embed_recall_report(spark, sf_dir):
     )
     bn = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nb"))
     methods = spark.createDataFrame(
-        [("ivf",), ("int8",), ("lsh",)], "method string"
+        [("ivf",), ("int8",), ("lsh",), ("pq",)], "method string"
     )
     grid = bn.crossJoin(F.broadcast(methods))
     return (
@@ -5508,10 +5632,12 @@ WITH brute AS ({TOPK_SQL}),
 lsh AS ({_lsh_topk_sql()}),
 i8 AS ({INT8_TOPK_SQL}),
 ivf AS ({_ivf_sql()}),
+pq AS ({_ivfpq_sql()}),
 tagged AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
 ),
 perq AS (
   SELECT t.method, t.query_id,
@@ -5527,7 +5653,7 @@ grid AS (
   -- vanish from the audit (r7 code review)
   SELECT m.method, bn.query_id, bn.nb
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'int8'
-        UNION ALL SELECT 'ivf') m
+        UNION ALL SELECT 'ivf' UNION ALL SELECT 'pq') m
   CROSS JOIN bn
 )
 SELECT g.method, count(*) AS n_queries,
@@ -6959,6 +7085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": events_hourly,
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
+    "embed_ivfpq_topk": embed_ivfpq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -7101,4 +7228,5 @@ ORACLES: dict[str, str] = {
     "pipeline_daily_ingest": _daily_ingest_sql(),
     "corpus_domain_report": _domain_report_sql(),
     "sample_domain_filtered": _domain_filtered_sql(),
+    "embed_ivfpq_topk": _ivfpq_sql(),
 }
