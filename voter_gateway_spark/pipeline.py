@@ -87,3 +87,90 @@ class CurationPipeline:
                 self.counts_plan(docs).collect(), key=lambda r: r["stage_idx"]
             )
         ]
+
+
+def build_corpus(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    file_format: str = "parquet",
+) -> dict:
+    """The materializing half of pipeline_corpus_build — the nightly
+    one-command corpus build: run the certified composite (quality
+    gate → cluster-atomic split → temperature mixture → packing),
+    write the selected training documents as deterministic shards
+    (layout.write_training_shards: md5 (shard, pos) addresses, one
+    exchange, per-shard manifest), and emit `dataset_card.json` (v2)
+    alongside — the artifact a downstream consumer reads instead of
+    re-auditing the corpus:
+
+      version / seq_len / mixture_target   build parameters
+      stages                               the full 9-stage attrition
+                                           ledger, the exact rows the
+                                           driver's oracle gate hashes
+      splits                               doc/token mass per split
+      shards                               the shard manifest
+
+    Everything is a pure function of the input corpus (hash splits,
+    hash admission, md5 shard addresses), so build-twice produces an
+    identical card and identical shard bytes
+    (tests/test_corpus_build.py)."""
+    import json
+
+    from voter_gateway_spark.operators.layout import write_training_shards
+    from voter_gateway_spark.queries import (
+        CORPUS_BUILD_SEQ_LEN,
+        TEMPERATURE_MIXTURE_TARGET,
+        _corpus_build_parts,
+        pipeline_corpus_build,
+    )
+
+    _, sp, selected, _ = _corpus_build_parts(spark, sf_dir)
+    manifest = write_training_shards(
+        selected.select("doc_id", "source", "text"),
+        "doc_id",
+        f"{out_dir}/shards",
+        n_shards=n_shards,
+        file_format=file_format,
+    )
+    stage_rows = [
+        {
+            "stage_idx": int(r["stage_idx"]),
+            "stage": r["stage"],
+            "split": r["split"],
+            "source": r["source"],
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+            "n_seq_spans": int(r["n_seq_spans"]),
+        }
+        for r in sorted(
+            pipeline_corpus_build(spark, sf_dir).collect(),
+            key=lambda r: (r["stage_idx"], r["split"], r["source"]),
+        )
+    ]
+    splits = {
+        r["split"]: {"n_docs": int(r["n"]), "n_tokens": int(r["t"])}
+        for r in sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("t"),
+        )
+        .collect()
+    }
+    card = {
+        "version": 2,
+        "seq_len": CORPUS_BUILD_SEQ_LEN,
+        "mixture_target": TEMPERATURE_MIXTURE_TARGET,
+        "n_shards": n_shards,
+        "stages": stage_rows,
+        "splits": splits,
+        "shards": manifest,
+    }
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/dataset_card.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    out.write(bytearray(json.dumps(card, indent=2, sort_keys=True).encode()))
+    out.close()
+    return card

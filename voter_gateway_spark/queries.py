@@ -6290,10 +6290,14 @@ QUALITY_GATE_LOGPROB_FLOOR = -3.8
 QUALITY_GATE_NEAR_THRESHOLD = 0.12
 
 
-def _quality_gate_stages(spark, sf_dir):
+def _quality_gate_stages(spark, sf_dir, with_pairs: bool = False):
     """Ordered {stage_name: survivors DataFrame} for the quality-gate
     funnel — split out so tests can assert per-doc routing. Each frame
-    carries (doc_id, source, n_tokens, text, _fp)."""
+    carries (doc_id, source, n_tokens, text, _fp). `with_pairs=True`
+    additionally returns the (lazily checkpointed) near-dup pair frame
+    the prune derived its losers from, so downstream consumers
+    (pipeline_corpus_build's cluster-atomic split) reuse the one pair
+    generation instead of re-running it."""
     docs = _t(spark, sf_dir, "documents")
     base = (
         docs.select(
@@ -6340,19 +6344,16 @@ def _quality_gate_stages(spark, sf_dir):
     )
     s3 = s2.join(enc_pass, "doc_id")
     s4 = dedup_ops.exact_dedup(s3, ["_fp"], "doc_id").transform(ckpt_lazy)
-    losers = (
-        dedup_ops.ngram_jaccard_pairs(
-            s4.select("doc_id", "text"),
-            "doc_id",
-            "text",
-            k=3,
-            threshold=QUALITY_GATE_NEAR_THRESHOLD,
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        s4.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=QUALITY_GATE_NEAR_THRESHOLD,
+    ).transform(ckpt_lazy)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s5 = s4.join(losers, "doc_id", "left_anti")
-    return {
+    stages = {
         "input": base,
         "gopher": s1,
         "lm_logprob": s2,
@@ -6360,6 +6361,9 @@ def _quality_gate_stages(spark, sf_dir):
         "exact_dedup": s4,
         "near_dedup": s5,
     }
+    if with_pairs:
+        return stages, pairs
+    return stages
 
 
 def pipeline_quality_gate(spark, sf_dir):
@@ -6417,11 +6421,12 @@ def pipeline_quality_gate(spark, sf_dir):
     return out
 
 
-def _quality_gate_sql() -> str:
-    """Staged-CTE oracle for pipeline_quality_gate: the gopher /
-    trigram-LM / encoding oracles nested verbatim, then the same
-    fp-dedup and jaccard-prune formulas as the curation-audit oracle,
-    rolled up per (stage, source)."""
+def _quality_gate_ctes() -> str:
+    """The shared staged-CTE body of the quality-gate funnel (gopher /
+    trigram-LM / encoding oracles nested verbatim, fp-dedup, the
+    near-dup pair CTE, the loser prune) — reused verbatim by
+    _quality_gate_sql and _corpus_build_sql so a hash-green row on
+    either certifies the SAME stage boundaries."""
     norm = _NORM_SQL
     wl = f"list_filter(string_split(lower({norm}), ' '), x -> x <> '')"
     jac = (
@@ -6432,8 +6437,7 @@ def _quality_gate_sql() -> str:
         min_words=QUALITY_GATE_MIN_WORDS,
         min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
     )
-    return f"""
-WITH gop AS (SELECT doc_id, pass_gopher FROM ({gop})),
+    return f"""gop AS (SELECT doc_id, pass_gopher FROM ({gop})),
 lm AS (SELECT doc_id, mean_logprob FROM ({TRIGRAM_LP_SQL})),
 enc AS (SELECT doc_id, is_suspect FROM ({ENCODING_ANOMALY_SQL})),
 toks AS (
@@ -6451,10 +6455,18 @@ s4 AS (SELECT doc_id, source, n_tokens, text FROM (
 w4 AS (SELECT doc_id, {wl} AS wl FROM s4),
 sh4 AS (SELECT doc_id, {_SHINGLES} AS s FROM w4),
 hh4 AS (SELECT doc_id, {_HASHED} AS hl FROM sh4),
-losers AS (
-  SELECT DISTINCT b.doc_id FROM hh4 a, hh4 b
+gatepairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM hh4 a, hh4 b
   WHERE a.doc_id < b.doc_id AND {jac} >= {QUALITY_GATE_NEAR_THRESHOLD}),
-s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+losers AS (SELECT DISTINCT id_b AS doc_id FROM gatepairs),
+s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM losers))"""
+
+
+def _quality_gate_sql() -> str:
+    """Staged-CTE oracle for pipeline_quality_gate: the shared gate
+    CTE chain (_quality_gate_ctes) rolled up per (stage, source)."""
+    return f"""
+WITH {_quality_gate_ctes()}
 SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, source,
        CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM (
@@ -6468,6 +6480,40 @@ FROM (
 """
 
 
+
+
+def _temperature_rates(per: DataFrame, target: int) -> DataFrame:
+    """sqrt-scaled (T=2) mixture rates from a (source, n_docs) frame:
+    (source, n_docs, weight, rate). Shared by sample_temperature_mixture
+    and pipeline_corpus_build — IEEE-exact sqrt weights, round-6
+    normalization, rate capped at 1.0; two 1-row broadcasts, the
+    source frame never shuffles."""
+    tot = per.agg(F.sum("n_docs").cast("double").alias("_N"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", F.sqrt(F.col("n_docs") / F.col("_N")).alias("_raw")
+    )
+    wsum = w.agg(F.sum("_raw").alias("_S"))
+    return w.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("_raw") / F.col("_S"), 6).alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(target) * (F.col("_raw") / F.col("_S")) / F.col("n_docs"),
+                6,
+            ),
+        ).alias("rate"),
+    )
+
+
+def _mixture_bucket() -> Column:
+    """The deterministic per-doc admission bucket in [0, 1):
+    md5_hash60(doc_id) % 1e6 / 1e6 — engine-portable (the oracle
+    computes the identical bigint arithmetic)."""
+    return (
+        dedup_ops.md5_hash60(F.col("doc_id")) % 1000000
+    ) / F.lit(1000000.0)
 
 
 def sample_temperature_mixture(spark, sf_dir):
@@ -6494,32 +6540,11 @@ def sample_temperature_mixture(spark, sf_dir):
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    tot = per.agg(F.sum("n_docs").cast("double").alias("_N"))
-    w = per.crossJoin(F.broadcast(tot)).select(
-        "source", "n_docs", F.sqrt(F.col("n_docs") / F.col("_N")).alias("_raw")
-    )
-    wsum = w.agg(F.sum("_raw").alias("_S"))
-    rates = w.crossJoin(F.broadcast(wsum)).select(
-        "source",
-        "n_docs",
-        F.round(F.col("_raw") / F.col("_S"), 6).alias("weight"),
-        F.least(
-            F.lit(1.0),
-            F.round(
-                F.lit(TEMPERATURE_MIXTURE_TARGET)
-                * (F.col("_raw") / F.col("_S"))
-                / F.col("n_docs"),
-                6,
-            ),
-        ).alias("rate"),
-    )
-    bucket = (
-        dedup_ops.md5_hash60(F.col("doc_id")) % 1000000
-    ) / F.lit(1000000.0)
+    rates = _temperature_rates(per, TEMPERATURE_MIXTURE_TARGET)
     sel = (
         docs.select("doc_id", "source")
         .join(F.broadcast(rates.select("source", "rate")), "source")
-        .where(bucket < F.col("rate"))
+        .where(_mixture_bucket() < F.col("rate"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
     )
@@ -6758,6 +6783,220 @@ WITH toks AS (
 )
 SELECT l.source, l.n_docs_a, l.n_docs_b, l.mean_len_delta, d.tv_distance, d.oov_rate_new
 FROM lens l JOIN dist d USING (source)
+"""
+
+
+# =============================================================================
+# Corpus-build capstone: gate → cluster-atomic split → temperature
+# mixture → sequence packing, ONE oracle-certified composite
+# =============================================================================
+
+CORPUS_BUILD_SEQ_LEN = 512
+
+
+def _corpus_build_parts(spark, sf_dir):
+    """The shared frames of the corpus build — (gate stages dict,
+    split-assigned survivors, mixture-selected train docs, packed
+    selection) — used by BOTH the oracle-checked report
+    (pipeline_corpus_build) and the materializing runner
+    (pipeline.build_corpus), so what ships to shards is exactly what
+    the hash-green row certified."""
+    from voter_gateway_spark.operators.relational import pack_sequences
+
+    stages, pairs = _quality_gate_stages(spark, sf_dir, with_pairs=True)
+    # cluster-atomic split: components come from the SAME pair frame
+    # the near-dup prune consumed (one pair generation, two readers —
+    # ckpt_lazy'd in _quality_gate_stages), so each survivor inherits
+    # the split bucket of its WHOLE near-dup cluster: re-ingesting a
+    # pruned member later can only land it in its survivor's split —
+    # never train-vs-test leakage (split_leakage_safe's contract,
+    # applied at the build boundary)
+    comp = dedup_ops.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    surv = (
+        stages["near_dedup"]
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    bucket = dedup_ops.md5_hash60("component") % 100
+    sp = surv.withColumn(
+        "split",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test"),
+    ).transform(ckpt_lazy)
+    train = sp.where(F.col("split") == "train")
+    per = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rates = _temperature_rates(per, TEMPERATURE_MIXTURE_TARGET)
+    selected = (
+        train.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(_mixture_bucket() < F.col("rate"))
+        .select("doc_id", "source", "text", "n_tokens")
+        .transform(ckpt_lazy)
+    )
+    packed = pack_sequences(
+        selected.select("doc_id", "source", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        seq_len=CORPUS_BUILD_SEQ_LEN,
+    )
+    return stages, sp, selected, packed
+
+
+def pipeline_corpus_build(spark, sf_dir):
+    """THE one-command corpus build — the composite a training-data
+    pipeline runs nightly, chaining every curation piece end to end
+    (supersedes the r2-vintage pipeline_corpus_prep, whose signal set
+    predates the gopher/LM/encoding ladder):
+
+      stages 0-5  the full pipeline_quality_gate funnel (gopher →
+                  trigram-LM floor → encoding → exact dedup →
+                  near-dup prune), per-source doc/token attrition
+      stage 6     leakage-safe split: survivors assigned train/val/
+                  test (80/10/10) by the md5 bucket of their NEAR-DUP
+                  CLUSTER id — cluster-atomic, reusing the gate's own
+                  pair frame (one pair generation feeds both the
+                  prune and the components)
+      stage 7     temperature-scaled mixture (T=2 sqrt weights, the
+                  sample_temperature_mixture recipe via the shared
+                  _temperature_rates) admitting train docs by
+                  deterministic hash threshold
+      stage 8     sequence packing of the selected set (512-token
+                  stream, two-phase prefix sum — no single-partition
+                  window), reporting per-source packed sequence spans
+
+    as ONE (stage_idx, stage, split, source, n_docs, n_tokens,
+    n_seq_spans) table — the dataset-card attrition ledger. The
+    materializing half (training shards + manifest + dataset card)
+    is pipeline.build_corpus, which consumes the SAME frames
+    (_corpus_build_parts) this row certifies; shard bytes are pinned
+    by the byte-exact rebuild tests (tests/test_layout.py) and the
+    build-twice determinism test (tests/test_corpus_build.py).
+
+    Scale shape: every stage inherits its component's audited plan —
+    the gate's checkpointed flag joins, ONE extra component fold
+    (pointer-jumping O(log d)) on the already-generated pair frame,
+    two 1-row mixture broadcasts (corpus never shuffled by
+    admission), and the two-narrow-shuffle prefix sum. The oracle
+    chains the IDENTICAL staged CTEs (the gate body is
+    _quality_gate_ctes, shared verbatim with _quality_gate_sql's)
+    plus a recursive-walk component CTE, so the hash-green row
+    certifies every stage boundary cross-engine."""
+    stages, sp, selected, packed = _corpus_build_parts(spark, sf_dir)
+    zero = F.lit(0).cast("bigint")
+
+    def roll(df, idx, name, split_col, spans_col=None):
+        return df.groupBy(*(["split"] if split_col is None else []), "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(spans_col).cast("bigint") if spans_col is not None else F.max(zero)
+            ).alias("n_seq_spans"),
+        ).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            (F.col("split") if split_col is None else F.lit(split_col)).alias(
+                "split"
+            ),
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_seq_spans",
+        )
+
+    out = None
+    for idx, (name, df) in enumerate(stages.items()):
+        r = roll(df, idx, name, "*")
+        out = r if out is None else out.unionByName(r)
+    out = out.unionByName(roll(sp, 6, "split", None))
+    out = out.unionByName(roll(selected, 7, "mixture", "train"))
+    out = out.unionByName(
+        roll(
+            packed,
+            8,
+            "packed",
+            "train",
+            spans_col=F.col("seq_end") - F.col("seq_start") + 1,
+        )
+    )
+    return out
+
+
+def _corpus_build_sql() -> str:
+    """Mirror of pipeline_corpus_build: the shared gate CTE body plus
+    a recursive component walk over the gate's own pair CTE, the
+    cluster-bucket split, the sqrt-mixture admission, and the packing
+    window — all stage rolls in one UNION."""
+    target = TEMPERATURE_MIXTURE_TARGET
+    sl = CORPUS_BUILD_SEQ_LEN
+    h60 = "('0x' || substring(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+WITH RECURSIVE {_quality_gate_ctes()},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM gatepairs
+  UNION
+  SELECT id_b, id_a FROM gatepairs
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id),
+surv AS (
+  SELECT s5.*, coalesce(c.component, s5.doc_id) AS component
+  FROM s5 LEFT JOIN comp c USING (doc_id)
+),
+sp AS (
+  SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM (SELECT *, {h60.format(x="component")} % 100 AS b FROM surv)
+),
+tr AS (SELECT * FROM sp WHERE split = 'train'),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM tr GROUP BY source),
+mtot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM per),
+wmix AS (SELECT source, n_docs, sqrt(n_docs / t.N) AS raw FROM per, mtot t),
+mws AS (SELECT sum(raw) AS S FROM wmix),
+mrates AS (
+  SELECT source, least(1.0, round({target} * (raw / s.S) / n_docs, 6)) AS rate
+  FROM wmix, mws s
+),
+selq AS (
+  SELECT t.doc_id, t.source, t.n_tokens FROM tr t JOIN mrates r USING (source)
+  WHERE ({h60.format(x="t.doc_id")} % 1000000) / 1000000.0 < r.rate
+),
+packq AS (
+  SELECT source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM selq
+),
+packspans AS (
+  SELECT source, n_tokens,
+         CAST(floor((token_offset + greatest(n_tokens - 1, 0)) / {sl}.0) AS BIGINT)
+           - CAST(floor(token_offset / {sl}.0) AS BIGINT) + 1 AS span
+  FROM packq
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, split, source,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_seq_spans AS BIGINT) AS n_seq_spans
+FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage, '*' AS split, source,
+         count(*) AS n_docs, sum(n_tokens) AS n_tokens, 0 AS n_seq_spans
+  FROM toks GROUP BY source
+  UNION ALL SELECT 1, 'gopher', '*', source, count(*), sum(n_tokens), 0 FROM s1 GROUP BY source
+  UNION ALL SELECT 2, 'lm_logprob', '*', source, count(*), sum(n_tokens), 0 FROM s2 GROUP BY source
+  UNION ALL SELECT 3, 'encoding', '*', source, count(*), sum(n_tokens), 0 FROM s3 GROUP BY source
+  UNION ALL SELECT 4, 'exact_dedup', '*', source, count(*), sum(n_tokens), 0 FROM s4 GROUP BY source
+  UNION ALL SELECT 5, 'near_dedup', '*', source, count(*), sum(n_tokens), 0 FROM s5 GROUP BY source
+  UNION ALL SELECT 6, 'split', split, source, count(*), sum(n_tokens), 0 FROM sp GROUP BY split, source
+  UNION ALL SELECT 7, 'mixture', 'train', source, count(*), sum(n_tokens), 0 FROM selq GROUP BY source
+  UNION ALL SELECT 8, 'packed', 'train', source, count(*), sum(n_tokens), sum(span) FROM packspans GROUP BY source
+)
 """
 
 
@@ -7086,6 +7325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
+    "pipeline_corpus_build": pipeline_corpus_build,
 }
 
 ORACLES: dict[str, str] = {
@@ -7229,4 +7469,5 @@ ORACLES: dict[str, str] = {
     "corpus_domain_report": _domain_report_sql(),
     "sample_domain_filtered": _domain_filtered_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
+    "pipeline_corpus_build": _corpus_build_sql(),
 }
