@@ -7167,39 +7167,44 @@ WHERE domain IS NOT NULL AND domain NOT IN ({blocked})
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Ordered so the driver's ~50-query prefix sample covers every
-    # operator family each round. round-10 rotation (r9 verdict asks
-    # #3/#4/#5/#7 + the standing gate-sequencing rule): (a) the same
-    # 20 core family representatives stay hot; (b) the 3 r10-new
-    # queries (pipeline_quality_gate, dedup_paragraph_scrub,
-    # dedup_paragraph_mass) take prefix slots; (c) the 4 whose code
-    # or oracle changed this round (text_gopher_rules min_stop_words
-    # parametrization, corpus_summary oracle LEFT JOIN,
-    # pipeline_daily_ingest boundary-constant hoist,
-    # text_trigram_logprob now feeding the quality gate) re-certify;
-    # (d) text_bpe_vocab rotates in per r9 ask #5 (its only driver
-    # row was r8's); (e) the full r5-vintage tranche plus the
-    # r6-vintage set rotate in per ask #7, keeping every catalog
-    # query's latest driver row at r6 or newer after this round;
-    # (f) r7-r9 green stables rotate to the tail (all re-verified in
-    # the post-final-commit CORRECTNESS_local.json regeneration).
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_revenue_orders": q3_top_revenue_orders,
-    "audit_coverage_customer": audit_coverage_customer,
-    "match_cascade_orders_customers": match_cascade_orders_customers,
-    "merge_upsert_customers": merge_upsert_customers,
-    "staging_lineitem": staging_lineitem,
-    "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
-    "scd2_customers": scd2_customers,
-    "cdc_apply_orders": cdc_apply_orders,
-    "fuzzy_top1_documents": fuzzy_top1_documents,
-    "dedup_documents_lang_source": dedup_documents_lang_source,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
+    # operator family each round. round-12 rotation (r11 verdict ask
+    # #1 — both freshness debts at once): (a) the 4 r11 newborns
+    # (corpus_domain_report, sample_domain_filtered, embed_ivfpq_topk,
+    # pipeline_corpus_build) take the first prefix slots — they were
+    # appended at catalog positions 133-136 in r11, outside the
+    # driver's ~50-query sample window, so they have no driver-green
+    # row yet; (b) the 11 r5-vintage queries parked at positions
+    # 122-132 since r5 (docs_training_shuffle ... events_hourly —
+    # newest driver row six rounds old) rotate in; (c) the 15 they
+    # displace are exactly the longest-streak stables — the 14
+    # queries with 6+ consecutive green driver rounds
+    # (q1/q3/audit_coverage/match_cascade/merge_upsert/staging/
+    # fuzzy_top1/dedup_lang_source/dedup_ngram_jaccard/dedup_minhash
+    # at 11 straight greens, merge_fuzzy/scd2 at 10, cdc_apply at 9,
+    # embed_ivf_lloyd at 8) plus events_session_paths (5 greens;
+    # the events family keeps prefix coverage via events_sessionized
+    # + events_hourly rotating in) — all re-verified in the
+    # post-final-commit CORRECTNESS_local.json regeneration. After
+    # this round no catalog query's newest driver row is older
+    # than r6.
+    "corpus_domain_report": corpus_domain_report,
+    "sample_domain_filtered": sample_domain_filtered,
+    "embed_ivfpq_topk": embed_ivfpq_topk,
+    "pipeline_corpus_build": pipeline_corpus_build,
+    "docs_training_shuffle": docs_training_shuffle,
+    "events_sessionized": events_sessionized,
+    "text_boilerplate_scrub": text_boilerplate_scrub,
+    "pipeline_corpus_prep": pipeline_corpus_prep,
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "embed_topk_cosine": embed_topk_cosine,
+    "embed_ivf_topk": embed_ivf_topk,
+    "events_hourly": events_hourly,
     "dedup_incremental_components": dedup_incremental_components,
     "dedup_bloom_admission": dedup_bloom_admission,
     "split_leakage_safe": split_leakage_safe,
-    "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
-    "events_session_paths": events_session_paths,
     "multimodal_phash_neardup": multimodal_phash_neardup,
     "audit_sketch_profile": audit_sketch_profile,
     "pipeline_quality_gate": pipeline_quality_gate,
@@ -7230,15 +7235,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": text_bigram_logprob,
     "corpus_drift_report": corpus_drift_report,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
-    # late-r10 additions take the last two prefix slots; the two they
-    # displace (text_dsir_importance r8-green, embed_semantic_dedup
-    # r7-green) drop to the tail, which keeps every catalog query's
-    # latest driver row at r6 or newer
     "sample_temperature_mixture": sample_temperature_mixture,
     "text_perplexity_buckets": text_perplexity_buckets,
     # --- below the driver ~50-query sample window: every entry is
     #     green on its most recent driver row AND in the post-final-
-    #     commit CORRECTNESS_local.json regeneration ---
+    #     commit CORRECTNESS_local.json regeneration. The r12
+    #     rotated-out stables (6-11 consecutive driver greens each)
+    #     lead the tail so they re-enter the window first if the
+    #     sample ever widens ---
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "audit_coverage_customer": audit_coverage_customer,
+    "match_cascade_orders_customers": match_cascade_orders_customers,
+    "merge_upsert_customers": merge_upsert_customers,
+    "staging_lineitem": staging_lineitem,
+    "merge_fuzzy_upsert_documents": merge_fuzzy_upsert_documents,
+    "scd2_customers": scd2_customers,
+    "cdc_apply_orders": cdc_apply_orders,
+    "fuzzy_top1_documents": fuzzy_top1_documents,
+    "dedup_documents_lang_source": dedup_documents_lang_source,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
+    "events_session_paths": events_session_paths,
     "multimodal_features": multimodal_features,
     "text_dsir_importance": text_dsir_importance,
     "embed_semantic_dedup": embed_semantic_dedup,
@@ -7311,21 +7330,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": cube_revenue,
     "ntile_customer_value": ntile_customer_value,
     "hist_order_totals": hist_order_totals,
-    "docs_training_shuffle": docs_training_shuffle,
-    "events_sessionized": events_sessionized,
-    "text_boilerplate_scrub": text_boilerplate_scrub,
-    "pipeline_corpus_prep": pipeline_corpus_prep,
-    "dedup_exact_fingerprint": dedup_exact_fingerprint,
-    "text_token_stats": text_token_stats,
-    "text_langid": text_langid,
-    "text_quality": text_quality,
-    "embed_topk_cosine": embed_topk_cosine,
-    "embed_ivf_topk": embed_ivf_topk,
-    "events_hourly": events_hourly,
-    "corpus_domain_report": corpus_domain_report,
-    "sample_domain_filtered": sample_domain_filtered,
-    "embed_ivfpq_topk": embed_ivfpq_topk,
-    "pipeline_corpus_build": pipeline_corpus_build,
 }
 
 ORACLES: dict[str, str] = {
