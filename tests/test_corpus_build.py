@@ -103,6 +103,28 @@ class TestBuildDeterminism:
         rb = spark.read.parquet(str(tmp_path / "b" / "shards")).collect()
         assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
 
+    def test_build_computes_parts_exactly_once(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        # The gate funnel (pair generation, component iterations,
+        # checkpoints) is the expensive half of the build; the r11
+        # runner ran it twice — once for the shards, once inside
+        # pipeline_corpus_build for the ledger. The ledger must now
+        # come from the same parts the shards shipped from.
+        import voter_gateway_spark.queries as q
+
+        calls = []
+        real = q._corpus_build_parts
+
+        def counting(spark_, sf_dir_):
+            calls.append(sf_dir_)
+            return real(spark_, sf_dir_)
+
+        monkeypatch.setattr(q, "_corpus_build_parts", counting)
+        card = build_corpus(spark, sf_dir, str(tmp_path / "once"), n_shards=2)
+        assert calls == [sf_dir]
+        assert card["stages"]
+
     def test_card_stages_match_certified_report(self, spark, sf_dir, tmp_path):
         card = build_corpus(spark, sf_dir, str(tmp_path / "c"), n_shards=2)
         report = {

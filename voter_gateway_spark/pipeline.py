@@ -123,10 +123,17 @@ def build_corpus(
         CORPUS_BUILD_SEQ_LEN,
         TEMPERATURE_MIXTURE_TARGET,
         _corpus_build_parts,
-        pipeline_corpus_build,
+        _corpus_build_report,
     )
 
-    _, sp, selected, _ = _corpus_build_parts(spark, sf_dir)
+    # ONE parts computation feeds both the shards and the ledger —
+    # the gate funnel (pair generation, component iterations,
+    # checkpoints) is the expensive half of the build, and its
+    # checkpoints are per-invocation, so re-deriving the report from
+    # a second pipeline_corpus_build(spark, sf_dir) call would run
+    # the whole funnel twice for byte-identical output.
+    parts = _corpus_build_parts(spark, sf_dir)
+    _, sp, selected, _ = parts
     manifest = write_training_shards(
         selected.select("doc_id", "source", "text"),
         "doc_id",
@@ -145,7 +152,7 @@ def build_corpus(
             "n_seq_spans": int(r["n_seq_spans"]),
         }
         for r in sorted(
-            pipeline_corpus_build(spark, sf_dir).collect(),
+            _corpus_build_report(*parts).collect(),
             key=lambda r: (r["stage_idx"], r["split"], r["source"]),
         )
     ]

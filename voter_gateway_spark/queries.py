@@ -6885,7 +6885,19 @@ def pipeline_corpus_build(spark, sf_dir):
     _quality_gate_ctes, shared verbatim with _quality_gate_sql's)
     plus a recursive-walk component CTE, so the hash-green row
     certifies every stage boundary cross-engine."""
-    stages, sp, selected, packed = _corpus_build_parts(spark, sf_dir)
+    return _corpus_build_report(*_corpus_build_parts(spark, sf_dir))
+
+
+def _corpus_build_report(stages, sp, selected, packed):
+    """Roll the attrition ledger from already-computed build parts.
+    Split out of pipeline_corpus_build so pipeline.build_corpus can
+    derive the dataset card from the ONE _corpus_build_parts
+    invocation whose `selected` frame it ships to shards — the r11
+    runner re-invoked the whole gate funnel (pair generation,
+    component iterations, checkpoints) a second time just for the
+    ledger, doubling the nightly build cost for byte-identical
+    output (tests/test_corpus_build.py asserts the single
+    invocation)."""
     zero = F.lit(0).cast("bigint")
 
     def roll(df, idx, name, split_col, spans_col=None):
