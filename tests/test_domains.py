@@ -128,3 +128,18 @@ class TestDomainAdmission:
         df = _urls(spark, self.ROWS)
         out = domains.domain_admission(df, "url", domain_out=None)
         assert out.columns == ["id", "url"]
+
+    def test_reserved_staging_column_rejected(self, spark):
+        df = _urls(spark, self.ROWS).withColumn("_vgs_domain", F.lit("x"))
+        with pytest.raises(ValueError, match="_vgs_domain"):
+            domains.domain_admission(df, "url")
+
+    def test_domain_out_collision_rejected(self, spark):
+        # withColumnRenamed would otherwise leave TWO 'domain' columns
+        df = _urls(spark, self.ROWS).withColumn("domain", F.lit("pre"))
+        with pytest.raises(ValueError, match="domain_out='domain'"):
+            domains.domain_admission(df, "url")
+        # a non-colliding output name (or dropping it) is fine
+        out = domains.domain_admission(df, "url", domain_out="reg_domain")
+        assert out.columns.count("domain") == 1
+        assert "reg_domain" in out.columns

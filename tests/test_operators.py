@@ -1833,3 +1833,39 @@ def test_ivfpq_deterministic_rerun(spark, sf_dir):
     a = sorted(map(tuple, similarity.ivfpq_topk(qs, emb, k=5).collect()))
     b = sorted(map(tuple, similarity.ivfpq_topk(qs, emb, k=5).collect()))
     assert a == b
+
+
+def test_ivfpq_oracle_ks_not_equal_centroids(spark, sf_dir):
+    """_ivfpq_sql must mirror the Spark trajectory when ks !=
+    n_centroids. The original SQL derived the PQ seed codebook (cb0)
+    from the coarse `seeds LIMIT n_centroids` CTE, which only
+    coincided with similarity._pq_seed_codebook's ks-row seed at the
+    16/16 defaults — at ks=8 it silently mirrored an 8-extra-seed
+    trajectory. cb0 now has its own `LIMIT ks` seed CTE; pin the
+    off-default parameterization cross-engine."""
+    import duckdb
+
+    from voter_gateway_spark.queries import _ivfpq_sql
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_dist)
+        for r in similarity.ivfpq_topk(
+            qs, emb, k=5, m=8, ks=8, pq_iters=1,
+            n_centroids=16, n_probe=4, coarse_iters=0, centroid_round=9,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exp = {
+        (int(q), int(n), int(r), float(d))
+        for q, n, r, d in con.sql(
+            _ivfpq_sql(k=5, m=8, ks=8, sub=8, n_centroids=16, n_probe=4)
+        ).fetchall()
+    }
+    con.close()
+    assert len(got) > 0 and got == exp

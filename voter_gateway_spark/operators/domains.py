@@ -156,8 +156,25 @@ def domain_admission(
     both the isin and the join path.
 
     `domain_out`: name for the extracted-domain column kept on the
-    output (None drops it).
+    output (None drops it). Input columns named `_vgs_domain` (the
+    staging temporary — withColumn would silently overwrite it) or
+    matching `domain_out` (withColumnRenamed would leave TWO columns
+    of that name, ambiguous downstream) are rejected up front, the
+    same reserved-name contract as streaming.quality_filter's
+    payload guard.
     """
+    clash = sorted(
+        c
+        for c in df.columns
+        if c == "_vgs_domain" or (domain_out is not None and c == domain_out)
+    )
+    if clash:
+        raise ValueError(
+            "domain_admission: input columns %s collide with the "
+            "staging/output domain column (reserved: ['_vgs_domain', "
+            "domain_out=%r]); rename them or pick another domain_out"
+            % (clash, domain_out)
+        )
     dom = registrable_domain(url_col)
     out = df.withColumn("_vgs_domain", dom).where(
         F.col("_vgs_domain").isNotNull()

@@ -1471,9 +1471,15 @@ def _ivfpq_sql(
     n_probe: int = 4,
 ) -> str:
     """Mirror of ivfpq_topk(coarse_iters=0, pq_iters=1,
-    centroid_round=9): md5-ordered seeds feed BOTH quantizers; the PQ
-    Lloyd round unrolls as (pa1 → cb1) with means snapped to 9
-    decimals; subvector distances use the dot-product identity
+    centroid_round=9): md5-ordered seeds feed both quantizers, each
+    from its OWN limit — `seeds LIMIT n_centroids` for the coarse
+    cells, `pq_seeds LIMIT ks` for the PQ codebook (they coincide at
+    the 16/16 defaults, but the CTEs must mirror
+    similarity._pq_seed_codebook's ks-row seed independently so
+    calling this with ks != n_centroids cannot silently mirror the
+    wrong trajectory); the PQ Lloyd round unrolls as (pa1 → cb1)
+    with means snapped to 9 decimals; subvector distances use the
+    dot-product identity
     (a·a + b·b − 2·a·b, rounded 6) — the identical expression tree as
     similarity._l2sq; ADC = sum of the m LUT entries re-rounded to 6."""
     l2 = (
@@ -1506,9 +1512,12 @@ probes AS (
   ) WHERE rn <= {n_probe}
 ),
 js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+pq_seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {ks}
+),
 cb0 AS (
   SELECT js.j, sc.code, sc.cv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS cw
-  FROM (SELECT row_number() OVER (ORDER BY h) AS code, v AS cv FROM seeds) sc, js
+  FROM (SELECT row_number() OVER (ORDER BY h) AS code, v AS cv FROM pq_seeds) sc, js
 ),
 subs AS (
   SELECT c.vec_id, js.j, c.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv FROM c, js
