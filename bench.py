@@ -17,6 +17,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from voter_gateway_spark.queries import QUERIES  # noqa: E402
 from voter_gateway_spark.session import build_spark  # noqa: E402
 
+# The r1 driver baseline: the 16 queries bench.py measured in round 1
+# and their recorded total (BENCH_r01.json, sf0.1). The operative
+# perf bar is 2.0x of this total; r10->r11 showed the single-trial
+# wall drifting 1.47x -> 1.81x on byte-identical plans (shared-box
+# noise), so the ratio is computed and published IN the artifact from
+# best-of-N trials rather than eyeballed across rounds.
+R1_BASELINE_TOTAL = 11.223
+R1_BASELINE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "audit_coverage_customer",
+    "match_cascade_orders_customers",
+    "merge_upsert_customers",
+    "dedup_documents_lang_source",
+    "fuzzy_top1_documents",
+    "text_token_stats",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embed_topk_cosine",
+    "events_hourly",
+    "events_sessionized",
+]
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -131,8 +157,11 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
     # best-of-N per query: this box shows multi-second scheduler noise
-    # spikes; the min is the reproducible engine cost
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # spikes; the min is the reproducible engine cost. Default 3 (r11
+    # verdict ask #5: best-of-2 left a 15% wall swing on byte-identical
+    # plans — one extra trial costs ~1 min at sf0.1 and tightens the
+    # gate the 2.0x bar is judged on).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # SPARK_GRAFT_BENCH_SKIP: comma-separated queries to exclude — used
     # by the 100x decade run to drop the brute-force cosine baseline,
     # whose O(queries x corpus) contract is quadratic BY DESIGN (25B
@@ -156,12 +185,14 @@ def main() -> None:
             # (long) decade run, not after it
             print(f"bench: ignoring unknown/duplicate extra {s!r}", file=sys.stderr)
     timings: dict[str, float] = {}
+    trial_sec: dict[str, list[float]] = {}
     shuffle_bytes: dict[str, int] = {}
     spill_bytes: dict[str, int] = {}
     for name in BENCH_QUERIES + extra:
         if name in skip:
             continue
         best = float("inf")
+        trials: list[float] = []
         best_delta: tuple[int, int, int, int] | None = None
         for _ in range(runs):
             before = _stage_totals(spark)
@@ -178,11 +209,13 @@ def main() -> None:
             ).save()
             elapsed = time.time() - t0
             after = _stage_totals(spark)
+            trials.append(round(elapsed, 3))
             if elapsed < best:
                 best = elapsed
                 if before is not None and after is not None:
                     best_delta = tuple(a - b for a, b in zip(after, before))
         timings[name] = round(best, 3)
+        trial_sec[name] = trials
         if best_delta is not None:
             # shuffle volume = bytes WRITTEN to shuffle (each byte
             # counted once); spill = bytes that actually hit disk
@@ -204,7 +237,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
     }
+    # publish the perf-bar ratio in the artifact itself: best-of-N
+    # total over the r1-comparable 16-query subset / the r1 baseline.
+    # Only meaningful at the baseline's scale factor and with the full
+    # subset measured (decade runs skip/replace queries).
+    if out["sf"] == 0.1 and all(q in timings for q in R1_BASELINE_QUERIES):
+        r1_sub = round(sum(timings[q] for q in R1_BASELINE_QUERIES), 3)
+        out["r1_comparable_sec"] = r1_sub
+        out["r1_ratio"] = round(r1_sub / R1_BASELINE_TOTAL, 3)
     if shuffle_bytes:
         # totals stay in the summary line (2 short ints); the per-query
         # byte maps go to a side file — the driver captures only the
@@ -218,6 +260,10 @@ def main() -> None:
             "sf": out["sf"],
             "shuffle_bytes": shuffle_bytes,
             "spill_bytes": spill_bytes,
+            # every trial's wall time, so a noisy round is diagnosable
+            # from the artifact (which trial spiked) instead of only
+            # from a rerun
+            "trial_sec": trial_sec,
         }
         detail_path = os.environ.get(
             "SPARK_GRAFT_BENCH_DETAIL",
