@@ -1835,6 +1835,49 @@ def test_ivfpq_deterministic_rerun(spark, sf_dir):
     assert a == b
 
 
+def test_ivfpq_residual_uplift_on_clusters(spark):
+    """Residual refinement's contract, both directions: with a
+    Lloyd-refined coarse quantizer (coarse_iters=1, centroids = cell
+    MEANS) the PQ codewords only have to encode within-cell offsets,
+    lifting recall over plain PQ (measured 0.70 vs 0.56 on this
+    fixture); with raw seed-vector centroids (coarse_iters=0) the
+    residual is a difference of two noise draws — ~2x the variance to
+    quantize — and measurably HURTS (0.38), which is why the catalog
+    query runs residual at coarse_iters=1 and why residual=True is
+    opt-in rather than the default."""
+    df = _pq_cluster_fixture(spark)
+    qs = df.where(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(qs, df, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivfpq_topk(qs, df, k=5, **kw).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    plain = recall(coarse_iters=1, residual=False)
+    res = recall(coarse_iters=1, residual=True)
+    res_seed = recall(coarse_iters=0, residual=True)
+    assert res >= plain + 0.05, (plain, res)
+    assert res >= 0.6, res
+    assert res_seed < plain, (res_seed, plain)
+
+
+def test_ivfpq_residual_deterministic_rerun(spark, sf_dir):
+    """Residual mode keeps the rerun-determinism contract (seeded
+    quantizers + snapped coarse/PQ Lloyd means + rounded distances)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    kw = dict(k=5, coarse_iters=1, residual=True)
+    a = sorted(map(tuple, similarity.ivfpq_topk(qs, emb, **kw).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_topk(qs, emb, **kw).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_ivfpq_oracle_ks_not_equal_centroids(spark, sf_dir):
     """_ivfpq_sql must mirror the Spark trajectory when ks !=
     n_centroids. The original SQL derived the PQ seed codebook (cb0)

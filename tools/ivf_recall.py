@@ -14,6 +14,11 @@ brute-force top-k over the full corpus for just that sample (cheap:
   - auto-√N cells / n_probe=4  (the scale form)
   - auto-√N cells / n_probe scaled to match the fixed form's corpus
     fraction budget on a per-query basis (n_probe = cells/4)
+  - IVF-PQ at both cell counts (r12): the same coarse pruning with
+    ADC scoring over m=8/ks=16 product-quantization codes — recall
+    here pays BOTH the cell-pruning and the code-quantization
+    approximations, the number embed_recall_report's `pq` row tracks
+    at catalog scale and this tool tracks at stress scale
 """
 
 from __future__ import annotations
@@ -74,6 +79,19 @@ def main() -> None:
         recall(
             name,
             similarity.ivf_topk(queries, emb, k=k, iters=2, centroid_round=9, **kw),
+            t0,
+        )
+    for name, kw in [
+        ("ivfpq_fixed16_probe4", dict(n_centroids=16, coarse_iters=0)),
+        ("ivfpq_auto_probe4", dict(n_centroids=None, coarse_iters=2)),
+    ]:
+        t0 = time.time()
+        recall(
+            name,
+            similarity.ivfpq_topk(
+                queries, emb, k=k, m=8, ks=16, pq_iters=1,
+                n_probe=4, centroid_round=9, **kw,
+            ),
             t0,
         )
     spark.stop()

@@ -1239,6 +1239,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF coarse quantizer restricts
     candidates to each query's `n_probe` nearest cells (the existing
@@ -1256,12 +1257,21 @@ def ivfpq_topk(
 
     Approximations, orthogonal and both recall-only: cell pruning
     (IVF — same trade as ivf_topk) and code quantization (PQ — ADC
-    error bounded by per-subspace quantizer distortion). Scoring uses
-    the FULL-corpus-trained codebooks, not per-cell residuals
-    (FAISS-IVFPQ's residual refinement changes constants, not the
-    plan shape, and would put the coarse assignment inside the PQ
-    trainer — the composition here keeps both trainers independent
-    and each one oracle-checkable).
+    error bounded by per-subspace quantizer distortion). By default
+    scoring uses FULL-corpus-trained codebooks; `residual=True`
+    switches to FAISS-IVFPQ's standard residual refinement: PQ trains
+    on (vector − its coarse centroid), the query LUT is built per
+    PROBED CELL from (query − that cell's centroid), and ADC then
+    approximates the same ||q − x||² with the coarse displacement
+    removed — the quantizer spends its 16 codewords per subspace on
+    the within-cell geometry instead of re-encoding cell positions.
+    Residuals stay oracle-checkable because the subtraction is exact
+    in doubles (centroids are either raw seed vectors at
+    coarse_iters=0 or snapped Lloyd means) and the downstream
+    trajectory snaps/rounds identically; the plan shape is unchanged
+    (one extra broadcast join against the centroid frame on each
+    side, and the per-query LUT becomes per-(query, probe) — still
+    n_probe·m·ks in-row entries).
 
     Determinism: seeds, snapped Lloyd means, rounded distances, and
     LUT sums re-rounded to 6 — the full trajectory is reproduced by
@@ -1306,9 +1316,31 @@ def ivfpq_topk(
         "query_id", "_qv", "_cell"
     )
 
-    # PQ codebooks + corpus codes
-    cb = pq_train(c, m, ks, sub, iters=pq_iters, centroid_round=centroid_round)
-    codes = pq_encode(c, cb, m, sub)
+    # PQ codebooks + corpus codes (residual mode: both trained on
+    # vector − assigned-cell centroid; probes likewise re-based below)
+    cent_b = F.broadcast(centroids)
+    if residual:
+        pq_input = (
+            cells.join(cent_b, "_cell")
+            .select(
+                "_cid",
+                F.zip_with(
+                    "_cv", "_centroid", lambda x, y: x - y
+                ).alias("_cv"),
+            )
+            .transform(ckpt)
+        )
+        probes = probes.join(cent_b, "_cell").select(
+            "query_id",
+            F.zip_with("_qv", "_centroid", lambda x, y: x - y).alias("_qv"),
+            "_cell",
+        )
+    else:
+        pq_input = c
+    cb = pq_train(
+        pq_input, m, ks, sub, iters=pq_iters, centroid_round=centroid_round
+    )
+    codes = pq_encode(pq_input, cb, m, sub)
 
     # per-query ADC lookup table: _lut[j*ks + code] = ||q_j − cw||².
     # Built DENSE over the full (j, code) grid, not positionally over

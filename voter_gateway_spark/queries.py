@@ -1572,6 +1572,177 @@ FROM (
 """
 
 
+def embed_ivfpq_residual_topk(spark, sf_dir):
+    """IVF-PQ with residual refinement (similarity.ivfpq_topk
+    residual=True — FAISS-IVFPQ's standard form): PQ codebooks train
+    on (vector − assigned-cell centroid) and each query builds its
+    ADC lookup table per PROBED CELL from (query − that cell's
+    centroid), so the 16 codewords per subspace encode within-cell
+    geometry instead of re-encoding cell positions. Runs ONE snapped
+    coarse Lloyd round (coarse_iters=1) where plain embed_ivfpq_topk
+    uses raw seeds — deliberately: residuals against a seed VECTOR
+    are a difference of two noise draws (~2× the variance PQ must
+    encode) and measurably hurt recall, while residuals against a
+    cell MEAN are just the within-cell offset — on the clustered
+    test fixture this form lifts recall@5 from 0.56 (plain PQ) to
+    0.70, and at coarse_iters=0 residual drops it to 0.38
+    (tests/test_operators.py pins the uplift). Oracle: the full
+    trajectory — seed cells, one snapped coarse Lloyd round,
+    residual re-basing (exact double subtraction on both engines),
+    residual PQ Lloyd round, per-(query, cell) LUTs — reproduced as
+    CTEs (_ivfpq_residual_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.ivfpq_topk(
+        queries, emb, k=5, m=8, ks=16, pq_iters=1,
+        n_centroids=16, n_probe=4, coarse_iters=1, centroid_round=9,
+        residual=True,
+    )
+
+
+def _ivfpq_residual_sql(
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    sub: int = 8,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    coarse_iters: int = 1,
+) -> str:
+    """Mirror of ivfpq_topk(residual=True, coarse_iters=1, pq_iters=1,
+    centroid_round=9): _ivfpq_sql's trajectory with a snapped coarse
+    Lloyd round (the _ivf_lloyd_sql assign_i -> cents_i unroll, means
+    rounded to 9 decimals) and both sides re-based on the refined
+    centroid before quantization — corpus residuals from the rn=1
+    assignment, query residuals per probed cell (so the LUT CTE is
+    keyed (query, cell) and the ADC join matches candidates through
+    the cell they share with the probe). Subtraction is plain double
+    arithmetic in both engines; everything downstream reuses the
+    snapped-Lloyd / rounded-distance determinism grid."""
+    l2 = (
+        "round(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}), 6)"
+    )
+    d_cb0 = l2.format(a="s.sv", b="b.cw")
+    d_q = l2.format(a="qs.sv", b="b.cw")
+    coarse = [
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"seeds AS (SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {n_centroids})",
+        "cents0 AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
+    ]
+    prev = "cents0"
+    for i in range(1, coarse_iters + 1):
+        coarse.append(f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, k.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC, k.cell) AS rn
+    FROM c, {prev} k
+  ) WHERE rn = 1
+)""")
+        coarse.append(f"""cents{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT cell, i AS pos, round(avg(v[i]), 9) AS m
+    FROM a{i}, unnest(generate_series(1, len(v))) AS t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+        prev = f"cents{i}"
+    coarse_ctes = ",\n".join(coarse)
+    return f"""
+WITH {coarse_ctes},
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, k.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC, k.cell) AS rn
+    FROM c, {prev} k
+  ) WHERE rn = 1
+),
+rc AS (
+  SELECT c.vec_id, a.cell,
+         list_transform(generate_series(1, {dim}), i -> c.v[i] - ct.cv[i]) AS rv
+  FROM c JOIN assign a ON c.vec_id = a.vec_id JOIN {prev} ct ON a.cell = ct.cell
+),
+q AS (SELECT vec_id, v FROM c WHERE vec_id % 10 = 0),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, k.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, k.cv), 6) DESC, k.cell) AS rn
+    FROM q, {prev} k
+  ) WHERE rn <= {n_probe}
+),
+js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+pq_seeds AS (
+  SELECT rv, md5(CAST(vec_id AS VARCHAR)) AS h FROM rc ORDER BY h LIMIT {ks}
+),
+cb0 AS (
+  SELECT js.j, sc.code, sc.cv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS cw
+  FROM (SELECT row_number() OVER (ORDER BY h) AS code, rv AS cv FROM pq_seeds) sc, js
+),
+subs AS (
+  SELECT rc.vec_id, js.j, rc.rv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv FROM rc, js
+),
+pa1 AS (
+  SELECT vec_id, j, sv, code FROM (
+    SELECT s.vec_id, s.j, s.sv, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {d_cb0} ASC, b.code) AS rn
+    FROM subs s JOIN cb0 b ON s.j = b.j
+  ) WHERE rn = 1
+),
+cb1 AS (
+  SELECT j, code, list(mm ORDER BY pos) AS cw FROM (
+    SELECT j, code, i AS pos, round(avg(sv[i]), 9) AS mm
+    FROM pa1, unnest(generate_series(1, {sub})) AS t(i)
+    GROUP BY j, code, i
+  ) GROUP BY j, code
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY {d_cb0} ASC, b.code) AS rn
+    FROM subs s JOIN cb1 b ON s.j = b.j
+  ) WHERE rn = 1
+),
+qr AS (
+  SELECT p.vec_id, p.cell,
+         list_transform(generate_series(1, {dim}), i -> q.v[i] - ct.cv[i]) AS rv
+  FROM probes p JOIN q ON p.vec_id = q.vec_id JOIN {prev} ct ON p.cell = ct.cell
+),
+qsubs AS (
+  SELECT qr.vec_id, qr.cell, js.j,
+         qr.rv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
+  FROM qr, js
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.cell, b.j, b.code, {d_q} AS d
+  FROM qsubs qs JOIN cb1 b ON qs.j = b.j
+),
+cand AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, round(sum(l.d), 6) AS adc_dist
+  FROM cand
+  JOIN enc e ON e.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.cell = cand.cell
+            AND l.j = e.j AND l.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, adc_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
     """Mirror of lsh_bucketed_topk: the md5-derived hyperplanes are
     baked as literals, bucket = concatenated dot-product sign bits."""
@@ -5600,6 +5771,7 @@ def embed_recall_report(spark, sf_dir):
         ("int8", embed_int8_topk),
         ("lsh", embed_lsh_topk),
         ("pq", embed_ivfpq_topk),
+        ("pq_res", embed_ivfpq_residual_topk),
     ):
         parts.append(
             fn(spark, sf_dir).select(
@@ -5620,7 +5792,8 @@ def embed_recall_report(spark, sf_dir):
     )
     bn = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nb"))
     methods = spark.createDataFrame(
-        [("ivf",), ("int8",), ("lsh",), ("pq",)], "method string"
+        [("ivf",), ("int8",), ("lsh",), ("pq",), ("pq_res",)],
+        "method string",
     )
     grid = bn.crossJoin(F.broadcast(methods))
     return (
@@ -5642,11 +5815,13 @@ lsh AS ({_lsh_topk_sql()}),
 i8 AS ({INT8_TOPK_SQL}),
 ivf AS ({_ivf_sql()}),
 pq AS ({_ivfpq_sql()}),
+pq_res AS ({_ivfpq_residual_sql()}),
 tagged AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
   UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
+  UNION ALL SELECT 'pq_res', query_id, neighbor_id FROM pq_res
 ),
 perq AS (
   SELECT t.method, t.query_id,
@@ -5662,7 +5837,8 @@ grid AS (
   -- vanish from the audit (r7 code review)
   SELECT m.method, bn.query_id, bn.nb
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'int8'
-        UNION ALL SELECT 'ivf' UNION ALL SELECT 'pq') m
+        UNION ALL SELECT 'ivf' UNION ALL SELECT 'pq'
+        UNION ALL SELECT 'pq_res') m
   CROSS JOIN bn
 )
 SELECT g.method, count(*) AS n_queries,
@@ -7211,6 +7387,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
+    # r12 newborn takes a prefix slot at birth (the r11 lesson);
+    # text_perplexity_buckets (2 straight greens) slides to the tail
+    "embed_ivfpq_residual_topk": embed_ivfpq_residual_topk,
     "pipeline_corpus_build": pipeline_corpus_build,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
@@ -7257,13 +7436,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_drift_report": corpus_drift_report,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     "sample_temperature_mixture": sample_temperature_mixture,
-    "text_perplexity_buckets": text_perplexity_buckets,
     # --- below the driver ~50-query sample window: every entry is
     #     green on its most recent driver row AND in the post-final-
     #     commit CORRECTNESS_local.json regeneration. The r12
     #     rotated-out stables (6-11 consecutive driver greens each)
     #     lead the tail so they re-enter the window first if the
     #     sample ever widens ---
+    "text_perplexity_buckets": text_perplexity_buckets,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "audit_coverage_customer": audit_coverage_customer,
@@ -7494,5 +7673,6 @@ ORACLES: dict[str, str] = {
     "corpus_domain_report": _domain_report_sql(),
     "sample_domain_filtered": _domain_filtered_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
+    "embed_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "pipeline_corpus_build": _corpus_build_sql(),
 }
