@@ -129,6 +129,25 @@ class TestDomainAdmission:
         out = domains.domain_admission(df, "url", domain_out=None)
         assert out.columns == ["id", "url"]
 
+    def test_domain_mixture_invariants(self, spark, sf_dir):
+        # domain-level temperature mixture: weights normalize, the
+        # admission never exceeds the domain's mass, full-rate domains
+        # admit everything, and the sqrt temperature up-weights small
+        # domains (rate monotone non-increasing in domain size)
+        from voter_gateway_spark.queries import sample_domain_mixture
+
+        rows = sample_domain_mixture(spark, sf_dir).collect()
+        assert len(rows) > 1
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert 0 < r["rate"] <= 1.0
+            assert 0 <= r["n_selected"] <= r["n_docs"]
+            if r["rate"] == 1.0:
+                assert r["n_selected"] == r["n_docs"]
+        by_size = sorted(rows, key=lambda r: r["n_docs"])
+        rates = [r["rate"] for r in by_size]
+        assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+
     def test_reserved_staging_column_rejected(self, spark):
         df = _urls(spark, self.ROWS).withColumn("_vgs_domain", F.lit("x"))
         with pytest.raises(ValueError, match="_vgs_domain"):

@@ -7358,6 +7358,85 @@ WHERE domain IS NOT NULL AND domain NOT IN ({blocked})
 """
 
 
+def sample_domain_mixture(spark, sf_dir):
+    """Domain-level temperature mixture — the crawl-rebalancing step
+    a web pipeline runs where sample_temperature_mixture runs at
+    source level (CCNet/RefinedWeb practice: head domains are
+    down-weighted, tail domains up-weighted, at the registrable-domain
+    granularity the corpus actually skews on). Composes the two
+    certified pieces verbatim: operators/domains.py extraction
+    (scan-stage expressions over the seeded URLs) feeding the shared
+    _temperature_rates sqrt-weight helper (domain renamed through the
+    helper's source key, so one weight implementation serves both
+    granularities) and the deterministic md5-bucket admission.
+    NULL-domain docs (unparseable URLs) are excluded before counting —
+    the domain_admission reject convention, so mixture mass is defined
+    over admissible docs only.
+
+    Output per domain: corpus size, normalized sqrt weight, admission
+    rate (capped at 1.0), docs actually selected.
+
+    Scale shape: domain extraction is scan-stage; one domain-keyed
+    count (domain cardinality ≪ doc count), two 1-row broadcast
+    normalizations, one broadcast rate join probed in the scan stage —
+    the corpus is read once and never shuffled by admission."""
+    from voter_gateway_spark.operators import domains
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = (
+        _seed_urls(docs.select("doc_id"))
+        .select("doc_id", domains.registrable_domain("url").alias("domain"))
+        .where(F.col("domain").isNotNull())
+    )
+    per = dd.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rates = _temperature_rates(
+        per.withColumnRenamed("domain", "source"), TEMPERATURE_MIXTURE_TARGET
+    ).withColumnRenamed("source", "domain")
+    sel = (
+        dd.join(F.broadcast(rates.select("domain", "rate")), "domain")
+        .where(_mixture_bucket() < F.col("rate"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    )
+    return rates.join(sel, "domain", "left").select(
+        "domain",
+        "n_docs",
+        "weight",
+        "rate",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+    )
+
+
+def _domain_mixture_sql() -> str:
+    """Mirror of sample_domain_mixture: the shared domain CTE chain
+    feeding TEMPERATURE_MIXTURE_SQL's rate/admission arithmetic keyed
+    by domain."""
+    return f"""
+WITH {_domain_sql_cte()},
+dd AS (SELECT doc_id, domain FROM domx WHERE domain IS NOT NULL),
+per AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM dd GROUP BY domain),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM per),
+w AS (SELECT domain, n_docs, sqrt(n_docs / t.N) AS raw FROM per, tot t),
+ws AS (SELECT sum(raw) AS S FROM w),
+rates AS (
+  SELECT domain, n_docs, round(raw / s.S, 6) AS weight,
+         least(1.0, round({TEMPERATURE_MIXTURE_TARGET} * (raw / s.S) / n_docs, 6)) AS rate
+  FROM w, ws s
+), sel AS (
+  SELECT d.domain, CAST(count(*) AS BIGINT) AS c
+  FROM dd d JOIN rates r USING (domain)
+  WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+        / 1000000.0 < r.rate
+  GROUP BY d.domain
+)
+SELECT r.domain, r.n_docs, r.weight, r.rate,
+       CAST(coalesce(sel.c, 0) AS BIGINT) AS n_selected
+FROM rates r LEFT JOIN sel USING (domain)
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -7387,9 +7466,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
-    # r12 newborn takes a prefix slot at birth (the r11 lesson);
-    # text_perplexity_buckets (2 straight greens) slides to the tail
+    # r12 newborns take prefix slots at birth (the r11 lesson);
+    # text_perplexity_buckets and jsonl_roundtrip_documents (2
+    # straight greens each) slide to the tail
     "embed_ivfpq_residual_topk": embed_ivfpq_residual_topk,
+    "sample_domain_mixture": sample_domain_mixture,
     "pipeline_corpus_build": pipeline_corpus_build,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
@@ -7434,7 +7515,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "text_bigram_logprob": text_bigram_logprob,
     "corpus_drift_report": corpus_drift_report,
-    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     "sample_temperature_mixture": sample_temperature_mixture,
     # --- below the driver ~50-query sample window: every entry is
     #     green on its most recent driver row AND in the post-final-
@@ -7443,6 +7523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     lead the tail so they re-enter the window first if the
     #     sample ever widens ---
     "text_perplexity_buckets": text_perplexity_buckets,
+    "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "audit_coverage_customer": audit_coverage_customer,
@@ -7672,6 +7753,7 @@ ORACLES: dict[str, str] = {
     "pipeline_daily_ingest": _daily_ingest_sql(),
     "corpus_domain_report": _domain_report_sql(),
     "sample_domain_filtered": _domain_filtered_sql(),
+    "sample_domain_mixture": _domain_mixture_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
     "embed_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "pipeline_corpus_build": _corpus_build_sql(),
