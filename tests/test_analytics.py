@@ -736,3 +736,36 @@ def test_trigram_logprob_matches_python_reference(spark):
         assert got[d][0] == exp[d][0]
         for i in (1, 2, 3):
             assert abs(got[d][i] - exp[d][i]) < 1e-9, (d, got[d], exp[d])
+
+
+def test_nb_quality_score_separates_heldout_classes(spark, sf_dir):
+    """The hashed-unigram naive-Bayes scorer must generalize its
+    bootstrap labels: on the ODD-id half (unseen by the even-id
+    trainer), gopher-pass docs must average a strictly higher
+    log-odds score than gopher-fail docs, and the admit flag must be
+    exactly score >= 0. Also pins the held-out discipline: training
+    on the even half means an odd doc's score is pure vocabulary
+    evidence, not memorized labels."""
+    from voter_gateway_spark.operators.text import gopher_rules
+    from voter_gateway_spark.queries import (
+        QUALITY_GATE_MIN_STOP_WORDS,
+        QUALITY_GATE_MIN_WORDS,
+        text_nb_quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = {
+        r["doc_id"]: r["pass_gopher"]
+        for r in gopher_rules(
+            docs,
+            min_words=QUALITY_GATE_MIN_WORDS,
+            min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+        ).collect()
+    }
+    rows = text_nb_quality_score(spark, sf_dir).collect()
+    assert all((r["nb_score"] >= 0) == r["admit"] for r in rows)
+    heldout = [r for r in rows if r["doc_id"] % 2 == 1]
+    pos = [r["nb_score"] for r in heldout if lab[r["doc_id"]]]
+    neg = [r["nb_score"] for r in heldout if not lab[r["doc_id"]]]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)

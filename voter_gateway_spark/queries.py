@@ -6767,6 +6767,157 @@ FROM rates r LEFT JOIN sel USING (source)
 """.format(TEMPERATURE_MIXTURE_TARGET=TEMPERATURE_MIXTURE_TARGET)
 
 
+NB_QUALITY_BUCKETS = 65536
+
+
+def text_nb_quality_score(spark, sf_dir):
+    """Hashed-unigram naive-Bayes quality classifier — the
+    SQL-expressible cousin of the fastText quality gate CCNet/DCLM
+    run (a linear bag-of-words scorer; log-odds naive Bayes is the
+    closed-form member of that family, trainable in one aggregation
+    pass with no SGD): per-token weights are the smoothed log-odds of
+    the token's HASH BUCKET between seed-positive and seed-negative
+    training docs, and a document's score is its mean token weight.
+
+    Bootstrap labeling, the CCNet pattern (seed = pages that look
+    like the reference corpus): positives are docs passing the
+    quality gate's own Gopher instantiation (QUALITY_GATE_MIN_WORDS /
+    _MIN_STOP_WORDS — rule-based, so the classifier generalizes the
+    rules into vocabulary evidence); training reads the even-doc_id
+    half only (the LM queries' held-out idiom) and scores ALL docs,
+    so every scored odd-id doc is unseen by the trainer.
+
+    Feature hashing (md5_hash60 % 65,536 buckets) is what makes this
+    100 TB-honest: the weight table is BOUNDED at 2^16 rows no matter
+    the corpus vocabulary (Heaps' law never touches it), so it always
+    broadcasts. Plan: one token explode feeding (a) one
+    bucket-keyed count aggregation over the training half and (b) the
+    scoring pass — a broadcast weight join + per-doc avg; two 1-row
+    broadcasts (class totals, unseen-bucket weight). Nothing scales
+    beyond the explode the LM plan already pays.
+
+    Determinism: weights snapped to 9 decimals (the Lloyd grid), the
+    per-doc mean rounded to 6 (the LM contract); Laplace alpha=0.5
+    keeps every log argument positive even for a degenerate all-one-
+    class corpus. Zero-token docs are excluded (no mean exists —
+    the LM's convention). `admit` = log-odds >= 0, the balanced
+    decision threshold.
+
+    Reference shape: F6 scalar vocabulary + the reference's
+    rule-based record-quality predicates, generalized into a trained
+    scorer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", text.tokens("text", lower=True).alias("_t")
+    ).where(F.size("_t") >= 1)
+    ex = toks.select("doc_id", F.explode("_t").alias("_w")).select(
+        "doc_id",
+        (dedup_ops.md5_hash60(F.col("_w")) % NB_QUALITY_BUCKETS).alias("_b"),
+    ).transform(ckpt_lazy)
+    lab = text.gopher_rules(
+        docs,
+        min_words=QUALITY_GATE_MIN_WORDS,
+        min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+    ).select("doc_id", "pass_gopher")
+    tr = ex.where(F.col("doc_id") % 2 == 0).join(lab, "doc_id")
+    cnts = tr.groupBy("_b").agg(
+        F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
+        .cast("double")
+        .alias("_pc"),
+        F.sum(F.when(~F.col("pass_gopher"), 1).otherwise(0))
+        .cast("double")
+        .alias("_nc"),
+    )
+    tot = cnts.agg(
+        F.sum("_pc").alias("_pt"), F.sum("_nc").alias("_nt")
+    )
+    smooth = 0.5 * NB_QUALITY_BUCKETS
+    w = cnts.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.round(
+            F.log((F.col("_pc") + 0.5) / (F.col("_pt") + smooth))
+            - F.log((F.col("_nc") + 0.5) / (F.col("_nt") + smooth)),
+            9,
+        ).alias("_wt"),
+    )
+    unseen = tot.select(
+        F.round(
+            F.log(F.lit(0.5) / (F.col("_pt") + smooth))
+            - F.log(F.lit(0.5) / (F.col("_nt") + smooth)),
+            9,
+        ).alias("_u")
+    )
+    scored = (
+        ex.join(F.broadcast(w), "_b", "left")
+        .crossJoin(F.broadcast(unseen))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.coalesce("_wt", F.col("_u"))), 6).alias(
+                "nb_score"
+            )
+        )
+    )
+    return toks.select("doc_id", "source").join(scored, "doc_id").select(
+        "doc_id",
+        "source",
+        "nb_score",
+        (F.col("nb_score") >= 0).alias("admit"),
+    )
+
+
+def _nb_quality_sql() -> str:
+    """Mirror of text_nb_quality_score: the LM queries' token CTE, the
+    gate-parametrized Gopher oracle as the label CTE, md5_hash60
+    bucket hashing, and the identical smoothed log-odds expressions
+    (same syntactic form so both engines round the same doubles)."""
+    b = NB_QUALITY_BUCKETS
+    smooth = f"0.5 * {b}"
+    gopher = _gopher_rules_sql(
+        min_words=QUALITY_GATE_MIN_WORDS,
+        min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+), nonempty AS (SELECT * FROM toks WHERE len(t) >= 1),
+ex AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w), 1, 15))::BIGINT % {b} AS b
+  FROM (SELECT doc_id, unnest(t) AS w FROM nonempty)
+),
+lab AS (SELECT doc_id, pass_gopher FROM ({gopher})),
+tr AS (SELECT ex.doc_id, ex.b, l.pass_gopher
+       FROM ex JOIN lab l ON ex.doc_id = l.doc_id
+       WHERE ex.doc_id % 2 = 0),
+cnts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS DOUBLE) AS pc,
+         CAST(sum(CASE WHEN NOT pass_gopher THEN 1 ELSE 0 END) AS DOUBLE) AS nc
+  FROM tr GROUP BY b
+),
+tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cnts),
+w AS (
+  SELECT b, round(ln((pc + 0.5) / (t.pt + {smooth}))
+               - ln((nc + 0.5) / (t.nt + {smooth})), 9) AS wt
+  FROM cnts, tot t
+),
+unseen AS (
+  SELECT round(ln(0.5 / (pt + {smooth})) - ln(0.5 / (nt + {smooth})), 9) AS u
+  FROM tot
+),
+scored AS (
+  SELECT ex.doc_id, round(avg(coalesce(w.wt, un.u)), 6) AS nb_score
+  FROM ex LEFT JOIN w ON ex.b = w.b, unseen un
+  GROUP BY ex.doc_id
+)
+SELECT n.doc_id, n.source, s.nb_score, s.nb_score >= 0 AS admit
+FROM nonempty n JOIN scored s ON n.doc_id = s.doc_id
+"""
+
+
 def text_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020, public): corpus
     terciles of the trigram Stupid-Backoff document logprob split the
@@ -7467,10 +7618,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
     # r12 newborns take prefix slots at birth (the r11 lesson);
-    # text_perplexity_buckets and jsonl_roundtrip_documents (2
-    # straight greens each) slide to the tail
+    # text_perplexity_buckets, jsonl_roundtrip_documents, and
+    # text_bigram_logprob (2 straight greens each; the trigram LM
+    # stays hot and supersedes the bigram rung) slide to the tail
     "embed_ivfpq_residual_topk": embed_ivfpq_residual_topk,
     "sample_domain_mixture": sample_domain_mixture,
+    "text_nb_quality_score": text_nb_quality_score,
     "pipeline_corpus_build": pipeline_corpus_build,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
@@ -7513,7 +7666,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_contamination": corpus_contamination,
     "dedup_band_index_probe": dedup_band_index_probe,
     "dedup_simhash": dedup_simhash,
-    "text_bigram_logprob": text_bigram_logprob,
     "corpus_drift_report": corpus_drift_report,
     "sample_temperature_mixture": sample_temperature_mixture,
     # --- below the driver ~50-query sample window: every entry is
@@ -7524,6 +7676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     sample ever widens ---
     "text_perplexity_buckets": text_perplexity_buckets,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+    "text_bigram_logprob": text_bigram_logprob,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "audit_coverage_customer": audit_coverage_customer,
@@ -7754,6 +7907,7 @@ ORACLES: dict[str, str] = {
     "corpus_domain_report": _domain_report_sql(),
     "sample_domain_filtered": _domain_filtered_sql(),
     "sample_domain_mixture": _domain_mixture_sql(),
+    "text_nb_quality_score": _nb_quality_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
     "embed_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "pipeline_corpus_build": _corpus_build_sql(),
