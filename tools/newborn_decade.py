@@ -74,6 +74,8 @@ NEWBORNS = {
     "embed_ivfpq_auto": embed_ivfpq_auto,
     "embed_ivfpq_residual_topk": QUERIES["embed_ivfpq_residual_topk"],
     "embed_ivfpq_residual_auto": embed_ivfpq_residual_auto,
+    "sample_domain_mixture": QUERIES["sample_domain_mixture"],
+    "text_nb_quality_score": QUERIES["text_nb_quality_score"],
 }
 # the fixed-cell oracle forms are quadratic by design past sf0.1
 SKIP_PAST_SF01 = {"embed_ivfpq_topk", "embed_ivfpq_residual_topk"}
