@@ -178,6 +178,79 @@ class TestLMGatedStream:
         # the in-domain clean arrival survives the LM gate
         assert 9000001 in admitted
 
+    def test_nb_gated_stream_matches_batch_reference(
+        self, spark, sf_dir, tmp_path, arrival_rows
+    ):
+        from voter_gateway_spark.operators import nbq
+        from voter_gateway_spark.streaming.index_dedup import admit_batch
+        from voter_gateway_spark.streaming.quality import nb_gate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        ref = nbq.build_reference(corpus)
+
+        idx, cp = str(tmp_path / "idx"), str(tmp_path / "corpus")
+        bootstrap_index(corpus, idx, cp, "doc_id", "text")
+
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        (src / "b1.jsonl").write_text(
+            "\n".join(json.dumps(d) for d in arrival_rows) + "\n"
+        )
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(src)
+        )
+        # floor well below 0: the parity claim (stream == batch chain)
+        # is the contract under test, not the classifier's judgment of
+        # the synthetic arrivals
+        floor = -1.0
+        writer = stream_quality_admission(
+            stream, idx, cp, "doc_id", "text",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            nb_ref=ref, nb_floor=floor,
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        q.stop()
+        admitted = {
+            r["doc_id"]
+            for r in spark.read.parquet(cp)
+            .where(F.col("doc_id") >= 9000000)
+            .collect()
+        }
+
+        # batch reference: identical gate chain on a pristine state
+        idx2, cp2 = str(tmp_path / "idx2"), str(tmp_path / "corpus2")
+        bootstrap_index(corpus, idx2, cp2, "doc_id", "text")
+        batch = quality_filter(
+            _mkdocs(spark, [(r["doc_id"], r["text"]) for r in arrival_rows])
+        )
+        gated = nb_gate(batch, ref, floor)
+        ref_out = admit_batch(spark, gated, idx2, cp2, "doc_id", "text")
+        ref_ids = {r["doc_id"] for r in ref_out.collect()}
+        assert admitted == ref_ids
+        assert admitted  # the gate admits something at this floor
+
+    def test_nb_gate_requires_floor(self, spark, sf_dir, tmp_path):
+        from voter_gateway_spark.operators import nbq
+        from voter_gateway_spark.streaming.quality import (
+            stream_quality_admission,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        ref = nbq.build_reference(docs)
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            str(tmp_path)
+        )
+        with pytest.raises(ValueError, match="nb_floor"):
+            stream_quality_admission(
+                stream, "i", "c", "doc_id", "text", nb_ref=ref
+            )
+
     def test_lm_gate_requires_floor(self, spark, sf_dir, tmp_path):
         from voter_gateway_spark.operators import lm
         from voter_gateway_spark.streaming.quality import (

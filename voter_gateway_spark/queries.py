@@ -6805,58 +6805,33 @@ def text_nb_quality_score(spark, sf_dir):
 
     Reference shape: F6 scalar vocabulary + the reference's
     rule-based record-quality predicates, generalized into a trained
-    scorer."""
+    scorer.
+
+    Implementation lives in operators/nbq.py (the operators/lm.py
+    factoring precedent) — shared verbatim with the streaming
+    admission's nb_gate, so batch and stream score with one formula.
+    This query keeps the shared-explode plan: ONE checkpointed
+    token_buckets frame feeds the even-half trainer AND the scoring
+    pass (nbq's *_from_buckets hooks)."""
+    from voter_gateway_spark.operators import nbq
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", text.tokens("text", lower=True).alias("_t")
     ).where(F.size("_t") >= 1)
-    ex = toks.select("doc_id", F.explode("_t").alias("_w")).select(
-        "doc_id",
-        (dedup_ops.md5_hash60(F.col("_w")) % NB_QUALITY_BUCKETS).alias("_b"),
-    ).transform(ckpt_lazy)
+    ex = nbq.token_buckets(docs, buckets=NB_QUALITY_BUCKETS).transform(
+        ckpt_lazy
+    )
     lab = text.gopher_rules(
         docs,
         min_words=QUALITY_GATE_MIN_WORDS,
         min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
     ).select("doc_id", "pass_gopher")
-    tr = ex.where(F.col("doc_id") % 2 == 0).join(lab, "doc_id")
-    cnts = tr.groupBy("_b").agg(
-        F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0))
-        .cast("double")
-        .alias("_pc"),
-        F.sum(F.when(~F.col("pass_gopher"), 1).otherwise(0))
-        .cast("double")
-        .alias("_nc"),
+    ref = nbq.train_from_buckets(
+        ex.where(F.col("doc_id") % 2 == 0).join(lab, "doc_id"),
+        NB_QUALITY_BUCKETS,
     )
-    tot = cnts.agg(
-        F.sum("_pc").alias("_pt"), F.sum("_nc").alias("_nt")
-    )
-    smooth = 0.5 * NB_QUALITY_BUCKETS
-    w = cnts.crossJoin(F.broadcast(tot)).select(
-        "_b",
-        F.round(
-            F.log((F.col("_pc") + 0.5) / (F.col("_pt") + smooth))
-            - F.log((F.col("_nc") + 0.5) / (F.col("_nt") + smooth)),
-            9,
-        ).alias("_wt"),
-    )
-    unseen = tot.select(
-        F.round(
-            F.log(F.lit(0.5) / (F.col("_pt") + smooth))
-            - F.log(F.lit(0.5) / (F.col("_nt") + smooth)),
-            9,
-        ).alias("_u")
-    )
-    scored = (
-        ex.join(F.broadcast(w), "_b", "left")
-        .crossJoin(F.broadcast(unseen))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.avg(F.coalesce("_wt", F.col("_u"))), 6).alias(
-                "nb_score"
-            )
-        )
-    )
+    scored = nbq.score_from_buckets(ex, ref)
     return toks.select("doc_id", "source").join(scored, "doc_id").select(
         "doc_id",
         "source",

@@ -10,12 +10,16 @@ stream micro-batch — the parity test's contract
 (tests/test_streaming_quality.py): filtering then streaming admits
 exactly the set that batch-filtering admits.
 
-The trigram-LM perplexity gate joins the path via a PINNED reference
-snapshot (operators/lm.py:build_reference over a static corpus, count
-tables lazily checkpointed once): scoring runs as a plain batch op
-inside the foreachBatch body — no streaming-aggregation state; the
-tables enter each micro-batch as checkpointed static joins. Pass
-`lm_ref` + `logprob_floor` to stream_quality_admission to enable it.
+The trained gates join the path via PINNED reference snapshots built
+over a static corpus and scored as plain batch ops inside the
+foreachBatch body — no streaming-aggregation state; the tables enter
+each micro-batch as checkpointed static joins. Pass `lm_ref` +
+`logprob_floor` (trigram-LM perplexity gate,
+operators/lm.py:build_reference) and/or `nb_ref` + `nb_floor`
+(naive-Bayes classifier gate, operators/nbq.py:build_reference —
+a CONSTANT 2^16-row broadcast regardless of corpus vocabulary) to
+stream_quality_admission to enable them; both given, the LM gate
+runs first.
 
 Reference shape: csv_driver.rb's ingest-time filtering (malformed-row
 rejection at the boundary), upgraded to corpus-quality semantics.
@@ -26,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from voter_gateway_spark.operators import lm, text
+from voter_gateway_spark.operators import lm, nbq, text
 from voter_gateway_spark.streaming.index_dedup import (
     admit_batch,
     stream_dedup_against_index,
@@ -115,20 +119,26 @@ def stream_quality_admission(
     query_name: str = "vgs_quality_admission",
     lm_ref: "lm.LMReference | None" = None,
     logprob_floor: float | None = None,
+    nb_ref: "nbq.NBReference | None" = None,
+    nb_floor: float | None = None,
 ):
     """Quality-gated exactly-once streaming admission: the stateless
     quality_filter runs inside the stream plan (scan stage of each
     micro-batch); optionally the trigram-LM gate scores each batch
     against the pinned `lm_ref` tables (batch op inside foreachBatch,
-    keeping only docs with mean_logprob >= `logprob_floor`); then the
-    index-probing dedup admission appends the survivors to the
-    corpus + band index with the crash-safe staged protocol. Returns
-    the writer; call .start().
+    keeping only docs with mean_logprob >= `logprob_floor`) and/or
+    the naive-Bayes classifier gate scores it against the pinned
+    `nb_ref` weights (keeping docs with nb_score >= `nb_floor`; 0.0
+    is the balanced log-odds threshold); then the index-probing dedup
+    admission appends the survivors to the corpus + band index with
+    the crash-safe staged protocol. Returns the writer; call .start().
 
     Per-batch cost: the stateless gates add ZERO shuffles or state to
     stream_dedup_against_index's profile; the LM gate adds the
     batch-sized trigram explode + count-table joins (tables
-    checkpointed once at build, so no per-batch recompute)."""
+    checkpointed once at build, so no per-batch recompute); the NB
+    gate adds one batch-sized token explode + a CONSTANT 2^16-row
+    broadcast join — the cheapest trained gate in the ladder."""
     filtered = quality_filter(
         stream,
         text_col=text_col,
@@ -137,7 +147,7 @@ def stream_quality_admission(
         max_words=max_words,
         min_stop_words=min_stop_words,
     )
-    if lm_ref is None:
+    if lm_ref is None and nb_ref is None:
         return stream_dedup_against_index(
             filtered,
             index_path,
@@ -149,18 +159,25 @@ def stream_quality_admission(
             checkpoint_dir=checkpoint_dir,
             query_name=query_name,
         )
-    if logprob_floor is None:
+    if lm_ref is not None and logprob_floor is None:
         raise ValueError("logprob_floor is required when lm_ref is given")
-    # own foreachBatch body: the LM gate must run on the materialized
-    # micro-batch (a batch-op join against the pinned tables), which
-    # stream_dedup_against_index's body has no hook for. Lineage
-    # resolution mirrors it: the query id comes from the session that
-    # OWNS the query, not foreachBatch's cloned session.
+    if nb_ref is not None and nb_floor is None:
+        raise ValueError("nb_floor is required when nb_ref is given")
+    # own foreachBatch body: the trained gates must run on the
+    # materialized micro-batch (batch-op joins against the pinned
+    # tables), which stream_dedup_against_index's body has no hook
+    # for. Lineage resolution mirrors it: the query id comes from the
+    # session that OWNS the query, not foreachBatch's cloned session.
     owner_spark = stream.sparkSession
 
     def _body(batch: DataFrame, batch_id: int) -> None:
-        passed = lm_gate(batch, lm_ref, logprob_floor,
-                         text_col=text_col, id_col=id_col)
+        passed = batch
+        if lm_ref is not None:
+            passed = lm_gate(passed, lm_ref, logprob_floor,
+                             text_col=text_col, id_col=id_col)
+        if nb_ref is not None:
+            passed = nb_gate(passed, nb_ref, nb_floor,
+                             text_col=text_col, id_col=id_col)
         admit_batch(
             batch.sparkSession, passed, index_path, corpus_path,
             id_col, text_col, threshold=threshold, intra_batch=intra_batch,
@@ -194,6 +211,28 @@ def lm_gate(
     passed = (
         lm.score(df, lm_ref, text_col=text_col, id_col=id_col)
         .where(F.col("mean_logprob") >= logprob_floor)
+        .select(id_col)
+    )
+    return df.join(passed, id_col)
+
+
+def nb_gate(
+    df: DataFrame,
+    nb_ref: "nbq.NBReference",
+    nb_floor: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows whose naive-Bayes log-odds score against the pinned
+    classifier is >= the floor, payload preserved. Batch op — used by
+    the streaming body above and by parity tests' batch reference.
+    NB: zero-token docs have no score and are dropped (the mean
+    doesn't exist — the lm_gate convention; quality_filter's
+    word-count gate upstream makes the case vacuous in the admission
+    path)."""
+    passed = (
+        nbq.score(df, nb_ref, text_col=text_col, id_col=id_col)
+        .where(F.col("nb_score") >= nb_floor)
         .select(id_col)
     )
     return df.join(passed, id_col)
