@@ -769,3 +769,33 @@ def test_nb_quality_score_separates_heldout_classes(spark, sf_dir):
     neg = [r["nb_score"] for r in heldout if not lab[r["doc_id"]]]
     assert pos and neg
     assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_nb_calibration_cells_are_consistent(spark, sf_dir):
+    """The held-out confusion table must be internally consistent:
+    at most 4 cells, shares summing to 1, cell counts summing to the
+    held-out scored-doc count, admit cells on the correct side of the
+    0 log-odds threshold, and the diagonal carrying the majority of
+    the mass (the classifier must beat label-shuffling on its own
+    bootstrap labels)."""
+    from voter_gateway_spark.queries import (
+        text_nb_calibration,
+        text_nb_quality_score,
+    )
+
+    cells = text_nb_calibration(spark, sf_dir).collect()
+    assert 1 <= len(cells) <= 4
+    assert abs(sum(c["share"] for c in cells) - 1.0) < 1e-4
+    heldout_n = (
+        text_nb_quality_score(spark, sf_dir)
+        .where("doc_id % 2 = 1")
+        .count()
+    )
+    assert sum(c["n_docs"] for c in cells) == heldout_n
+    for c in cells:
+        if c["admit"]:
+            assert c["avg_nb_score"] >= 0
+        else:
+            assert c["avg_nb_score"] < 0
+    diag = sum(c["n_docs"] for c in cells if c["admit"] == c["pass_gopher"])
+    assert diag > heldout_n / 2

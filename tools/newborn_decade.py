@@ -76,6 +76,7 @@ NEWBORNS = {
     "embed_ivfpq_residual_auto": embed_ivfpq_residual_auto,
     "sample_domain_mixture": QUERIES["sample_domain_mixture"],
     "text_nb_quality_score": QUERIES["text_nb_quality_score"],
+    "text_nb_calibration": QUERIES["text_nb_calibration"],
 }
 # the fixed-cell oracle forms are quadratic by design past sf0.1
 SKIP_PAST_SF01 = {"embed_ivfpq_topk", "embed_ivfpq_residual_topk"}

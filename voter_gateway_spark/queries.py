@@ -6893,6 +6893,83 @@ FROM nonempty n JOIN scored s ON n.doc_id = s.doc_id
 """
 
 
+def text_nb_calibration(spark, sf_dir):
+    """Held-out confusion report for the naive-Bayes quality
+    classifier — the evaluation table every trained quality gate
+    ships with (CCNet/DCLM report their fastText classifier's
+    agreement with the seed labels on held-out pages; this is that
+    table for text_nb_quality_score): on the ODD-doc_id half, which
+    the even-half trainer never saw, each (admit, pass_gopher) cell
+    reports its doc count, mean log-odds score, and share of the
+    held-out corpus. Precision = TT/(TT+TF), recall = TT/(TT+FT)
+    fall straight out of the four cells; a calibrated classifier
+    puts most mass on the diagonal with the admit=true cells
+    averaging above 0 and the admit=false cells below.
+
+    Plan shape: the NB query's own scored frame (one explode + one
+    broadcast-weight join, unchanged), one broadcast label join on
+    doc_id, a scan-stage parity filter, one 1-row total broadcast,
+    and a 4-row groupBy — nothing new scales. At 100 TB the label
+    join is doc_id-keyed against a frame the gate already computes;
+    the report itself is 4 rows.
+
+    Reference shape: A5/A6 audit-report family (boolean distribution
+    / per-rule match counts), applied to the trained classifier.
+
+    Determinism: avg snapped to 6 decimals (the LM contract), share
+    likewise; counts exact. Cells with zero docs simply don't appear
+    (the A5 convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    nb = text_nb_quality_score(spark, sf_dir)
+    lab = text.gopher_rules(
+        docs,
+        min_words=QUALITY_GATE_MIN_WORDS,
+        min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+    ).select("doc_id", "pass_gopher")
+    held = nb.join(lab, "doc_id").where(F.col("doc_id") % 2 == 1)
+    tot = held.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        held.crossJoin(F.broadcast(tot))
+        .groupBy("admit", "pass_gopher", "_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("nb_score"), 6).alias("avg_nb_score"),
+        )
+        .select(
+            "admit",
+            "pass_gopher",
+            "n_docs",
+            "avg_nb_score",
+            F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
+        )
+    )
+
+
+def _nb_calibration_sql() -> str:
+    """Mirror of text_nb_calibration: the full NB oracle as a CTE,
+    the gate-parametrized Gopher oracle as the label CTE, identical
+    parity filter and rounding."""
+    gopher = _gopher_rules_sql(
+        min_words=QUALITY_GATE_MIN_WORDS,
+        min_stop_words=QUALITY_GATE_MIN_STOP_WORDS,
+    )
+    return f"""
+WITH nb AS ({_nb_quality_sql()}),
+lab AS (SELECT doc_id, pass_gopher FROM ({gopher})),
+held AS (
+  SELECT nb.doc_id, nb.admit, l.pass_gopher, nb.nb_score
+  FROM nb JOIN lab l USING (doc_id)
+  WHERE nb.doc_id % 2 = 1
+), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM held)
+SELECT admit, pass_gopher,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nb_score), 6) AS avg_nb_score,
+       round(count(*) / t.n, 6) AS share
+FROM held, tot t
+GROUP BY admit, pass_gopher, t.n
+"""
+
+
 def text_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020, public): corpus
     terciles of the trigram Stupid-Backoff document logprob split the
@@ -7599,6 +7676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivfpq_residual_topk": embed_ivfpq_residual_topk,
     "sample_domain_mixture": sample_domain_mixture,
     "text_nb_quality_score": text_nb_quality_score,
+    "text_nb_calibration": text_nb_calibration,
     "pipeline_corpus_build": pipeline_corpus_build,
     "docs_training_shuffle": docs_training_shuffle,
     "events_sessionized": events_sessionized,
@@ -7883,6 +7961,7 @@ ORACLES: dict[str, str] = {
     "sample_domain_filtered": _domain_filtered_sql(),
     "sample_domain_mixture": _domain_mixture_sql(),
     "text_nb_quality_score": _nb_quality_sql(),
+    "text_nb_calibration": _nb_calibration_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
     "embed_ivfpq_residual_topk": _ivfpq_residual_sql(),
     "pipeline_corpus_build": _corpus_build_sql(),
