@@ -1016,6 +1016,47 @@ def test_mixture_sample_rates_and_nesting(spark):
     assert {r.g for r in d.collect()} == {"b"}
 
 
+def test_assign_cells_partitions_the_corpus(spark, sf_dir):
+    import math
+
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    asg = similarity.assign_cells(emb).collect()
+    # exactly one cell per vector (a partition, not a cover)
+    assert len(asg) == n
+    assert len({r["vec_id"] for r in asg}) == n
+    cells = {r["cell"] for r in asg}
+    k = max(16, math.ceil(math.sqrt(n)))
+    assert cells <= set(range(1, k + 1))
+    # rerun determinism (md5 seeding + rounded-cosine ties)
+    again = {(r["vec_id"], r["cell"]) for r in similarity.assign_cells(emb).collect()}
+    assert again == {(r["vec_id"], r["cell"]) for r in asg}
+
+
+def test_cluster_mixture_invariants(spark, sf_dir):
+    # embedding-cluster temperature mixture: cell counts partition the
+    # corpus, weights normalize, admission never exceeds cell mass,
+    # full-rate cells admit everything, sqrt temperature up-weights
+    # small cells (rate monotone non-increasing in cell size)
+    from voter_gateway_spark.queries import sample_cluster_mixture
+
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = sample_cluster_mixture(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert sum(r["n_docs"] for r in rows) == emb_n
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r["rate"] <= 1.0
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        if r["rate"] == 1.0:
+            assert r["n_selected"] == r["n_docs"]
+    by_size = sorted(rows, key=lambda r: r["n_docs"])
+    rates = [r["rate"] for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+
+
 # -- edit-distance near-dup ----------------------------------------------------
 
 def test_edit_distance_pairs_blocked_verify(spark):

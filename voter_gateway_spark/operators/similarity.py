@@ -360,6 +360,36 @@ def _train_centroids(
     return n_centroids, centroids
 
 
+def assign_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    iters: int = 0,
+    centroid_round: int | None = None,
+) -> DataFrame:
+    """(id, cell): every vector's nearest coarse-quantizer cell — the
+    cluster-assignment surface of the shared md5-seeded trainer,
+    exposed for consumers that want the PARTITION of the embedding
+    space rather than neighbors or duplicates (cluster-balanced
+    sampling, per-cluster profiling). Same determinism contract as
+    ivf_topk/semantic_dedup: md5-smallest seeds, auto
+    max(16, ceil(sqrt(N))) cells when n_centroids is None, cosine
+    rounded to 6, ties to the ascending cell — so iters=0 is fully
+    SQL-expressible and oracle-checkable.
+
+    Scale shape: the centroid table collapses to ONE broadcast row;
+    assignment is an in-row rank over that broadcast (no shuffle),
+    so the output costs one corpus scan."""
+    c = widen(df).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).transform(ckpt)
+    _, cents = _train_centroids(c, n_centroids, iters, centroid_round)
+    return _nearest_cells(c, "_cv", cents, 1).select(
+        F.col("_cid").alias(id_col), F.col("_cell").alias("cell")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -7640,6 +7640,104 @@ FROM rates r LEFT JOIN sel USING (domain)
 """
 
 
+def sample_cluster_mixture(spark, sf_dir):
+    """Cluster-balanced temperature mixture — the EMBEDDING-SPACE
+    analogue of the source/domain mixtures, the rebalancing step
+    semantic curation pipelines run where metadata granularities
+    don't exist or don't capture the skew (public precedent:
+    cluster-based pruning/selection in Sorscher et al. 2022 "Beyond
+    neural scaling laws" and Meta's D4 — both diversify training data
+    over k-means clusters of the embedding space): assign every
+    vector to its nearest md5-seeded coarse cell (the shared
+    quantizer, auto max(16, ceil(sqrt(N))) cells, iters=0 — the
+    SQL-expressible trajectory every IVF oracle pins), then apply the
+    certified sqrt-temperature rate/admission arithmetic keyed by
+    cell. Head clusters (dense semantic regions — boilerplate-heavy
+    crawl modes) are down-weighted, tail clusters up-weighted, and
+    admission stays the deterministic md5-bucket threshold, so the
+    selected set is reproducible and engine-portable.
+
+    Output per cell: corpus size, normalized sqrt weight, admission
+    rate (capped at 1.0), vectors actually selected.
+
+    Scale shape: assignment is one corpus scan against a ONE-row
+    centroid broadcast (in-row rank, no shuffle); one cell-keyed
+    count of cardinality ~sqrt(N); two 1-row broadcast
+    normalizations; one broadcast rate join probed in the scan
+    stage. The corpus is read once and never shuffled by admission —
+    identical decade behavior to the source/domain mixtures plus the
+    assignment scan.
+
+    Reference shape: F6 scalar vocabulary + the deterministic
+    sampling idiom (sample_customers_deterministic), lifted to the
+    embedding layer."""
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = similarity.assign_cells(emb).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    per = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    rates = _temperature_rates(
+        per.withColumnRenamed("cell", "source"), TEMPERATURE_MIXTURE_TARGET
+    ).withColumnRenamed("source", "cell")
+    sel = (
+        asg.join(F.broadcast(rates.select("cell", "rate")), "cell")
+        .where(_mixture_bucket() < F.col("rate"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+    )
+    # both report sides are cell-cardinality (~sqrt N) — broadcast the
+    # selected-counts side so the final stitch never sort-merge shuffles
+    return rates.join(F.broadcast(sel), "cell", "left").select(
+        "cell",
+        "n_docs",
+        "weight",
+        "rate",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+    )
+
+
+def _cluster_mixture_sql() -> str:
+    """Mirror of sample_cluster_mixture: the IVF oracles' seed/assign
+    CTEs (md5-ordered seeds, rounded-cosine nearest cell, ties to
+    ascending cell) feeding TEMPERATURE_MIXTURE_SQL's rate/admission
+    arithmetic keyed by cell."""
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {_AUTO_CENTROIDS_SQL}
+),
+cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT vec_id AS doc_id, cell FROM (
+    SELECT c.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+per AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM assign GROUP BY cell),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS N FROM per),
+w AS (SELECT cell, n_docs, sqrt(n_docs / t.N) AS raw FROM per, tot t),
+ws AS (SELECT sum(raw) AS S FROM w),
+rates AS (
+  SELECT cell, n_docs, round(raw / s.S, 6) AS weight,
+         least(1.0, round({TEMPERATURE_MIXTURE_TARGET} * (raw / s.S) / n_docs, 6)) AS rate
+  FROM w, ws s
+), sel AS (
+  SELECT a.cell, CAST(count(*) AS BIGINT) AS c
+  FROM assign a JOIN rates r USING (cell)
+  WHERE (('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+        / 1000000.0 < r.rate
+  GROUP BY a.cell
+)
+SELECT r.cell, r.n_docs, r.weight, r.rate,
+       CAST(coalesce(sel.c, 0) AS BIGINT) AS n_selected
+FROM rates r LEFT JOIN sel USING (cell)
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -7675,6 +7773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stays hot and supersedes the bigram rung) slide to the tail
     "embed_ivfpq_residual_topk": embed_ivfpq_residual_topk,
     "sample_domain_mixture": sample_domain_mixture,
+    "sample_cluster_mixture": sample_cluster_mixture,
     "text_nb_quality_score": text_nb_quality_score,
     "text_nb_calibration": text_nb_calibration,
     "pipeline_corpus_build": pipeline_corpus_build,
@@ -7960,6 +8059,7 @@ ORACLES: dict[str, str] = {
     "corpus_domain_report": _domain_report_sql(),
     "sample_domain_filtered": _domain_filtered_sql(),
     "sample_domain_mixture": _domain_mixture_sql(),
+    "sample_cluster_mixture": _cluster_mixture_sql(),
     "text_nb_quality_score": _nb_quality_sql(),
     "text_nb_calibration": _nb_calibration_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
