@@ -1035,6 +1035,29 @@ def test_assign_cells_partitions_the_corpus(spark, sf_dir):
     assert again == {(r["vec_id"], r["cell"]) for r in asg}
 
 
+def test_cluster_report_invariants(spark, sf_dir):
+    # per-cell audit: cells partition the corpus, purity is a valid
+    # majority share, majority labels come from the corpus, tightness
+    # is a valid cosine, and the report is rerun-deterministic (the
+    # integer-mean contract — a float avg of round-6 values flipped
+    # on shuffle fetch order at birth)
+    from voter_gateway_spark.queries import embed_cluster_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    rows = embed_cluster_report(spark, sf_dir).collect()
+    assert sum(r["n_vecs"] for r in rows) == n
+    for r in rows:
+        assert r["majority_label"] in labels
+        assert 0 < r["purity"] <= 1.0
+        # purity can't be below an even split across observed labels
+        assert r["purity"] >= 1.0 / max(len(labels), 1) - 1e-9
+        assert -1.0 <= r["mean_cos_to_centroid"] <= 1.0
+    again = embed_cluster_report(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 def test_cluster_mixture_invariants(spark, sf_dir):
     # embedding-cluster temperature mixture: cell counts partition the
     # corpus, weights normalize, admission never exceeds cell mass,

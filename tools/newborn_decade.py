@@ -78,6 +78,7 @@ NEWBORNS = {
     "text_nb_quality_score": QUERIES["text_nb_quality_score"],
     "text_nb_calibration": QUERIES["text_nb_calibration"],
     "sample_cluster_mixture": QUERIES["sample_cluster_mixture"],
+    "embed_cluster_report": QUERIES["embed_cluster_report"],
 }
 # the fixed-cell oracle forms are quadratic by design past sf0.1
 SKIP_PAST_SF01 = {"embed_ivfpq_topk", "embed_ivfpq_residual_topk"}

@@ -367,6 +367,7 @@ def assign_cells(
     n_centroids: int | None = None,
     iters: int = 0,
     centroid_round: int | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, cell): every vector's nearest coarse-quantizer cell — the
     cluster-assignment surface of the shared md5-seeded trainer,
@@ -380,13 +381,50 @@ def assign_cells(
 
     Scale shape: the centroid table collapses to ONE broadcast row;
     assignment is an in-row rank over that broadcast (no shuffle),
-    so the output costs one corpus scan."""
+    so the output costs one corpus scan.
+
+    `keep` carries payload columns of `df` (the vector column itself
+    is allowed) through the assignment pass, so consumers that need
+    (id, cell, payload...) never pay an id-keyed re-join of the
+    corpus against its own assignment — at the 100x replica that
+    re-join was the only non-broadcast shuffle in the cluster
+    report."""
+    cols = [
+        F.col(id_col).alias("_cid"),
+        as_double_array(vec_col).alias("_cv"),
+        *(F.col(k) for k in keep),
+    ]
+    c = widen(df).select(*cols).transform(ckpt)
+    _, cents = _train_centroids(c, n_centroids, iters, centroid_round)
+    return _nearest_cells(c, "_cv", cents, 1).select(
+        F.col("_cid").alias(id_col),
+        F.col("_cell").alias("cell"),
+        *(F.col(k) for k in keep),
+    )
+
+
+def coarse_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    iters: int = 0,
+    centroid_round: int | None = None,
+) -> DataFrame:
+    """(cell, centroid): the coarse quantizer's centroid table itself,
+    for consumers that need the cell REPRESENTATIVES alongside (or
+    instead of) assignments — per-cell tightness audits, residual
+    computation, assignment against pinned centroids. Deterministic
+    companion of assign_cells (same trainer, same arguments → the
+    identical table, so calling both never drifts); at iters=0 the
+    centroids ARE the md5-smallest seed vectors, which is what keeps
+    downstream cosine-to-centroid arithmetic SQL-expressible."""
     c = widen(df).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
     _, cents = _train_centroids(c, n_centroids, iters, centroid_round)
-    return _nearest_cells(c, "_cv", cents, 1).select(
-        F.col("_cid").alias(id_col), F.col("_cell").alias("cell")
+    return cents.select(
+        F.col("_cell").alias("cell"), F.col("_centroid").alias("centroid")
     )
 
 

@@ -6916,9 +6916,11 @@ def text_nb_calibration(spark, sf_dir):
     Reference shape: A5/A6 audit-report family (boolean distribution
     / per-rule match counts), applied to the trained classifier.
 
-    Determinism: avg snapped to 6 decimals (the LM contract), share
-    likewise; counts exact. Cells with zero docs simply don't appear
-    (the A5 convention)."""
+    Determinism: per-cell mean computed as an exact integer sum of
+    the round-6 scores (fold-order-free — see embed_cluster_report's
+    boundary-flake note) rounded to 9; share rounded to 6; counts
+    exact. Cells with zero docs simply don't appear (the A5
+    convention)."""
     docs = _t(spark, sf_dir, "documents")
     nb = text_nb_quality_score(spark, sf_dir)
     lab = text.gopher_rules(
@@ -6928,12 +6930,22 @@ def text_nb_calibration(spark, sf_dir):
     ).select("doc_id", "pass_gopher")
     held = nb.join(lab, "doc_id").where(F.col("doc_id") % 2 == 1)
     tot = held.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # per-cell mean as an exact integer sum of the round-6 scores
+    # (x1e6), one division, round 9 — a plain round(avg(round-6), 6)
+    # sits exactly on a .5e-6 boundary for ~1/n of cells and shuffle
+    # fetch order then decides the side (the embed_cluster_report
+    # birth flake); integer sums are fold-order-free
+    held = held.withColumn(
+        "_si", F.round(F.col("nb_score") * 1000000.0, 0).cast("bigint")
+    )
     return (
         held.crossJoin(F.broadcast(tot))
         .groupBy("admit", "pass_gopher", "_n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.avg("nb_score"), 6).alias("avg_nb_score"),
+            F.round(
+                F.sum("_si") / (F.count(F.lit(1)) * F.lit(1000000.0)), 9
+            ).alias("avg_nb_score"),
         )
         .select(
             "admit",
@@ -6957,13 +6969,14 @@ def _nb_calibration_sql() -> str:
 WITH nb AS ({_nb_quality_sql()}),
 lab AS (SELECT doc_id, pass_gopher FROM ({gopher})),
 held AS (
-  SELECT nb.doc_id, nb.admit, l.pass_gopher, nb.nb_score
+  SELECT nb.doc_id, nb.admit, l.pass_gopher,
+         CAST(round(nb.nb_score * 1000000.0, 0) AS BIGINT) AS si
   FROM nb JOIN lab l USING (doc_id)
   WHERE nb.doc_id % 2 = 1
 ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM held)
 SELECT admit, pass_gopher,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(nb_score), 6) AS avg_nb_score,
+       round(sum(si) / (count(*) * 1000000.0), 9) AS avg_nb_score,
        round(count(*) / t.n, 6) AS share
 FROM held, tot t
 GROUP BY admit, pass_gopher, t.n
@@ -7738,6 +7751,129 @@ FROM rates r LEFT JOIN sel USING (cell)
 """
 
 
+def embed_cluster_report(spark, sf_dir):
+    """Cluster-quality audit over the coarse quantizer — the report
+    one reads BEFORE trusting cluster-balanced sampling
+    (sample_cluster_mixture), SemDeDup blocking, or IVF probing, all
+    of which inherit this partition: per cell, its population, its
+    majority label with purity (how well cells align with the
+    supervised signal — the standard external clustering metric), and
+    the mean cosine of members to their centroid (tightness — the
+    internal metric). Loose or impure cells tell you to raise
+    n_centroids or add Lloyd rounds before relying on cell blocking.
+
+    Reference shape: A4 top-k value distribution + A2 coverage, keyed
+    by the learned partition instead of a column.
+
+    Deterministic: assignment is the shared md5-seeded quantizer at
+    iters=0 (centroids ARE seed vectors, so cosine-to-centroid is
+    plain arithmetic both engines compute identically on the rounded
+    grid); majority ties break to the smallest label, NULLS LAST
+    spelled on both engines. The tightness mean is computed as an
+    EXACT integer sum of the round-6 cosines (x1e6), divided once and
+    rounded to 9: a plain round(avg(round-6), 6) sits exactly on a
+    .5e-6 decimal boundary whenever sum(k_i) = n/2 mod n (~1/n of
+    cells every run), and shuffle fetch order then decides the side —
+    observed as a one-in-two gate flake at birth. Integer sums are
+    fold-order-free, so this form is bit-identical across runs AND
+    engines.
+
+    Scale shape: one assignment scan against the ONE-row centroid
+    broadcast, one broadcast centroid join for tightness, then
+    everything is keyed by cell or (cell, label) — cardinality
+    ~sqrt(N) and sqrt(N)·|labels|; the majority window shuffles only
+    the (cell, label) counts, never vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # keep= carries label + vector through the assignment pass, so
+    # the only joins left are the two broadcasts (centroid table,
+    # majority frame) — no id-keyed corpus re-join
+    asg = similarity.assign_cells(emb, keep=("label", "embedding"))
+    cents = similarity.coarse_centroids(emb)
+    per = asg.join(F.broadcast(cents), "cell").select(
+        "cell",
+        "label",
+        F.round(
+            F.round(
+                similarity.cosine(
+                    similarity.as_double_array("embedding"), F.col("centroid")
+                ),
+                6,
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("_ci"),
+    )
+    bycell = per.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("_ci") / (F.count(F.lit(1)) * F.lit(1000000.0)), 9
+        ).alias("mean_cos_to_centroid"),
+    )
+    bylab = per.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("_cnt").desc(), F.col("label").asc_nulls_last()
+    )
+    maj = (
+        bylab.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cell", F.col("label").alias("majority_label"), "_cnt")
+    )
+    return bycell.join(F.broadcast(maj), "cell").select(
+        "cell",
+        "n_vecs",
+        "majority_label",
+        F.round(F.col("_cnt") / F.col("n_vecs"), 6).alias("purity"),
+        "mean_cos_to_centroid",
+    )
+
+
+def _cluster_report_sql() -> str:
+    """Mirror of embed_cluster_report: the IVF seed/assign CTEs with
+    the label carried through, per-cell tightness vs the seed
+    centroid, and the NULLS LAST majority window."""
+    return f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {_AUTO_CENTROIDS_SQL}
+),
+cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT c.vec_id, c.label, c.v, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+per AS (
+  SELECT a.cell, a.label,
+         CAST(round(round(list_cosine_similarity(a.v, ct.cv), 6) * 1000000.0, 0) AS BIGINT) AS ci
+  FROM assign a JOIN cents ct USING (cell)
+),
+bycell AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(sum(ci) / (count(*) * 1000000.0), 9) AS mean_cos_to_centroid
+  FROM per GROUP BY cell
+),
+bylab AS (SELECT cell, label, count(*) AS cnt FROM per GROUP BY cell, label),
+maj AS (
+  SELECT cell, label AS majority_label, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell
+      ORDER BY cnt DESC, label ASC NULLS LAST) AS rn
+    FROM bylab
+  ) WHERE rn = 1
+)
+SELECT b.cell, b.n_vecs, m.majority_label,
+       round(m.cnt * 1.0 / b.n_vecs, 6) AS purity,
+       b.mean_cos_to_centroid
+FROM bycell b JOIN maj m USING (cell)
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -7774,6 +7910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivfpq_residual_topk": embed_ivfpq_residual_topk,
     "sample_domain_mixture": sample_domain_mixture,
     "sample_cluster_mixture": sample_cluster_mixture,
+    "embed_cluster_report": embed_cluster_report,
     "text_nb_quality_score": text_nb_quality_score,
     "text_nb_calibration": text_nb_calibration,
     "pipeline_corpus_build": pipeline_corpus_build,
@@ -8060,6 +8197,7 @@ ORACLES: dict[str, str] = {
     "sample_domain_filtered": _domain_filtered_sql(),
     "sample_domain_mixture": _domain_mixture_sql(),
     "sample_cluster_mixture": _cluster_mixture_sql(),
+    "embed_cluster_report": _cluster_report_sql(),
     "text_nb_quality_score": _nb_quality_sql(),
     "text_nb_calibration": _nb_calibration_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
