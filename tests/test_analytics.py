@@ -799,3 +799,43 @@ def test_nb_calibration_cells_are_consistent(spark, sf_dir):
             assert c["avg_nb_score"] < 0
     diag = sum(c["n_docs"] for c in cells if c["admit"] == c["pass_gopher"])
     assert diag > heldout_n / 2
+
+
+def test_nb_score_rerun_deterministic_across_fold_orders(spark, sf_dir):
+    """nb_score must not depend on shuffle/fold order: weights lie on
+    the 1e-9 grid, so a float avg can land exactly on a .5e-6 rounding
+    boundary where partial-sum order decides the side (the documented
+    rounded-mean boundary-flake class — its tell is a FAIL-then-PASS
+    rerun). score_from_buckets computes an exact bigint sum instead;
+    two runs at different shuffle-partition counts (different fold
+    shapes) must agree bit-for-bit."""
+    from voter_gateway_spark.queries import text_nb_quality_score
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, text_nb_quality_score(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = sorted(map(tuple, text_nb_quality_score(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_nb_score_from_buckets_rejects_bucket_mismatch(spark):
+    """A token_buckets frame hashed with a different bucket count than
+    the reference must be rejected loudly (silently scoring against
+    the wrong buckets is a wrong answer with no symptom)."""
+    import pytest
+
+    from voter_gateway_spark.operators import nbq
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 5),
+         (2, "zzz qqq xxx " * 10)],
+        "doc_id long, text string",
+    )
+    ref = nbq.build_reference(docs, min_words=5, min_stop_words=1)
+    frame = nbq.token_buckets(docs, buckets=ref.buckets // 2)
+    with pytest.raises(AssertionError, match="buckets"):
+        nbq.score_from_buckets(frame, ref, buckets=ref.buckets // 2)

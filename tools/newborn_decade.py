@@ -99,10 +99,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
-    for d in dirs:
+    for i, d in enumerate(dirs):
+        # dirs[0] is the baseline scale; the quadratic-by-design forms
+        # run only there (keyed on position, not a path substring —
+        # a baseline outside /root/testdata must still run them and a
+        # stress replica under a 'testdata'-containing path must not).
+        is_baseline = i == 0
         results[d] = {}
         for name, fn in NEWBORNS.items():
-            if name in SKIP_PAST_SF01 and "testdata" not in d:
+            if name in SKIP_PAST_SF01 and not is_baseline:
                 results[d][name] = "skipped: fixed-cell oracle form is quadratic by design"
                 continue
             best, best_sh = float("inf"), None

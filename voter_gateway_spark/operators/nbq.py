@@ -134,18 +134,42 @@ def build_reference(
     return train_from_buckets(bucketed, buckets, materialize=True)
 
 
-def score_from_buckets(bucketed: DataFrame, ref: NBReference) -> DataFrame:
+def score_from_buckets(
+    bucketed: DataFrame, ref: NBReference, buckets: int | None = None
+) -> DataFrame:
     """(doc_id, nb_score) from an already-projected token_buckets
     frame — the shared-materialization hook. Docs absent from the
-    frame (zero tokens) produce no score row."""
+    frame (zero tokens) produce no score row.
+
+    Pass the `buckets` the frame was hashed with when it was built by
+    a direct token_buckets call — a frame hashed with a different
+    count than ref.buckets silently scores against the wrong buckets,
+    so a mismatch is an assertion error, not a wrong answer.
+
+    Determinism: weights lie on the 1e-9 grid, so the per-doc mean is
+    computed as an exact bigint sum of round(_wt*1e9) divided once by
+    count*1e9 — a float avg of round-9 values can land exactly on a
+    .5e-6 rounding boundary where shuffle/fold order decides the side
+    (the documented rounded-mean boundary-flake class)."""
+    if buckets is not None:
+        assert buckets == ref.buckets, (
+            f"token_buckets frame hashed with {buckets} buckets but "
+            f"reference was trained with {ref.buckets}"
+        )
     return (
         bucketed.join(F.broadcast(ref.weights), "_b", "left")
         .crossJoin(F.broadcast(ref.unseen))
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.coalesce("_wt", F.col("_u"))), 6).alias(
-                "nb_score"
-            )
+            F.round(
+                F.sum(
+                    F.round(
+                        F.coalesce("_wt", F.col("_u")) * 1000000000.0, 0
+                    ).cast("bigint")
+                )
+                / (F.count(F.lit(1)) * 1000000000.0),
+                6,
+            ).alias("nb_score")
         )
     )
 
@@ -160,6 +184,8 @@ def score(
     pinned reference."""
     assert ref.buckets > 0
     out = score_from_buckets(
-        token_buckets(df, text_col, id_col, ref.buckets), ref
+        token_buckets(df, text_col, id_col, ref.buckets),
+        ref,
+        buckets=ref.buckets,
     )
     return out.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else out

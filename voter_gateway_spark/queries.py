@@ -6831,7 +6831,7 @@ def text_nb_quality_score(spark, sf_dir):
         ex.where(F.col("doc_id") % 2 == 0).join(lab, "doc_id"),
         NB_QUALITY_BUCKETS,
     )
-    scored = nbq.score_from_buckets(ex, ref)
+    scored = nbq.score_from_buckets(ex, ref, buckets=NB_QUALITY_BUCKETS)
     return toks.select("doc_id", "source").join(scored, "doc_id").select(
         "doc_id",
         "source",
@@ -6884,7 +6884,9 @@ unseen AS (
   FROM tot
 ),
 scored AS (
-  SELECT ex.doc_id, round(avg(coalesce(w.wt, un.u)), 6) AS nb_score
+  SELECT ex.doc_id,
+         round(sum(CAST(round(coalesce(w.wt, un.u) * 1000000000.0, 0) AS BIGINT))
+               / (count(*) * 1000000000.0), 6) AS nb_score
   FROM ex LEFT JOIN w ON ex.b = w.b, unseen un
   GROUP BY ex.doc_id
 )
