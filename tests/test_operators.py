@@ -870,7 +870,8 @@ def test_incremental_pairs_equal_full_run_cross_pairs(spark, sf_dir):
         ).collect()
     }
     full = dedup_ops.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.1
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, threshold=0.1,
+        expand_pairs=True,  # reconstructing the full pair set is the point
     ).collect()
     cross = {
         (r.id_a, r.id_b, r.jaccard) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.jaccard)

@@ -94,9 +94,11 @@ WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
     st.integers(1, 4),
 )
 def test_ngram_pairs_match_naive_all_pairs(spark_prop, texts, dup_factor):
-    """Blocked + collapsed + (maybe) prefix-filtered pair finding must
-    equal the naive O(n²) definition, including injected exact
-    duplicates (the collapse path) and shared-shingle near-dups."""
+    """Expanded emission (expand_pairs=True) must equal the naive
+    O(n²) definition, including injected exact duplicates (the
+    collapse path) and shared-shingle near-dups; the default collapsed
+    emission must be a SUBSET carrying the same connectivity (same
+    components) and the same keep-min-id survivor set."""
     from voter_gateway_spark.operators import dedup_ops
 
     docs = [" ".join(t) for t in texts for _ in range(dup_factor)]
@@ -106,7 +108,7 @@ def test_ngram_pairs_match_naive_all_pairs(spark_prop, texts, dup_factor):
     got = {
         (r.id_a, r.id_b): r.jaccard
         for r in dedup_ops.ngram_jaccard_pairs(
-            df, "doc_id", "text", k=3, threshold=0.3
+            df, "doc_id", "text", k=3, threshold=0.3, expand_pairs=True
         ).collect()
     }
 
@@ -126,6 +128,38 @@ def test_ngram_pairs_match_naive_all_pairs(spark_prop, texts, dup_factor):
     assert got.keys() == exp.keys()
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-6, (k, got[k], exp[k])
+
+    collapsed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ops.ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.3
+        ).collect()
+    }
+    # subset with inherited values
+    for k, v in collapsed.items():
+        assert k in exp and abs(v - exp[k]) < 1e-6, (k, v)
+
+    # same components (union-find over each edge set)
+    def components(pair_keys, n):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_keys:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return tuple(find(i) for i in range(n))
+
+    assert components(collapsed.keys(), len(docs)) == components(
+        exp.keys(), len(docs)
+    )
+    # same keep-min-id survivor set ("losers = distinct id_b")
+    assert {b for _, b in collapsed} == {b for _, b in exp}
 
 
 @st.composite

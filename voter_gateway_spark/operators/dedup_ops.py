@@ -89,7 +89,7 @@ def jaccard(a: Column, b: Column) -> Column:
 def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_value):
     """Collapse rows whose `_hh` hash lists are IDENTICAL to one
     representative before a pair-producing join, and return
-    (members, reps, expand).
+    (members, reps, expand, spanning).
 
     Crawl-style corpora carry d identical copies of a document; every
     blocking scheme (shared shingle, LSH band, simhash band) keys the
@@ -101,8 +101,20 @@ def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_va
     definition of identical inputs), cross-group member pairs inherit
     their representatives' value (identical inputs ⇒ identical
     similarity). Rows with empty hash lists never pair.
+
+    The group key is the SORTED hash list: every downstream pair
+    semantics in the family is order-insensitive (Jaccard and minhash
+    signatures read the distinct-hash SET; simhash majority-votes the
+    multiset), so same-hashes-different-order rows are legitimately
+    one group — and sorting makes the key engine-portable (the DuckDB
+    oracle mirrors it as array_to_string(list_sort(hl), ',') without
+    depending on either engine's distinct-preserving order).
     """
-    fp = F.md5(F.concat_ws(",", F.transform("_hh", lambda h: h.cast("string"))).cast("binary"))
+    fp = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.col("_hh")), lambda h: h.cast("string"))
+        ).cast("binary")
+    )
     members = full.select("_id", fp.alias("_fp"), F.size("_hh").alias("_n"))
     if materialize:
         members = members.transform(ckpt)
@@ -144,7 +156,42 @@ def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_va
         )
         return cross.unionByName(intra)
 
-    return members, reps, expand
+    def spanning(rep_pairs: DataFrame) -> DataFrame:
+        """Collapsed-representative emission: the rep-level pairs plus
+        one member→representative edge per collapsed duplicate (value
+        = `intra_value`: identical inputs by construction). Linear in
+        corpus size where `expand` is d² in the duplication factor,
+        yet equivalent for every decision a dedup pipeline makes:
+
+        - connected components: member→rep edges keep each duplicate
+          group connected and reps carry the cross-group pairs, so the
+          component map over spanning(P) equals the map over expand(P)
+          (same node set, same reachability).
+        - keep-min-id pruning ("losers = distinct id_b"): a collapsed
+          member always loses to its rep (rep = group min), and a rep
+          r loses in expand(P) iff some neighbor a < r exists — a's
+          group rep rep' satisfies rep' <= a < r and similarity(r, a)
+          = similarity(r, rep'), so the rep pair (rep', r) is present
+          and r loses in spanning(P) too. Survivor sets are identical,
+          threshold by threshold (values are inherited unchanged).
+
+        What it does NOT preserve is the pair multiset itself — pair
+        COUNTS and per-pair listings of intra-group/cross-member pairs
+        need `expand` (opt-in via the producers' expand_pairs=True).
+        Reps are each group's min id, so id_a < id_b holds."""
+        grp = (
+            members.where(F.col("_n") > 0)
+            .join(reps.select(F.col("_id").alias("_rid"), "_fp"), "_fp")
+            .where(F.col("_id") != F.col("_rid"))
+            .select(
+                F.col("_rid").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(intra_value).alias(value_col),
+            )
+        )
+        return rep_pairs.select("id_a", "id_b", value_col).unionByName(grp)
+
+    return members, reps, expand, spanning
 
 
 def ngram_jaccard_pairs(
@@ -155,10 +202,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     materialize: bool = True,
     prefix_filter: bool | None = None,
+    expand_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via
     inverted-index blocking on shared shingles. Lossless for
     threshold > 0: any qualifying pair shares ≥1 shingle.
+
+    DEFAULT OUTPUT IS COLLAPSED: one pair per pair of exact-duplicate
+    GROUPS (representatives = group-min ids) plus one member→rep edge
+    per collapsed duplicate — linear in corpus size. The expanded
+    all-pairs listing re-materializes C(d,2) rows per d-way duplicated
+    text (the measured 15×-per-decade scale-killer on crawl-style
+    corpora); it is equivalent for components and keep-min-id pruning
+    (see _collapse_exact.spanning) and available as expand_pairs=True
+    where the pair multiset itself is the semantics (pair counting,
+    audit listings).
 
     `prefix_filter` (default: auto, on when threshold ≥ 0.5) applies
     the AllPairs/PPJoin prefix principle: order tokens by global rarity
@@ -186,7 +244,10 @@ def ngram_jaccard_pairs(
         # eager: several branches read this; a lazy checkpoint lets
         # them race and recompute the shingle pass per branch
         full = full.transform(ckpt)
-    members, reps, expand = _collapse_exact(full, materialize, "jaccard", 1.0)
+    members, reps, expand, spanning = _collapse_exact(
+        full, materialize, "jaccard", 1.0
+    )
+    emit = expand if expand_pairs else spanning
     base = reps.select("_id", "_hh")
     sizes = base.select("_id", F.size("_hh").alias("_n"))
     ex = base.select("_id", F.explode("_hh").alias("_s"))
@@ -230,7 +291,7 @@ def ngram_jaccard_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        return expand(rep_pairs)
+        return emit(rep_pairs)
     # low thresholds: full inverted-index join; intersection size = pair
     # count (arrays are distinct), so only (id, id) tuples shuffle —
     # never the arrays
@@ -252,7 +313,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return expand(rep_pairs)
+    return emit(rep_pairs)
 
 
 # -- MinHash + LSH -------------------------------------------------------------
@@ -414,12 +475,19 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    expand_pairs: bool = False,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 LSH band, verified
     with exact shingle Jaccard ≥ threshold.
 
     n_hashes/bands=4 rows per band → collision prob = 1-(1-j^4)^4,
     steep around j≈0.5.
+
+    DEFAULT OUTPUT IS COLLAPSED — rep-level pairs plus one member→rep
+    edge per exact duplicate (linear in corpus size; equivalent for
+    components and keep-min-id pruning, see _collapse_exact.spanning).
+    expand_pairs=True re-materializes the full C(d,2)-per-group
+    listing for consumers whose semantics is the pair multiset itself.
     """
     rows_per_band = n_hashes // bands
     full = (
@@ -430,7 +498,8 @@ def minhash_lsh_pairs(
     )
     # exact-dup collapse: identical shingle sets share all bands, so d
     # copies would cost d² in the band join — see _collapse_exact
-    members, reps, expand = _collapse_exact(full, True, "jaccard", 1.0)
+    members, reps, expand, spanning = _collapse_exact(full, True, "jaccard", 1.0)
+    emit = expand if expand_pairs else spanning
     base = (
         reps.select("_id", "_hh")
         .select("_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"))
@@ -465,7 +534,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return expand(rep_pairs)
+    return emit(rep_pairs)
 
 
 # -- connected components ------------------------------------------------------
@@ -714,10 +783,15 @@ def simhash_pairs(
     max_hamming: int = 3,
     k: int = 2,
     n_bands: int = 4,
+    expand_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming,
     blocked on band equality (pigeonhole: distance ≤ n_bands-1 implies
     ≥1 equal band when bands = max_hamming+1).
+
+    DEFAULT OUTPUT IS COLLAPSED — rep-level pairs plus one member→rep
+    edge (hamming 0) per exact duplicate; expand_pairs=True restores
+    the full d² listing (see _collapse_exact.spanning).
 
     The per-bit majority vote runs as explode + 60 codegen'd SUM
     aggregates (one shuffle, keyed by id), not 60 interpreted
@@ -733,7 +807,8 @@ def simhash_pairs(
     # exact-dup collapse: identical hash lists → identical simhash →
     # identical bands, so d copies cost d² in the band join without it.
     # Intra-group hamming is 0 by definition — see _collapse_exact
-    members, reps, expand = _collapse_exact(full, True, "hamming", 0)
+    members, reps, expand, spanning = _collapse_exact(full, True, "hamming", 0)
+    emit = expand if expand_pairs else spanning
     ones = [
         F.sum(F.shiftrightunsigned("_wh", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
         for b in range(60)
@@ -757,7 +832,7 @@ def simhash_pairs(
     rep_pairs = hamming_band_pairs(
         base, n_bands, band_width, max_hamming, strict=False
     )
-    return expand(rep_pairs)
+    return emit(rep_pairs)
 
 
 def hamming_band_pairs(

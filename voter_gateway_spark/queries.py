@@ -656,8 +656,24 @@ FROM (
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Default (collapsed) near-dup contract: rep-level pairs plus one
+    member→rep edge per exact duplicate — linear in corpus size where
+    the expanded listing is C(d,2) per d-way duplicated text (see
+    dedup_ops._collapse_exact.spanning for the equivalence proof for
+    components and keep-min-id pruning)."""
     return dedup_ops.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.12
+    )
+
+
+def dedup_ngram_jaccard_expanded(spark, sf_dir):
+    """Opt-in expanded listing (the pre-r13 contract): every
+    qualifying pair materialized, intra-duplicate-group pairs
+    included — the pair MULTISET is the semantics here (audit
+    listings, pair counting), so the d² output is deliberate."""
+    return dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.12,
+        expand_pairs=True,
     )
 
 
@@ -697,6 +713,43 @@ WHERE a.doc_id < b.doc_id
 NGRAM_SQL = _ngram_sql(0.12)
 
 
+def _ngram_collapsed_sql(threshold: float) -> str:
+    """Collapsed-contract mirror of ngram_jaccard_pairs' default
+    output: exact-duplicate groups keyed on the SORTED hash list
+    (array_to_string(list_sort(hl), ',') == Spark's
+    md5(concat_ws(',', sort_array(_hh))) grouping), rep = group min
+    id; rep-level Jaccard pairs + one member→rep edge (jaccard 1.0)
+    per collapsed duplicate."""
+    jac = (
+        "round(len(list_intersect(a.hl, b.hl)) * 1.0"
+        " / (len(a.hl) + len(b.hl) - len(list_intersect(a.hl, b.hl))), 6)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
+  FROM documents
+), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh),
+grp AS (SELECT doc_id, array_to_string(list_sort(hl), ',') AS fp, len(hl) AS n FROM hh),
+rep AS (SELECT fp, min(doc_id) AS rid FROM grp GROUP BY fp),
+rh AS (SELECT h.doc_id, h.hl FROM hh h JOIN rep r ON h.doc_id = r.rid),
+rp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS jaccard
+  FROM rh a, rh b
+  WHERE a.doc_id < b.doc_id AND {jac} >= {threshold}
+),
+mem AS (
+  SELECT r.rid AS id_a, g.doc_id AS id_b, 1.0 AS jaccard
+  FROM grp g JOIN rep r ON g.fp = r.fp
+  WHERE g.doc_id <> r.rid AND g.n > 0
+)
+SELECT id_a, id_b, jaccard FROM rp
+UNION ALL
+SELECT id_a, id_b, jaccard FROM mem
+"""
+
+
 def dedup_ngram_prefix_filtered(spark, sf_dir):
     """High-threshold set-similarity join — exercises the lossless
     AllPairs prefix filter (rarest-token prefixes bound candidate
@@ -707,13 +760,31 @@ def dedup_ngram_prefix_filtered(spark, sf_dir):
 
 
 def dedup_minhash_lsh(spark, sf_dir):
+    """Default (collapsed) near-dup contract — see dedup_ngram_jaccard.
+    At crawl-scale duplication this is the difference between linear
+    output and C(d,2) rows per duplicated text (the r12-measured
+    15.2×-per-decade blow-up of the expanded listing at x100)."""
     return dedup_ops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         k=3, n_hashes=16, bands=4, threshold=0.1,
     )
 
 
-def _minhash_sql() -> str:
+def dedup_minhash_lsh_expanded(spark, sf_dir):
+    """Opt-in expanded listing (the pre-r13 contract) — the pair
+    multiset itself is the semantics; d² in duplication by design."""
+    return dedup_ops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, n_hashes=16, bands=4, threshold=0.1, expand_pairs=True,
+    )
+
+
+def _minhash_sql(collapsed: bool = False) -> str:
+    """LSH-band + exact-Jaccard oracle. `collapsed` mirrors the
+    engine's default contract: signatures/bands computed over group
+    representatives only (groups = identical sorted hash lists, rep =
+    min doc_id), rep-level verified pairs + member→rep edges at
+    jaccard 1.0; False is the expanded all-pairs listing."""
     from voter_gateway_spark.operators.dedup_ops import _MINHASH_P, _affine_consts
 
     n_hashes, bands, rows = 16, 4, 4
@@ -726,25 +797,46 @@ def _minhash_sql() -> str:
         + "(" + " || '|' || ".join(f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)) + ") AS k FROM sig"
         for b in range(bands)
     )
-    return f"""
+    base = f"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
   FROM documents
 ), sh AS (SELECT doc_id, {_SHINGLES} AS s FROM w),
-hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh),
-sig AS (SELECT doc_id, hl, {sig} FROM hh),
-bands AS ({band_union}),
+hh AS (SELECT doc_id, {_HASHED} AS hl FROM sh)"""
+    verified = """
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+),
+rp AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(x.hl, y.hl)) * 1.0
+               / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) AS jaccard
+  FROM cand JOIN hh x ON cand.id_a = x.doc_id JOIN hh y ON cand.id_b = y.doc_id
+  WHERE round(len(list_intersect(x.hl, y.hl)) * 1.0
+        / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) >= 0.1
+)"""
+    if not collapsed:
+        return f"""{base},
+sig AS (SELECT doc_id, hl, {sig} FROM hh),
+bands AS ({band_union}),{verified}
+SELECT id_a, id_b, jaccard FROM rp
+"""
+    return f"""{base},
+grp AS (SELECT doc_id, array_to_string(list_sort(hl), ',') AS fp, len(hl) AS n FROM hh),
+rep AS (SELECT fp, min(doc_id) AS rid FROM grp GROUP BY fp),
+rhh AS (SELECT h.doc_id, h.hl FROM hh h JOIN rep r ON h.doc_id = r.rid),
+sig AS (SELECT doc_id, hl, {sig} FROM rhh),
+bands AS ({band_union}),{verified},
+mem AS (
+  SELECT r.rid AS id_a, g.doc_id AS id_b, 1.0 AS jaccard
+  FROM grp g JOIN rep r ON g.fp = r.fp
+  WHERE g.doc_id <> r.rid AND g.n > 0
 )
-SELECT id_a, id_b,
-       round(len(list_intersect(x.hl, y.hl)) * 1.0
-             / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) AS jaccard
-FROM cand JOIN hh x ON cand.id_a = x.doc_id JOIN hh y ON cand.id_b = y.doc_id
-WHERE round(len(list_intersect(x.hl, y.hl)) * 1.0
-      / (len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))), 6) >= 0.1
+SELECT id_a, id_b, jaccard FROM rp
+UNION ALL
+SELECT id_a, id_b, jaccard FROM mem
 """
 
 
@@ -1093,12 +1185,25 @@ FROM w LEFT JOIN kept k USING (doc_id) LEFT JOIN nsp USING (doc_id)
 
 
 def dedup_simhash(spark, sf_dir):
+    """Default (collapsed) near-dup contract — see dedup_ngram_jaccard.
+    Member→rep edges carry hamming 0 (identical hash lists ⇒ identical
+    simhash)."""
     return dedup_ops.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2
     )
 
 
-def _simhash_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+def dedup_simhash_expanded(spark, sf_dir):
+    """Opt-in expanded listing (the pre-r13 contract)."""
+    return dedup_ops.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, k=2,
+        expand_pairs=True,
+    )
+
+
+def _simhash_sql(
+    max_hamming: int = 3, n_bands: int = 4, collapsed: bool = False
+) -> str:
     """Bit-for-bit mirror of simhash_pairs: 60-bit md5-derived shingle
     hashes (('0x' || md5-prefix)::BIGINT == Spark's conv(...,16,10)),
     per-bit majority vote, 15-bit band blocking, xor+bit_count hamming."""
@@ -1113,7 +1218,7 @@ def _simhash_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
         f"SELECT doc_id, h, {b} AS b, (h >> {b * band_width}) & {mask} AS k FROM sim"
         for b in range(n_bands)
     )
-    return f"""
+    head = f"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '') AS wl
@@ -1125,16 +1230,36 @@ WITH w AS (
            i -> concat_ws(' ', wl[i], wl[i+1])
          )) AS s
   FROM w
-), hh AS (SELECT doc_id, list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hl FROM sh),
-sim AS (SELECT doc_id, {sim_bits} AS h FROM hh WHERE len(hl) > 0),
+), hh AS (SELECT doc_id, list_transform(s, x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hl FROM sh)"""
+    tail = f"""
 bands AS ({band_union}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.h AS ha, b.h AS hb
   FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+),
+rp AS (
+  SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+  FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+)"""
+    if not collapsed:
+        return f"""{head},
+sim AS (SELECT doc_id, {sim_bits} AS h FROM hh WHERE len(hl) > 0),{tail}
+SELECT id_a, id_b, hamming FROM rp
+"""
+    return f"""{head},
+grp AS (SELECT doc_id, array_to_string(list_sort(hl), ',') AS fp, len(hl) AS n FROM hh),
+rep AS (SELECT fp, min(doc_id) AS rid FROM grp GROUP BY fp),
+rhh AS (SELECT h.doc_id, h.hl FROM hh h JOIN rep r ON h.doc_id = r.rid),
+sim AS (SELECT doc_id, {sim_bits} AS h FROM rhh WHERE len(hl) > 0),{tail},
+mem AS (
+  SELECT r.rid AS id_a, g.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+  FROM grp g JOIN rep r ON g.fp = r.fp
+  WHERE g.doc_id <> r.rid AND g.n > 0
 )
-SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+SELECT id_a, id_b, hamming FROM rp
+UNION ALL
+SELECT id_a, id_b, hamming FROM mem
 """
 
 
@@ -5904,8 +6029,12 @@ def corpus_source_overlap(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.sum("_n").alias("n_exact_pairs"), F.lit(0).alias("n_near_pairs"))
     )
+    # expand_pairs: this query's semantics IS the pair count, so the
+    # full listing is materialized here (the collapsed default would
+    # undercount); the d² lives only inside this one audit aggregate
     pairs = dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.12, prefix_filter=True
+        docs, "doc_id", "text", k=3, threshold=0.12, prefix_filter=True,
+        expand_pairs=True,
     )
     src = docs.select("doc_id", "source").join(fps, "doc_id")
     near = (
@@ -7902,6 +8031,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # post-final-commit CORRECTNESS_local.json regeneration. After
     # this round no catalog query's newest driver row is older
     # than r6.
+    # r13 newborns take prefix slots at birth: the four near-dup
+    # pair queries whose DEFAULT contract changed to collapsed-
+    # representative emission this round (oracle changed with them),
+    # plus the three opt-in expanded variants pinning the pre-r13
+    # listing contract.
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_expanded": dedup_ngram_jaccard_expanded,
+    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_expanded": dedup_simhash_expanded,
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
@@ -7956,7 +8097,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_span_pairs": contamination_span_pairs,
     "corpus_contamination": corpus_contamination,
     "dedup_band_index_probe": dedup_band_index_probe,
-    "dedup_simhash": dedup_simhash,
     "corpus_drift_report": corpus_drift_report,
     "sample_temperature_mixture": sample_temperature_mixture,
     # --- below the driver ~50-query sample window: every entry is
@@ -7979,8 +8119,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_orders": cdc_apply_orders,
     "fuzzy_top1_documents": fuzzy_top1_documents,
     "dedup_documents_lang_source": dedup_documents_lang_source,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
     "embed_ivf_lloyd_topk": embed_ivf_lloyd_topk,
     "events_session_paths": events_session_paths,
     "multimodal_features": multimodal_features,
@@ -8027,7 +8165,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_customer_orders": window_customer_orders,
     "set_ops_nations": set_ops_nations,
     "stats_quantiles_lineitem": stats_quantiles_lineitem,
-    "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_corpus_pruned": dedup_corpus_pruned,
     "embed_ivf_auto_topk": embed_ivf_auto_topk,
     "asof_order_revenue_events": asof_order_revenue_events,
@@ -8084,9 +8221,11 @@ ORACLES: dict[str, str] = {
     "window_customer_orders": WINDOW_SQL,
     "set_ops_nations": SETOPS_SQL,
     "dedup_exact_fingerprint": DEDUP_EXACT_SQL,
-    "dedup_ngram_jaccard": NGRAM_SQL,
-    "dedup_ngram_prefix_filtered": _ngram_sql(0.8),
-    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_ngram_jaccard": _ngram_collapsed_sql(0.12),
+    "dedup_ngram_jaccard_expanded": NGRAM_SQL,
+    "dedup_ngram_prefix_filtered": _ngram_collapsed_sql(0.8),
+    "dedup_minhash_lsh": _minhash_sql(collapsed=True),
+    "dedup_minhash_lsh_expanded": _minhash_sql(),
     "dedup_cluster_components": COMPONENTS_SQL,
     "dedup_corpus_pruned": PRUNED_SQL,
     "embed_topk_cosine": TOPK_SQL,
@@ -8104,7 +8243,8 @@ ORACLES: dict[str, str] = {
     "merge_update_only": MERGE_UPD_SQL,
     "audit_match_rule_counts": RULE_COUNT_SQL,
     "functions_scalar_suite": FUNCTIONS_SQL,
-    "dedup_simhash": _simhash_sql(),
+    "dedup_simhash": _simhash_sql(collapsed=True),
+    "dedup_simhash_expanded": _simhash_sql(),
     "embed_lsh_topk": _lsh_topk_sql(),
     "embed_int8_topk": INT8_TOPK_SQL,
     "multimodal_features": MULTIMODAL_SQL,
