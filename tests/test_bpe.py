@@ -98,3 +98,56 @@ def test_bpe_encode_applies_learned_merges(spark):
     exp_len = {w: len(syms) for w, (syms, _) in vocab.items()}
     for r in enc:
         assert r.n_bpe_tokens == exp_len[r.word], r
+
+
+def test_bpe_train_local_matches_distributed_on_fixture(spark):
+    """The driver-side trainer (heap + inverted index) must produce a
+    bit-identical merge table to the distributed-rounds bpe_train on
+    real fixture text, past the 8-merge oracle depth."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dist = [
+        tuple(r)
+        for r in bpe.bpe_train(spark, docs, n_merges=25, max_words=800)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    local = [
+        tuple(r)
+        for r in bpe.bpe_train_local(spark, docs, n_merges=25, max_words=800)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert local == dist
+    assert len(local) == 25
+
+
+def test_bpe_train_local_matches_python_reference_at_1000_merges():
+    """Sennrich parity at real merge depth: the incremental
+    heap-indexed trainer must equal the naive recount-everything
+    reference for >= 1000 merges (the naive form is O(n_merges x
+    vocab); the incremental form is what makes 32k-merge vocabs a
+    driver-side non-event). Pure driver-side — no Spark session."""
+    import random
+
+    rng = random.Random(13)
+    alphabet = "abcdefghij"
+    wf = {}
+    for _ in range(600):
+        w = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 12))
+        )
+        wf[w] = wf.get(w, 0) + rng.randint(1, 50)
+    exp, _ = _python_bpe(wf, 1000)
+    got = bpe._train_merges_local(sorted(wf.items()), 1000)
+    assert got == exp
+    # a corpus this size genuinely sustains >= 1000 merges
+    assert len(got) >= 1000 or len(exp) < 1000
+
+
+def test_bpe_train_local_exhausts_gracefully():
+    """When every pair is merged away before n_merges, the trainer
+    stops (no zero-count merges emitted)."""
+    got = bpe._train_merges_local([("ab", 3)], 50)
+    # 'ab</w>' has pairs (a,b) and (b,</w>) -> at most 2 merges
+    assert 0 < len(got) <= 2
+    assert all(m[4] > 0 for m in got)

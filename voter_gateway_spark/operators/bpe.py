@@ -186,3 +186,109 @@ def bpe_encode(
     return out.select(
         id_col, "word", F.size("syms").cast("bigint").alias("n_bpe_tokens")
     )
+
+
+def _apply_merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy-leftmost non-overlapping replacement of (a, b) in one
+    symbol list — the per-word form of _apply_merge's fold (same
+    semantics: 'aaa'+(a,a)->[aa,a]; a fresh merge result is never
+    re-used as the left half within the same round)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_merges_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side merge-sequence training over a collected
+    (word, freq) table — the industry shape: the corpus contributes
+    ONE aggregation (word_frequencies); everything after runs on the
+    vocabulary, so a 32k-merge vocab costs seconds, not 32k Spark
+    jobs.
+
+    Incremental algorithm: a lazy-deletion max-heap over pair counts
+    plus an inverted pair->word index; each merge touches only the
+    words containing the winning pair and pushes delta-updated heap
+    entries. Identical argmax/tie-break ordering to the distributed
+    bpe_train: (count DESC, lhs ASC, rhs ASC) — heap keys are
+    (-count, lhs, rhs), and stale entries are skipped by comparing
+    the popped count against the live stats table."""
+    import heapq
+    from collections import Counter
+
+    vocab: list[list] = [
+        [list(w) + [END_OF_WORD], int(f)] for w, f in word_freqs
+    ]
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, f) in enumerate(vocab):
+        for j in range(len(syms) - 1):
+            pr = (syms[j], syms[j + 1])
+            stats[pr] = stats.get(pr, 0) + f
+            index.setdefault(pr, set()).add(i)
+    heap = [(-c, p[0], p[1]) for p, c in stats.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = None
+        while heap:
+            negc, a, b = heapq.heappop(heap)
+            if stats.get((a, b), 0) == -negc and -negc > 0:
+                top = (a, b, -negc)
+                break
+        if top is None:
+            break
+        a, b, cnt = top
+        merges.append((rank, a, b, a + b, cnt))
+        for i in index.get((a, b), set()).copy():
+            syms, f = vocab[i]
+            old = Counter(
+                (syms[j], syms[j + 1]) for j in range(len(syms) - 1)
+            )
+            if (a, b) not in old:
+                continue  # stale index entry
+            new_syms = _apply_merge_word(syms, a, b)
+            new = Counter(
+                (new_syms[j], new_syms[j + 1])
+                for j in range(len(new_syms) - 1)
+            )
+            for pr in old.keys() | new.keys():
+                d = new[pr] - old[pr]
+                if d:
+                    stats[pr] = stats.get(pr, 0) + d * f
+                    heapq.heappush(heap, (-stats[pr], pr[0], pr[1]))
+                    if d > 0:
+                        index.setdefault(pr, set()).add(i)
+            vocab[i][0] = new_syms
+    return merges
+
+
+def bpe_train_local(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int = 3000,
+) -> DataFrame:
+    """Scale-path BPE training: ONE distributed word-frequency
+    aggregation (the only corpus-sized stage), then the merge sequence
+    is trained driver-side on the collected <= max_words-row table
+    (see _train_merges_local) and returned as the same merge-table
+    schema as bpe_train. Produces a bit-identical merge table to
+    bpe_train (same argmax, same tie-breaks, same greedy-leftmost
+    application) — the distributed-rounds form remains as the
+    oracle-parity/pedagogical path, but at real vocab sizes this is
+    the difference between one Spark job and n_merges of them."""
+    wf = word_frequencies(docs, text_col, max_words).collect()
+    merges = _train_merges_local([(r["word"], r["freq"]) for r in wf], n_merges)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )

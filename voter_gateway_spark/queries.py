@@ -6282,15 +6282,16 @@ def text_bpe_vocab(spark, sf_dir):
     Scale shape (operators/bpe.py): training NEVER iterates the corpus —
     one corpus-sized token aggregation builds the distinct-word
     frequency table (capped top-3000, ties word ASC), then every merge
-    round runs on that vocabulary-sized table: pair counts by explode +
-    sum, a ONE-row argmax collect (the bounded Lloyd-loop pattern), and
-    greedy-leftmost merge application as a Catalyst aggregate fold (no
-    UDFs). The oracle unrolls the same 8 rounds as chained DuckDB CTEs
-    with gaps-and-islands greedy application, so driver green proves
-    the full iterative semantics, not just round one."""
+    round runs on the collected vocabulary-sized table DRIVER-SIDE
+    (bpe_train_local: lazy-deletion heap + inverted pair index — a
+    32k-merge vocab costs seconds, not 32k Spark jobs; bit-identical
+    merge table to the distributed-rounds bpe_train, which remains as
+    the parity path). The oracle unrolls the same 8 rounds as chained
+    DuckDB CTEs with gaps-and-islands greedy application, so driver
+    green proves the full iterative semantics, not just round one."""
     from voter_gateway_spark.operators import bpe
 
-    return bpe.bpe_train(
+    return bpe.bpe_train_local(
         spark, _t(spark, sf_dir, "documents"), n_merges=8, max_words=3000
     )
 
@@ -6472,7 +6473,7 @@ def text_bpe_encode(spark, sf_dir):
     from voter_gateway_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    table = bpe.bpe_train(spark, docs, n_merges=8, max_words=3000)
+    table = bpe.bpe_train_local(spark, docs, n_merges=8, max_words=3000)
     merges = [
         (r["lhs"], r["rhs"])
         for r in table.orderBy("merge_rank").collect()  # <= 8 rows
