@@ -1977,3 +1977,38 @@ def test_ivfpq_oracle_ks_not_equal_centroids(spark, sf_dir):
     }
     con.close()
     assert len(got) > 0 and got == exp
+
+
+def test_lloyd_round_improves_cell_tightness(spark, sf_dir):
+    """The r13 cell-family upgrade's justification, measured: one
+    snapped Lloyd round must tighten the partition — corpus-wide mean
+    cosine of members to their cell centroid strictly higher at
+    iters=1 than at iters=0 (seed vectors as centroids). This is the
+    evidence the cluster report's "distrust iters=0 cells" caveat
+    asked for before sample_cluster_mixture / semantic_dedup block on
+    these cells."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def mean_tightness(iters):
+        asg = similarity.assign_cells(
+            emb, keep=("embedding",), iters=iters, centroid_round=9
+        )
+        cents = similarity.coarse_centroids(
+            emb, iters=iters, centroid_round=9
+        )
+        return (
+            asg.join(F.broadcast(cents), "cell")
+            .select(
+                similarity.cosine(
+                    similarity.as_double_array("embedding"),
+                    F.col("centroid"),
+                ).alias("cs")
+            )
+            .agg(F.avg("cs"))
+            .first()[0]
+        )
+
+    t0, t1 = mean_tightness(0), mean_tightness(1)
+    assert t1 > t0, (t0, t1)

@@ -1342,23 +1342,63 @@ def embed_semantic_dedup(spark, sf_dir):
     the operator path exercised is identical. Cell blocking bounds
     pair work at O(N²/cells)=O(N^1.5) total and is recall-only, and
     the oracle reproduces the blocked result exactly (seeding,
-    assignment ties, rounded cosine all pinned)."""
+    assignment ties, rounded cosine all pinned).
+
+    r13: runs at iters=1 (one snapped Lloyd round, the trajectory
+    embed_ivf_lloyd_topk pinned) — Lloyd-refined cells are tighter
+    blocks, so the recall-only approximation loses fewer cross-cell
+    duplicates; the oracle unrolls the round via _lloyd_cells_ctes."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, threshold=0.4, n_centroids=None, iters=0
+        emb, threshold=0.4, n_centroids=None, iters=1, centroid_round=9
     )
 
 
-def _semantic_dedup_sql(threshold: float = 0.4, n_centroids: str | int = "") -> str:
-    """Mirror of semantic_dedup(iters=0): md5-ordered seeds, nearest-
-    cell assignment, same-cell smaller-id pairing, min-keep pick."""
+def _lloyd_cells_ctes(iters: int, n_centroids: str | int = "") -> str:
+    """Shared WITH-prefix for the cell-family oracles: the md5-seeded
+    coarse quantizer with `iters` unrolled Lloyd rounds
+    (_ivf_lloyd_sql's a_i -> cents_i pattern, means snapped to 9
+    decimals so both engines walk the identical trajectory), ending
+    in `cents(cell, cv)`. `c` carries `label` so the cluster report
+    can reuse the prefix."""
     cells = n_centroids or _AUTO_CENTROIDS_SQL
-    return f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (
+    ctes = [
+        "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""seeds AS (
   SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {cells}
-),
-cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+)""",
+        "cents0 AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, k.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC, k.cell) AS rn
+    FROM c, {prev} k
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""cents{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT cell, i AS pos, round(avg(v[i]), 9) AS m
+    FROM a{i}, unnest(generate_series(1, len(v))) AS t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+        prev = f"cents{i}"
+    ctes.append(f"cents AS (SELECT cell, cv FROM {prev})")
+    return ",\n".join(ctes)
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.4, n_centroids: str | int = "", iters: int = 1
+) -> str:
+    """Mirror of semantic_dedup: the shared Lloyd-refined quantizer
+    prefix (_lloyd_cells_ctes), nearest-cell assignment, same-cell
+    smaller-id pairing, min-keep pick."""
+    return f"""
+WITH {_lloyd_cells_ctes(iters, n_centroids)},
 assign AS (
   SELECT vec_id, v, cell FROM (
     SELECT c.vec_id, c.v, cents.cell,
@@ -7817,7 +7857,10 @@ def sample_cluster_mixture(spark, sf_dir):
     sampling idiom (sample_customers_deterministic), lifted to the
     embedding layer."""
     emb = _t(spark, sf_dir, "embeddings")
-    asg = similarity.assign_cells(emb).select(
+    # iters=1 (r13): one snapped Lloyd round — the report's own
+    # docstring said not to trust iters=0 seed cells for blocking;
+    # refined cells make the head/tail weighting track real density
+    asg = similarity.assign_cells(emb, iters=1, centroid_round=9).select(
         F.col("vec_id").alias("doc_id"), "cell"
     )
     per = asg.groupBy("cell").agg(
@@ -7843,17 +7886,14 @@ def sample_cluster_mixture(spark, sf_dir):
     )
 
 
-def _cluster_mixture_sql() -> str:
-    """Mirror of sample_cluster_mixture: the IVF oracles' seed/assign
-    CTEs (md5-ordered seeds, rounded-cosine nearest cell, ties to
-    ascending cell) feeding TEMPERATURE_MIXTURE_SQL's rate/admission
-    arithmetic keyed by cell."""
+def _cluster_mixture_sql(iters: int = 1) -> str:
+    """Mirror of sample_cluster_mixture: the shared Lloyd-refined
+    quantizer prefix (_lloyd_cells_ctes — md5-ordered seeds, unrolled
+    snapped rounds, rounded-cosine nearest cell, ties to ascending
+    cell) feeding TEMPERATURE_MIXTURE_SQL's rate/admission arithmetic
+    keyed by cell."""
     return f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (
-  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {_AUTO_CENTROIDS_SQL}
-),
-cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+WITH {_lloyd_cells_ctes(iters)},
 assign AS (
   SELECT vec_id AS doc_id, cell FROM (
     SELECT c.vec_id, cents.cell,
@@ -7919,8 +7959,13 @@ def embed_cluster_report(spark, sf_dir):
     # keep= carries label + vector through the assignment pass, so
     # the only joins left are the two broadcasts (centroid table,
     # majority frame) — no id-keyed corpus re-join
-    asg = similarity.assign_cells(emb, keep=("label", "embedding"))
-    cents = similarity.coarse_centroids(emb)
+    # iters=1 (r13): same snapped Lloyd trajectory for BOTH calls —
+    # assign_cells and coarse_centroids share the deterministic
+    # trainer, so identical args ⇒ identical table, no drift
+    asg = similarity.assign_cells(
+        emb, keep=("label", "embedding"), iters=1, centroid_round=9
+    )
+    cents = similarity.coarse_centroids(emb, iters=1, centroid_round=9)
     per = asg.join(F.broadcast(cents), "cell").select(
         "cell",
         "label",
@@ -7963,16 +8008,13 @@ def embed_cluster_report(spark, sf_dir):
     )
 
 
-def _cluster_report_sql() -> str:
-    """Mirror of embed_cluster_report: the IVF seed/assign CTEs with
-    the label carried through, per-cell tightness vs the seed
-    centroid, and the NULLS LAST majority window."""
+def _cluster_report_sql(iters: int = 1) -> str:
+    """Mirror of embed_cluster_report: the shared Lloyd-refined
+    quantizer prefix with the label carried through, per-cell
+    tightness vs the REFINED centroid, and the NULLS LAST majority
+    window."""
     return f"""
-WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (
-  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {_AUTO_CENTROIDS_SQL}
-),
-cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+WITH {_lloyd_cells_ctes(iters)},
 assign AS (
   SELECT vec_id, label, v, cell FROM (
     SELECT c.vec_id, c.label, c.v, cents.cell,
@@ -8044,6 +8086,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_prefix_filtered": dedup_ngram_prefix_filtered,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_expanded": dedup_simhash_expanded,
+    # r13: the cell family now runs at iters=1 (snapped Lloyd round)
+    # — contract changed, so it re-earns a driver-green row
+    "embed_semantic_dedup": embed_semantic_dedup,
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
@@ -8124,7 +8169,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_paths": events_session_paths,
     "multimodal_features": multimodal_features,
     "text_dsir_importance": text_dsir_importance,
-    "embed_semantic_dedup": embed_semantic_dedup,
     "text_bpe_encode": text_bpe_encode,
     "corpus_source_overlap": corpus_source_overlap,
     "text_quality_by_source": text_quality_by_source,
