@@ -2012,3 +2012,147 @@ def test_lloyd_round_improves_cell_tightness(spark, sf_dir):
 
     t0, t1 = mean_tightness(0), mean_tightness(1)
     assert t1 > t0, (t0, t1)
+
+
+# -- JPEG codec -----------------------------------------------------------------
+
+def _jpeg_coef_field(m):
+    import numpy as np
+
+    coef = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            coef[by][bx][0][0] = 8 * (((m * 5 + bx * 3 + by * 7) % 25) - 12)
+            coef[by][bx][0][1] = ((m + 3 * bx + 5 * by) % 13) - 6
+    return coef
+
+
+def test_jpeg_decode_matches_closed_form_field():
+    """Every pixel of every oracle fixture must equal the two-term
+    IDCT formula the SQL oracle recomputes — Huffman decode, DC
+    prediction across 4 blocks, dequant, zigzag, IDCT scaling, level
+    shift, and rounding all on the line."""
+    import math
+
+    from voter_gateway_spark.operators.multimodal import (
+        jpeg_parse, make_jpeg_gray,
+    )
+
+    for m in range(64):
+        img = jpeg_parse(make_jpeg_gray(16, 16, _jpeg_coef_field(m)))
+        for y in range(16):
+            for x in range(16):
+                bx, by, lx = x // 8, y // 8, x % 8
+                dc = ((m * 5 + bx * 3 + by * 7) % 25) - 12
+                ac = ((m + 3 * bx + 5 * by) % 13) - 6
+                val = 128 + dc + ac * math.cos(
+                    (2 * lx + 1) * math.pi / 16
+                ) / (4 * math.sqrt(2))
+                assert img[y, x, 0] == min(255, max(0, math.floor(val + 0.5)))
+
+
+def test_jpeg_oracle_margin():
+    """The catalog fixture's pre-rounding pixel values must sit far
+    from the floor(v+0.5) boundary (>= 1e-3), so a 1-ulp cos()
+    difference between numpy and DuckDB can never flip a pixel —
+    the condition that makes the closed-form oracle legitimate."""
+    import math
+
+    margin = 1.0
+    for m in range(64):
+        for bx in range(2):
+            for by in range(2):
+                dc = ((m * 5 + bx * 3 + by * 7) % 25) - 12
+                ac = ((m + 3 * bx + 5 * by) % 13) - 6
+                for lx in range(8):
+                    val = 128 + dc + ac * math.cos(
+                        (2 * lx + 1) * math.pi / 16
+                    ) / (4 * math.sqrt(2))
+                    margin = min(
+                        margin, abs((val + 0.5) - round(val + 0.5))
+                    )
+    assert margin >= 1e-3, margin
+
+
+def test_jpeg_color_ycbcr_roundtrip():
+    """3-component 4:4:4 scans: constant YCbCr blocks decode to the
+    exact floor(x+0.5)-rounded RGB of the standard transform,
+    including clamping at both ends."""
+    import math
+
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        jpeg_parse, make_jpeg_color,
+    )
+
+    def cz(dc):
+        c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        c[0][0][0][0] = 8 * dc
+        return c
+
+    for ydc, cbdc, crdc in [(0, 0, 0), (40, -20, 30), (-60, 50, -50),
+                            (120, 120, 120), (-128, -120, -120)]:
+        img = jpeg_parse(make_jpeg_color(8, 8, cz(ydc), cz(cbdc), cz(crdc)))
+        yv, cb, cr = 128 + ydc, cbdc, crdc
+        exp = [
+            min(255, max(0, math.floor(yv + 1.402 * cr + 0.5))),
+            min(255, max(0, math.floor(
+                yv - 0.344136 * cb - 0.714136 * cr + 0.5))),
+            min(255, max(0, math.floor(yv + 1.772 * cb + 0.5))),
+        ]
+        assert [int(v) for v in img[5, 5]] == exp
+
+
+def test_jpeg_entropy_byte_stuffing_roundtrip():
+    """A 0xFF byte inside the entropy-coded stream must be stuffed on
+    encode and unstuffed on decode. DC diffs near 2^11-1 put long
+    1-runs in the magnitude bits; sweep offsets until payloads
+    contain the stuffed pair, then verify the block AFTER the
+    stuffed byte still decodes exactly (bit alignment preserved
+    through unstuffing)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        jpeg_parse, make_jpeg_gray,
+    )
+
+    hit = 0
+    for dc0 in range(1024, 1200, 7):
+        coef = np.zeros((1, 3, 8, 8), dtype=np.int64)
+        coef[0][0][0][0] = dc0
+        coef[0][1][0][0] = dc0 + 2046
+        coef[0][2][0][0] = 0  # after the 1-run: must come back exact
+        payload = make_jpeg_gray(24, 8, coef)
+        if b"\xff\x00" in payload[2:-2]:
+            hit += 1
+            img = jpeg_parse(payload)
+            assert (img[:, 16:, 0] == 128).all()
+            assert (img[:, 8:16, 0] == 255).all()  # clamped high block
+    assert hit > 0
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive scans, subsampled chroma, restart intervals, and
+    non-JPEG payloads must raise, never approximate."""
+    import numpy as np
+    import pytest
+
+    from voter_gateway_spark.operators.multimodal import (
+        jpeg_parse, make_jpeg_gray,
+    )
+
+    coef = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    good = bytearray(make_jpeg_gray(8, 8, coef))
+    # SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_parse(bytes(prog))
+    # sampling factor 0x11 -> 0x22 inside SOF0
+    i = bytes(good).index(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[i + 2 + 2 + 5 + 1 + 1] = 0x22  # len(2) prec(1) h(2) w(2) nc(1) cid(1)
+    with pytest.raises(ValueError, match="subsampl"):
+        jpeg_parse(bytes(sub))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_parse(b"not a jpeg")

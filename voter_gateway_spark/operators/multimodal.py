@@ -473,11 +473,422 @@ def ppm_pool_grid(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> list[floa
     return [float(v) for v in pooled.flatten()]
 
 
+# -- JPEG (baseline sequential DCT, ITU-T T.81) --------------------------------
+#
+# The dominant crawl image format, through the same registry contract
+# as PNG/PPM/WAV: a pure stdlib+numpy decoder (marker walk, canonical
+# Huffman entropy decode with DC prediction and byte unstuffing,
+# dequantization, inverse zigzag, float IDCT, level shift,
+# floor(x+0.5) rounding, clamp; 4:4:4 YCbCr -> RGB for 3-component
+# scans) plus a fixture encoder that writes coefficient blocks
+# directly, so the catalog oracle can recompute the decoded pixels
+# from the closed-form IDCT of the analytic coefficient field.
+# Rejects progressive (SOF2), arithmetic coding, subsampled chroma,
+# and restart intervals loudly — approximating any of those silently
+# would make decoded stats depend on unimplemented reconstruction.
+
+_JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via T.81 Annex C canonical assignment:
+    codes of length L are consecutive, starting from twice the
+    successor of the last length-(L-1) code."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """(bits, vals) giving every symbol the same code length L, with
+    2^L >= len(symbols) + 1 so the all-ones code stays unused (the
+    padding-bits convention makes an all-ones codeword ambiguous at
+    the end of the scan)."""
+    L = 1
+    while (1 << L) < len(symbols) + 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.put(1, 1)  # pad with 1-bits per the spec
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category s, s-bit representation): negative values use the
+    one's-complement-style form v + 2^s - 1."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _make_jpeg(
+    width: int, height: int, comp_blocks: list
+) -> bytes:
+    """Baseline-sequential JPEG written directly from QUANTIZED
+    coefficient blocks (comp_blocks[comp][by][bx] is an 8x8 int array
+    in (row, col) frequency order; 1 component = grayscale, 3 =
+    4:4:4 YCbCr interleaved), quant table all ones — the
+    fixture-encoder analogue of make_png: because the coefficients
+    are the ground truth, the decoded pixels are the closed-form IDCT
+    the SQL oracle recomputes. Dimensions must be block-aligned (no
+    edge-replication ambiguity in an oracle-pinned codec). One shared
+    DC and one shared AC Huffman table cover every component's
+    symbols (flat-length canonical codes, all-ones code unused)."""
+    if width % 8 or height % 8:
+        raise ValueError("oracle fixture JPEGs must be 8-aligned")
+    nc = len(comp_blocks)
+    if nc not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr) components only")
+    by_n, bx_n = height // 8, width // 8
+    # entropy-code the MCUs to learn which symbols the tables need
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = {0x00}
+    tokens = []  # per block: (dc_sym, dc_bits_val, [(ac_sym, val, s)...], eob)
+    pred = [0] * nc
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(nc):
+                blk = comp_blocks[ci][by][bx]
+                dc = int(blk[0][0])
+                s, bitsv = _jpeg_magnitude(dc - pred[ci])
+                pred[ci] = dc
+                dc_syms.add(s)
+                acs = []
+                run = 0
+                last_nonzero = 0
+                seq = [int(blk[r][c]) for (r, c) in _JPEG_ZIGZAG]
+                for i in range(63, 0, -1):
+                    if seq[i]:
+                        last_nonzero = i
+                        break
+                for i in range(1, last_nonzero + 1):
+                    v = seq[i]
+                    if v == 0:
+                        run += 1
+                        if run == 16:
+                            ac_syms.add(0xF0)  # ZRL
+                            acs.append((0xF0, 0, 0))
+                            run = 0
+                        continue
+                    vs, vb = _jpeg_magnitude(v)
+                    sym = (run << 4) | vs
+                    ac_syms.add(sym)
+                    acs.append((sym, vb, vs))
+                    run = 0
+                tokens.append((s, bitsv, acs, last_nonzero < 63))
+    dc_bits, dc_vals = _jpeg_flat_table(sorted(dc_syms))
+    ac_bits, ac_vals = _jpeg_flat_table(sorted(ac_syms))
+    dc_codes = _jpeg_canonical_codes(dc_bits, dc_vals)
+    ac_codes = _jpeg_canonical_codes(ac_bits, ac_vals)
+    w = _JpegBitWriter()
+    for s, bitsv, acs, eob in tokens:
+        c, ln = dc_codes[s]
+        w.put(c, ln)
+        if s:
+            w.put(bitsv, s)
+        for sym, vb, vs in acs:
+            c, ln = ac_codes[sym]
+            w.put(c, ln)
+            if vs:
+                w.put(vb, vs)
+        if eob:
+            c, ln = ac_codes[0x00]
+            w.put(c, ln)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, sof)  # SOF0 baseline
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg_gray(width: int, height: int, coef_blocks) -> bytes:
+    """Grayscale fixture JPEG — see _make_jpeg."""
+    return _make_jpeg(width, height, [coef_blocks])
+
+
+def make_jpeg_color(width: int, height: int, y, cb, cr) -> bytes:
+    """4:4:4 YCbCr fixture JPEG — see _make_jpeg."""
+    return _make_jpeg(width, height, [y, cb, cr])
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError(
+                        f"marker 0xFF{nxt:02X} inside entropy-coded data "
+                        "(restart intervals are not supported)"
+                    )
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol lookup for the canonical table."""
+    return {cl: sym for sym, cl in _jpeg_canonical_codes(bits, vals).items()}
+
+
+def _jpeg_read_symbol(r: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy-coded data")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_idct_matrix() -> "np.ndarray":
+    """M[x, u] = C(u) * cos((2x+1) u pi / 16) — the 1-D IDCT basis;
+    f = 0.25 * M F' M' applied separably."""
+    import math
+
+    m = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+            m[x, u] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def jpeg_parse(payload: bytes) -> "np.ndarray":
+    """Decode a baseline-sequential JPEG to an (H, W, C) uint8 array
+    (C = 1 grayscale or 3 RGB via the 4:4:4 YCbCr transform with
+    floor(x+0.5) rounding). Raises on progressive/arithmetic scans,
+    subsampled chroma, restart intervals, and truncated streams —
+    the registry's refuse-loudly contract."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, qid)...])
+    scan_comps = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline sequential (SOF0) JPEG is supported; got "
+                f"SOF marker 0x{marker:02X}"
+            )
+        ln = int.from_bytes(d[pos : pos + 2], "big")
+        body = d[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, qid = body[i] >> 4, body[i] & 0x0F
+                if prec:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[qid] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htables[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled chroma not supported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker == 0xDD:
+            if int.from_bytes(body, "big") != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tbl = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_comps.append((cid, tbl >> 4, tbl & 0x0F))
+            pos += ln
+            break
+        pos += ln
+    if frame is None or scan_comps is None:
+        raise ValueError("truncated JPEG: missing SOF0/SOS")
+    h, w, comps = frame
+    if h % 8 or w % 8:
+        raise ValueError("non-8-aligned dimensions not supported")
+    if len(scan_comps) != len(comps):
+        raise ValueError("scan/frame component mismatch")
+    qid_of = dict(comps)
+    by_n, bx_n = h // 8, w // 8
+    m = _jpeg_idct_matrix()
+    planes = np.zeros((len(comps), h, w))
+    r = _JpegBitReader(d, pos)
+    pred = [0] * len(comps)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci, (cid, dct, act) in enumerate(scan_comps):
+                dc_tab = htables[(0, dct)]
+                ac_tab = htables[(1, act)]
+                q = qtables[qid_of[cid]]
+                seq = [0] * 64
+                s = _jpeg_read_symbol(r, dc_tab)
+                diff = _jpeg_extend(r.bits(s), s) if s else 0
+                pred[ci] += diff
+                seq[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _jpeg_read_symbol(r, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    seq[k] = _jpeg_extend(r.bits(size), size)
+                    k += 1
+                blk = np.zeros((8, 8))
+                for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
+                    blk[rr, cc] = seq[zi] * q[zi]
+                px = 0.25 * (m @ blk.T @ m.T)  # px[x, y]
+                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    px.T + 128.0
+                )
+    if len(comps) == 1:
+        out = np.clip(np.floor(planes[0] + 0.5), 0, 255)
+        return out.astype(np.uint8)[:, :, None]
+    if len(comps) != 3:
+        raise ValueError(f"{len(comps)}-component scans not supported")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode(payload: bytes) -> list[float]:
+    """Feature extraction over the decoded image: 8 stats of the
+    cross-channel mean-gray field g (for grayscale, g IS the pixel
+    value, so every sum is integer-exact and the closed-form oracle
+    reproduces each feature bit-for-bit): mean, max, min, the four
+    quadrant means (all /255), and the mean absolute deviation from
+    mid-gray 128 (/255)."""
+    img = jpeg_parse(payload).astype(np.float64)
+    g = img.mean(axis=2)
+    h, w = g.shape
+    hh, hw = h // 2, w // 2
+    return [
+        float(g.mean() / 255.0),
+        float(g.max() / 255.0),
+        float(g.min() / 255.0),
+        float(g[:hh, :hw].mean() / 255.0),
+        float(g[:hh, hw:].mean() / 255.0),
+        float(g[hh:, :hw].mean() / 255.0),
+        float(g[hh:, hw:].mean() / 255.0),
+        float(np.abs(g - 128.0).mean() / 255.0),
+    ]
+
+
 _DECODERS: dict[str, object] = {
     "fake": fake_decode,
     "ppm": ppm_decode,
     "png": png_decode,
     "wav": wav_decode,
+    "jpeg": jpeg_decode,
     "ppm_pool": ppm_pool_grid,
 }
 
@@ -494,9 +905,10 @@ def get_decoder(kind: str):
             "a codec library (PIL/opencv/ffmpeg) — register one with "
             "multimodal.register_decoder(kind, fn). Built-ins: 'ppm' (real "
             "binary-PPM decode), 'png' (real PNG: chunk/CRC/inflate/all "
-            "five filters), 'wav' (real RIFF PCM audio decode) — all "
-            "stdlib+numpy only — and 'fake' (deterministic plumbing "
-            "stand-in)"
+            "five filters), 'jpeg' (real baseline-sequential JPEG: "
+            "Huffman/dequant/IDCT/YCbCr), 'wav' (real RIFF PCM audio "
+            "decode) — all stdlib+numpy only — and 'fake' (deterministic "
+            "plumbing stand-in)"
         )
     return _DECODERS[kind]
 

@@ -2191,6 +2191,79 @@ def multimodal_png_decode(spark, sf_dir):
     )
 
 
+def multimodal_jpeg_decode(spark, sf_dir):
+    """FOURTH real codec through the decoder registry, and the
+    dominant crawl image format: baseline-sequential JPEG
+    (multimodal.jpeg_parse — marker walk, canonical Huffman entropy
+    decode with DC prediction and byte unstuffing, dequantization,
+    inverse zigzag, float IDCT, level shift, floor(x+0.5) rounding,
+    clamp). 64 grayscale 16x16 fixtures are written DIRECTLY from an
+    analytic quantized-coefficient field (make_jpeg_gray, quant table
+    all ones): per 8x8 block, a DC multiple of 8 plus one AC
+    coefficient at zigzag index 1 — so the decoded pixel is the
+    closed-form two-term IDCT
+
+        g = floor(128 + dc/8 + ac * cos((2*lx+1)*pi/16)/(4*sqrt(2)) + 0.5)
+
+    which the oracle recomputes with DuckDB's cos/floor (fixture
+    margins to the rounding boundary are >= 8e-3, pinned by
+    test_jpeg_oracle_margin, so 1-ulp libm drift cannot flip a
+    pixel). A Huffman mis-decode, DC-prediction bug, zigzag/dequant
+    slip, or IDCT scaling error shifts whole blocks and fails the
+    hash. Features are integer-exact stats of the gray field (mean /
+    max / min / four quadrant means / mean |g-128|, all /255).
+    The registry reject path (unregistered compressed kinds raise
+    NotImplementedError) is unchanged and still pinned by its test."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_jpeg_gray,
+    )
+
+    rows = []
+    for m in range(64):
+        coef = np.zeros((2, 2, 8, 8), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                coef[by][bx][0][0] = 8 * (((m * 5 + bx * 3 + by * 7) % 25) - 12)
+                coef[by][bx][0][1] = ((m + 3 * bx + 5 * by) % 13) - 6
+        rows.append(
+            (m, "image", bytearray(make_jpeg_gray(16, 16, coef)),
+             "image/jpeg", 16, 16, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, kind="jpeg")
+    return feat.select(
+        "media_id",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+JPEG_DECODE_SQL = """
+WITH px AS (
+  SELECT m, x, y,
+         CAST(floor(128 + (((m*5 + (x//8)*3 + (y//8)*7) % 25) - 12)
+              + ((((m + 3*(x//8) + 5*(y//8)) % 13) - 6)
+                 * cos((2*(x%8)+1) * pi() / 16) / (4 * sqrt(2)))
+              + 0.5) AS BIGINT) AS g
+  FROM (SELECT unnest(generate_series(0, 63)) AS m),
+       (SELECT unnest(generate_series(0, 15)) AS x),
+       (SELECT unnest(generate_series(0, 15)) AS y)
+)
+SELECT m AS media_id,
+       round(avg(g) / 255.0, 6) AS f0,
+       round(max(g) / 255.0, 6) AS f1,
+       round(min(g) / 255.0, 6) AS f2,
+       round(avg(g) FILTER (y < 8 AND x < 8) / 255.0, 6) AS f3,
+       round(avg(g) FILTER (y < 8 AND x >= 8) / 255.0, 6) AS f4,
+       round(avg(g) FILTER (y >= 8 AND x < 8) / 255.0, 6) AS f5,
+       round(avg(g) FILTER (y >= 8 AND x >= 8) / 255.0, 6) AS f6,
+       round(avg(abs(g - 128)) / 255.0, 6) AS f7
+FROM px GROUP BY m
+"""
+
+
 def multimodal_wav_decode(spark, sf_dir):
     """Third REAL codec through the decoder registry, and the first
     AUDIO one: 64 mono 16-bit PCM RIFF/WAVE clips whose samples are an
@@ -8089,6 +8162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13: the cell family now runs at iters=1 (snapped Lloyd round)
     # — contract changed, so it re-earns a driver-green row
     "embed_semantic_dedup": embed_semantic_dedup,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
@@ -8323,6 +8397,7 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": _pii_sql(),
     "multimodal_ppm_decode": PPM_DECODE_SQL,
     "multimodal_png_decode": PNG_DECODE_SQL,
+    "multimodal_jpeg_decode": JPEG_DECODE_SQL,
     "multimodal_wav_decode": WAV_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
     "asof_nearest_purchase_events": ASOF_NEAREST_SQL,
