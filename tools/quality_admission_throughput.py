@@ -9,6 +9,9 @@ through three admission pipelines:
   quality      + stateless Gopher/encoding gates in the stream plan
   quality_lm   + trigram-LM logprob floor against a pinned reference
                (scored per micro-batch in the foreachBatch body)
+  quality_nb   + naive-Bayes classifier floor against a pinned
+               NBReference (r12's trained gate; the 2^16-bounded
+               broadcast weight table scored per micro-batch)
 
 Each mode gets a pristine bootstrapped corpus + band index; reported
 per mode: wall seconds, input rows/s, and the admitted count (the
@@ -33,7 +36,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from voter_gateway_spark.operators import lm  # noqa: E402
+from voter_gateway_spark.operators import lm, nbq  # noqa: E402
 from voter_gateway_spark.session import build_spark  # noqa: E402
 from voter_gateway_spark.streaming.index_dedup import (  # noqa: E402
     bootstrap_index,
@@ -85,8 +88,9 @@ def main() -> None:
         )
 
     lm_ref = lm.build_reference(corpus)
+    nb_ref = nbq.build_reference(corpus)
     results = {}
-    for mode in ["dedup_only", "quality", "quality_lm"]:
+    for mode in ["dedup_only", "quality", "quality_lm", "quality_nb"]:
         idx = str(WORK / f"idx_{mode}")
         cp = str(WORK / f"corpus_{mode}")
         bootstrap_index(corpus, idx, cp, "doc_id", "text")
@@ -105,10 +109,15 @@ def main() -> None:
             writer = stream_quality_admission(
                 stream, idx, cp, "doc_id", "text", **kwargs
             )
-        else:
+        elif mode == "quality_lm":
             writer = stream_quality_admission(
                 stream, idx, cp, "doc_id", "text",
                 lm_ref=lm_ref, logprob_floor=-6.0, **kwargs
+            )
+        else:
+            writer = stream_quality_admission(
+                stream, idx, cp, "doc_id", "text",
+                nb_ref=nb_ref, nb_floor=0.0, **kwargs
             )
         t0 = time.time()
         q = writer.trigger(availableNow=True).start()
