@@ -2156,3 +2156,66 @@ def test_jpeg_rejects_unsupported_variants():
         jpeg_parse(bytes(sub))
     with pytest.raises(ValueError, match="SOI"):
         jpeg_parse(b"not a jpeg")
+
+
+def test_ngram_graph_counts_equal_expanded_pairs(spark):
+    """The count algebra corpus_source_overlap runs on the collapsed
+    graph must equal counting the expanded pair listing, on a fixture
+    with heavy exact duplication, near-dups, and two 'sources'."""
+    rows = []
+    texts = [
+        "alpha beta gamma delta epsilon zeta",       # near-dups with next
+        "alpha beta gamma delta epsilon eta",
+        "one two three four five six",
+        "seven eight nine ten eleven twelve",
+    ]
+    i = 0
+    for t_i, t in enumerate(texts):
+        for d in range(4):  # 4 exact copies each
+            rows.append((i, t, f"s{(i + t_i) % 2}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    exp_pairs = dedup_ops.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.3, expand_pairs=True
+    )
+    src = {r.doc_id: r.source for r in df.select("doc_id", "source").collect()}
+    txt = {r.doc_id: r.text for r in df.select("doc_id", "text").collect()}
+    from collections import Counter
+
+    want = Counter()
+    for r in exp_pairs.collect():
+        if txt[r.id_a] != txt[r.id_b]:  # strictly-near (norm fp differs)
+            key = tuple(sorted((src[r.id_a], src[r.id_b])))
+            want[key] += 1
+
+    rp, mem = dedup_ops.ngram_jaccard_graph(
+        df, "doc_id", "text", k=3, threshold=0.3
+    )
+    meta = df.select(
+        F.col("doc_id").alias("id"), "source", F.md5("text").alias("_f")
+    )
+    cells = (
+        mem.join(meta, "id").groupBy("rep", "source", "_f").count()
+    ).collect()
+    by_rep: dict = {}
+    for c in cells:
+        by_rep.setdefault(c.rep, []).append((c.source, c._f if hasattr(c, "_f") else c["_f"], c["count"]))
+    got = Counter()
+    for r in rp.collect():
+        for sa, fa, ca in by_rep.get(r.id_a, []):
+            for sb, fb, cb in by_rep.get(r.id_b, []):
+                if fa != fb:
+                    got[tuple(sorted((sa, sb)))] += ca * cb
+    for cells_g in by_rep.values():
+        for x in range(len(cells_g)):
+            for y in range(x + 1, len(cells_g)):
+                sa, fa, ca = cells_g[x]
+                sb, fb, cb = cells_g[y]
+                if fa != fb:
+                    got[tuple(sorted((sa, sb)))] += ca * cb
+    assert got == want, (got, want)
+    # membership covers every doc with shingles, rep = group min
+    m = {r.id: r.rep for r in mem.collect()}
+    assert len(m) == len(rows)
+    assert all(rep <= i for i, rep in m.items())

@@ -194,49 +194,28 @@ def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_va
     return members, reps, expand, spanning
 
 
-def ngram_jaccard_pairs(
+def _ngram_graph(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 3,
-    threshold: float = 0.8,
-    materialize: bool = True,
-    prefix_filter: bool | None = None,
-    expand_pairs: bool = False,
-) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via
-    inverted-index blocking on shared shingles. Lossless for
-    threshold > 0: any qualifying pair shares ≥1 shingle.
-
-    DEFAULT OUTPUT IS COLLAPSED: one pair per pair of exact-duplicate
-    GROUPS (representatives = group-min ids) plus one member→rep edge
-    per collapsed duplicate — linear in corpus size. The expanded
-    all-pairs listing re-materializes C(d,2) rows per d-way duplicated
-    text (the measured 15×-per-decade scale-killer on crawl-style
-    corpora); it is equivalent for components and keep-min-id pruning
-    (see _collapse_exact.spanning) and available as expand_pairs=True
-    where the pair multiset itself is the semantics (pair counting,
-    audit listings).
-
-    `prefix_filter` (default: auto, on when threshold ≥ 0.5) applies
-    the AllPairs/PPJoin prefix principle: order tokens by global rarity
-    and index only each set's first |s| - ceil(t*|s|) + 1 tokens — any
-    pair with J ≥ t must collide inside those prefixes, so the join
-    fanout of a token with frequency f drops from f² toward
-    ((1-t)f)², which is what keeps hot shingles (boilerplate headers,
-    common phrases) from exploding the shuffle at corpus scale. Costs
-    one extra frequency aggregate + per-doc rank; exact Jaccard is then
-    verified on the candidate pairs' full hash sets.
-
-    The (id, hashes) projection feeds three plan branches (sizes +
-    both sides of the self-join); `materialize` checkpoints it so the
-    shingle expressions compute once, not per branch.
-
-    Shingles ride as 60-bit md5-derived ints (`shingle_hash60`), not
-    strings: the exploded inverted-index join shuffles 8-byte keys
-    instead of multi-word text, and Jaccard over the distinct hash sets
-    equals Jaccard over the shingle sets (the oracle hashes the same
-    way, so even a collision — ~n²/2^60 — is mirrored)."""
+    k: int,
+    threshold: float,
+    materialize: bool,
+    prefix_filter: bool | None,
+):
+    """Shared core of ngram_jaccard_pairs / ngram_jaccard_graph:
+    shingle-hash projection, exact-group collapse, blocked candidate
+    generation (`prefix_filter`: the AllPairs/PPJoin prefix principle
+    — order tokens by global rarity and index only each set's first
+    |s| - ceil(t*|s|) + 1 tokens; any pair with J >= t must collide
+    inside those prefixes, so a hot token's join fanout drops from f²
+    toward ((1-t)f)²), and exact Jaccard verification on the blocked
+    candidates. Shingles ride as 60-bit md5-derived ints
+    (shingle_hash60): the exploded inverted-index join shuffles 8-byte
+    keys instead of multi-word text, and Jaccard over the distinct
+    hash sets equals Jaccard over the shingle sets (the oracle hashes
+    the same way, so even a collision — ~n²/2^60 — is mirrored).
+    Returns (members, reps, rep_pairs, expand, spanning)."""
     full = widen(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
     ).select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
@@ -247,7 +226,6 @@ def ngram_jaccard_pairs(
     members, reps, expand, spanning = _collapse_exact(
         full, materialize, "jaccard", 1.0
     )
-    emit = expand if expand_pairs else spanning
     base = reps.select("_id", "_hh")
     sizes = base.select("_id", F.size("_hh").alias("_n"))
     ex = base.select("_id", F.explode("_hh").alias("_s"))
@@ -291,7 +269,7 @@ def ngram_jaccard_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        return emit(rep_pairs)
+        return members, reps, rep_pairs, expand, spanning
     # low thresholds: full inverted-index join; intersection size = pair
     # count (arrays are distinct), so only (id, id) tuples shuffle —
     # never the arrays
@@ -313,7 +291,74 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return emit(rep_pairs)
+    return members, reps, rep_pairs, expand, spanning
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = True,
+    prefix_filter: bool | None = None,
+    expand_pairs: bool = False,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard >= threshold) via
+    inverted-index blocking on shared shingles (see _ngram_graph for
+    the blocking/verification machinery). Lossless for threshold > 0:
+    any qualifying pair shares >= 1 shingle.
+
+    DEFAULT OUTPUT IS COLLAPSED: one pair per pair of exact-duplicate
+    GROUPS (representatives = group-min ids) plus one member→rep edge
+    per collapsed duplicate — linear in corpus size. The expanded
+    all-pairs listing re-materializes C(d,2) rows per d-way duplicated
+    text (the measured 15×-per-decade scale-killer on crawl-style
+    corpora); it is equivalent for components and keep-min-id pruning
+    (see _collapse_exact.spanning) and available as expand_pairs=True
+    where the pair multiset itself is the semantics (pair counting,
+    audit listings). Consumers that only need COUNTS of the expanded
+    multiset should use ngram_jaccard_graph and multiply group sizes
+    instead (the corpus_source_overlap pattern)."""
+    members, reps, rep_pairs, expand, spanning = _ngram_graph(
+        df, id_col, text_col, k, threshold, materialize, prefix_filter
+    )
+    return (expand if expand_pairs else spanning)(rep_pairs)
+
+
+def ngram_jaccard_graph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = True,
+    prefix_filter: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The collapsed near-dup GRAPH, for consumers that aggregate
+    over the expanded pair multiset without materializing it:
+    (rep_pairs, membership) where rep_pairs is (id_a, id_b, jaccard)
+    between group REPRESENTATIVES only and membership is (id, rep) —
+    one row per document with a nonempty shingle set, rep = the
+    group-min id (singleton groups map to themselves).
+
+    Expanded-count algebra: every cross-group pair (m in G, n in H)
+    has jaccard(rep_G, rep_H), so a per-(G,H) count is a product of
+    group-size breakdowns joined through rep_pairs; intra-group pairs
+    (jaccard 1.0) are C(|G|,2)-style products within membership. A
+    million-row duplicate group costs one membership row per doc and
+    ONE rep_pairs row per neighbor group — never C(d,2) pair rows."""
+    members, reps, rep_pairs, expand, spanning = _ngram_graph(
+        df, id_col, text_col, k, threshold, materialize, prefix_filter
+    )
+    membership = (
+        members.where(F.col("_n") > 0)
+        .join(
+            reps.select(F.col("_id").alias("rep"), "_fp"), "_fp"
+        )
+        .select(F.col("_id").alias("id"), "rep")
+    )
+    return rep_pairs, membership
 
 
 # -- MinHash + LSH -------------------------------------------------------------

@@ -6116,17 +6116,19 @@ def corpus_source_overlap(spark, sf_dir):
     strictly-near pairs (Jaccard >= 0.12 but fingerprints differ), so
     summing the columns never double-counts exact dups.
 
-    Scale shape: the exact side NEVER self-joins documents — it
-    aggregates to a (fingerprint, source, count) table first, and the
-    pair counts come from products of per-group counts (c_a*c_b cross,
-    C(c,2) diagonal), so a million-row duplicate group costs one row
-    per source, not 10^12 pairs. The near side uses the ngram
-    inverted-index pair generator with prefix_filter=True forced ON
-    (lossless for any t > 0; at t=0.12 the prefix keeps ~88% of each
-    set so the pruning is modest — the real fanout protection at this
-    threshold is the generator's exact-group collapse, which blocks
-    duplicate-heavy hot shingles from self-joining). One union + one
-    keyed agg at the end."""
+    Scale shape: NEITHER side ever materializes a per-pair row set.
+    The exact side aggregates to a (fingerprint, source, count) table
+    and multiplies counts (c_a*c_b cross, C(c,2) diagonal). The near
+    side (r13) does the same through the collapsed near-dup graph
+    (dedup_ops.ngram_jaccard_graph): per-duplicate-group (source,
+    norm-fp) cell counts, cross-group products routed through the
+    rep-level pair table, intra-group cell products for the
+    jaccard-1.0 pairs — so a million-row duplicate group costs one
+    row per cell and one rep pair per neighbor group, not C(d,2)
+    pair rows (the r12 d² scale-killer, removed at the source). The
+    oracle still counts the fully expanded pair set, so the
+    hash-green row IS the proof that the count algebra equals the
+    expansion. One union + one keyed agg at the end."""
     docs = _t(spark, sf_dir, "documents")
     norm_fp = F.md5(
         F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).cast("binary")
@@ -6155,40 +6157,71 @@ def corpus_source_overlap(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.sum("_n").alias("n_exact_pairs"), F.lit(0).alias("n_near_pairs"))
     )
-    # expand_pairs: this query's semantics IS the pair count, so the
-    # full listing is materialized here (the collapsed default would
-    # undercount); the d² lives only inside this one audit aggregate
-    pairs = dedup_ops.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.12, prefix_filter=True,
-        expand_pairs=True,
+    # r13: the near count is computed from the COLLAPSED graph
+    # (ngram_jaccard_graph) by group-size products — the expanded
+    # C(d,2)-per-dup-group pair listing is never materialized, the
+    # same trick the exact side above has always used. Every
+    # cross-group pair (m in G, n in H) has jaccard(rep_G, rep_H), so
+    # counting per (source, norm-fp) CELL and multiplying through
+    # rep_pairs is exact; intra-group pairs are cell-product terms
+    # within one group (jaccard 1.0 >= any threshold). The strictly-
+    # near rule (norm fingerprints differ — exact pairs count only in
+    # n_exact_pairs) becomes a cell-level _f inequality. Cost per dup
+    # group: one row per (source, norm-fp) cell, not C(d,2).
+    rp, mem = dedup_ops.ngram_jaccard_graph(
+        docs, "doc_id", "text", k=3, threshold=0.12, prefix_filter=True
     )
-    src = docs.select("doc_id", "source").join(fps, "doc_id")
-    near = (
-        pairs.join(
-            src.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("source").alias("_sa"),
-                F.col("_f").alias("_fa"),
-            ),
-            "id_a",
-        )
-        .join(
-            src.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("source").alias("_sb"),
-                F.col("_f").alias("_fb"),
-            ),
-            "id_b",
-        )
-        # disjointness: exact-fingerprint pairs count ONLY in
-        # n_exact_pairs (they'd otherwise also pass Jaccard ~1.0 here)
+    meta = docs.select(
+        F.col("doc_id").alias("id"), "source"
+    ).join(fps.withColumnRenamed("doc_id", "id"), "id")
+    cells = (
+        mem.join(meta, "id")
+        .groupBy("rep", "source", "_f")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .transform(ckpt_lazy)
+    )
+    ca = cells.select(
+        F.col("rep").alias("_ra"), F.col("source").alias("_sa"),
+        F.col("_f").alias("_fa"), F.col("_c").alias("_ca"),
+    )
+    cb = cells.select(
+        F.col("rep").alias("_rb"), F.col("source").alias("_sb"),
+        F.col("_f").alias("_fb"), F.col("_c").alias("_cb"),
+    )
+    cross = (
+        rp.select("id_a", "id_b")
+        .join(ca, F.col("id_a") == F.col("_ra"))
+        .join(cb, F.col("id_b") == F.col("_rb"))
         .where(F.col("_fa") != F.col("_fb"))
         .select(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),
+            (F.col("_ca") * F.col("_cb")).cast("bigint").alias("_n"),
         )
+    )
+    intra = (
+        ca.join(
+            cb,
+            (F.col("_ra") == F.col("_rb"))
+            & (F.col("_fa") != F.col("_fb"))
+            & (
+                (F.col("_sa") < F.col("_sb"))
+                | ((F.col("_sa") == F.col("_sb")) & (F.col("_fa") < F.col("_fb")))
+            ),
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            (F.col("_ca") * F.col("_cb")).cast("bigint").alias("_n"),
+        )
+    )
+    near = (
+        cross.unionByName(intra)
         .groupBy("source_a", "source_b")
-        .agg(F.lit(0).alias("n_exact_pairs"), F.count(F.lit(1)).alias("n_near_pairs"))
+        .agg(
+            F.lit(0).alias("n_exact_pairs"),
+            F.sum("_n").cast("bigint").alias("n_near_pairs"),
+        )
     )
     return (
         ex.unionByName(near)
