@@ -2219,3 +2219,38 @@ def test_ngram_graph_counts_equal_expanded_pairs(spark):
     m = {r.id: r.rep for r in mem.collect()}
     assert len(m) == len(rows)
     assert all(rep <= i for i, rep in m.items())
+
+
+def test_collapsed_contract_equivalence_minhash_simhash(spark):
+    """minhash_lsh_pairs / simhash_pairs collapsed default vs
+    expanded opt-in: collapsed is a value-inherited subset with the
+    same connected components and the same keep-min-id loser set —
+    the same equivalence the ngram property test pins."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight",
+    ]
+    rows = [(i * 3 + d, t) for i, t in enumerate(texts) for d in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for fn, kw in (
+        (dedup_ops.minhash_lsh_pairs, dict(k=2, threshold=0.3)),
+        (dedup_ops.simhash_pairs, dict(max_hamming=20, k=2)),
+    ):
+        exp = {
+            (r.id_a, r.id_b): r[2]
+            for r in fn(df, "doc_id", "text", expand_pairs=True, **kw).collect()
+        }
+        col = {
+            (r.id_a, r.id_b): r[2]
+            for r in fn(df, "doc_id", "text", **kw).collect()
+        }
+        assert set(col) <= set(exp)
+        assert all(exp[k] == v for k, v in col.items())
+        assert {b for _, b in col} == {b for _, b in exp}  # losers
+        cc_col = sorted(map(tuple, dedup_ops.connected_components(
+            fn(df, "doc_id", "text", **kw)).collect()))
+        cc_exp = sorted(map(tuple, dedup_ops.connected_components(
+            fn(df, "doc_id", "text", expand_pairs=True, **kw)).collect()))
+        assert cc_col == cc_exp

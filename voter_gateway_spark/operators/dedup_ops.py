@@ -13,6 +13,13 @@
 Scale notes: every family avoids the quadratic cross join by blocking
 (shared shingle / LSH band / simhash band). Shingle explosion is the
 dominant shuffle; band width trades recall for fanout.
+
+Output contract (r13): the pair producers emit COLLAPSED
+representatives by default — rep-level pairs plus one member→rep edge
+per exact duplicate, linear in corpus size and equivalent for
+connected components and keep-min-id pruning (_collapse_exact.spanning
+has the proof). The expanded C(d,2)-per-group listing is opt-in
+(expand_pairs=True); count-only consumers use ngram_jaccard_graph.
 """
 
 from __future__ import annotations
