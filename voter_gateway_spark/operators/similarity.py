@@ -368,6 +368,7 @@ def assign_cells(
     iters: int = 0,
     centroid_round: int | None = None,
     keep: tuple[str, ...] = (),
+    train_per_cell: int | None = None,
 ) -> DataFrame:
     """(id, cell): every vector's nearest coarse-quantizer cell — the
     cluster-assignment surface of the shared md5-seeded trainer,
@@ -395,7 +396,9 @@ def assign_cells(
         *(F.col(k) for k in keep),
     ]
     c = widen(df).select(*cols).transform(ckpt)
-    _, cents = _train_centroids(c, n_centroids, iters, centroid_round)
+    _, cents = _train_centroids(
+        c, n_centroids, iters, centroid_round, train_per_cell
+    )
     return _nearest_cells(c, "_cv", cents, 1).select(
         F.col("_cid").alias(id_col),
         F.col("_cell").alias("cell"),
@@ -410,6 +413,7 @@ def coarse_centroids(
     n_centroids: int | None = None,
     iters: int = 0,
     centroid_round: int | None = None,
+    train_per_cell: int | None = None,
 ) -> DataFrame:
     """(cell, centroid): the coarse quantizer's centroid table itself,
     for consumers that need the cell REPRESENTATIVES alongside (or
@@ -422,7 +426,9 @@ def coarse_centroids(
     c = widen(df).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
-    _, cents = _train_centroids(c, n_centroids, iters, centroid_round)
+    _, cents = _train_centroids(
+        c, n_centroids, iters, centroid_round, train_per_cell
+    )
     return cents.select(
         F.col("_cell").alias("cell"), F.col("_centroid").alias("centroid")
     )

@@ -1367,13 +1367,20 @@ def embed_semantic_dedup(spark, sf_dir):
     )
 
 
-def _lloyd_cells_ctes(iters: int, n_centroids: str | int = "") -> str:
+def _lloyd_cells_ctes(
+    iters: int,
+    n_centroids: str | int = "",
+    train_per_cell: int | None = None,
+) -> str:
     """Shared WITH-prefix for the cell-family oracles: the md5-seeded
     coarse quantizer with `iters` unrolled Lloyd rounds
     (_ivf_lloyd_sql's a_i -> cents_i pattern, means snapped to 9
     decimals so both engines walk the identical trajectory), ending
     in `cents(cell, cv)`. `c` carries `label` so the cluster report
-    can reuse the prefix."""
+    can reuse the prefix. `train_per_cell` mirrors _train_centroids'
+    hash-threshold Lloyd training sample (the _ivf_lloyd_sql cut/tr
+    CTEs — at oracle scale the cut admits every row, at replica scale
+    it bounds each assignment pass to ~per_cell*cells rows)."""
     cells = n_centroids or _AUTO_CENTROIDS_SQL
     ctes = [
         "c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -1382,6 +1389,22 @@ def _lloyd_cells_ctes(iters: int, n_centroids: str | int = "") -> str:
 )""",
         "cents0 AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
     ]
+    train = "c"
+    if train_per_cell is not None:
+        ctes.append(
+            f"""cut AS (
+  SELECT CAST(FLOOR(POWER(2.0, 60) * LEAST(
+    1.0, {train_per_cell}.0 * {cells} / (SELECT COUNT(*) FROM embeddings)
+  )) AS BIGINT) AS b
+)"""
+        )
+        ctes.append(
+            """tr AS (
+  SELECT vec_id, v FROM c
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT < (SELECT b FROM cut)
+)"""
+        )
+        train = "tr"
     prev = "cents0"
     for i in range(1, iters + 1):
         ctes.append(f"""a{i} AS (
@@ -1389,7 +1412,7 @@ def _lloyd_cells_ctes(iters: int, n_centroids: str | int = "") -> str:
     SELECT c.vec_id, c.v, k.cell,
            row_number() OVER (PARTITION BY c.vec_id
              ORDER BY round(list_cosine_similarity(c.v, k.cv), 6) DESC, k.cell) AS rn
-    FROM c, {prev} k
+    FROM {train} c, {prev} k
   ) WHERE rn = 1
 )""")
         ctes.append(f"""cents{i} AS (
@@ -7978,10 +8001,15 @@ def sample_cluster_mixture(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # iters=1 (r13): one snapped Lloyd round — the report's own
     # docstring said not to trust iters=0 seed cells for blocking;
-    # refined cells make the head/tail weighting track real density
-    asg = similarity.assign_cells(emb, iters=1, centroid_round=9).select(
-        F.col("vec_id").alias("doc_id"), "cell"
-    )
+    # refined cells make the head/tail weighting track real density.
+    # train_per_cell=128 bounds the Lloyd pass to the deterministic
+    # hash-threshold sample (the embed_ivf_auto economics: measured
+    # 171s -> full-corpus Lloyd at the 100x replica without it; at
+    # <= sf0.1 the cut admits every row, so the oracle is unchanged
+    # there and mirrors the cut exactly anyway)
+    asg = similarity.assign_cells(
+        emb, iters=1, centroid_round=9, train_per_cell=128
+    ).select(F.col("vec_id").alias("doc_id"), "cell")
     per = asg.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
@@ -8005,14 +8033,14 @@ def sample_cluster_mixture(spark, sf_dir):
     )
 
 
-def _cluster_mixture_sql(iters: int = 1) -> str:
+def _cluster_mixture_sql(iters: int = 1, train_per_cell: int = 128) -> str:
     """Mirror of sample_cluster_mixture: the shared Lloyd-refined
     quantizer prefix (_lloyd_cells_ctes — md5-ordered seeds, unrolled
     snapped rounds, rounded-cosine nearest cell, ties to ascending
     cell) feeding TEMPERATURE_MIXTURE_SQL's rate/admission arithmetic
     keyed by cell."""
     return f"""
-WITH {_lloyd_cells_ctes(iters)},
+WITH {_lloyd_cells_ctes(iters, train_per_cell=train_per_cell)},
 assign AS (
   SELECT vec_id AS doc_id, cell FROM (
     SELECT c.vec_id, cents.cell,
@@ -8080,11 +8108,15 @@ def embed_cluster_report(spark, sf_dir):
     # majority frame) — no id-keyed corpus re-join
     # iters=1 (r13): same snapped Lloyd trajectory for BOTH calls —
     # assign_cells and coarse_centroids share the deterministic
-    # trainer, so identical args ⇒ identical table, no drift
+    # trainer, so identical args ⇒ identical table, no drift.
+    # train_per_cell=128: see sample_cluster_mixture
     asg = similarity.assign_cells(
-        emb, keep=("label", "embedding"), iters=1, centroid_round=9
+        emb, keep=("label", "embedding"), iters=1, centroid_round=9,
+        train_per_cell=128,
     )
-    cents = similarity.coarse_centroids(emb, iters=1, centroid_round=9)
+    cents = similarity.coarse_centroids(
+        emb, iters=1, centroid_round=9, train_per_cell=128
+    )
     per = asg.join(F.broadcast(cents), "cell").select(
         "cell",
         "label",
@@ -8127,13 +8159,13 @@ def embed_cluster_report(spark, sf_dir):
     )
 
 
-def _cluster_report_sql(iters: int = 1) -> str:
+def _cluster_report_sql(iters: int = 1, train_per_cell: int = 128) -> str:
     """Mirror of embed_cluster_report: the shared Lloyd-refined
     quantizer prefix with the label carried through, per-cell
     tightness vs the REFINED centroid, and the NULLS LAST majority
     window."""
     return f"""
-WITH {_lloyd_cells_ctes(iters)},
+WITH {_lloyd_cells_ctes(iters, train_per_cell=train_per_cell)},
 assign AS (
   SELECT vec_id, label, v, cell FROM (
     SELECT c.vec_id, c.label, c.v, cents.cell,
