@@ -2254,3 +2254,59 @@ def test_collapsed_contract_equivalence_minhash_simhash(spark):
         cc_exp = sorted(map(tuple, dedup_ops.connected_components(
             fn(df, "doc_id", "text", expand_pairs=True, **kw)).collect()))
         assert cc_col == cc_exp
+
+
+def test_incremental_probe_corpus_collapsed_mode(spark, sf_dir):
+    """expand_corpus=False: (a) the matched NEW-id set is identical to
+    the full contract (admission exactness), (b) every corpus_id is a
+    corpus exact-dup-group representative whose full-contract row set
+    covers the same groups, and (c) incremental_component_assign gives
+    the identical final map with either form of bp."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    mh = dict(k=3, threshold=0.1)
+    full = dedup_ops.incremental_minhash_pairs(
+        new, corpus, "doc_id", "text", **mh
+    ).collect()
+    coll = dedup_ops.incremental_minhash_pairs(
+        new, corpus, "doc_id", "text", expand_corpus=False, **mh
+    ).collect()
+    assert {r.new_id for r in coll} == {r.new_id for r in full}
+    assert {(r.new_id, r.corpus_id, r.jaccard) for r in coll} <= {
+        (r.new_id, r.corpus_id, r.jaccard) for r in full
+    }
+
+    cpairs = dedup_ops.minhash_lsh_pairs(corpus, "doc_id", "text", **mh)
+    cmap = (
+        corpus.select("doc_id")
+        .join(
+            dedup_ops.connected_components(cpairs).withColumnRenamed(
+                "id", "doc_id"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    nn = dedup_ops.minhash_lsh_pairs(new, "doc_id", "text", **mh).select(
+        "id_a", "id_b"
+    )
+
+    def assign(bp_rows):
+        bp = spark.createDataFrame(
+            [(r.new_id, r.corpus_id) for r in bp_rows] or [(None, None)],
+            "new_id bigint, corpus_id bigint",
+        ).where(F.col("new_id").isNotNull())
+        return sorted(
+            map(
+                tuple,
+                dedup_ops.incremental_component_assign(
+                    cmap, new.select("doc_id"), bp, nn
+                ).collect(),
+            )
+        )
+
+    assert assign(coll) == assign(full)

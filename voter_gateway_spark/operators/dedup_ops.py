@@ -476,6 +476,7 @@ def incremental_minhash_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    expand_corpus: bool = True,
 ) -> DataFrame:
     """NEW-batch vs existing-corpus near-dup pairs — the incremental
     ingestion shape: a continuously-fed pipeline checks each arriving
@@ -493,29 +494,86 @@ def incremental_minhash_pairs(
     Candidates are verified with exact Jaccard on the hash sets, so
     banding only affects recall, never precision — and the DuckDB
     oracle reproduces the banding bit-for-bit (md5-derived affine
-    constants)."""
+    constants).
+
+    r13: the band join runs on exact-duplicate group REPRESENTATIVES
+    of BOTH sides (signatures depend only on the hash set, so a
+    member collides iff its rep does — lossless), then the output is
+    rebuilt by membership joins: a d_b-duplicated batch probing a
+    d_c-duplicated corpus pays the join once, not d_b·d_c times.
+    `expand_corpus=False` keeps the corpus side at representatives —
+    (new_id, corpus_rep, jaccard), one row per new doc per matched
+    corpus GROUP: exact for admission (every matching new_id appears)
+    and for incremental_component_assign (the rep is a corpus id in
+    the cluster map, and collapsed self-join maps put every member in
+    its rep's component), while the corpus duplication factor drops
+    out of the OUTPUT too."""
     rows_per_band = n_hashes // bands
     nb = minhash_hashed_sigs(new_df, id_col, text_col, k, n_hashes)
     cb = minhash_hashed_sigs(corpus_df, id_col, text_col, k, n_hashes)
+    fp = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.col("_hh")), lambda h: h.cast("string"))
+        ).cast("binary")
+    )
+
+    def collapse(side: DataFrame) -> tuple[DataFrame, DataFrame]:
+        mem = side.select("_id", fp.alias("_fp")).transform(ckpt)
+        reps = (
+            mem.groupBy("_fp")
+            .agg(F.min("_id").alias("_id"))
+            .join(side, "_id")
+            .transform(ckpt)
+        )  # (_fp, _id, _hh, _sig)
+        return mem, reps
+
+    nmem, nreps = collapse(nb)
+    cmem, creps = collapse(cb)
     cand = (
-        _minhash_band_rows(nb, bands, rows_per_band)
+        _minhash_band_rows(nreps, bands, rows_per_band)
         .alias("a")
         .join(
-            _minhash_band_rows(cb, bands, rows_per_band).alias("b"),
+            _minhash_band_rows(creps, bands, rows_per_band).alias("b"),
             (F.col("a._b") == F.col("b._b")) & (F.col("a._k") == F.col("b._k")),
         )
-        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("corpus_id"))
-        .dropDuplicates(["new_id", "corpus_id"])
+        .select(F.col("a._id").alias("_nr"), F.col("b._id").alias("_cr"))
+        .dropDuplicates(["_nr", "_cr"])
     )
-    return (
-        cand.join(nb.select(F.col("_id").alias("new_id"), F.col("_hh").alias("_sha")), "new_id")
-        .join(cb.select(F.col("_id").alias("corpus_id"), F.col("_hh").alias("_shb")), "corpus_id")
+    rp = (
+        cand.join(
+            nreps.select(
+                F.col("_id").alias("_nr"), F.col("_hh").alias("_sha"),
+                F.col("_fp").alias("_nfp"),
+            ),
+            "_nr",
+        )
+        .join(
+            creps.select(
+                F.col("_id").alias("_cr"), F.col("_hh").alias("_shb"),
+                F.col("_fp").alias("_cfp"),
+            ),
+            "_cr",
+        )
         .select(
-            "new_id",
-            "corpus_id",
+            "_nfp", "_cr", "_cfp",
             F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+    # new side always expands (admission must see every arriving id)
+    out = rp.join(
+        nmem.select(F.col("_id").alias("new_id"), F.col("_fp").alias("_nfp")),
+        "_nfp",
+    )
+    if expand_corpus:
+        return out.join(
+            cmem.select(
+                F.col("_id").alias("corpus_id"), F.col("_fp").alias("_cfp")
+            ),
+            "_cfp",
+        ).select("new_id", "corpus_id", "jaccard")
+    return out.select(
+        "new_id", F.col("_cr").alias("corpus_id"), "jaccard"
     )
 
 

@@ -898,8 +898,12 @@ def dedup_incremental_components(spark, sf_dir):
         )
         .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
     )
+    # expand_corpus=False: bp feeds the contraction in
+    # incremental_component_assign, where a corpus REP is as good as
+    # any member (collapsed self-join maps put every member in its
+    # rep's component) — the corpus duplication factor drops out of bp
     bp = dedup_ops.incremental_minhash_pairs(
-        batch, corpus, "doc_id", "text", **mh
+        batch, corpus, "doc_id", "text", expand_corpus=False, **mh
     ).select("new_id", "corpus_id")
     nn = dedup_ops.minhash_lsh_pairs(batch, "doc_id", "text", **mh).select(
         "id_a", "id_b"
@@ -5626,8 +5630,9 @@ def pipeline_daily_ingest(spark, sf_dir):
         admitted = ckpt(
             dedup_ops.bloom_admission(state_docs, batch, "doc_id", "text")
         )
+        # expand_corpus=False: see dedup_incremental_components
         bp = dedup_ops.incremental_minhash_pairs(
-            admitted, state_docs, "doc_id", "text", **mh
+            admitted, state_docs, "doc_id", "text", expand_corpus=False, **mh
         ).select("new_id", "corpus_id")
         nn = dedup_ops.minhash_lsh_pairs(admitted, "doc_id", "text", **mh).select(
             "id_a", "id_b"
