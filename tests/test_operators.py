@@ -2310,3 +2310,45 @@ def test_incremental_probe_corpus_collapsed_mode(spark, sf_dir):
         )
 
     assert assign(coll) == assign(full)
+
+
+def test_knn_graph_recall(spark, sf_dir):
+    """NN-descent refinement must be MONOTONE non-decreasing in recall
+    vs the exact kNN graph, strictly better than the init after two
+    rounds, and above an absolute floor on the fixture (near-uniform
+    synthetic vectors — the hardest case for graph methods; clustered
+    real embeddings only help)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=4).collect()
+    }
+    recalls = []
+    for rounds in (0, 1, 2):
+        g = {
+            (r.vec_id, r.neighbor_id)
+            for r in similarity.knn_graph(emb, k=4, rounds=rounds, iters=0).collect()
+        }
+        recalls.append(len(exact & g) / len(exact))
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] > recalls[0], recalls
+    assert recalls[2] >= 0.4, recalls
+
+
+def test_knn_graph_degree_and_shape(spark, sf_dir):
+    """Every node emits at most k edges with dense ranks 1..deg, no
+    self loops, and neighbors are unique per node."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.knn_graph(emb, k=4, rounds=1, iters=0).collect()
+    by_src = {}
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        by_src.setdefault(r.vec_id, []).append(r)
+    for src, es in by_src.items():
+        assert len(es) <= 4
+        assert sorted(e.rank for e in es) == list(range(1, len(es) + 1)), src
+        assert len({e.neighbor_id for e in es}) == len(es), src
+        # within a node, ranks follow (cos desc, id asc)
+        es_sorted = sorted(es, key=lambda e: e.rank)
+        key = [(-e.cos_sim, e.neighbor_id) for e in es_sorted]
+        assert key == sorted(key), src

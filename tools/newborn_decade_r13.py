@@ -31,6 +31,11 @@ BENCH_r13_newborns.json:
                              baseline dir only; it reads no sf table,
                              so decade rows would all time the same
                              work
+  embed_knn_graph            NN-descent kNN graph (r13 late newborn):
+                             2-cell init O(N^1.5) at sqrt-N cells +
+                             two bounded-degree rounds linear in N —
+                             the expected decade shape is the
+                             ivf_auto class (~sqrt(10)x init term)
 
 Timing protocol mirrors bench.py: noop-sink full evaluation,
 best-of-N trials (SPARK_GRAFT_BENCH_RUNS, default 2), per-query
@@ -77,6 +82,7 @@ NEWBORNS = {
     "embed_cluster_report": QUERIES["embed_cluster_report"],
     "bpe_train_1000": bpe_train_1000,
     "multimodal_jpeg_decode": QUERIES["multimodal_jpeg_decode"],
+    "embed_knn_graph": QUERIES["embed_knn_graph"],
 }
 # measured at the baseline dir only: reads no sf table (fixture-driven)
 BASELINE_ONLY = {"multimodal_jpeg_decode"}

@@ -1481,3 +1481,137 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction (NN-descent) — the graph-ANN story
+# ---------------------------------------------------------------------------
+
+
+def _score_pairs(pairs: DataFrame, vecs: DataFrame, k: int) -> DataFrame:
+    """Score unordered candidate pairs (_u < _v) with exact cosine and
+    keep each node's top-k directed edges.
+
+    `vecs` is (_cid, _cv, _cn) with the norm staged once per row, so
+    every pair costs ONE fold (the dot). Pairs score once and expand
+    to both directions before the per-node window — half the cosine
+    work of scoring directed candidates, and the window's
+    (rounded cos DESC, dst ASC) order is engine-reproducible."""
+    u_side = vecs.select(
+        F.col("_cid").alias("_u"), F.col("_cv").alias("_uv"), F.col("_cn").alias("_un")
+    )
+    v_side = vecs.select(
+        F.col("_cid").alias("_v"), F.col("_cv").alias("_vv"), F.col("_cn").alias("_vn")
+    )
+    scored = (
+        pairs.distinct()
+        .join(u_side, "_u")
+        .join(v_side, "_v")
+        .select(
+            "_u",
+            "_v",
+            F.round(
+                dot(F.col("_uv"), F.col("_vv")) / (F.col("_un") * F.col("_vn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    directed = scored.select(
+        F.col("_u").alias("src"), F.col("_v").alias("dst"), "cos_sim"
+    ).unionByName(
+        scored.select(F.col("_v").alias("src"), F.col("_u").alias("dst"), "cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cos_sim")
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 4,
+    n_centroids: int | None = None,
+    rounds: int = 2,
+    probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+    centroid_round: int | None = None,
+    train_per_cell: int | None = None,
+) -> DataFrame:
+    """Distributed kNN-graph construction: cell-blocked initialization
+    + NN-descent refinement rounds (Dong, Moses, Li, WWW 2011 — the
+    public algorithm behind graph-ANN index builds).
+
+    HNSW-class graph indexes are built by pointer-chasing inserts — a
+    sequential loop Spark cannot parallelize. The Spark-native answer
+    is the k-nearest-neighbor GRAPH itself, built bottom-up:
+
+      1. INIT — assign every vector to its `probe_cells` nearest
+         coarse-quantizer cells (the shared md5-seeded trainer; auto
+         max(16, ⌈√N⌉) cells) and take exact top-k over cell-sharing
+         pairs: O(probe_cells²·N^1.5) cosines total at √N cells, the
+         IVF economics. probe_cells MUST be ≥ 2: single-cell init
+         makes every edge intra-cell, so neighbor-of-neighbor
+         candidates never leave the cell and refinement is a no-op
+         (measured flat at rounds 0/1/2); boundary nodes assigned to
+         two cells are the bridges NN-descent climbs across.
+      2. REFINE (× `rounds`) — NN-descent: a node's next candidates
+         are its neighbors' neighbors. Build the undirected adjacency
+         (≤ 2kN rows), self-join on the pivot node (≤ (2k)² candidate
+         pairs per pivot — bounded degree, LINEAR in N), union with
+         the current edges, rescore, keep each node's top-k.
+
+    Every step is deterministic (md5-smallest seeds, cosine rounded
+    to 6, ties → ascending id) and, at iters=0, SQL-expressible — the
+    DuckDB oracle (queries._knn_graph_sql) unrolls init + both rounds
+    and reproduces every edge bit-for-bit. Refinement recall vs the
+    exact graph is pinned monotone by test_knn_graph_recall.
+
+    Scale shape: init is the IVF candidate stage (cell-partitioned,
+    prunable); each round shuffles O(k²·N) candidate rows keyed by
+    node id and O(kN) vector lookups — no stage is quadratic in N or
+    in duplication. Output: (vec_id, neighbor_id, rank, cos_sim), k
+    rows per node — the input ANN consumers (semantic dedup, graph
+    clustering, diversity sampling) actually need; point lookups stay
+    with the IVF/PQ query path.
+
+    Reference parity: beyond-reference extension (the reference has no
+    vector surface); companion to ivf_topk/semantic_dedup."""
+    c = widen(df).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).transform(ckpt)
+    _, cents = _train_centroids(c, n_centroids, iters, centroid_round, train_per_cell)
+    assigned = _nearest_cells(c, "_cv", cents, probe_cells).select("_cid", "_cell")
+    vecs = c.select("_cid", "_cv", norm(F.col("_cv")).alias("_cn")).transform(ckpt)
+    left = assigned.select(F.col("_cid").alias("_u"), "_cell")
+    right = assigned.select(F.col("_cid").alias("_v"), "_cell")
+    init_pairs = (
+        left.join(right, "_cell").where(F.col("_u") < F.col("_v")).select("_u", "_v")
+    )
+    edges = _score_pairs(init_pairs, vecs, k)
+    for _ in range(rounds):
+        edges = ckpt(edges)
+        und = edges.select(
+            F.col("src").alias("_p"), F.col("dst").alias("_n")
+        ).unionByName(
+            edges.select(F.col("dst").alias("_p"), F.col("src").alias("_n"))
+        ).distinct()
+        nbr_u = und.select("_p", F.col("_n").alias("_u"))
+        nbr_v = und.select("_p", F.col("_n").alias("_v"))
+        cand = (
+            nbr_u.join(nbr_v, "_p")
+            .where(F.col("_u") < F.col("_v"))
+            .select("_u", "_v")
+        )
+        kept = edges.select(
+            F.least("src", "dst").alias("_u"), F.greatest("src", "dst").alias("_v")
+        )
+        edges = _score_pairs(cand.unionByName(kept), vecs, k)
+    return edges.select(
+        F.col("src").alias("vec_id"),
+        F.col("dst").alias("neighbor_id"),
+        "rank",
+        "cos_sim",
+    )

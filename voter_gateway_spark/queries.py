@@ -1559,6 +1559,90 @@ def embed_ivf_auto_topk(spark, sf_dir):
     )
 
 
+def embed_knn_graph(spark, sf_dir):
+    """kNN graph over the embedding corpus via NN-descent: cell-blocked
+    init (auto √N cells, md5-seeded fixed centroids) + 2 bounded-degree
+    neighbor-of-neighbor refinement rounds — the Spark-native
+    HNSW-class surface (graph-ANN indexes are BUILT from exactly this
+    graph; HNSW's pointer-chasing insert loop is sequential and
+    anti-Spark). Deterministic end to end at iters=0, so the oracle
+    unrolls init + both rounds (_knn_graph_sql) and reproduces every
+    edge. Refinement recall vs the exact graph is pinned monotone by
+    test_knn_graph_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=4, n_centroids=None, rounds=2, iters=0)
+
+
+def _knn_graph_sql(k: int = 4, rounds: int = 2, probe_cells: int = 2) -> str:
+    """Mirror of knn_graph(iters=0): 2-nearest-cell init pairs, then
+    each NN-descent round unrolls as (und_i -> p_i -> s_i -> e_i) CTEs
+    — undirected adjacency, pivot self-join candidates unioned with
+    the kept edges, rescore, per-node top-k. Same determinism grid as
+    the IVF mirrors: cosine rounded to 6, ties to ascending id."""
+    ctes = [
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """seeds AS (
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h
+  LIMIT (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM embeddings)
+)""",
+        "cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
+        f"""assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn <= {probe_cells}
+)""",
+        """p_0 AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)""",
+    ]
+    for i in range(rounds + 1):
+        if i > 0:
+            ctes.append(
+                f"""und_{i} AS (
+  SELECT src AS p, dst AS n FROM e_{i - 1}
+  UNION
+  SELECT dst, src FROM e_{i - 1}
+)"""
+            )
+            ctes.append(
+                f"""p_{i} AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a.n AS u, b.n AS v FROM und_{i} a JOIN und_{i} b ON a.p = b.p AND a.n < b.n
+    UNION ALL
+    SELECT LEAST(src, dst), GREATEST(src, dst) FROM e_{i - 1}
+  )
+)"""
+            )
+        ctes.append(
+            f"""s_{i} AS (
+  SELECT p.u, p.v, round(list_cosine_similarity(cu.v, cw.v), 6) AS cs
+  FROM p_{i} p JOIN c cu ON p.u = cu.vec_id JOIN c cw ON p.v = cw.vec_id
+)"""
+        )
+        ctes.append(
+            f"""e_{i} AS (
+  SELECT src, dst, rank, cs FROM (
+    SELECT src, dst, cs,
+           row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rank
+    FROM (SELECT u AS src, v AS dst, cs FROM s_{i}
+          UNION ALL
+          SELECT v, u, cs FROM s_{i})
+  ) WHERE rank <= {k}
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT src AS vec_id, dst AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cs AS cos_sim
+FROM e_{rounds}
+"""
+
+
 def _ivf_lloyd_sql(
     k: int = 5,
     n_centroids: int = 16,
@@ -8235,6 +8319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative emission this round (oracle changed with them),
     # plus the three opt-in expanded variants pinning the pre-r13
     # listing contract.
+    # r13 late newborn: the graph-ANN surface
+    "embed_knn_graph": embed_knn_graph,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -8457,6 +8543,7 @@ ORACLES: dict[str, str] = {
     "embed_ivf_auto_topk": _ivf_lloyd_sql(
         n_centroids=_AUTO_CENTROIDS_SQL, train_per_cell=128
     ),
+    "embed_knn_graph": _knn_graph_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
