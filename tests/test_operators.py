@@ -2352,3 +2352,36 @@ def test_knn_graph_degree_and_shape(spark, sf_dir):
         es_sorted = sorted(es, key=lambda e: e.rank)
         key = [(-e.cos_sim, e.neighbor_id) for e in es_sorted]
         assert key == sorted(key), src
+
+
+def test_mutual_knn_clusters_invariants(spark, sf_dir):
+    """Every vector labels exactly once; endpoints of every surviving
+    mutual edge share a cluster; each cluster's id is its min member;
+    nodes without a mutual edge are singletons of themselves."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = 0.35
+    comp = {
+        r.vec_id: r.cluster_id
+        for r in similarity.mutual_knn_clusters(
+            emb, k=4, rounds=2, min_sim=t, iters=0
+        ).collect()
+    }
+    assert len(comp) == emb.count()
+    edges = similarity.knn_graph(emb, k=4, rounds=2, iters=0).collect()
+    directed = {(r.vec_id, r.neighbor_id) for r in edges if r.cos_sim >= t}
+    mutual = {(a, b) for (a, b) in directed if (b, a) in directed and a < b}
+    assert mutual, "threshold leaves no mutual edges — fixture drifted"
+    touched = set()
+    for a, b in mutual:
+        assert comp[a] == comp[b], (a, b)
+        touched |= {a, b}
+    members = {}
+    for vid, cid in comp.items():
+        members.setdefault(cid, []).append(vid)
+    for cid, vids in members.items():
+        assert cid == min(vids), cid
+    for vid, cid in comp.items():
+        if vid not in touched:
+            assert cid == vid or cid in comp, vid
+    singles = [v for v in comp if v not in touched]
+    assert all(comp[v] == v for v in singles)

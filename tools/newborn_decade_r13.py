@@ -83,6 +83,7 @@ NEWBORNS = {
     "bpe_train_1000": bpe_train_1000,
     "multimodal_jpeg_decode": QUERIES["multimodal_jpeg_decode"],
     "embed_knn_graph": QUERIES["embed_knn_graph"],
+    "embed_knn_clusters": QUERIES["embed_knn_clusters"],
 }
 # measured at the baseline dir only: reads no sf table (fixture-driven)
 BASELINE_ONLY = {"multimodal_jpeg_decode"}

@@ -1579,14 +1579,28 @@ def _knn_graph_sql(k: int = 4, rounds: int = 2, probe_cells: int = 2) -> str:
     — undirected adjacency, pivot self-join candidates unioned with
     the kept edges, rescore, per-node top-k. Same determinism grid as
     the IVF mirrors: cosine rounded to 6, ties to ascending id."""
+    joined, final = _knn_graph_ctes(k, rounds, probe_cells)
+    return f"""
+WITH {joined}
+SELECT src AS vec_id, dst AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cs AS cos_sim
+FROM {final}
+"""
+
+
+def _knn_graph_ctes(
+    k: int = 4, rounds: int = 2, probe_cells: int = 2
+) -> tuple[str, str]:
+    """The knn_graph mirror's CTE body, shared by _knn_graph_sql and
+    _knn_clusters_sql. Returns (joined_ctes, final_edge_cte_name)."""
     ctes = [
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         """seeds AS (
   SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h
   LIMIT (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM embeddings)
 )""",
-        "cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
-        f"""assign AS (
+        "cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
+        f"""assign AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT c.vec_id, cents.cell,
            row_number() OVER (PARTITION BY c.vec_id
@@ -1594,7 +1608,7 @@ def _knn_graph_sql(k: int = 4, rounds: int = 2, probe_cells: int = 2) -> str:
     FROM c, cents
   ) WHERE rn <= {probe_cells}
 )""",
-        """p_0 AS (
+        """p_0 AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )""",
@@ -1602,14 +1616,14 @@ def _knn_graph_sql(k: int = 4, rounds: int = 2, probe_cells: int = 2) -> str:
     for i in range(rounds + 1):
         if i > 0:
             ctes.append(
-                f"""und_{i} AS (
+                f"""und_{i} AS MATERIALIZED (
   SELECT src AS p, dst AS n FROM e_{i - 1}
   UNION
   SELECT dst, src FROM e_{i - 1}
 )"""
             )
             ctes.append(
-                f"""p_{i} AS (
+                f"""p_{i} AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
     SELECT a.n AS u, b.n AS v FROM und_{i} a JOIN und_{i} b ON a.p = b.p AND a.n < b.n
     UNION ALL
@@ -1618,13 +1632,13 @@ def _knn_graph_sql(k: int = 4, rounds: int = 2, probe_cells: int = 2) -> str:
 )"""
             )
         ctes.append(
-            f"""s_{i} AS (
+            f"""s_{i} AS MATERIALIZED (
   SELECT p.u, p.v, round(list_cosine_similarity(cu.v, cw.v), 6) AS cs
   FROM p_{i} p JOIN c cu ON p.u = cu.vec_id JOIN c cw ON p.v = cw.vec_id
 )"""
         )
         ctes.append(
-            f"""e_{i} AS (
+            f"""e_{i} AS MATERIALIZED (
   SELECT src, dst, rank, cs FROM (
     SELECT src, dst, cs,
            row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rank
@@ -1634,12 +1648,46 @@ def _knn_graph_sql(k: int = 4, rounds: int = 2, probe_cells: int = 2) -> str:
   ) WHERE rank <= {k}
 )"""
         )
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes), f"e_{rounds}"
+
+
+def embed_knn_clusters(spark, sf_dir):
+    """Mutual-kNN graph clustering: connected components over the
+    reciprocal (cos >= 0.35) edges of the NN-descent kNN graph —
+    variable-size natural clusters vs assign_cells' fixed Voronoi
+    partition (threshold picked where the fixture splits into ~70
+    tight clusters instead of one giant component; both measured).
+    Every vector maps to exactly one cluster (cluster_id = min member
+    id; untouched nodes are singletons). Oracle: the knn CTEs + a
+    recursive closure over the mutual edge set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mutual_knn_clusters(
+        emb, k=4, rounds=2, min_sim=0.35, iters=0
+    )
+
+
+def _knn_clusters_sql(
+    k: int = 4, rounds: int = 2, probe_cells: int = 2, min_sim: float = 0.35
+) -> str:
+    """Mirror of mutual_knn_clusters: the knn-graph CTEs, mutual-pair
+    filter (both directions present after the threshold), recursive
+    reachability closure, min-reachable-id labels; singletons seed the
+    walk with themselves so every vector labels exactly once."""
+    joined, final = _knn_graph_ctes(k, rounds, probe_cells)
     return f"""
-WITH {joined}
-SELECT src AS vec_id, dst AS neighbor_id, CAST(rank AS INTEGER) AS rank,
-       cs AS cos_sim
-FROM e_{rounds}
+WITH RECURSIVE {joined},
+mut AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {final} WHERE cs >= {min_sim}
+  GROUP BY 1, 2 HAVING COUNT(*) = 2
+),
+medges AS MATERIALIZED (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+walk(id, r) AS (
+  SELECT vec_id, vec_id FROM c
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN medges e ON w.r = e.a
+)
+SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY id
 """
 
 
@@ -8319,8 +8367,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative emission this round (oracle changed with them),
     # plus the three opt-in expanded variants pinning the pre-r13
     # listing contract.
-    # r13 late newborn: the graph-ANN surface
+    # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
+    "embed_knn_clusters": embed_knn_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -8544,6 +8593,7 @@ ORACLES: dict[str, str] = {
         n_centroids=_AUTO_CENTROIDS_SQL, train_per_cell=128
     ),
     "embed_knn_graph": _knn_graph_sql(),
+    "embed_knn_clusters": _knn_clusters_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
