@@ -98,6 +98,11 @@ def main() -> None:
         "/tmp/stress_x100",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    only = os.environ.get("SPARK_GRAFT_NEWBORN_ONLY")
+    newborns = NEWBORNS
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        newborns = {n: NEWBORNS[n] for n in names}
     spark = build_spark(
         app_name="vgs-newborn-decade-r13",
         extra_conf={"spark.ui.retainedStages": "100000"},
@@ -107,7 +112,7 @@ def main() -> None:
     for i, d in enumerate(dirs):
         is_baseline = i == 0
         results[d] = {}
-        for name, fn in NEWBORNS.items():
+        for name, fn in newborns.items():
             if name in BASELINE_ONLY and not is_baseline:
                 results[d][name] = "skipped: fixture-driven, reads no sf table"
                 continue

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
-from voter_gateway_spark.session import ckpt, ckpt_lazy
+from voter_gateway_spark.session import ckpt, ckpt_cut, ckpt_lazy
 
 
 def _c(col: Column | str) -> Column:
@@ -1592,7 +1592,12 @@ def knn_graph(
     )
     edges = _score_pairs(init_pairs, vecs, k)
     for _ in range(rounds):
-        edges = ckpt(edges)
+        # ckpt_cut, not ckpt: the und⋈und candidate stage makes each
+        # round's SIZE ESTIMATE the square of the last round's — the
+        # chained origin-stats thunks then hang the driver in BigInteger
+        # products the first time a downstream join asks for stats
+        # (see session.ckpt_cut)
+        edges = ckpt_cut(edges)
         und = edges.select(
             F.col("src").alias("_p"), F.col("dst").alias("_n")
         ).unionByName(
@@ -1673,7 +1678,7 @@ def mutual_knn_clusters(
     )
     if min_sim is not None:
         un = un.where(F.col("cos_sim") >= F.lit(min_sim))
-    mutual = (
+    mutual = ckpt_cut(
         un.groupBy("_a", "_b").count().where(F.col("count") == 2).select("_a", "_b")
     )
     comp = dedup_ops.connected_components(mutual, id_a="_a", id_b="_b").select(
@@ -1684,3 +1689,157 @@ def mutual_knn_clusters(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     )
     return comp.unionByName(singles)
+
+
+def _merge_rank(
+    current: DataFrame, new_pairs: DataFrame, vecs: DataFrame, k: int
+) -> DataFrame:
+    """Fold newly-scored unordered pairs into a directed kNN graph,
+    re-ranking ONLY the touched nodes.
+
+    `current` is (src, dst, rank, cos_sim); `new_pairs` is unordered
+    (_u, _v). Nodes with no new candidate pass through unchanged (no
+    window, no shuffle of the untouched graph beyond the anti-join);
+    touched nodes re-rank their existing edges unioned with the new
+    candidates. A new pair that already IS an edge dedups exactly —
+    both carry the same rounded cosine — via distinct on
+    (src, dst, cos_sim)."""
+    u_side = vecs.select(
+        F.col("_cid").alias("_u"), F.col("_cv").alias("_uv"), F.col("_cn").alias("_un")
+    )
+    v_side = vecs.select(
+        F.col("_cid").alias("_v"), F.col("_cv").alias("_vv"), F.col("_cn").alias("_vn")
+    )
+    scored = (
+        new_pairs.distinct()
+        .join(u_side, "_u")
+        .join(v_side, "_v")
+        .select(
+            "_u",
+            "_v",
+            F.round(
+                dot(F.col("_uv"), F.col("_vv")) / (F.col("_un") * F.col("_vn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    directed = scored.select(
+        F.col("_u").alias("src"), F.col("_v").alias("dst"), "cos_sim"
+    ).unionByName(
+        scored.select(F.col("_v").alias("src"), F.col("_u").alias("dst"), "cos_sim")
+    )
+    touched = directed.select("src").distinct()
+    cur_t = current.join(touched, "src").select("src", "dst", "cos_sim")
+    cur_rest = current.join(touched, "src", "left_anti")
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    ranked = (
+        cur_t.unionByName(directed)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cos_sim")
+    )
+    return ranked.unionByName(cur_rest.select("src", "dst", "rank", "cos_sim"))
+
+
+def knn_graph_increment(
+    corpus: DataFrame,
+    batch: DataFrame,
+    existing_edges: DataFrame,
+    k: int = 4,
+    rounds: int = 1,
+    n_centroids: int | None = None,
+    probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 0,
+    centroid_round: int | None = None,
+    train_per_cell: int | None = None,
+) -> DataFrame:
+    """Fold an arriving batch of vectors into an EXISTING kNN graph
+    without rebuilding it: the incremental form of knn_graph, the
+    daily-embedding-ingest operator.
+
+    A kNN graph admits no exact-parity increment — a new vector can
+    displace any node's k-th edge and refinement propagates — so the
+    contract here is the deterministic incremental trajectory itself
+    (hash-pinned by the DuckDB oracle, queries._knn_increment_sql)
+    plus a test-pinned edge-overlap floor vs the full rebuild
+    (test_knn_graph_increment). Same posture as production graph-index
+    maintenance: the coarse quantizer is a PINNED artifact (trained on
+    the corpus; batches never retrain it — retraining would move every
+    cell boundary and force a full re-init).
+
+    Stages, each touching only batch-sized state:
+      1. Assign batch vectors to their `probe_cells` nearest pinned
+         cells; candidate pairs = batch × cell-mates (corpus AND
+         batch) — ≈ |B|·probe_cells·(2N/cells) pairs, vs the rebuild's
+         4·N^1.5.
+      2. Merge: re-rank ONLY the touched nodes (batch nodes + their
+         candidate partners) against their existing edges; every other
+         node's edges pass through without a window.
+      3. NN-descent rounds with pivots RESTRICTED to the touched set —
+         candidates ≤ |touched|·(2k)², then merge again. The touched
+         set advances to the round's candidate endpoints.
+
+    `existing_edges` must be knn_graph output over `corpus` with the
+    same (k, n_centroids, probe_cells, iters) — the oracle and the
+    overlap floor are stated against that pairing."""
+    c = widen(corpus).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).transform(ckpt)
+    b = batch.select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    )
+    _, cents = _train_centroids(c, n_centroids, iters, centroid_round, train_per_cell)
+    allv = c.unionByName(b)
+    vecs = allv.select("_cid", "_cv", norm(F.col("_cv")).alias("_cn")).transform(ckpt)
+    assigned_all = _nearest_cells(allv, "_cv", cents, probe_cells).select(
+        "_cid", "_cell"
+    )
+    assigned_b = _nearest_cells(b, "_cv", cents, probe_cells).select("_cid", "_cell")
+    mates = (
+        assigned_b.select(F.col("_cid").alias("_bid"), "_cell")
+        .join(assigned_all.select(F.col("_cid").alias("_mid"), "_cell"), "_cell")
+        .where(F.col("_bid") != F.col("_mid"))
+        .select(
+            F.least("_bid", "_mid").alias("_u"),
+            F.greatest("_bid", "_mid").alias("_v"),
+        )
+        .distinct()
+    )
+    existing = existing_edges.select(
+        F.col(id_col).alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "rank",
+        "cos_sim",
+    )
+    edges = _merge_rank(existing, mates, vecs, k)
+    touched = mates.select(F.col("_u").alias("_t")).unionByName(
+        mates.select(F.col("_v").alias("_t"))
+    ).distinct()
+    for _ in range(rounds):
+        # ckpt_cut for the same stats-thunk-chaining reason as knn_graph
+        edges = ckpt_cut(edges)
+        und = edges.select(
+            F.col("src").alias("_p"), F.col("dst").alias("_n")
+        ).unionByName(
+            edges.select(F.col("dst").alias("_p"), F.col("src").alias("_n"))
+        ).distinct()
+        und_t = und.join(touched, und["_p"] == touched["_t"]).select("_p", "_n")
+        cand = (
+            und_t.select("_p", F.col("_n").alias("_u"))
+            .join(und_t.select("_p", F.col("_n").alias("_v")), "_p")
+            .where(F.col("_u") < F.col("_v"))
+            .select("_u", "_v")
+            .distinct()
+        )
+        touched = cand.select(F.col("_u").alias("_t")).unionByName(
+            cand.select(F.col("_v").alias("_t"))
+        ).distinct()
+        edges = _merge_rank(edges, cand, vecs, k)
+    return edges.select(
+        F.col("src").alias(id_col),
+        F.col("dst").alias("neighbor_id"),
+        "rank",
+        "cos_sim",
+    )

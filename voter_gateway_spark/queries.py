@@ -1589,15 +1589,17 @@ FROM {final}
 
 
 def _knn_graph_ctes(
-    k: int = 4, rounds: int = 2, probe_cells: int = 2
+    k: int = 4, rounds: int = 2, probe_cells: int = 2, src: str = "embeddings"
 ) -> tuple[str, str]:
-    """The knn_graph mirror's CTE body, shared by _knn_graph_sql and
-    _knn_clusters_sql. Returns (joined_ctes, final_edge_cte_name)."""
+    """The knn_graph mirror's CTE body, shared by _knn_graph_sql,
+    _knn_clusters_sql, and _knn_increment_sql (which passes a filtered
+    `src` relation — the pinned-quantizer corpus). Returns
+    (joined_ctes, final_edge_cte_name)."""
     ctes = [
-        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        """seeds AS (
+        f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src})",
+        f"""seeds AS (
   SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h
-  LIMIT (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM embeddings)
+  LIMIT (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM c)
 )""",
         "cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds)",
         f"""assign AS MATERIALIZED (
@@ -1688,6 +1690,114 @@ walk(id, r) AS (
   SELECT w.id, e.b FROM walk w JOIN medges e ON w.r = e.a
 )
 SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+def embed_knn_graph_increment(spark, sf_dir):
+    """Incremental kNN-graph maintenance: vec_id % 10 == 3 arrives as
+    the batch against the graph built over the other 90%. The batch
+    assigns into the PINNED corpus-trained quantizer, candidate pairs
+    are batch × cell-mates, only touched nodes re-rank, and one
+    NN-descent round runs with pivots restricted to the touched set —
+    batch-sized work end to end. The oracle walks the identical
+    incremental trajectory (corpus graph CTEs + merge + round);
+    edge-overlap vs the full rebuild is pinned by
+    test_knn_graph_increment."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 3)
+    batch = emb.where(F.col("vec_id") % 10 == 3)
+    existing = similarity.knn_graph(corpus, k=4, rounds=2, iters=0)
+    return similarity.knn_graph_increment(
+        corpus, batch, existing, k=4, rounds=1, iters=0
+    )
+
+
+def _knn_increment_sql(k: int = 4, probe_cells: int = 2) -> str:
+    """Mirror of embed_knn_graph_increment: the corpus knn CTEs
+    (pinned quantizer + rounds=2 graph), batch assignment against the
+    SAME cents, mates pairs, touched-only merge, one touched-pivot
+    NN-descent round, touched-only merge again."""
+    joined, final = _knn_graph_ctes(
+        k=k,
+        rounds=2,
+        probe_cells=probe_cells,
+        src="(SELECT * FROM embeddings WHERE vec_id % 10 <> 3) vsrc",
+    )
+    merge = (
+        "SELECT src, dst, rank, cs FROM (\n"
+        "    SELECT src, dst, cs,\n"
+        "           row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rank\n"
+        "    FROM (SELECT DISTINCT src, dst, cs FROM (\n"
+        "      SELECT e.src, e.dst, e.cs FROM {cur} e JOIN {tch} t ON e.src = t.src\n"
+        "      UNION ALL SELECT src, dst, cs FROM {dir}))\n"
+        f"  ) WHERE rank <= {k}\n"
+        "  UNION ALL\n"
+        "  SELECT src, dst, rank, cs FROM {cur}\n"
+        "  WHERE src NOT IN (SELECT src FROM {tch})"
+    )
+    return f"""
+WITH {joined},
+bb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 10 = 3),
+av AS MATERIALIZED (SELECT * FROM c UNION ALL SELECT * FROM bb),
+iassign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT av.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY av.vec_id
+             ORDER BY round(list_cosine_similarity(av.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM av, cents
+  ) WHERE rn <= {probe_cells}
+),
+bassign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT bb.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY bb.vec_id
+             ORDER BY round(list_cosine_similarity(bb.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM bb, cents
+  ) WHERE rn <= {probe_cells}
+),
+mates AS MATERIALIZED (
+  SELECT DISTINCT LEAST(b.vec_id, m.vec_id) AS u, GREATEST(b.vec_id, m.vec_id) AS v
+  FROM bassign b JOIN iassign m ON b.cell = m.cell AND b.vec_id <> m.vec_id
+),
+s_m0 AS MATERIALIZED (
+  SELECT p.u, p.v, round(list_cosine_similarity(cu.v, cw.v), 6) AS cs
+  FROM mates p JOIN av cu ON p.u = cu.vec_id JOIN av cw ON p.v = cw.vec_id
+),
+d_m0 AS MATERIALIZED (
+  SELECT u AS src, v AS dst, cs FROM s_m0
+  UNION ALL SELECT v, u, cs FROM s_m0
+),
+t_m0 AS MATERIALIZED (SELECT DISTINCT src FROM d_m0),
+m_0 AS MATERIALIZED (
+  {merge.format(cur=final, tch="t_m0", dir="d_m0")}
+),
+tch AS MATERIALIZED (SELECT u AS t FROM mates UNION SELECT v FROM mates),
+und_r1 AS MATERIALIZED (
+  SELECT src AS p, dst AS n FROM m_0 UNION SELECT dst, src FROM m_0
+),
+undt_r1 AS MATERIALIZED (
+  SELECT u.p, u.n FROM und_r1 u JOIN tch t ON u.p = t.t
+),
+cand_r1 AS MATERIALIZED (
+  SELECT DISTINCT a.n AS u, b.n AS v
+  FROM undt_r1 a JOIN undt_r1 b ON a.p = b.p AND a.n < b.n
+),
+s_r1 AS MATERIALIZED (
+  SELECT p.u, p.v, round(list_cosine_similarity(cu.v, cw.v), 6) AS cs
+  FROM cand_r1 p JOIN av cu ON p.u = cu.vec_id JOIN av cw ON p.v = cw.vec_id
+),
+d_r1 AS MATERIALIZED (
+  SELECT u AS src, v AS dst, cs FROM s_r1
+  UNION ALL SELECT v, u, cs FROM s_r1
+),
+t_r1 AS MATERIALIZED (SELECT DISTINCT src FROM d_r1),
+m_1 AS MATERIALIZED (
+  {merge.format(cur="m_0", tch="t_r1", dir="d_r1")}
+)
+SELECT src AS vec_id, dst AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       cs AS cos_sim
+FROM m_1
 """
 
 
@@ -8370,6 +8480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_knn_clusters": embed_knn_clusters,
+    "embed_knn_graph_increment": embed_knn_graph_increment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -8594,6 +8705,7 @@ ORACLES: dict[str, str] = {
     ),
     "embed_knn_graph": _knn_graph_sql(),
     "embed_knn_clusters": _knn_clusters_sql(),
+    "embed_knn_graph_increment": _knn_increment_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,

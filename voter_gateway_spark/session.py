@@ -57,6 +57,41 @@ def ckpt_lazy(df: DataFrame) -> DataFrame:
     return ckpt(df, eager=False)
 
 
+def ckpt_cut(df: DataFrame) -> DataFrame:
+    """:func:`ckpt`, but ALSO severs the optimizer-statistics chain.
+
+    Spark's checkpoint keeps a LAZY reference to the origin plan's
+    statistics: the LogicalRDD's size estimate is a thunk over the
+    pre-checkpoint tree. For self-referencing iterative plans (the
+    NN-descent und⋈und candidate stage, where each round's size
+    estimate is the SQUARE of the previous round's) the chained
+    thunks make a later consumer's size estimate a product of
+    astronomically large BigIntegers — measured as a multi-minute
+    driver-side hang inside SizeInBytesOnlyStatsPlanVisitor (100%
+    CPU in BigInteger.multiplyToomCook3) the first time a downstream
+    join asks for stats, while the same data through a parquet
+    round-trip plans in milliseconds. Rebuilding the DataFrame from
+    the materialized internal-row RDD drops the origin reference, so
+    the leaf reports plain default stats and planning stays O(plan).
+
+    Trade-off: the cut leaf loses its size estimate (defaults to
+    spark.sql.defaultSizeInBytes), so it is never auto-broadcast —
+    use only on iterative intermediates whose joins should shuffle
+    anyway; keep plain :func:`ckpt` where downstream broadcast
+    decisions matter. Falls back to :func:`ckpt` if the JVM-side
+    rebuild hook is unavailable."""
+    materialized = ckpt(df)
+    try:
+        jdf = materialized._jdf
+        jspark = df.sparkSession._jsparkSession
+        jnew = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, df.sparkSession)
+    except Exception:
+        return materialized
+
+
 def build_spark(
     app_name: str = "voter_gateway_spark",
     master: str | None = None,
