@@ -90,3 +90,21 @@ def test_ckpt_transform_shape_preserved(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "c2"))
     rel = df.transform(ckpt)
     assert rel.schema == df.schema and rel.count() == 100
+
+
+def test_ckpt_cut_transparent_and_severed(spark):
+    """ckpt_cut must be row/schema-transparent, reusable in joins, and
+    actually sever the origin plan (the optimized plan bottoms out in
+    an RDD scan leaf, not the original parquet/range lineage)."""
+    from voter_gateway_spark.session import ckpt_cut
+
+    df = spark.range(200).withColumn("v", (F.col("id") * 7) % 13)
+    cut = ckpt_cut(df)
+    assert cut.schema == df.schema
+    assert cut.count() == 200
+    assert {r.v for r in cut.select("v").distinct().collect()} == set(range(13))
+    # joinable both as left and right without surprises
+    j = cut.alias("a").join(cut.alias("b"), F.expr("a.id = b.id")).count()
+    assert j == 200
+    plan = cut._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range" not in plan, plan

@@ -84,6 +84,7 @@ NEWBORNS = {
     "multimodal_jpeg_decode": QUERIES["multimodal_jpeg_decode"],
     "embed_knn_graph": QUERIES["embed_knn_graph"],
     "embed_knn_clusters": QUERIES["embed_knn_clusters"],
+    "embed_knn_graph_increment": QUERIES["embed_knn_graph_increment"],
 }
 # measured at the baseline dir only: reads no sf table (fixture-driven)
 BASELINE_ONLY = {"multimodal_jpeg_decode"}

@@ -1583,14 +1583,70 @@ def knn_graph(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
     _, cents = _train_centroids(c, n_centroids, iters, centroid_round, train_per_cell)
-    assigned = _nearest_cells(c, "_cv", cents, probe_cells).select("_cid", "_cell")
+    assigned = _nearest_cells(c, "_cv", cents, probe_cells).select(
+        "_cid", "_cv", "_cell"
+    ).withColumn("_n", norm(F.col("_cv")))
     vecs = c.select("_cid", "_cv", norm(F.col("_cv")).alias("_cn")).transform(ckpt)
-    left = assigned.select(F.col("_cid").alias("_u"), "_cell")
-    right = assigned.select(F.col("_cid").alias("_v"), "_cell")
-    init_pairs = (
-        left.join(right, "_cell").where(F.col("_u") < F.col("_v")).select("_u", "_v")
+    # INIT stays cell-local end to end. Vectors ride THROUGH the cell
+    # join (2N rows shuffled once by _cell), so the O(N^1.5) pair set
+    # is scored in-partition with no id-keyed re-join of the pairs;
+    # directions expand via explode (unary — preserves the _cell
+    # partitioning, where a union would destroy it and force the big
+    # shuffle back); the per-(cell, src) window then needs only a
+    # LOCAL sort (HashPartitioning(_cell) satisfies the clustering)
+    # and losslessly prunes to ≤ probe_cells·k rows per node — any
+    # global top-k neighbor of u is a per-cell top-k neighbor in u's
+    # own cell, with the identical (cos desc, id asc) order — so the
+    # only node-keyed shuffle left is O(k·N) rows, not O(N^1.5).
+    lft = assigned.select(
+        "_cell",
+        F.col("_cid").alias("_u"),
+        F.col("_cv").alias("_uv"),
+        F.col("_n").alias("_un"),
     )
-    edges = _score_pairs(init_pairs, vecs, k)
+    rgt = assigned.select(
+        "_cell",
+        F.col("_cid").alias("_v"),
+        F.col("_cv").alias("_vv"),
+        F.col("_n").alias("_vn"),
+    )
+    cellpairs = (
+        lft.join(rgt, "_cell")
+        .where(F.col("_u") < F.col("_v"))
+        .select(
+            "_cell",
+            "_u",
+            "_v",
+            F.round(
+                dot(F.col("_uv"), F.col("_vv")) / (F.col("_un") * F.col("_vn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    directed0 = cellpairs.select(
+        "_cell",
+        F.explode(
+            F.array(
+                F.struct(F.col("_u").alias("src"), F.col("_v").alias("dst")),
+                F.struct(F.col("_v").alias("src"), F.col("_u").alias("dst")),
+            )
+        ).alias("_e"),
+        "cos_sim",
+    ).select("_cell", F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"), "cos_sim")
+    wcell = Window.partitionBy("_cell", "src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    pruned = (
+        directed0.withColumn("_r", F.row_number().over(wcell))
+        .where(F.col("_r") <= k)
+        .select("src", "dst", "cos_sim")
+        .distinct()
+    )
+    w0 = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    edges = (
+        pruned.withColumn("rank", F.row_number().over(w0))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank", "cos_sim")
+    )
     for _ in range(rounds):
         # ckpt_cut, not ckpt: the und⋈und candidate stage makes each
         # round's SIZE ESTIMATE the square of the last round's — the
