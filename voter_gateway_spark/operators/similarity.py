@@ -1610,11 +1610,26 @@ def knn_graph(
         F.col("_cv").alias("_vv"),
         F.col("_n").alias("_vn"),
     )
+    # salt-split the quadratic expansion: hashing only on _cell keeps
+    # every cell's occ² pair work in ONE task (a whole-cell unit AQE
+    # cannot split — measured as a serial straggler tail at the 10×
+    # replica), so the left side salts by hash(_u) and the right side
+    # replicates into every salt: each (u < v) pair materializes
+    # exactly once, in u's salt bucket, and the expansion spreads
+    # cells × salts wide. The replication shuffles salts×2N cheap
+    # vector rows — linear, and orders below the pair set it widens.
+    n_salts = 8
+    lft_s = lft.withColumn("_slt", F.pmod(F.xxhash64("_u"), F.lit(n_salts)))
+    rgt_s = rgt.withColumn(
+        "_slt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
     cellpairs = (
-        lft.join(rgt, "_cell")
+        lft_s.repartition("_cell", "_slt")
+        .join(rgt_s.repartition("_cell", "_slt"), ["_cell", "_slt"])
         .where(F.col("_u") < F.col("_v"))
         .select(
             "_cell",
+            "_slt",
             "_u",
             "_v",
             F.round(
@@ -1624,6 +1639,7 @@ def knn_graph(
     )
     directed0 = cellpairs.select(
         "_cell",
+        "_slt",
         F.explode(
             F.array(
                 F.struct(F.col("_u").alias("src"), F.col("_v").alias("dst")),
@@ -1631,8 +1647,16 @@ def knn_graph(
             )
         ).alias("_e"),
         "cos_sim",
-    ).select("_cell", F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"), "cos_sim")
-    wcell = Window.partitionBy("_cell", "src").orderBy(
+    ).select(
+        "_cell", "_slt",
+        F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"), "cos_sim",
+    )
+    # per-(cell, salt, node) top-k is STILL a lossless prune (top-k of
+    # any subset covers that subset's contribution to the global
+    # top-k), needs no shuffle (grouping refines the join
+    # partitioning), and caps the node-keyed shuffle at
+    # salts·probe_cells·k rows per node
+    wcell = Window.partitionBy("_cell", "_slt", "src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
     pruned = (
