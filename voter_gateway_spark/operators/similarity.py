@@ -1802,6 +1802,14 @@ def _merge_rank(
             ).alias("cos_sim"),
         )
     )
+    return _merge_scored(current, scored, k)
+
+
+def _merge_scored(current: DataFrame, scored: DataFrame, k: int) -> DataFrame:
+    """_merge_rank's fold stage for pairs that arrive ALREADY scored
+    as unordered (_u, _v, cos_sim) rows — the cell-local scoring paths
+    (batch × cell-mate candidates) land here without paying two
+    id-keyed joins of the pair set against the vector table."""
     directed = scored.select(
         F.col("_u").alias("src"), F.col("_v").alias("dst"), "cos_sim"
     ).unionByName(
@@ -1873,17 +1881,45 @@ def knn_graph_increment(
     _, cents = _train_centroids(c, n_centroids, iters, centroid_round, train_per_cell)
     allv = c.unionByName(b)
     vecs = allv.select("_cid", "_cv", norm(F.col("_cv")).alias("_cn")).transform(ckpt)
+    # batch × cell-mate candidates score CELL-LOCALLY, like the init
+    # stage: vectors ride through the cell join (batch side salted by
+    # node hash, corpus+batch side replicated per salt — each pair
+    # scores in one partition, spread cells × salts wide) instead of
+    # re-joining the candidate pair set against the vector table by id
+    # twice (measured 2.2× the whole-query wall at the 100× replica).
+    # The PAIR SET is identical to the plain cell join — cosine is
+    # bit-symmetric, so least/greatest + distinct reproduces the same
+    # (u, v, cos) rows and the same touched set, leaving the oracle
+    # trajectory untouched.
+    n_salts = 8
     assigned_all = _nearest_cells(allv, "_cv", cents, probe_cells).select(
-        "_cid", "_cell"
-    )
-    assigned_b = _nearest_cells(b, "_cv", cents, probe_cells).select("_cid", "_cell")
-    mates = (
-        assigned_b.select(F.col("_cid").alias("_bid"), "_cell")
-        .join(assigned_all.select(F.col("_cid").alias("_mid"), "_cell"), "_cell")
+        "_cid", "_cv", "_cell"
+    ).withColumn("_n", norm(F.col("_cv")))
+    assigned_b = _nearest_cells(b, "_cv", cents, probe_cells).select(
+        "_cid", "_cv", "_cell"
+    ).withColumn("_n", norm(F.col("_cv")))
+    bl = assigned_b.select(
+        "_cell",
+        F.col("_cid").alias("_bid"),
+        F.col("_cv").alias("_bv"),
+        F.col("_n").alias("_bn"),
+    ).withColumn("_slt", F.pmod(F.xxhash64("_bid"), F.lit(n_salts)))
+    mr = assigned_all.select(
+        "_cell",
+        F.col("_cid").alias("_mid"),
+        F.col("_cv").alias("_mv"),
+        F.col("_n").alias("_mn"),
+    ).withColumn("_slt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    scored_mates = (
+        bl.repartition("_cell", "_slt")
+        .join(mr.repartition("_cell", "_slt"), ["_cell", "_slt"])
         .where(F.col("_bid") != F.col("_mid"))
         .select(
             F.least("_bid", "_mid").alias("_u"),
             F.greatest("_bid", "_mid").alias("_v"),
+            F.round(
+                dot(F.col("_bv"), F.col("_mv")) / (F.col("_bn") * F.col("_mn")), 6
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -1893,9 +1929,9 @@ def knn_graph_increment(
         "rank",
         "cos_sim",
     )
-    edges = _merge_rank(existing, mates, vecs, k)
-    touched = mates.select(F.col("_u").alias("_t")).unionByName(
-        mates.select(F.col("_v").alias("_t"))
+    edges = _merge_scored(existing, scored_mates, k)
+    touched = scored_mates.select(F.col("_u").alias("_t")).unionByName(
+        scored_mates.select(F.col("_v").alias("_t"))
     ).distinct()
     for _ in range(rounds):
         # ckpt_cut for the same stats-thunk-chaining reason as knn_graph
