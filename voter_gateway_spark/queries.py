@@ -1693,6 +1693,31 @@ SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY id
 """
 
 
+def embed_graph_dedup(spark, sf_dir):
+    """Graph-native semantic dedup: one surviving representative per
+    mutual-kNN cluster (min member id), with the cluster's member
+    count — the vector-space analogue of dedup_corpus_pruned, and the
+    VARIABLE-cluster-size alternative to embed_semantic_dedup's fixed
+    Voronoi cells (a tight 13-vector near-dup clump collapses to one
+    row here regardless of how cell boundaries slice it). Output:
+    (vec_id, cluster_size), one row per surviving cluster."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = similarity.mutual_knn_clusters(
+        emb, k=4, rounds=2, min_sim=0.35, iters=0
+    )
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    ).select(F.col("cluster_id").alias("vec_id"), "cluster_size")
+
+
+def _graph_dedup_sql() -> str:
+    return f"""
+SELECT cluster_id AS vec_id, COUNT(*) AS cluster_size
+FROM ({_knn_clusters_sql()})
+GROUP BY cluster_id
+"""
+
+
 def embed_knn_graph_increment(spark, sf_dir):
     """Incremental kNN-graph maintenance: vec_id % 10 == 3 arrives as
     the batch against the graph built over the other 90%. The batch
@@ -6277,7 +6302,8 @@ def embed_recall_report(spark, sf_dir):
     prose claim.
 
     Measured on the synthetic fixture (sf0.01): int8 0.996, ivf 0.5,
-    lsh 0.008 — and that spread is the audit DOING ITS JOB: uniform
+    knn 0.484, lsh 0.008 — and that spread is the audit DOING ITS
+    JOB: uniform
     random embeddings are the adversarial case for locality methods
     (no cluster structure for buckets to find; fixed-IVF recall is
     probe-bounded at n_probe/n_centroids-ish), while SQ8 quantization
@@ -6286,6 +6312,18 @@ def embed_recall_report(spark, sf_dir):
     floor test pins >= 0.8 on clustered fixtures); a pipeline runs
     THIS report on ITS corpus before picking the scale path."""
     brute = embed_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def _knn_as_search(s, d):
+        # the graph path graded apples-to-apples: k=5 edges, restricted
+        # to the report's query subset
+        return (
+            similarity.knn_graph(
+                _t(s, d, "embeddings"), k=5, rounds=2, iters=0
+            )
+            .where(F.col("vec_id") % 10 == 0)
+            .select(F.col("vec_id").alias("query_id"), "neighbor_id")
+        )
+
     parts = []
     for name, fn in (
         ("ivf", embed_ivf_topk),
@@ -6293,6 +6331,7 @@ def embed_recall_report(spark, sf_dir):
         ("lsh", embed_lsh_topk),
         ("pq", embed_ivfpq_topk),
         ("pq_res", embed_ivfpq_residual_topk),
+        ("knn", _knn_as_search),
     ):
         parts.append(
             fn(spark, sf_dir).select(
@@ -6313,7 +6352,7 @@ def embed_recall_report(spark, sf_dir):
     )
     bn = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nb"))
     methods = spark.createDataFrame(
-        [("ivf",), ("int8",), ("lsh",), ("pq",), ("pq_res",)],
+        [("ivf",), ("int8",), ("lsh",), ("pq",), ("pq_res",), ("knn",)],
         "method string",
     )
     grid = bn.crossJoin(F.broadcast(methods))
@@ -6337,12 +6376,17 @@ i8 AS ({INT8_TOPK_SQL}),
 ivf AS ({_ivf_sql()}),
 pq AS ({_ivfpq_sql()}),
 pq_res AS ({_ivfpq_residual_sql()}),
+knn AS (
+  SELECT vec_id AS query_id, neighbor_id FROM ({_knn_graph_sql(k=5)})
+  WHERE vec_id % 10 = 0
+),
 tagged AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
   UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
   UNION ALL SELECT 'pq_res', query_id, neighbor_id FROM pq_res
+  UNION ALL SELECT 'knn', query_id, neighbor_id FROM knn
 ),
 perq AS (
   SELECT t.method, t.query_id,
@@ -6359,7 +6403,7 @@ grid AS (
   SELECT m.method, bn.query_id, bn.nb
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'int8'
         UNION ALL SELECT 'ivf' UNION ALL SELECT 'pq'
-        UNION ALL SELECT 'pq_res') m
+        UNION ALL SELECT 'pq_res' UNION ALL SELECT 'knn') m
   CROSS JOIN bn
 )
 SELECT g.method, count(*) AS n_queries,
@@ -8481,6 +8525,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_knn_graph": embed_knn_graph,
     "embed_knn_clusters": embed_knn_clusters,
     "embed_knn_graph_increment": embed_knn_graph_increment,
+    "embed_graph_dedup": embed_graph_dedup,
+    "embed_recall_report": embed_recall_report,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -8602,7 +8648,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_incremental_batch": dedup_incremental_batch,
     "corpus_dedup_report": corpus_dedup_report,
-    "embed_recall_report": embed_recall_report,
     "text_frequent_ngrams": text_frequent_ngrams,
     "pipeline_curation_audit": pipeline_curation_audit,
     "q14_promo_revenue": q14_promo_revenue,
@@ -8706,6 +8751,7 @@ ORACLES: dict[str, str] = {
     "embed_knn_graph": _knn_graph_sql(),
     "embed_knn_clusters": _knn_clusters_sql(),
     "embed_knn_graph_increment": _knn_increment_sql(),
+    "embed_graph_dedup": _graph_dedup_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
