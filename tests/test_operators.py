@@ -2424,3 +2424,35 @@ def test_knn_graph_increment(spark, sf_dir):
     rec_inc = len(inc & exact) / len(exact)
     rec_reb = len(reb & exact) / len(exact)
     assert rec_inc >= rec_reb - 0.05, (rec_inc, rec_reb)
+
+
+def test_hashed_embedding_properties(spark):
+    """Deterministic featurizer invariants: identical token multisets
+    embed identically (order-free), empty text is the zero vector,
+    components are exact token-count-bounded integers, dim is
+    validated."""
+    import pytest as _pytest
+
+    from voter_gateway_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma  beta\talpha"),   # same multiset, messy spacing
+            (3, ""),
+            (4, "alpha alpha"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r.v
+        for r in df.select(
+            "doc_id", text_ops.hashed_embedding("text", dim=8).alias("v")
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    assert rows[3] == [0.0] * 8
+    assert all(abs(x) <= 3 and x == int(x) for x in rows[1])
+    assert all(abs(x) == 2 for x in rows[4])  # two copies of one token
+    with _pytest.raises(ValueError):
+        text_ops.hashed_embedding("text", dim=33)

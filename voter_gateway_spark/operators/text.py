@@ -681,3 +681,50 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col, words_col=w).alias("lang_guess"),
         content_fingerprint(text_col, norm_col=n).alias("fingerprint"),
     )
+
+
+def hashed_embedding(
+    col: Column | str, dim: int = 16, norm_col: Column | None = None
+) -> Column:
+    """Deterministic hashing-trick text embedding (array<double>, one
+    integer-valued component per dimension): every lowercased
+    whitespace token contributes ±1 to each dimension, the sign drawn
+    from one hex digit of the token's md5 (digit ≥ 8 → +1). The
+    classic feature-hashing projection (Weinberger et al., ICML 2009
+    — signed random projections from a hash), with md5 standing in
+    for the hash family so BOTH engines draw identical signs: sums
+    are exact integers, so the embedding is bit-reproducible
+    cross-engine with no rounding contract at all.
+
+    This is the bridge from the text family to the vector family: it
+    gives `documents` an embedding column computable anywhere, which
+    the ANN/dedup/cluster operators consume unchanged — repeated or
+    templated texts land at identical vectors, near-duplicate token
+    multisets at nearby ones (cosine ≈ token-overlap correlation).
+    dim ≤ 32 (one md5 hex digit per dimension). Not a semantic
+    model: a deterministic, dependency-free featurizer for plumbing,
+    dedup blocking, and tests; swap in real model vectors for
+    semantic similarity.
+
+    Empty/whitespace-only text embeds as the zero vector (aggregate
+    over an empty token array) — consumers doing cosine must filter
+    zero-norm rows, as docs_ann_topk does."""
+    if not 1 <= dim <= 32:
+        raise ValueError(f"dim must be in [1, 32], got {dim}")
+    toks = tokens(col, lower=True, norm_col=norm_col)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    def _dim_sum(j: int) -> Column:
+        # closure, not a default-arg lambda: F.aggregate reads the
+        # lambda's arity, and a bound `j=j` parameter makes the
+        # 2-arg merge function look 3-ary
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("double"),
+            lambda acc, h: acc
+            + F.when(
+                F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") >= 8,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    return F.array(*[_dim_sum(j) for j in range(dim)])

@@ -3532,6 +3532,97 @@ GROUP BY ev.doc_id
 """
 
 
+def _hash_emb_ctes(dim: int = 16) -> str:
+    """Shared featurize CTEs: documents → (doc_id, v) hashed-trick
+    embeddings, mirroring text.hashed_embedding exactly (lowercased
+    whitespace tokens of normalized text; one md5 hex digit per
+    dimension, digit ≥ 8 → +1 else −1; empty text → zero vector via
+    the LEFT JOIN coalesce)."""
+    sums = ",\n         ".join(
+        "SUM(CASE WHEN instr('89abcdef', substr(hx, {p}, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END) AS s{j}".format(p=j + 1, j=j)
+        for j in range(dim)
+    )
+    zeros = ", ".join(f"coalesce(s.s{j}, 0.0)" for j in range(dim))
+    return f"""toks AS (
+  SELECT d.doc_id, md5(t.tok) AS hx
+  FROM documents d,
+       LATERAL unnest(list_filter(
+         string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), ' '),
+         x -> x <> '')) AS t(tok)
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+),
+emb AS (
+  SELECT d.doc_id, list_value({zeros}) AS v
+  FROM documents d LEFT JOIN sums s USING (doc_id)
+)"""
+
+
+def text_hash_embedding(spark, sf_dir):
+    """Hashing-trick text featurization (text.hashed_embedding): every
+    document gets a 16-dim ±1-sum embedding, emitted LONG (doc_id,
+    dim, value) so the gate compares scalars. Integer sums — no
+    rounding contract anywhere; empty text embeds as zeros."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", text.hashed_embedding("text", dim=16).alias("_v")
+    )
+    return emb.select(
+        "doc_id", F.posexplode("_v").alias("dim", "value")
+    )
+
+
+TEXT_HASH_EMBEDDING_SQL = f"""
+WITH {_hash_emb_ctes()}
+SELECT doc_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+       unnest(v) AS value
+FROM emb
+"""
+
+
+def docs_ann_topk(spark, sf_dir):
+    """Text → vector → ANN, end to end on the documents table: hashed
+    embeddings (text.hashed_embedding) feed the standard brute-force
+    cosine top-k unchanged — the capstone showing the text and vector
+    families compose (repeated/templated texts land at cosine 1.0,
+    near-duplicate token multisets nearby). Zero-norm (empty-text)
+    vectors are filtered on both sides; queries are the doc_id % 10
+    subset, k=3, the embed-family conventions."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
+    )
+    nz = emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    qs = nz.where(F.col("doc_id") % 10 == 0)
+    return similarity.brute_force_topk(
+        qs, nz, k=3, id_col="doc_id", vec_col="embedding"
+    )
+
+
+DOCS_ANN_TOPK_SQL = f"""
+WITH {_hash_emb_ctes()},
+nz AS (
+  SELECT doc_id, v FROM emb
+  WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+),
+q AS (SELECT doc_id, v FROM nz WHERE doc_id % 10 = 0)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM (
+    SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim
+    FROM q JOIN nz n ON q.doc_id <> n.doc_id
+  )
+) WHERE rn <= 3
+"""
+
+
 def text_pii_scrub(spark, sf_dir):
     """PII scrub: per-category match counts + redacted text (as md5 —
     the gate canonicalizes scalars), in one scan-stage projection.
@@ -8527,6 +8618,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_knn_graph_increment": embed_knn_graph_increment,
     "embed_graph_dedup": embed_graph_dedup,
     "embed_recall_report": embed_recall_report,
+    "text_hash_embedding": text_hash_embedding,
+    "docs_ann_topk": docs_ann_topk,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -8752,6 +8845,8 @@ ORACLES: dict[str, str] = {
     "embed_knn_clusters": _knn_clusters_sql(),
     "embed_knn_graph_increment": _knn_increment_sql(),
     "embed_graph_dedup": _graph_dedup_sql(),
+    "text_hash_embedding": TEXT_HASH_EMBEDDING_SQL,
+    "docs_ann_topk": DOCS_ANN_TOPK_SQL,
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
