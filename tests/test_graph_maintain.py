@@ -2,6 +2,7 @@
 the sequential batch increments, and replays must be no-ops."""
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -32,14 +33,20 @@ def test_stream_folds_match_sequential_batch_increments(spark, sf_dir, tmp_path)
     # stream the two batches as two files, one per micro-batch
     src = tmp_path / "arrivals"
     src.mkdir()
-    for name, b in (("b1.jsonl", b1), ("b2.jsonl", b2)):
-        (src / name).write_text(
+    for i, (name, b) in enumerate((("b1.jsonl", b1), ("b2.jsonl", b2))):
+        path = src / name
+        path.write_text(
             "\n".join(
                 json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
                 for r in b.collect()
             )
             + "\n"
         )
+        # FileStreamSource orders by MODIFICATION TIME, not name; two
+        # files written within the same mtime granularity could process
+        # in either order, flipping the fold order vs the sequential
+        # expectation below (r13 ADVICE). Pin distinct, increasing mtimes.
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
     stream = spark.readStream.schema(
         "vec_id bigint, embedding array<float>"
     ).option("maxFilesPerTrigger", 1).json(str(src))
@@ -54,7 +61,7 @@ def test_stream_folds_match_sequential_batch_increments(spark, sf_dir, tmp_path)
     q.stop()
 
     # sequential-batch expectation: fold b1 then b2 with the operator
-    # (file listing order is lexicographic, matching b1 -> b2)
+    # (source orders files by mtime — pinned above to b1 -> b2)
     g1 = ckpt(similarity.knn_graph_increment(
         corpus, b1, similarity.knn_graph(corpus, rounds=2), rounds=1
     ))

@@ -110,6 +110,12 @@ def main() -> None:
     newborns = NEWBORNS
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in NEWBORNS]
+        if unknown:
+            sys.exit(
+                f"SPARK_GRAFT_NEWBORN_ONLY names not in this tool's newborn "
+                f"set: {unknown}; valid names: {sorted(NEWBORNS)}"
+            )
         newborns = {n: NEWBORNS[n] for n in names}
     spark = build_spark(
         app_name="vgs-newborn-decade-r13",

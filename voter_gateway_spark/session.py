@@ -11,9 +11,18 @@ from __future__ import annotations
 
 import os
 import uuid
+import warnings
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+try:  # py4j ships with pyspark; guard anyway for Connect-only installs
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover
+    class Py4JError(Exception):
+        pass
+
+_CKPT_CUT_WARNED = False
 
 
 def reliable_checkpoint_dir() -> str | None:
@@ -78,8 +87,10 @@ def ckpt_cut(df: DataFrame) -> DataFrame:
     spark.sql.defaultSizeInBytes), so it is never auto-broadcast —
     use only on iterative intermediates whose joins should shuffle
     anyway; keep plain :func:`ckpt` where downstream broadcast
-    decisions matter. Falls back to :func:`ckpt` if the JVM-side
-    rebuild hook is unavailable."""
+    decisions matter. Falls back to :func:`ckpt` (with a one-time
+    warning — r13 ADVICE: a silent fallback reintroduces the stats
+    hang with no signal) when the private JVM hooks are unavailable,
+    e.g. under Spark Connect."""
     materialized = ckpt(df)
     try:
         jdf = materialized._jdf
@@ -88,7 +99,22 @@ def ckpt_cut(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jnew, df.sparkSession)
-    except Exception:
+    except (AttributeError, Py4JError) as exc:
+        # _jdf/_jsparkSession absent (Spark Connect) — the cut cannot
+        # be applied; warn once so a reappearing stats-thunk hang on
+        # iterative plans is diagnosable instead of mysterious.
+        global _CKPT_CUT_WARNED
+        if not _CKPT_CUT_WARNED:
+            _CKPT_CUT_WARNED = True
+            warnings.warn(
+                "ckpt_cut: JVM rebuild hooks unavailable "
+                f"({exc!r}); falling back to plain checkpoint. "
+                "Iterative self-join plans may hit the driver-side "
+                "statistics-thunk hang documented in ckpt_cut's "
+                "docstring.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return materialized
 
 

@@ -41,10 +41,13 @@ ANN family.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from voter_gateway_spark.operators import similarity
 from voter_gateway_spark.session import ckpt_cut
+from voter_gateway_spark.streaming.upsert_sink import _fs, _must, _recover
 
 
 _DEFAULTS = dict(k=4, n_centroids=None, probe_cells=2, iters=0)
@@ -83,10 +86,20 @@ def fold_batch(
     """Fold one batch of vectors into the persisted graph; returns the
     number of genuinely-new vectors folded (0 = replay/no-op).
 
-    Order of effects: graph overwrite, then corpus append — chosen so
-    a crash between them loses no arrival (the replay re-folds; see
-    module docstring for why that is closed)."""
+    Order of effects: graph swap, then corpus append — chosen so a
+    crash between them loses no arrival (the replay re-folds; see
+    module docstring for why that is closed).
+
+    The graph write itself is the upsert_sink swap protocol, not an
+    in-place overwrite (r13 ADVICE): `mode("overwrite")` deletes the
+    old files before the new commit, so a crash mid-write would leave
+    empty/partial state for the next fold to read. Instead the updated
+    graph lands in a `__v*` staging dir, then two checked renames swap
+    it live (park live -> __old, promote staging -> live); `_recover`
+    at fold start heals the one between-renames window by restoring
+    the parked previous generation."""
     params = {**_DEFAULTS, **knn_params}
+    _recover(spark, graph_dir)
     corpus = spark.read.parquet(corpus_dir)
     new_rows = (
         batch.select(id_col, vec_col)
@@ -110,10 +123,27 @@ def fold_batch(
         vec_col=vec_col,
         **params,
     )
-    # materialize BEFORE overwriting graph_dir — the update plan reads
-    # the very files the overwrite deletes
+    # materialize BEFORE swapping graph_dir — the update plan reads
+    # the very files the park rename moves away
     updated = ckpt_cut(updated)
-    updated.write.mode("overwrite").parquet(graph_dir)
+    tmp = f"{graph_dir}__v{uuid.uuid4().hex[:8]}"
+    updated.write.mode("overwrite").parquet(tmp)
+    fs, live, jvm = _fs(spark, graph_dir)
+    old = jvm.org.apache.hadoop.fs.Path(f"{graph_dir}__old")
+    if fs.exists(old):
+        _must(fs.delete(old, True), f"pre-swap delete {old}")
+    _must(fs.rename(live, old), f"park rename {live} -> {old}")
+    _must(
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live),
+        f"promote rename {tmp} -> {live}",
+    )
+    if fs.exists(old):
+        _must(fs.delete(old, True), f"post-swap delete {old}")
+    # a crashed earlier attempt leaves its unpromoted staging dir
+    # behind; sweep stale __v* siblings after each successful swap
+    stale = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{graph_dir}__v*"))
+    for st in list(stale) if stale is not None else []:
+        _must(fs.delete(st.getPath(), True), f"stale staging delete {st.getPath()}")
     new_rows.write.mode("append").parquet(corpus_dir)
     return n_new
 
