@@ -507,28 +507,56 @@ def incremental_minhash_pairs(
     and for incremental_component_assign (the rep is a corpus id in
     the cluster map, and collapsed self-join maps put every member in
     its rep's component), while the corpus duplication factor drops
-    out of the OUTPUT too."""
+    out of the OUTPUT too.
+
+    r14: the collapse costs the SAME job structure as the plain r12
+    shape — one eager checkpoint per side. The r13 form derived
+    (members, reps) with a groupBy + join-back + two more checkpoints
+    per side; those four extra jobs were pure overhead on corpora
+    without duplication and regressed the sf0.1 catalog row 1.23 s →
+    2.4 s (the one r13 bench delta that reproduced on a quiet-box
+    best-of-5). Now each side's signature pass tags every row in-plan
+    with its group fingerprint and a rank-within-group window
+    (row_number over _fp, ordered by _id), and the single checkpoint
+    materializes the tagged frame: reps (_rn = 1, rep id = group min,
+    identical to the r13 contract) are then a zero-cost filter of the
+    same cached frame, and each rep row carries its group's sorted
+    member-id array so the output expands IN-ROW (explode) — the
+    ivf_topk collapse's no-extra-shuffle expansion — instead of the
+    r13 shape's two membership joins. The window is one extra shuffle
+    inside the pass the plain shape already paid, and at replica scale
+    it is the same full-width movement the r13 join-back did."""
     rows_per_band = n_hashes // bands
-    nb = minhash_hashed_sigs(new_df, id_col, text_col, k, n_hashes)
-    cb = minhash_hashed_sigs(corpus_df, id_col, text_col, k, n_hashes)
     fp = F.md5(
         F.concat_ws(
             ",", F.transform(F.sort_array(F.col("_hh")), lambda h: h.cast("string"))
         ).cast("binary")
     )
+    w_ord = Window.partitionBy("_fp").orderBy("_id")
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
-    def collapse(side: DataFrame) -> tuple[DataFrame, DataFrame]:
-        mem = side.select("_id", fp.alias("_fp")).transform(ckpt)
-        reps = (
-            mem.groupBy("_fp")
-            .agg(F.min("_id").alias("_id"))
-            .join(side, "_id")
+    def rep_sigs(df: DataFrame) -> DataFrame:
+        return (
+            widen(df)
+            .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
+            .select(
+                "_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh")
+            )
+            .select(
+                "_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"),
+                fp.alias("_fp"),
+            )
+            .withColumn(
+                "_rn", F.row_number().over(w_ord)
+            )
+            .withColumn("_mem", F.collect_list("_id").over(w_all))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_fp")
             .transform(ckpt)
-        )  # (_fp, _id, _hh, _sig)
-        return mem, reps
+        )
 
-    nmem, nreps = collapse(nb)
-    cmem, creps = collapse(cb)
+    nreps = rep_sigs(new_df)
+    creps = rep_sigs(corpus_df)
     cand = (
         _minhash_band_rows(nreps, bands, rows_per_band)
         .alias("a")
@@ -543,35 +571,32 @@ def incremental_minhash_pairs(
         cand.join(
             nreps.select(
                 F.col("_id").alias("_nr"), F.col("_hh").alias("_sha"),
-                F.col("_fp").alias("_nfp"),
+                F.col("_mem").alias("_nmem"),
             ),
             "_nr",
         )
         .join(
             creps.select(
                 F.col("_id").alias("_cr"), F.col("_hh").alias("_shb"),
-                F.col("_fp").alias("_cfp"),
+                F.col("_mem").alias("_cmem"),
             ),
             "_cr",
         )
         .select(
-            "_nfp", "_cr", "_cfp",
+            "_nmem", "_cr", "_cmem",
             F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    # new side always expands (admission must see every arriving id)
-    out = rp.join(
-        nmem.select(F.col("_id").alias("new_id"), F.col("_fp").alias("_nfp")),
-        "_nfp",
+    # new side always expands (admission must see every arriving id) —
+    # in-row: each rep row carries its group's member ids
+    out = rp.select(
+        F.explode("_nmem").alias("new_id"), "_cr", "_cmem", "jaccard"
     )
     if expand_corpus:
-        return out.join(
-            cmem.select(
-                F.col("_id").alias("corpus_id"), F.col("_fp").alias("_cfp")
-            ),
-            "_cfp",
-        ).select("new_id", "corpus_id", "jaccard")
+        return out.select(
+            "new_id", F.explode("_cmem").alias("corpus_id"), "jaccard"
+        )
     return out.select(
         "new_id", F.col("_cr").alias("corpus_id"), "jaccard"
     )
