@@ -28,6 +28,7 @@ from voter_gateway_spark.session import ckpt, ckpt_lazy
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
 from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
+from voter_gateway_spark.operators.skew import widen
 from voter_gateway_spark.streaming.events import hourly_counts, sessionize
 
 
@@ -2571,6 +2572,101 @@ FROM px GROUP BY m
 """
 
 
+def multimodal_jpeg420_decode(spark, sf_dir):
+    """4:2:0 CHROMA-SUBSAMPLED color JPEG through the decoder
+    registry — the dominant real-web image encoding (r13 verdict
+    gap #1). 64 16x16 YCbCr fixtures, one MCU each: four Y blocks
+    (sampling 0x22) + ONE Cb and ONE Cr block covering the whole MCU,
+    written directly from analytic quantized coefficients
+    (make_jpeg_color_420, quant all ones). Per block a DC multiple of
+    8 plus one AC at zigzag 1, so every decoded plane is a two-term
+    closed form; chroma upsamples by SAMPLE REPLICATION (the pinned
+    deterministic kernel — T.81 mandates no filter), which the oracle
+    expresses as evaluating the chroma form at x//2. A Y-block-order
+    slip inside the MCU (Y01<->Y10), a sampling-factor misparse, a
+    chroma DC-prediction bug, or a wrong upsampling phase all shift
+    pixels and fail the hash. Features are the integer-exact
+    channel-sum stats (jpeg_rgbsum_decode, s = R+G+B): floor-boundary
+    margins of every R/G/B pixel are >= 1e-3 (pinned by
+    test_jpeg420_oracle_margin; the chroma fields draw from sparse
+    value lattices to hold that bar) — ~9 orders above cross-engine
+    libm cos drift. Other sampling layouts (e.g. 4:2:2) still reject
+    loudly."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_jpeg_color_420,
+    )
+
+    rows = []
+    for m in range(64):
+        y = np.zeros((2, 2, 8, 8), dtype=np.int64)
+        for by in range(2):
+            for bx in range(2):
+                y[by][bx][0][0] = 8 * (((m * 5 + bx * 3 + by * 7) % 25) - 12)
+                y[by][bx][0][1] = ((m + 3 * bx + 5 * by) % 13) - 6
+        # chroma fields draw from SPARSE value sets (5 DC x 3 AC
+        # levels): the color transform mixes up to three cos terms per
+        # channel, and dense chroma grids push some pixel within ~1e-4
+        # of the floor boundary — the sparse lattice keeps every
+        # fixture pixel >= 1e-3 away (test_jpeg420_oracle_margin)
+        cb = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        cb[0][0][0][0] = 8 * 12 * (((m * 3) % 5) - 2)
+        cb[0][0][0][1] = 2 * (((m * 7) % 3) - 1)
+        cr = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        cr[0][0][0][0] = 8 * 12 * (((m * 11 + 1) % 5) - 2)
+        cr[0][0][0][1] = 2 * (((m * 5 + 2) % 3) - 1)
+        rows.append(
+            (m, "image", bytearray(make_jpeg_color_420(16, 16, y, cb, cr)),
+             "image/jpeg", 16, 16, None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, kind="jpeg_rgbsum")
+    return feat.select(
+        "media_id",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
+JPEG420_DECODE_SQL = """
+WITH grid AS (
+  SELECT m, x, y
+  FROM (SELECT unnest(generate_series(0, 63)) AS m),
+       (SELECT unnest(generate_series(0, 15)) AS x),
+       (SELECT unnest(generate_series(0, 15)) AS y)
+), plane AS (
+  SELECT m, x, y,
+         128 + (((m*5 + (x//8)*3 + (y//8)*7) % 25) - 12)
+             + (((m + 3*(x//8) + 5*(y//8)) % 13) - 6)
+               * cos((2*(x%8)+1) * pi() / 16) / (4 * sqrt(2)) AS yy,
+         12*(((m*3) % 5) - 2)
+             + 2*(((m*7) % 3) - 1)
+               * cos((2*(x//2)+1) * pi() / 16) / (4 * sqrt(2)) AS cb,
+         12*(((m*11+1) % 5) - 2)
+             + 2*(((m*5+2) % 3) - 1)
+               * cos((2*(x//2)+1) * pi() / 16) / (4 * sqrt(2)) AS cr
+  FROM grid
+), px AS (
+  SELECT m, x, y,
+         LEAST(GREATEST(CAST(floor(yy + 1.402*cr + 0.5) AS BIGINT), 0), 255)
+       + LEAST(GREATEST(CAST(floor(yy - 0.344136*cb - 0.714136*cr + 0.5) AS BIGINT), 0), 255)
+       + LEAST(GREATEST(CAST(floor(yy + 1.772*cb + 0.5) AS BIGINT), 0), 255) AS s
+  FROM plane
+)
+SELECT m AS media_id,
+       round(avg(s) / 765.0, 6) AS f0,
+       round(max(s) / 765.0, 6) AS f1,
+       round(min(s) / 765.0, 6) AS f2,
+       round(avg(s) FILTER (y < 8 AND x < 8) / 765.0, 6) AS f3,
+       round(avg(s) FILTER (y < 8 AND x >= 8) / 765.0, 6) AS f4,
+       round(avg(s) FILTER (y >= 8 AND x < 8) / 765.0, 6) AS f5,
+       round(avg(s) FILTER (y >= 8 AND x >= 8) / 765.0, 6) AS f6,
+       round(avg(abs(s - 384)) / 765.0, 6) AS f7
+FROM px GROUP BY m
+"""
+
+
 def multimodal_wav_decode(spark, sf_dir):
     """Third REAL codec through the decoder registry, and the first
     AUDIO one: 64 mono 16-bit PCM RIFF/WAVE clips whose samples are an
@@ -3567,7 +3663,9 @@ def text_hash_embedding(spark, sf_dir):
     document gets a 16-dim ±1-sum embedding, emitted LONG (doc_id,
     dim, value) so the gate compares scalars. Integer sums — no
     rounding contract anywhere; empty text embeds as zeros."""
-    docs = _t(spark, sf_dir, "documents")
+    # widen: the toy-scale documents parquet scans as ONE split, which
+    # would serialize the per-row featurizer onto one core; no-op at scale
+    docs = widen(_t(spark, sf_dir, "documents"))
     emb = docs.select(
         "doc_id", text.hashed_embedding("text", dim=16).alias("_v")
     )
@@ -3585,18 +3683,26 @@ FROM emb
 
 
 def docs_ann_topk(spark, sf_dir):
-    """Text → vector → ANN, end to end on the documents table: hashed
-    embeddings (text.hashed_embedding) feed the standard brute-force
-    cosine top-k unchanged — the capstone showing the text and vector
-    families compose (repeated/templated texts land at cosine 1.0,
-    near-duplicate token multisets nearby). Zero-norm (empty-text)
-    vectors are filtered on both sides; queries are the doc_id % 10
-    subset, k=3, the embed-family conventions."""
-    docs = _t(spark, sf_dir, "documents")
+    """Text → vector → ANN, the YARDSTICK variant: hashed embeddings
+    (text.hashed_embedding) feed brute-force cosine top-k — exact by
+    construction, quadratic by contract (O(|Q|·N) cosine folds), so
+    it is the recall ruler the approximate paths are graded against
+    and is skipped at replica decades. The SCALE composition of the
+    same featurizer is `docs_ann_ivf_topk` below (√N-cell IVF,
+    O(N^1.5)); a user curating a real corpus runs that one. Zero-norm
+    (empty-text) vectors are filtered on both sides; queries are the
+    doc_id % 10 subset, k=3, the embed-family conventions."""
+    # widen: the toy-scale documents parquet scans as ONE split, which
+    # would serialize the per-row featurizer onto one core; no-op at scale
+    docs = widen(_t(spark, sf_dir, "documents"))
     emb = docs.select(
         "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
     )
-    nz = emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    # ckpt: both topk sides derive from nz, and the operator's internal
+    # stages would otherwise re-run the featurizer per consumer
+    nz = ckpt(
+        emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    )
     qs = nz.where(F.col("doc_id") % 10 == 0)
     return similarity.brute_force_topk(
         qs, nz, k=3, id_col="doc_id", vec_col="embedding"
@@ -3619,6 +3725,83 @@ SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim FROM (
            round(list_cosine_similarity(q.v, n.v), 6) AS cos_sim
     FROM q JOIN nz n ON q.doc_id <> n.doc_id
   )
+) WHERE rn <= 3
+"""
+
+
+def docs_ann_ivf_topk(spark, sf_dir):
+    """Text → vector → ANN, the SCALE capstone (r13 verdict ask #1):
+    the same hashed-trick featurizer (text.hashed_embedding) feeds the
+    production IVF path — auto √N-cell fixed-seed quantizer
+    (n_centroids=None, iters=0), 4-probe cells, exact cosine on the
+    probed candidates. Total work is O(N^1.5) where docs_ann_topk's
+    brute-force yardstick is O(|Q|·N): this is the composition a
+    100 TB corpus actually runs, and it is fully SQL-expressible so
+    the oracle reproduces every seed, assignment, probe, and rank.
+    Same conventions as the embed IVF family: zero-norm (empty-text)
+    vectors filtered both sides, queries = doc_id % 10, k=3, cosine
+    rounded to 6 with ties to ascending neighbor id."""
+    # widen: the toy-scale documents parquet scans as ONE split, which
+    # would serialize the per-row featurizer onto one core; no-op at scale
+    docs = widen(_t(spark, sf_dir, "documents"))
+    emb = docs.select(
+        "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
+    )
+    # ckpt: ivf_topk evaluates the query side in its fanout probe, the
+    # probe ranking, and (when the collapse engages) the member maps —
+    # materializing the featurized frame once keeps the featurizer to
+    # ONE pass instead of one per consumer
+    nz = ckpt(
+        emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    )
+    qs = nz.where(F.col("doc_id") % 10 == 0)
+    return similarity.ivf_topk(
+        qs, nz, k=3, n_centroids=None, n_probe=4, iters=0,
+        id_col="doc_id", vec_col="embedding",
+    )
+
+
+# nz is referenced four times (seed LIMIT subquery, seeds, assign, q)
+# — MATERIALIZED, or DuckDB re-inlines the whole featurize pipeline
+# per reference (the r13 CTE re-inlining gotcha)
+DOCS_ANN_IVF_TOPK_SQL = f"""
+WITH {_hash_emb_ctes()},
+nz AS MATERIALIZED (
+  SELECT doc_id, v FROM emb
+  WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+),
+seeds AS (
+  SELECT v, md5(CAST(doc_id AS VARCHAR)) AS h FROM nz ORDER BY h
+  LIMIT (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM nz)
+),
+cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT doc_id, v, cell FROM (
+    SELECT nz.doc_id, nz.v, cents.cell,
+           row_number() OVER (PARTITION BY nz.doc_id
+             ORDER BY round(list_cosine_similarity(nz.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM nz, cents
+  ) WHERE rn = 1
+),
+q AS (SELECT doc_id, v FROM nz WHERE doc_id % 10 = 0),
+probes AS (
+  SELECT doc_id, v, cell FROM (
+    SELECT q.doc_id, q.v, cents.cell,
+           row_number() OVER (PARTITION BY q.doc_id
+             ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM q, cents
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.doc_id AS query_id, a.doc_id AS neighbor_id,
+         round(list_cosine_similarity(p.v, a.v), 6) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE p.doc_id <> a.doc_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand
 ) WHERE rn <= 3
 """
 
@@ -8392,6 +8575,14 @@ def sample_cluster_mixture(spark, sf_dir):
     asg = similarity.assign_cells(
         emb, iters=1, centroid_round=9, train_per_cell=128
     ).select(F.col("vec_id").alias("doc_id"), "cell")
+    return _cluster_mixture_from_assign(asg)
+
+
+def _cluster_mixture_from_assign(asg):
+    """The mixture arithmetic downstream of cell assignment — shared
+    by the in-memory form (sample_cluster_mixture) and the persisted-
+    index probe (sample_cluster_mixture_indexed): identical inputs ⇒
+    identical outputs, so both run against ONE oracle."""
     per = asg.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
@@ -8499,6 +8690,15 @@ def embed_cluster_report(spark, sf_dir):
     cents = similarity.coarse_centroids(
         emb, iters=1, centroid_round=9, train_per_cell=128
     )
+    return _cluster_report_from_assign(asg, cents)
+
+
+def _cluster_report_from_assign(asg, cents):
+    """The report arithmetic downstream of assignment — shared by the
+    in-memory form (embed_cluster_report) and the persisted-index
+    probe (embed_cluster_report_indexed). `asg` is (cell, label,
+    embedding[, ...]) with embedding castable to double array; `cents`
+    is (cell, centroid double array)."""
     per = asg.join(F.broadcast(cents), "cell").select(
         "cell",
         "label",
@@ -8539,6 +8739,79 @@ def embed_cluster_report(spark, sf_dir):
         F.round(F.col("_cnt") / F.col("n_vecs"), 6).alias("purity"),
         "mean_cos_to_centroid",
     )
+
+
+_IVF_AUDIT_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_audit_index(spark, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the persisted cell-
+    partitioned assignment the audit family probes: the embeddings
+    corpus written PARTITIONED BY its coarse cell with the label
+    payload, via similarity.build_ivf_index at the audits' exact
+    quantizer trajectory (auto √N cells, iters=1, centroid_round=9,
+    train_per_cell=128). Repeated audits then read (cell, label,
+    vector) straight off the layout instead of re-paying the
+    O(N·cells) assignment pass each run — at the 100× replica that
+    pass was the measured 108–117 s floor of every audit
+    (BENCH_r13_newborns.json). Scratch-dir hygiene mirrors
+    dedup_band_index_probe: uuid-suffixed path, reaped at exit."""
+    import atexit
+    import functools
+    import hashlib
+    import shutil
+    import uuid
+
+    if sf_dir in _IVF_AUDIT_INDEX_CACHE:
+        return _IVF_AUDIT_INDEX_CACHE[sf_dir]
+    path = (
+        "/tmp/vgs_ivf_audit_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + "_"
+        + uuid.uuid4().hex[:12]
+    )
+    atexit.register(functools.partial(shutil.rmtree, path, ignore_errors=True))
+    emb = _t(spark, sf_dir, "embeddings")
+    similarity.build_ivf_index(
+        emb, path, n_centroids=None, iters=1,
+        centroid_round=9, train_per_cell=128, keep=("label",),
+    )
+    _IVF_AUDIT_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def sample_cluster_mixture_indexed(spark, sf_dir):
+    """sample_cluster_mixture probing the PERSISTED cell assignment
+    (r13 verdict ask #4): the cell-partitioned index built once by
+    _ivf_audit_index supplies (vec_id, cell) as a parquet scan — the
+    quantizer training and the O(N·cells) assignment pass are not in
+    this query's plan at all; only the mixture arithmetic runs.
+    Identical trajectory ⇒ identical output ⇒ the SAME DuckDB oracle
+    as the in-memory form (the roundtrip-equals-in-memory proof the
+    build_ivf_index tests established)."""
+    path = _ivf_audit_index(spark, sf_dir)
+    asg = (
+        spark.read.parquet(f"{path}/vectors")
+        .select(F.col("vec_id").alias("doc_id"), F.col("_cell").alias("cell"))
+    )
+    return _cluster_mixture_from_assign(asg)
+
+
+def embed_cluster_report_indexed(spark, sf_dir):
+    """embed_cluster_report probing the PERSISTED cell assignment —
+    (cell, label, vector) read off the partitioned layout, centroids
+    off the index's centroid table; only the per-cell report
+    arithmetic runs (see sample_cluster_mixture_indexed)."""
+    path = _ivf_audit_index(spark, sf_dir)
+    asg = (
+        spark.read.parquet(f"{path}/vectors")
+        .select(F.col("_cell").alias("cell"), "label", "embedding")
+    )
+    cents = (
+        spark.read.parquet(f"{path}/centroids")
+        .select(F.col("_cell").alias("cell"), F.col("_centroid").alias("centroid"))
+    )
+    return _cluster_report_from_assign(asg, cents)
 
 
 def _cluster_report_sql(iters: int = 1, train_per_cell: int = 128) -> str:
@@ -8620,6 +8893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_recall_report": embed_recall_report,
     "text_hash_embedding": text_hash_embedding,
     "docs_ann_topk": docs_ann_topk,
+    "docs_ann_ivf_topk": docs_ann_ivf_topk,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -8631,6 +8905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # — contract changed, so it re-earns a driver-green row
     "embed_semantic_dedup": embed_semantic_dedup,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
+    "multimodal_jpeg420_decode": multimodal_jpeg420_decode,
     "corpus_domain_report": corpus_domain_report,
     "sample_domain_filtered": sample_domain_filtered,
     "embed_ivfpq_topk": embed_ivfpq_topk,
@@ -8642,6 +8917,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_domain_mixture": sample_domain_mixture,
     "sample_cluster_mixture": sample_cluster_mixture,
     "embed_cluster_report": embed_cluster_report,
+    "sample_cluster_mixture_indexed": sample_cluster_mixture_indexed,
+    "embed_cluster_report_indexed": embed_cluster_report_indexed,
     "text_nb_quality_score": text_nb_quality_score,
     "text_nb_calibration": text_nb_calibration,
     "pipeline_corpus_build": pipeline_corpus_build,
@@ -8847,6 +9124,7 @@ ORACLES: dict[str, str] = {
     "embed_graph_dedup": _graph_dedup_sql(),
     "text_hash_embedding": TEXT_HASH_EMBEDDING_SQL,
     "docs_ann_topk": DOCS_ANN_TOPK_SQL,
+    "docs_ann_ivf_topk": DOCS_ANN_IVF_TOPK_SQL,
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
@@ -8871,6 +9149,7 @@ ORACLES: dict[str, str] = {
     "multimodal_ppm_decode": PPM_DECODE_SQL,
     "multimodal_png_decode": PNG_DECODE_SQL,
     "multimodal_jpeg_decode": JPEG_DECODE_SQL,
+    "multimodal_jpeg420_decode": JPEG420_DECODE_SQL,
     "multimodal_wav_decode": WAV_DECODE_SQL,
     "dedup_incremental_batch": _incremental_minhash_sql(),
     "asof_nearest_purchase_events": ASOF_NEAREST_SQL,
@@ -8933,6 +9212,10 @@ ORACLES: dict[str, str] = {
     "sample_domain_mixture": _domain_mixture_sql(),
     "sample_cluster_mixture": _cluster_mixture_sql(),
     "embed_cluster_report": _cluster_report_sql(),
+    # the indexed probes replay the identical trajectory off the
+    # persisted layout, so the in-memory oracles apply verbatim
+    "sample_cluster_mixture_indexed": _cluster_mixture_sql(),
+    "embed_cluster_report_indexed": _cluster_report_sql(),
     "text_nb_quality_score": _nb_quality_sql(),
     "text_nb_calibration": _nb_calibration_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
