@@ -490,7 +490,9 @@ def test_connected_components_raises_on_non_convergence(spark):
         [Row(id_a=i, id_b=i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_ops.connected_components(pairs, max_iter=2)
+        # driver_max_edges=0 forces the distributed path: the size gate
+        # would otherwise label this toy graph with driver union-find
+        dedup_ops.connected_components(pairs, max_iter=2, driver_max_edges=0)
 
 
 def test_replicate_join_salt_is_row_stable(spark):
@@ -786,9 +788,40 @@ def test_connected_components_deep_chain_converges_fast(spark):
     pairs = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(120)], "id_a bigint, id_b bigint"
     )
-    out = dedup_ops.connected_components(pairs, max_iter=12).collect()
+    out = dedup_ops.connected_components(
+        pairs, max_iter=12, driver_max_edges=0
+    ).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == 121
+
+
+def test_connected_components_driver_gate_matches_distributed(spark):
+    # the size-gated driver union-find must be bit-identical to the
+    # pointer-jumping path: chains, islands, merged triangles, and
+    # singleton-free output on a deterministic pseudo-random graph
+    import random
+
+    rng = random.Random(14)
+    pairs_rows = [Row(id_a=rng.randrange(60), id_b=rng.randrange(60)) for _ in range(90)]
+    pairs = spark.createDataFrame(pairs_rows, "id_a bigint, id_b bigint")
+    via_driver = sorted(
+        map(tuple, dedup_ops.connected_components(pairs).collect())
+    )
+    via_dist = sorted(
+        map(
+            tuple,
+            dedup_ops.connected_components(pairs, driver_max_edges=0).collect(),
+        )
+    )
+    assert via_driver == via_dist
+    # gate threshold boundary: exactly at the limit still takes the
+    # driver path (<=), one below forces distributed
+    assert sorted(
+        map(
+            tuple,
+            dedup_ops.connected_components(pairs, driver_max_edges=180).collect(),
+        )
+    ) == via_dist
 
 
 def test_incremental_minhash_pairs_bipartite_only(spark):
@@ -2148,14 +2181,102 @@ def test_jpeg_rejects_unsupported_variants():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError, match="SOF"):
         jpeg_parse(bytes(prog))
-    # sampling factor 0x11 -> 0x22 inside SOF0
+    # grayscale sampling 0x11 -> 0x22: not a supported layout (the
+    # only subsampled layout implemented is 3-component 4:2:0)
     i = bytes(good).index(b"\xff\xc0")
     sub = bytearray(good)
     sub[i + 2 + 2 + 5 + 1 + 1] = 0x22  # len(2) prec(1) h(2) w(2) nc(1) cid(1)
-    with pytest.raises(ValueError, match="subsampl"):
+    with pytest.raises(ValueError, match="sampling"):
         jpeg_parse(bytes(sub))
     with pytest.raises(ValueError, match="SOI"):
         jpeg_parse(b"not a jpeg")
+
+
+def test_jpeg420_rejects_other_subsampled_layouts():
+    """4:2:0 is implemented; every OTHER subsampled layout (4:2:2,
+    4:1:1, 2x2 chroma) must still reject loudly, never approximate."""
+    import numpy as np
+    import pytest
+
+    from voter_gateway_spark.operators.multimodal import (
+        jpeg_parse, make_jpeg_color_420,
+    )
+
+    y = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    good = bytes(make_jpeg_color_420(16, 16, y, c, c))
+    i = good.index(b"\xff\xc0")
+    base = i + 2 + 2 + 5 + 1  # first comp triplet (cid, samp, qid)
+    for bad_y_samp in (0x21, 0x12, 0x41):  # 4:2:2 / 2x4 / 4:1:1 Y factors
+        mut = bytearray(good)
+        mut[base + 1] = bad_y_samp
+        with pytest.raises(ValueError, match="sampling"):
+            jpeg_parse(bytes(mut))
+    # chroma at 2x2 alongside Y 2x2 is 4:4:4-with-scaled-factors — an
+    # UNSUPPORTED combination in this decoder's restricted grammar
+    mut = bytearray(good)
+    mut[base + 4] = 0x22
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_parse(bytes(mut))
+
+
+def test_jpeg420_constant_chroma_equals_444():
+    """With per-MCU-constant chroma, replication upsampling makes the
+    4:2:0 decode EQUAL the 4:4:4 decode of the same content — the
+    cross-layout consistency anchor (an MCU block-order slip, a
+    sampling misparse, or a wrong upsample phase all break it)."""
+    import numpy as np
+
+    from voter_gateway_spark.operators.multimodal import (
+        jpeg_parse, make_jpeg_color, make_jpeg_color_420,
+    )
+
+    y = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            y[by][bx][0][0] = 8 * (10 * by - 4 * bx)
+            y[by][bx][0][1] = 2 + by - bx
+    cb1 = np.zeros((1, 1, 8, 8), dtype=np.int64); cb1[0][0][0][0] = 8 * 12
+    cr1 = np.zeros((1, 1, 8, 8), dtype=np.int64); cr1[0][0][0][0] = -8 * 7
+    cb4 = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cr4 = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            cb4[by][bx][0][0] = 8 * 12
+            cr4[by][bx][0][0] = -8 * 7
+    img420 = jpeg_parse(make_jpeg_color_420(16, 16, y, cb1, cr1))
+    img444 = jpeg_parse(make_jpeg_color(16, 16, y, cb4, cr4))
+    assert np.array_equal(img420, img444)
+
+
+def test_jpeg420_oracle_margin():
+    """Every pre-rounding R/G/B value of every multimodal_jpeg420
+    fixture must sit >= 1e-3 from the floor(v+0.5) boundary — ~9
+    orders above cross-engine libm cos drift (abs err <= ~1e-12), so
+    the closed-form color oracle can never flip a pixel. The color
+    transform mixes three cos terms per channel, so the fixture's
+    chroma fields draw from sparse value lattices (see the query) to
+    hold this bar."""
+    import math
+
+    margin = 1.0
+    for m in range(64):
+        for x in range(16):
+            cosf = math.cos((2 * (x // 2) + 1) * math.pi / 16) / (4 * math.sqrt(2))
+            cb = 12 * (((m * 3) % 5) - 2) + 2 * (((m * 7) % 3) - 1) * cosf
+            cr = 12 * (((m * 11 + 1) % 5) - 2) + 2 * (((m * 5 + 2) % 3) - 1) * cosf
+            for by in range(2):
+                for bx in range(2):
+                    yv = 128 + (((m * 5 + bx * 3 + by * 7) % 25) - 12) + (
+                        ((m + 3 * bx + 5 * by) % 13) - 6
+                    ) * math.cos((2 * (x % 8) + 1) * math.pi / 16) / (4 * math.sqrt(2))
+                    for v in (
+                        yv + 1.402 * cr,
+                        yv - 0.344136 * cb - 0.714136 * cr,
+                        yv + 1.772 * cb,
+                    ):
+                        margin = min(margin, abs((v + 0.5) - round(v + 0.5)))
+    assert margin >= 1e-3, margin
 
 
 def test_ngram_graph_counts_equal_expanded_pairs(spark):

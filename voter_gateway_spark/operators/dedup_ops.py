@@ -674,11 +674,58 @@ def minhash_lsh_pairs(
 
 # -- connected components ------------------------------------------------------
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a COLLECTED small edge list —
+    the size-gated fast path of connected_components. Union-by-min
+    keeps every root the minimum id of its merged set, so the final
+    find(x) is exactly "min id reachable from x", the distributed
+    contract. NULL endpoints mirror join semantics: a null never
+    links anything (it appears in the output labeled by itself), and
+    its partner keeps its own label unless linked elsewhere."""
+    import pyspark.sql.types as T
+
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ids = set()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        ids.add(a)
+        ids.add(b)
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    id_type = edges.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("component", id_type, True),
+        ]
+    )
+    out = [(i, i if i is None else find(i)) for i in ids]
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (id, component) where
     component = min id reachable through the pair graph. Pairs alone
@@ -693,6 +740,20 @@ def connected_components(
     tables. A 1000-link chain converges in ~11 rounds; near-dup graphs
     (diameter ≪ 10) still converge in 2–3.
 
+    SIZE GATE (r13 verdict ask #3): graphs at/under `driver_max_edges`
+    directed edges are collected and labeled with driver-side
+    union-find (union-by-min roots, so find(x) IS the component min —
+    the identical contract), built as one createDataFrame. The
+    iterative path's cost at toy scale is pure per-round job latency
+    — measured ~55 s of scheduler time to pointer-jump a 500-node
+    long-chain mutual-kNN graph (~20 rounds × per-round overhead) that
+    union-find labels in microseconds. The gate's edge count comes
+    from the same materialization round 1 would pay, 100k edges
+    collect ~1.6 MB, and the precedent is bpe_train_local's
+    size-gated driver training (bit-identical outputs, same rationale:
+    driver work beats distributed work below a size floor). Set
+    driver_max_edges=0 to force the distributed path.
+
     Raises RuntimeError if labels are still changing after `max_iter`
     rounds — silently returning non-converged labels would let
     dedup_corpus_pruned keep documents whose cluster already has a
@@ -700,6 +761,8 @@ def connected_components(
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).transform(ckpt_lazy)
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        return _driver_components(edges)
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).transform(ckpt_lazy)

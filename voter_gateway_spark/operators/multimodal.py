@@ -479,13 +479,15 @@ def ppm_pool_grid(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> list[floa
 # as PNG/PPM/WAV: a pure stdlib+numpy decoder (marker walk, canonical
 # Huffman entropy decode with DC prediction and byte unstuffing,
 # dequantization, inverse zigzag, float IDCT, level shift,
-# floor(x+0.5) rounding, clamp; 4:4:4 YCbCr -> RGB for 3-component
-# scans) plus a fixture encoder that writes coefficient blocks
-# directly, so the catalog oracle can recompute the decoded pixels
-# from the closed-form IDCT of the analytic coefficient field.
-# Rejects progressive (SOF2), arithmetic coding, subsampled chroma,
-# and restart intervals loudly — approximating any of those silently
-# would make decoded stats depend on unimplemented reconstruction.
+# floor(x+0.5) rounding, clamp; YCbCr -> RGB for 3-component scans,
+# 4:4:4 or 4:2:0 with replication chroma upsampling) plus a fixture
+# encoder that writes coefficient blocks directly, so the catalog
+# oracle can recompute the decoded pixels from the closed-form IDCT
+# of the analytic coefficient field.
+# Rejects progressive (SOF2), arithmetic coding, sampling layouts
+# other than 4:4:4/4:2:0, and restart intervals loudly —
+# approximating any of those silently would make decoded stats
+# depend on unimplemented reconstruction.
 
 _JPEG_ZIGZAG = [
     (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
@@ -559,7 +561,7 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
 
 
 def _make_jpeg(
-    width: int, height: int, comp_blocks: list
+    width: int, height: int, comp_blocks: list, subsample: bool = False
 ) -> bytes:
     """Baseline-sequential JPEG written directly from QUANTIZED
     coefficient blocks (comp_blocks[comp][by][bx] is an 8x8 int array
@@ -570,49 +572,77 @@ def _make_jpeg(
     the SQL oracle recomputes. Dimensions must be block-aligned (no
     edge-replication ambiguity in an oracle-pinned codec). One shared
     DC and one shared AC Huffman table cover every component's
-    symbols (flat-length canonical codes, all-ones code unused)."""
+    symbols (flat-length canonical codes, all-ones code unused).
+
+    `subsample=True` writes 4:2:0 chroma (the dominant real-web
+    encoding): Y sampled 2x2 per MCU (sampling byte 0x22), Cb/Cr one
+    block per 16x16 MCU (0x11); comp_blocks[0] is then the full
+    (h/8, w/8) Y grid while comp_blocks[1..2] are (h/16, w/16) chroma
+    grids, and the scan interleaves Y00 Y01 Y10 Y11 Cb Cr per MCU
+    (ITU-T T.81 A.2.3 left-to-right, top-to-bottom block order).
+    Dimensions must be 16-aligned."""
     if width % 8 or height % 8:
         raise ValueError("oracle fixture JPEGs must be 8-aligned")
     nc = len(comp_blocks)
     if nc not in (1, 3):
         raise ValueError("1 (gray) or 3 (YCbCr) components only")
     by_n, bx_n = height // 8, width // 8
+    if subsample:
+        if nc != 3:
+            raise ValueError("4:2:0 requires 3 components")
+        if width % 16 or height % 16:
+            raise ValueError("4:2:0 oracle fixtures must be 16-aligned")
+        order = []
+        for my in range(height // 16):
+            for mx in range(width // 16):
+                for v in range(2):
+                    for u in range(2):
+                        order.append((0, 2 * my + v, 2 * mx + u))
+                order.append((1, my, mx))
+                order.append((2, my, mx))
+        samp = [0x22, 0x11, 0x11]
+    else:
+        order = [
+            (ci, by, bx)
+            for by in range(by_n)
+            for bx in range(bx_n)
+            for ci in range(nc)
+        ]
+        samp = [0x11] * nc
     # entropy-code the MCUs to learn which symbols the tables need
     dc_syms: set[int] = set()
     ac_syms: set[int] = {0x00}
     tokens = []  # per block: (dc_sym, dc_bits_val, [(ac_sym, val, s)...], eob)
     pred = [0] * nc
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for ci in range(nc):
-                blk = comp_blocks[ci][by][bx]
-                dc = int(blk[0][0])
-                s, bitsv = _jpeg_magnitude(dc - pred[ci])
-                pred[ci] = dc
-                dc_syms.add(s)
-                acs = []
-                run = 0
-                last_nonzero = 0
-                seq = [int(blk[r][c]) for (r, c) in _JPEG_ZIGZAG]
-                for i in range(63, 0, -1):
-                    if seq[i]:
-                        last_nonzero = i
-                        break
-                for i in range(1, last_nonzero + 1):
-                    v = seq[i]
-                    if v == 0:
-                        run += 1
-                        if run == 16:
-                            ac_syms.add(0xF0)  # ZRL
-                            acs.append((0xF0, 0, 0))
-                            run = 0
-                        continue
-                    vs, vb = _jpeg_magnitude(v)
-                    sym = (run << 4) | vs
-                    ac_syms.add(sym)
-                    acs.append((sym, vb, vs))
+    for ci, by, bx in order:
+        blk = comp_blocks[ci][by][bx]
+        dc = int(blk[0][0])
+        s, bitsv = _jpeg_magnitude(dc - pred[ci])
+        pred[ci] = dc
+        dc_syms.add(s)
+        acs = []
+        run = 0
+        last_nonzero = 0
+        seq = [int(blk[r][c]) for (r, c) in _JPEG_ZIGZAG]
+        for i in range(63, 0, -1):
+            if seq[i]:
+                last_nonzero = i
+                break
+        for i in range(1, last_nonzero + 1):
+            v = seq[i]
+            if v == 0:
+                run += 1
+                if run == 16:
+                    ac_syms.add(0xF0)  # ZRL
+                    acs.append((0xF0, 0, 0))
                     run = 0
-                tokens.append((s, bitsv, acs, last_nonzero < 63))
+                continue
+            vs, vb = _jpeg_magnitude(v)
+            sym = (run << 4) | vs
+            ac_syms.add(sym)
+            acs.append((sym, vb, vs))
+            run = 0
+        tokens.append((s, bitsv, acs, last_nonzero < 63))
     dc_bits, dc_vals = _jpeg_flat_table(sorted(dc_syms))
     ac_bits, ac_vals = _jpeg_flat_table(sorted(ac_syms))
     dc_codes = _jpeg_canonical_codes(dc_bits, dc_vals)
@@ -641,7 +671,7 @@ def _make_jpeg(
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
     sof += bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])
+        sof += bytes([ci + 1, samp[ci], 0])
     out += seg(0xC0, sof)  # SOF0 baseline
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
@@ -662,6 +692,13 @@ def make_jpeg_gray(width: int, height: int, coef_blocks) -> bytes:
 def make_jpeg_color(width: int, height: int, y, cb, cr) -> bytes:
     """4:4:4 YCbCr fixture JPEG — see _make_jpeg."""
     return _make_jpeg(width, height, [y, cb, cr])
+
+
+def make_jpeg_color_420(width: int, height: int, y, cb, cr) -> bytes:
+    """4:2:0 chroma-subsampled YCbCr fixture JPEG — `y` is the full
+    (h/8, w/8) block grid, `cb`/`cr` are (h/16, w/16) grids covering
+    one chroma block per 16x16 MCU. See _make_jpeg(subsample=True)."""
+    return _make_jpeg(width, height, [y, cb, cr], subsample=True)
 
 
 class _JpegBitReader:
@@ -730,10 +767,14 @@ def _jpeg_idct_matrix() -> "np.ndarray":
 
 def jpeg_parse(payload: bytes) -> "np.ndarray":
     """Decode a baseline-sequential JPEG to an (H, W, C) uint8 array
-    (C = 1 grayscale or 3 RGB via the 4:4:4 YCbCr transform with
-    floor(x+0.5) rounding). Raises on progressive/arithmetic scans,
-    subsampled chroma, restart intervals, and truncated streams —
-    the registry's refuse-loudly contract."""
+    (C = 1 grayscale or 3 RGB via the YCbCr transform with
+    floor(x+0.5) rounding). Sampling: 4:4:4 and 4:2:0 (Y 2x2 per
+    16x16 MCU, chroma upsampled by SAMPLE REPLICATION — the one
+    deterministic kernel an oracle-pinned decoder can define; T.81
+    does not mandate an upsampling filter). Raises on
+    progressive/arithmetic scans, other sampling layouts, restart
+    intervals, and truncated streams — the registry's refuse-loudly
+    contract."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -782,11 +823,17 @@ def jpeg_parse(payload: bytes) -> "np.ndarray":
             comps = []
             for ci in range(ncomp):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError(
-                        "subsampled chroma not supported (4:4:4 only)"
-                    )
-                comps.append((cid, qid))
+                comps.append((cid, qid, samp >> 4, samp & 0x0F))
+            samps = [(hi, vi) for (_, _, hi, vi) in comps]
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (len(samps) == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    "unsupported sampling: only 4:4:4 (all 1x1) and "
+                    "4:2:0 (Y 2x2, chroma 1x1) are implemented; got "
+                    f"{samps}"
+                )
             frame = (h, w, comps)
         elif marker == 0xDD:
             if int.from_bytes(body, "big") != 0:
@@ -803,50 +850,77 @@ def jpeg_parse(payload: bytes) -> "np.ndarray":
     if frame is None or scan_comps is None:
         raise ValueError("truncated JPEG: missing SOF0/SOS")
     h, w, comps = frame
-    if h % 8 or w % 8:
-        raise ValueError("non-8-aligned dimensions not supported")
     if len(scan_comps) != len(comps):
         raise ValueError("scan/frame component mismatch")
-    qid_of = dict(comps)
-    by_n, bx_n = h // 8, w // 8
+    qid_of = {cid: qid for (cid, qid, _, _) in comps}
+    samp_of = {cid: (hi, vi) for (cid, _, hi, vi) in comps}
+    hmax = max(hi for (_, _, hi, _) in comps)
+    vmax = max(vi for (_, _, _, vi) in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if h % mcu_h or w % mcu_w:
+        raise ValueError(
+            f"non-MCU-aligned dimensions not supported ({w}x{h} vs "
+            f"{mcu_w}x{mcu_h} MCUs)"
+        )
     m = _jpeg_idct_matrix()
-    planes = np.zeros((len(comps), h, w))
+    # one plane PER COMPONENT at its natural (subsampled) resolution;
+    # chroma upsamples by sample replication after the scan (the
+    # deterministic closed-form kernel — libjpeg's default triangular
+    # filter is a smoothing choice, not part of T.81; an oracle-pinned
+    # decoder needs ONE defined kernel, and replication is exact)
+    planes = [
+        np.zeros((h * vi // vmax, w * hi // hmax))
+        for (_, _, hi, vi) in comps
+    ]
     r = _JpegBitReader(d, pos)
     pred = [0] * len(comps)
-    for by in range(by_n):
-        for bx in range(bx_n):
+    for my in range(h // mcu_h):
+        for mx in range(w // mcu_w):
             for ci, (cid, dct, act) in enumerate(scan_comps):
+                hi, vi = samp_of[cid]
                 dc_tab = htables[(0, dct)]
                 ac_tab = htables[(1, act)]
                 q = qtables[qid_of[cid]]
-                seq = [0] * 64
-                s = _jpeg_read_symbol(r, dc_tab)
-                diff = _jpeg_extend(r.bits(s), s) if s else 0
-                pred[ci] += diff
-                seq[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _jpeg_read_symbol(r, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    seq[k] = _jpeg_extend(r.bits(size), size)
-                    k += 1
-                blk = np.zeros((8, 8))
-                for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
-                    blk[rr, cc] = seq[zi] * q[zi]
-                px = 0.25 * (m @ blk.T @ m.T)  # px[x, y]
-                planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    px.T + 128.0
-                )
+                for v in range(vi):
+                    for u in range(hi):
+                        seq = [0] * 64
+                        s = _jpeg_read_symbol(r, dc_tab)
+                        diff = _jpeg_extend(r.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        seq[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_read_symbol(r, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("invalid AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            seq[k] = _jpeg_extend(r.bits(size), size)
+                            k += 1
+                        blk = np.zeros((8, 8))
+                        for zi, (rr, cc) in enumerate(_JPEG_ZIGZAG):
+                            blk[rr, cc] = seq[zi] * q[zi]
+                        px = 0.25 * (m @ blk.T @ m.T)  # px[x, y]
+                        py0 = (my * vi + v) * 8
+                        px0 = (mx * hi + u) * 8
+                        planes[ci][py0 : py0 + 8, px0 : px0 + 8] = (
+                            px.T + 128.0
+                        )
+    # replicate subsampled planes up to full resolution
+    full = np.zeros((len(comps), h, w))
+    for ci, (_, _, hi, vi) in enumerate(comps):
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full[ci] = p
+    planes = full
     if len(comps) == 1:
         out = np.clip(np.floor(planes[0] + 0.5), 0, 255)
         return out.astype(np.uint8)[:, :, None]
@@ -883,12 +957,39 @@ def jpeg_decode(payload: bytes) -> list[float]:
     ]
 
 
+def jpeg_rgbsum_decode(payload: bytes) -> list[float]:
+    """Color-JPEG feature extraction over the integer channel-SUM
+    field s = R+G+B ∈ [0, 765] (the ppm_decode normalization): mean,
+    max, min, four quadrant means, and mean |s − 384| (mid-gray),
+    all /765. Unlike jpeg_decode's mean-gray field (exact only for
+    grayscale), every statistic here is an integer sum for ANY
+    decoded image, so the features are fold-order-free and the
+    closed-form 4:2:0 oracle reproduces them bit-for-bit."""
+    img = jpeg_parse(payload).astype(np.int64)
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    s = img.sum(axis=2)
+    h, w = s.shape
+    hh, hw = h // 2, w // 2
+    return [
+        float(s.mean() / 765.0),
+        float(s.max() / 765.0),
+        float(s.min() / 765.0),
+        float(s[:hh, :hw].mean() / 765.0),
+        float(s[:hh, hw:].mean() / 765.0),
+        float(s[hh:, :hw].mean() / 765.0),
+        float(s[hh:, hw:].mean() / 765.0),
+        float(np.abs(s - 384).mean() / 765.0),
+    ]
+
+
 _DECODERS: dict[str, object] = {
     "fake": fake_decode,
     "ppm": ppm_decode,
     "png": png_decode,
     "wav": wav_decode,
     "jpeg": jpeg_decode,
+    "jpeg_rgbsum": jpeg_rgbsum_decode,
     "ppm_pool": ppm_pool_grid,
 }
 

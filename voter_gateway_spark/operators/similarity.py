@@ -677,6 +677,9 @@ def build_ivf_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_round: int | None = None,
+    train_per_cell: int | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Persist an IVF index: the corpus written PARTITIONED BY its
     k-means cell, plus the centroid table alongside. A probe then reads
@@ -686,15 +689,30 @@ def build_ivf_index(
     `n_centroids=None` auto-scales to max(16, ⌈√N⌉) — see ivf_topk;
     for a persisted index this is doubly important because the cell
     count is also the partition-directory count the probe prunes over.
+    `centroid_round` / `train_per_cell` expose the shared trainer's
+    determinism grid and bounded-sample knobs (see ivf_topk) so a
+    persisted index can reproduce any oracle-pinned trajectory.
+
+    `keep` persists payload columns of `corpus` (e.g. a label)
+    alongside each vector, so audits over the partition — cluster
+    report, cluster-balanced mixtures — read everything they need
+    from the index and never re-pay the O(N·cells) assignment pass
+    (r13 verdict ask #4: repeated audits probe, not recompute).
 
     Returns the centroid DataFrame (cell, centroid vector)."""
     c = widen(corpus).select(
-        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv"),
+        *(F.col(k) for k in keep),
     ).transform(ckpt)
-    n_centroids, centroids = _train_centroids(c, n_centroids, iters)
+    n_centroids, centroids = _train_centroids(
+        c, n_centroids, iters, centroid_round, train_per_cell
+    )
     cells = _nearest_cells(c, "_cv", centroids, 1)
     (
-        cells.select(F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col), "_cell")
+        cells.select(
+            F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col),
+            *(F.col(k) for k in keep), "_cell",
+        )
         .write.mode("overwrite")
         .partitionBy("_cell")
         .parquet(f"{path}/vectors")
