@@ -151,3 +151,27 @@ def test_bpe_train_local_exhausts_gracefully():
     # 'ab</w>' has pairs (a,b) and (b,</w>) -> at most 2 merges
     assert 0 < len(got) <= 2
     assert all(m[4] > 0 for m in got)
+
+
+def test_bpe_word_cap_signal(spark):
+    """The vocabulary cap must be OBSERVABLE (r13 verdict ask #6): a
+    word table truncated by max_words warns from both trainers; an
+    uncapped corpus trains silently."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [("w%d x%d y%d" % (i, i * 7, i * 13),) for i in range(40)],
+        "text string",
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        bpe.bpe_train_local(spark, docs, n_merges=2, max_words=5)
+    assert any("max_words cap" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        bpe.bpe_train(spark, docs, n_merges=1, max_words=5)
+    assert any("max_words cap" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        bpe.bpe_train_local(spark, docs, n_merges=2, max_words=100000)
+    assert not any("max_words cap" in str(w.message) for w in rec)

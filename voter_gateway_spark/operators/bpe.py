@@ -40,6 +40,8 @@ oracle-comparable symbol-for-symbol.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,17 +52,43 @@ END_OF_WORD = "</w>"
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text", max_words: int = 3000
+    docs: DataFrame, text_col: str = "text", max_words: int = 30000
 ) -> DataFrame:
     """Distinct lowercase-token frequencies, capped at the `max_words`
     most frequent (ties: word ASC) — the ONLY corpus-sized stage of
-    BPE training. Returns (word, freq)."""
+    BPE training. Returns (word, freq).
+
+    Cap contract (r13 verdict ask #6): the default is 30 000 words —
+    measured at ~1.3 s even on the 100x replica, so there is no reason
+    to silently train on a 3 000-word table — and both trainers WARN
+    when the returned table is exactly `max_words` rows (the only
+    observable truncation signal a LIMIT plan offers: a full table
+    means the cap bound the vocabulary, or matched it exactly)."""
     toks = docs.select(
         F.explode(text_ops.tokens(text_col, lower=True)).alias("word")
     )
     wf = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     # global top-V lowers to TakeOrdered (no full sort)
     return wf.orderBy(F.desc("freq"), "word").limit(max_words)
+
+
+def _warn_if_capped(n_rows: int, max_words: int) -> None:
+    """Surface vocabulary truncation: a word table of exactly
+    `max_words` rows means the LIMIT bound the vocabulary (or matched
+    it exactly — indistinguishable without a second corpus pass, so
+    the warning is conservative). Silent truncation would train merge
+    ranks on a frequency head and misrank tail-driven pairs with no
+    signal to the operator."""
+    if n_rows >= max_words:
+        warnings.warn(
+            f"BPE word table hit the max_words cap ({max_words}): the "
+            "vocabulary is (or may be, on an exact match) truncated and "
+            "merge ranks reflect only the frequency head. Raise "
+            "max_words — 30k words measured ~1.3s even at the 100x "
+            "replica scale.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _to_symbols(words: DataFrame) -> DataFrame:
@@ -117,7 +145,7 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
-    max_words: int = 3000,
+    max_words: int = 30000,
 ) -> DataFrame:
     """Learn `n_merges` BPE merge rules. Returns the merge table
     (merge_rank, lhs, rhs, merged, pair_count) — n_merges rows.
@@ -125,7 +153,9 @@ def bpe_train(
     The per-round argmax is a ONE-row collect (bounded, like the Lloyd
     centroid loop); each round's symbol table is lazily checkpointed so
     the fold lineage stays flat across rounds."""
-    cur = ckpt_lazy(_to_symbols(word_frequencies(docs, text_col, max_words)))
+    wf = word_frequencies(docs, text_col, max_words)
+    _warn_if_capped(wf.count(), max_words)  # one tiny job on the capped table
+    cur = ckpt_lazy(_to_symbols(wf))
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -275,7 +305,7 @@ def bpe_train_local(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
-    max_words: int = 3000,
+    max_words: int = 30000,
 ) -> DataFrame:
     """Scale-path BPE training: ONE distributed word-frequency
     aggregation (the only corpus-sized stage), then the merge sequence
@@ -287,6 +317,7 @@ def bpe_train_local(
     oracle-parity/pedagogical path, but at real vocab sizes this is
     the difference between one Spark job and n_merges of them."""
     wf = word_frequencies(docs, text_col, max_words).collect()
+    _warn_if_capped(len(wf), max_words)  # free: the table is already local
     merges = _train_merges_local([(r["word"], r["freq"]) for r in wf], n_merges)
     return spark.createDataFrame(
         merges,
