@@ -1654,6 +1654,98 @@ def _knn_graph_ctes(
     return ",\n".join(ctes), f"e_{rounds}"
 
 
+def embed_graph_search_topk(spark, sf_dir):
+    """Point-query lookup OVER the kNN graph (similarity.
+    knn_graph_search): greedy beam search from quantizer-cell entry
+    points — the lookup half the r13 verdict noted as the one gap in
+    the graph family (build + increment existed; searching a new
+    vector routed to IVF). Graph = the standard embed_knn_graph
+    (k=4, 2 NN-descent rounds, iters=0); queries = vec_id % 10;
+    beam=8, hops=2, k=5 so the recall report grades it next to
+    ivf/pq/knn. Deterministic end to end (same md5-seed quantizer,
+    cosine round-6, id tie-breaks), so the oracle unrolls entry +
+    both hops on top of the shared graph CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = similarity.knn_graph(emb, k=4, n_centroids=None, rounds=2, iters=0)
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.knn_graph_search(
+        qs, emb, g, k=5, beam=8, hops=2
+    )
+
+
+def _graph_search_sql(
+    k: int = 5, beam: int = 8, hops: int = 2, probe_cells: int = 2
+) -> str:
+    """Mirror of knn_graph_search over the knn_graph(k=4, rounds=2)
+    edges: the shared graph CTEs, undirected adjacency, min-id cell
+    entries, then each hop unrolls as (x_i expand -> s_i score -> b_i
+    top-beam), finishing with the self-excluded top-k window."""
+    joined, final = _knn_graph_ctes()
+    ctes = [
+        joined,
+        f"""und_s AS MATERIALIZED (
+  SELECT src AS nid, dst AS nbr FROM {final}
+  UNION
+  SELECT dst, src FROM {final}
+)""",
+        """assign1 AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+)""",
+        "entries AS (SELECT cell, min(vec_id) AS eid FROM assign1 GROUP BY cell)",
+        "q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id % 10 = 0)",
+        f"""qprobe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, cents.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM q, cents
+  ) WHERE rn <= {probe_cells}
+)""",
+        """b_0 AS MATERIALIZED (
+  SELECT DISTINCT qid, e.eid AS nid FROM qprobe JOIN entries e USING (cell)
+)""",
+    ]
+    prev = "b_0"
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"""x_{i} AS (
+  SELECT qid, nid FROM {prev}
+  UNION
+  SELECT b.qid, u.nbr FROM {prev} b JOIN und_s u ON b.nid = u.nid
+)"""
+        )
+        ctes.append(
+            f"""s_{i}s AS MATERIALIZED (
+  SELECT x.qid, x.nid, round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+  FROM x_{i} x JOIN q ON x.qid = q.qid JOIN c ON x.nid = c.vec_id
+)"""
+        )
+        ctes.append(
+            f"""b_{i} AS MATERIALIZED (
+  SELECT qid, nid, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+    FROM s_{i}s
+  ) WHERE rn <= {beam}
+)"""
+        )
+        prev = f"b_{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       cos AS cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM {prev} WHERE qid <> nid
+) WHERE rn <= {k}
+"""
+
+
 def embed_knn_clusters(spark, sf_dir):
     """Mutual-kNN graph clustering: connected components over the
     reciprocal (cos >= 0.35) edges of the NN-descent kNN graph —
@@ -6606,6 +6698,7 @@ def embed_recall_report(spark, sf_dir):
         ("pq", embed_ivfpq_topk),
         ("pq_res", embed_ivfpq_residual_topk),
         ("knn", _knn_as_search),
+        ("graph", embed_graph_search_topk),
     ):
         parts.append(
             fn(spark, sf_dir).select(
@@ -6626,7 +6719,8 @@ def embed_recall_report(spark, sf_dir):
     )
     bn = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nb"))
     methods = spark.createDataFrame(
-        [("ivf",), ("int8",), ("lsh",), ("pq",), ("pq_res",), ("knn",)],
+        [("ivf",), ("int8",), ("lsh",), ("pq",), ("pq_res",), ("knn",),
+         ("graph",)],
         "method string",
     )
     grid = bn.crossJoin(F.broadcast(methods))
@@ -6654,6 +6748,9 @@ knn AS (
   SELECT vec_id AS query_id, neighbor_id FROM ({_knn_graph_sql(k=5)})
   WHERE vec_id % 10 = 0
 ),
+gsearch AS (
+  SELECT query_id, neighbor_id FROM ({_graph_search_sql()})
+),
 tagged AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8
@@ -6661,6 +6758,7 @@ tagged AS (
   UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
   UNION ALL SELECT 'pq_res', query_id, neighbor_id FROM pq_res
   UNION ALL SELECT 'knn', query_id, neighbor_id FROM knn
+  UNION ALL SELECT 'graph', query_id, neighbor_id FROM gsearch
 ),
 perq AS (
   SELECT t.method, t.query_id,
@@ -6677,7 +6775,8 @@ grid AS (
   SELECT m.method, bn.query_id, bn.nb
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'int8'
         UNION ALL SELECT 'ivf' UNION ALL SELECT 'pq'
-        UNION ALL SELECT 'pq_res' UNION ALL SELECT 'knn') m
+        UNION ALL SELECT 'pq_res' UNION ALL SELECT 'knn'
+        UNION ALL SELECT 'graph') m
   CROSS JOIN bn
 )
 SELECT g.method, count(*) AS n_queries,
@@ -8887,6 +8986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # listing contract.
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
+    "embed_graph_search_topk": embed_graph_search_topk,
     "embed_knn_clusters": embed_knn_clusters,
     "embed_knn_graph_increment": embed_knn_graph_increment,
     "embed_graph_dedup": embed_graph_dedup,
@@ -9119,6 +9219,7 @@ ORACLES: dict[str, str] = {
         n_centroids=_AUTO_CENTROIDS_SQL, train_per_cell=128
     ),
     "embed_knn_graph": _knn_graph_sql(),
+    "embed_graph_search_topk": _graph_search_sql(),
     "embed_knn_clusters": _knn_clusters_sql(),
     "embed_knn_graph_increment": _knn_increment_sql(),
     "embed_graph_dedup": _graph_dedup_sql(),
