@@ -41,9 +41,23 @@ from voter_gateway_spark.session import build_spark  # noqa: E402
 NEWBORNS = {
     "docs_ann_ivf_topk": QUERIES["docs_ann_ivf_topk"],
     "dedup_incremental_batch": QUERIES["dedup_incremental_batch"],
+    # r13 verdict ask #3: size-gated driver union-find — sf0.1 was a
+    # 68 s fixed-overhead outlier (20 pointer-jump rounds on a
+    # 500-node graph); x10/x100 should be unchanged (distributed path)
+    "embed_knn_clusters": QUERIES["embed_knn_clusters"],
+    # ask #4: audits probing the persisted cell assignment; rows here
+    # include the one-time index build on first touch of each dir —
+    # the steady-state probe cost is the second row of an interleaved
+    # pair, so both audits at one dir share one build
+    "sample_cluster_mixture_indexed": QUERIES["sample_cluster_mixture_indexed"],
+    "embed_cluster_report_indexed": QUERIES["embed_cluster_report_indexed"],
+    # ask #8: graph point-query (beam search over the kNN graph); the
+    # row includes rebuilding the graph in-query by catalog contract
+    "embed_graph_search_topk": QUERIES["embed_graph_search_topk"],
+    "multimodal_jpeg420_decode": QUERIES["multimodal_jpeg420_decode"],
 }
 # measured at the baseline dir only: reads no sf table (fixture-driven)
-BASELINE_ONLY: set[str] = set()
+BASELINE_ONLY: set[str] = {"multimodal_jpeg420_decode"}
 # quadratic-by-contract paths skipped at the third decade
 SKIP_AT_X100: set[str] = set()
 

@@ -3898,6 +3898,161 @@ FROM (
 """
 
 
+_CHUNK_INDEX_CACHE: dict[str, str] = {}
+
+
+def pipeline_chunk_index(spark, sf_dir):
+    """Retrieval-corpus build capstone: chunk → featurize → PERSISTED
+    cell-partitioned IVF index → document-level probe — the end-to-end
+    shape of building a RAG/retrieval corpus from raw documents, every
+    stage an existing oracle-pinned operator composed:
+
+      1. chunk_text(64, overlap 8): overlapping token windows, chunk
+         ids = doc_id·1000 + chunk_idx (fixture docs are far under
+         1000 chunks; a real corpus would widen the multiplier).
+      2. hashed_embedding(dim=16) per chunk; zero-norm (empty-chunk)
+         vectors filtered.
+      3. build_ivf_index(iters=0, auto √N cells): the chunk vectors
+         land partitioned by coarse cell with the centroid table
+         alongside — the persisted layout every later probe prunes.
+      4. query_ivf_index: whole-DOCUMENT embeddings of the doc_id %
+         10 queries probe 4 cells and return top-3 chunks per query
+         (exclude_self off — query and index ids live in different
+         id spaces).
+
+    The index is built once per process per sf_dir (scratch dir,
+    reaped at exit — the dedup_band_index_probe hygiene); repeated
+    retrieval queries pay partition-pruned reads only. Deterministic
+    end to end, so ONE DuckDB oracle replays chunking, both
+    featurize passes, and the full IVF trajectory."""
+    import atexit
+    import functools
+    import hashlib
+    import shutil
+    import uuid
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    if sf_dir not in _CHUNK_INDEX_CACHE:
+        path = (
+            "/tmp/vgs_chunk_index_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            + "_"
+            + uuid.uuid4().hex[:12]
+        )
+        atexit.register(functools.partial(shutil.rmtree, path, ignore_errors=True))
+        chunks = text.chunk_text(docs, "text", "doc_id", chunk_tokens=64, overlap=8)
+        cvec = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+            text.hashed_embedding("chunk", dim=16).alias("embedding"),
+        )
+        cnz = cvec.where(
+            similarity.norm(similarity.as_double_array("embedding")) > 0
+        )
+        similarity.build_ivf_index(
+            cnz, path, n_centroids=None, iters=0, id_col="chunk_id"
+        )
+        _CHUNK_INDEX_CACHE[sf_dir] = path
+    path = _CHUNK_INDEX_CACHE[sf_dir]
+    qdocs = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("chunk_id"),
+        text.hashed_embedding("text", dim=16).alias("embedding"),
+    )
+    qnz = qdocs.where(
+        similarity.norm(similarity.as_double_array("embedding")) > 0
+    )
+    return similarity.query_ivf_index(
+        spark, path, qnz, k=3, n_probe=4, id_col="chunk_id",
+        exclude_self=False,
+    ).select(
+        F.col("query_id").alias("doc_id"),
+        F.col("neighbor_id").alias("chunk_id"),
+        "rank",
+        "cos_sim",
+    )
+
+
+def _chunk_index_sql(
+    k: int = 3, n_probe: int = 4, dim: int = 16,
+    chunk_tokens: int = 64, step: int = 56,
+) -> str:
+    """Mirror of pipeline_chunk_index: CHUNK_SQL's window arithmetic
+    emits token slices directly (the chunk string is the
+    space-joined normalized tokens, so featurizing the string equals
+    hashing the slice), then the shared ±1-sum featurizer runs per
+    chunk AND per query document, and the fixed-seed IVF trajectory
+    ranks probed candidates with no self-exclusion."""
+    sums = ",\n         ".join(
+        "SUM(CASE WHEN instr('89abcdef', substr(hx, {p}, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END) AS s{j}".format(p=j + 1, j=j)
+        for j in range(dim)
+    )
+    zeros = ", ".join(f"coalesce(s.s{j}, 0.0)" for j in range(dim))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                     x -> x <> '') AS wl
+  FROM documents
+), nn AS (
+  SELECT doc_id, wl,
+         CAST(greatest(ceil((len(wl) - {chunk_tokens - step}) / {step}.0), 1) AS INT) AS n_chunks
+  FROM w
+), ch AS MATERIALIZED (
+  SELECT doc_id * 1000 + i AS chunk_id,
+         wl[i * {step} + 1 : i * {step} + {chunk_tokens}] AS cw
+  FROM nn, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+), ctoks AS (
+  SELECT chunk_id, md5(t.tok) AS hx
+  FROM ch, LATERAL unnest(cw) AS t(tok)
+), csums AS (
+  SELECT chunk_id,
+         {sums}
+  FROM ctoks GROUP BY chunk_id
+), cnz AS MATERIALIZED (
+  SELECT chunk_id, v FROM (
+    SELECT ch.chunk_id, list_value({zeros}) AS v
+    FROM ch LEFT JOIN csums s USING (chunk_id)
+  ) WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+), {_hash_emb_ctes(dim)},
+qnz AS MATERIALIZED (
+  SELECT doc_id, v FROM emb
+  WHERE doc_id % 10 = 0
+    AND list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+),
+seeds AS (
+  SELECT v, md5(CAST(chunk_id AS VARCHAR)) AS h FROM cnz ORDER BY h
+  LIMIT (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM cnz)
+),
+cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
+assign AS (
+  SELECT chunk_id, v, cell FROM (
+    SELECT cnz.chunk_id, cnz.v, cents.cell,
+           row_number() OVER (PARTITION BY cnz.chunk_id
+             ORDER BY round(list_cosine_similarity(cnz.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM cnz, cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT doc_id, v, cell FROM (
+    SELECT q.doc_id, q.v, cents.cell,
+           row_number() OVER (PARTITION BY q.doc_id
+             ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM qnz q, cents
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.doc_id, a.chunk_id,
+         round(list_cosine_similarity(p.v, a.v), 6) AS cos_sim
+  FROM probes p JOIN assign a ON p.cell = a.cell
+)
+SELECT doc_id, chunk_id, CAST(rn AS INTEGER) AS rank, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cos_sim DESC, chunk_id) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""
+
+
 def text_pii_scrub(spark, sf_dir):
     """PII scrub: per-category match counts + redacted text (as md5 —
     the gate canonicalizes scalars), in one scan-stage projection.
@@ -8994,6 +9149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_embedding": text_hash_embedding,
     "docs_ann_topk": docs_ann_topk,
     "docs_ann_ivf_topk": docs_ann_ivf_topk,
+    "pipeline_chunk_index": pipeline_chunk_index,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -9226,6 +9382,7 @@ ORACLES: dict[str, str] = {
     "text_hash_embedding": TEXT_HASH_EMBEDDING_SQL,
     "docs_ann_topk": DOCS_ANN_TOPK_SQL,
     "docs_ann_ivf_topk": DOCS_ANN_IVF_TOPK_SQL,
+    "pipeline_chunk_index": _chunk_index_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
     "interval_join_events_windows": INTERVAL_SQL,
