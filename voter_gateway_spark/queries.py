@@ -8995,6 +8995,124 @@ def _cluster_report_from_assign(asg, cents):
     )
 
 
+def embed_outlier_report(spark, sf_dir):
+    """Embedding-space OUTLIER audit — the report a curation pass reads
+    to find mislabeled/corrupted/off-distribution vectors before they
+    poison cluster-based sampling or dedup: per coarse cell, the
+    population, the mean and standard deviation of cosine-to-centroid,
+    and how many members sit more than 2σ BELOW the cell mean (the
+    loose tail — candidates for manual review or exclusion).
+
+    Determinism: the shared iters=1 snapped-Lloyd quantizer (the
+    cluster-report trajectory); every statistic derives from EXACT
+    integer sums of the round-6 cosines (×1e6) — sum and sum-of-squares
+    of integers are fold-order-free, and mean/variance/σ then come from
+    ONE identical double expression tree on both engines (IEEE division
+    and sqrt are correctly rounded, so the 2σ comparison is bit-equal
+    even at the boundary). Scale shape: one assignment scan against the
+    broadcast centroids, one (cell)-keyed aggregation of three integer
+    columns, a broadcast stats join probed in the same scan for the
+    outlier count — nothing wider than √N rows ever shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = similarity.assign_cells(
+        emb, keep=("embedding",), iters=1, centroid_round=9,
+        train_per_cell=128,
+    )
+    cents = similarity.coarse_centroids(
+        emb, iters=1, centroid_round=9, train_per_cell=128
+    )
+    per = asg.join(F.broadcast(cents), "cell").select(
+        "cell",
+        F.round(
+            F.round(
+                similarity.cosine(
+                    similarity.as_double_array("embedding"), F.col("centroid")
+                ),
+                6,
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("_ci"),
+    ).transform(ckpt_lazy)
+    stats = per.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("_ci").alias("_s"),
+        F.sum(F.col("_ci") * F.col("_ci")).alias("_sq"),
+    ).select(
+        "cell", "n_vecs", "_s", "_sq",
+        (F.col("_s").cast("double") / F.col("n_vecs")).alias("_mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("_sq").cast("double") / F.col("n_vecs")
+                - (F.col("_s").cast("double") / F.col("n_vecs"))
+                * (F.col("_s").cast("double") / F.col("n_vecs")),
+                F.lit(0.0),
+            )
+        ).alias("_std"),
+    )
+    out = (
+        per.join(F.broadcast(stats), "cell")
+        .where(
+            F.col("_ci").cast("double")
+            < F.col("_mean") - F.lit(2.0) * F.col("_std")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_outliers"))
+    )
+    return stats.join(F.broadcast(out), "cell", "left").select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("_mean") / 1000000.0, 6).alias("mean_cos"),
+        F.round(F.col("_std") / 1000000.0, 6).alias("std_cos"),
+        F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias("n_outliers"),
+    )
+
+
+def _outlier_report_sql(iters: int = 1, train_per_cell: int = 128) -> str:
+    """Mirror of embed_outlier_report: shared Lloyd prefix, the same
+    integer-sum statistics, the same double expression tree for
+    mean/σ, the same 2σ-below comparison."""
+    return f"""
+WITH {_lloyd_cells_ctes(iters, train_per_cell=train_per_cell)},
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cents.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cents.cell) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+),
+per AS MATERIALIZED (
+  SELECT a.cell,
+         CAST(round(round(list_cosine_similarity(a.v, ct.cv), 6) * 1000000.0, 0) AS BIGINT) AS ci
+  FROM assign a JOIN cents ct USING (cell)
+),
+stats AS MATERIALIZED (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         sum(ci) AS s, sum(ci * ci) AS sq,
+         CAST(sum(ci) AS DOUBLE) / count(*) AS m,
+         sqrt(greatest(
+           CAST(sum(ci * ci) AS DOUBLE) / count(*)
+           - (CAST(sum(ci) AS DOUBLE) / count(*)) * (CAST(sum(ci) AS DOUBLE) / count(*)),
+           0.0)) AS sd
+  FROM per GROUP BY cell
+),
+outs AS (
+  SELECT p.cell, CAST(count(*) AS BIGINT) AS n_outliers
+  FROM per p JOIN stats st USING (cell)
+  WHERE CAST(p.ci AS DOUBLE) < st.m - 2.0 * st.sd
+  GROUP BY p.cell
+)
+SELECT st.cell, st.n_vecs,
+       round(st.m / 1000000.0, 6) AS mean_cos,
+       round(st.sd / 1000000.0, 6) AS std_cos,
+       CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM stats st LEFT JOIN outs o USING (cell)
+"""
+
+
 _IVF_AUDIT_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -9175,6 +9293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cluster_report": embed_cluster_report,
     "sample_cluster_mixture_indexed": sample_cluster_mixture_indexed,
     "embed_cluster_report_indexed": embed_cluster_report_indexed,
+    "embed_outlier_report": embed_outlier_report,
     "text_nb_quality_score": text_nb_quality_score,
     "text_nb_calibration": text_nb_calibration,
     "pipeline_corpus_build": pipeline_corpus_build,
@@ -9474,6 +9593,7 @@ ORACLES: dict[str, str] = {
     # persisted layout, so the in-memory oracles apply verbatim
     "sample_cluster_mixture_indexed": _cluster_mixture_sql(),
     "embed_cluster_report_indexed": _cluster_report_sql(),
+    "embed_outlier_report": _outlier_report_sql(),
     "text_nb_quality_score": _nb_quality_sql(),
     "text_nb_calibration": _nb_calibration_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
