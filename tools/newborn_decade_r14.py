@@ -55,6 +55,12 @@ NEWBORNS = {
     # row includes rebuilding the graph in-query by catalog contract
     "embed_graph_search_topk": QUERIES["embed_graph_search_topk"],
     "multimodal_jpeg420_decode": QUERIES["multimodal_jpeg420_decode"],
+    # late r14 newborns: the retrieval-corpus capstone (chunk corpus is
+    # ~2-4x the doc count; rows include the once-per-dir index build on
+    # the first trial, best-of-N takes the probe-only run) and the
+    # embedding outlier audit (the cluster-report cost class)
+    "pipeline_chunk_index": QUERIES["pipeline_chunk_index"],
+    "embed_outlier_report": QUERIES["embed_outlier_report"],
 }
 # measured at the baseline dir only: reads no sf table (fixture-driven)
 BASELINE_ONLY: set[str] = {"multimodal_jpeg420_decode"}
