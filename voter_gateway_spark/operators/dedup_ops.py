@@ -517,15 +517,16 @@ def incremental_minhash_pairs(
     2.4 s (the one r13 bench delta that reproduced on a quiet-box
     best-of-5). Now each side's signature pass tags every row in-plan
     with its group fingerprint and a rank-within-group window
-    (row_number over _fp, ordered by _id), and the single checkpoint
-    materializes the tagged frame: reps (_rn = 1, rep id = group min,
-    identical to the r13 contract) are then a zero-cost filter of the
-    same cached frame, and each rep row carries its group's sorted
-    member-id array so the output expands IN-ROW (explode) — the
-    ivf_topk collapse's no-extra-shuffle expansion — instead of the
-    r13 shape's two membership joins. The window is one extra shuffle
-    inside the pass the plain shape already paid, and at replica scale
-    it is the same full-width movement the r13 join-back did."""
+    (row_number over _fp, ordered by _id), filters to reps (_rn = 1,
+    rep id = group min — identical to the r13 contract) BEFORE the
+    checkpoint, so the one materialization per side holds only the
+    rep rows, each carrying its group's ascending-id member array;
+    the output then expands IN-ROW (explode) — the ivf_topk
+    collapse's no-extra-shuffle expansion — instead of the r13
+    shape's two membership joins. The window is one extra shuffle
+    inside the pass the plain shape already paid, and at replica
+    scale it is the same full-width movement the r13 join-back did
+    (with only reps written to the checkpoint store afterwards)."""
     rows_per_band = n_hashes // bands
     fp = F.md5(
         F.concat_ws(
