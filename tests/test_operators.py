@@ -483,6 +483,23 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     assert "_cell" in buf.getvalue()  # cell filter reaches the scan side
 
 
+def test_ivf_index_probe_uses_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """The probe joins the (small) probe list against the
+    cell-partitioned vectors on `_cell`; Spark's Dynamic Partition
+    Pruning must turn that join key into a runtime PartitionFilter on
+    the vectors scan — the property that makes a persisted index READ
+    n_probe cell directories instead of the whole corpus. Pinned so a
+    regression (e.g. a cast on _cell breaking the pruning subquery)
+    is caught by shape, not by a slow decade row much later."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_dpp")
+    similarity.build_ivf_index(emb, path)
+    out = similarity.query_ivf_index(spark, path, qs, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a 6-node chain has diameter 5; min-label propagation needs ~5
     # rounds, so max_iter=2 must fail loudly, not return wrong labels

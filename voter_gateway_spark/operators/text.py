@@ -748,3 +748,24 @@ def hashed_embedding(
         F.array(*[F.lit(0.0) for _ in range(dim)]),
         lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
     )
+
+
+def blocklist_counts(
+    col: Column | str, terms: list[str], norm_col: Column | None = None
+) -> Column:
+    """Count of lowercased whitespace tokens EXACTLY matching any
+    blocklist term — the C4/CCNet badword-filter primitive (C4 dropped
+    any page containing a listed word; CCNet variants threshold on the
+    count). Exact token match, not substring: substring matching is
+    the documented false-positive trap of the original C4 list (the
+    classic "Scunthorpe" class), and a pipeline wanting stem/substring
+    semantics should normalize upstream instead.
+
+    Scan-stage only (tokenize + in-row filter over a literal term
+    list, no shuffle, no UDF) — the standard shape for the ≤~10³-term
+    lists these filters use; route a genuinely large list through a
+    broadcast semi-join on exploded tokens instead."""
+    if not terms:
+        raise ValueError("blocklist_counts needs at least one term")
+    lowered = [t.lower() for t in terms]
+    return token_set_count(tokens(col, lower=True, norm_col=norm_col), lowered)

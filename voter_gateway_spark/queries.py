@@ -8995,6 +8995,50 @@ def _cluster_report_from_assign(asg, cents):
     )
 
 
+_BLOCKLIST_TERMS = ["slow", "merge", "zzzforbidden"]
+
+
+def text_blocklist_filter(spark, sf_dir):
+    """C4/CCNet-style blocklist content filter: per document, total
+    tokens, blocklisted-token count (EXACT token match — substring
+    matching is the documented false-positive trap of the original C4
+    list), and the C4 keep decision (drop any page containing a
+    listed term). The fixture blocklist holds two terms present in
+    the synthetic vocabulary and one absent (so both decision
+    branches and the zero-count path are live). Scan-stage only: one
+    tokenize + in-row filter, no shuffle, no UDF — at 100 TB this
+    rides the same projection as the other text scores."""
+    docs = _t(spark, sf_dir, "documents")
+    n = text.normalized("text")
+    return docs.select(
+        "doc_id",
+        text.token_count("text", norm_col=n).alias("n_tokens"),
+        text.blocklist_counts("text", _BLOCKLIST_TERMS, norm_col=n)
+        .cast("bigint")
+        .alias("n_blocked"),
+        (
+            text.blocklist_counts("text", _BLOCKLIST_TERMS, norm_col=n) == 0
+        ).alias("keep"),
+    )
+
+
+def _blocklist_sql(terms: list[str] | None = None) -> str:
+    tl = ", ".join(f"'{t}'" for t in (terms or _BLOCKLIST_TERMS))
+    return f"""
+WITH w AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens,
+       CAST(len(list_filter(string_split(lower(norm), ' '),
+                x -> x IN ({tl}))) AS BIGINT) AS n_blocked,
+       len(list_filter(string_split(lower(norm), ' '),
+                x -> x IN ({tl}))) = 0 AS keep
+FROM w
+"""
+
+
 def embed_outlier_report(spark, sf_dir):
     """Embedding-space OUTLIER audit — the report a curation pass reads
     to find mislabeled/corrupted/off-distribution vectors before they
@@ -9294,6 +9338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_cluster_mixture_indexed": sample_cluster_mixture_indexed,
     "embed_cluster_report_indexed": embed_cluster_report_indexed,
     "embed_outlier_report": embed_outlier_report,
+    "text_blocklist_filter": text_blocklist_filter,
     "text_nb_quality_score": text_nb_quality_score,
     "text_nb_calibration": text_nb_calibration,
     "pipeline_corpus_build": pipeline_corpus_build,
@@ -9594,6 +9639,7 @@ ORACLES: dict[str, str] = {
     "sample_cluster_mixture_indexed": _cluster_mixture_sql(),
     "embed_cluster_report_indexed": _cluster_report_sql(),
     "embed_outlier_report": _outlier_report_sql(),
+    "text_blocklist_filter": _blocklist_sql(),
     "text_nb_quality_score": _nb_quality_sql(),
     "text_nb_calibration": _nb_calibration_sql(),
     "embed_ivfpq_topk": _ivfpq_sql(),
