@@ -109,23 +109,56 @@ def admit_vector_batch(
     admitted = ckpt(new.join(rejected, id_col, "left_anti"))
     n_admitted = admitted.count()
     if intra_batch and n_admitted > 1:
-        # cell count sized to the BATCH, floorless: the auto quantizer's
-        # max(16, √N) floor would seed more cells than a small
-        # micro-batch has vectors, putting every vector alone in its
-        # cell and blinding the same-cell pairing entirely. √b cells
-        # keep the in-batch pass at the semantic_dedup economics; like
-        # all cell blocking, cross-cell near-dup pairs can escape and
-        # then BOTH land in the index — the same recall caveat
-        # semantic_dedup itself carries; a periodic offline
-        # semantic_dedup over the corpus is the cleanup path.
-        import math
+        if n_admitted <= 2048:
+            # size-gated DRIVER pass (the union-find/bpe precedent):
+            # a micro-batch-sized b² cosine matrix in numpy costs
+            # microseconds where the distributed semantic_dedup pass
+            # costs ~10 of jobs (measured +14 s on a 500-row batch) —
+            # and it is EXACT (no cell blocking, so no escaped pairs).
+            # Same drop rule as semantic_dedup: drop any vector with
+            # ANY smaller-id batch neighbor at round-6 cosine ≥
+            # threshold (regardless of that neighbor's own fate).
+            import numpy as np
 
-        dups = similarity.semantic_dedup(
-            admitted, id_col=id_col, vec_col=vec_col, threshold=threshold,
-            n_centroids=max(1, math.isqrt(n_admitted)),
-        ).select(F.col("dup_id").alias(id_col))
-        admitted = ckpt(admitted.join(dups, id_col, "left_anti"))
-        n_admitted = admitted.count()
+            rows = admitted.select(id_col, vec_col).collect()
+            rows.sort(key=lambda r: r[0])
+            ids = [r[0] for r in rows]
+            V = np.array([[float(x) for x in r[1]] for r in rows])
+            nrm = np.linalg.norm(V, axis=1)
+            safe = np.where(nrm == 0, 1.0, nrm)
+            sims = np.round((V @ V.T) / np.outer(safe, safe), 6)
+            sims[:, nrm == 0] = -2.0  # zero-norm never matches
+            sims[nrm == 0, :] = -2.0
+            drop = {
+                ids[i]
+                for i in range(1, len(ids))
+                if (sims[i, :i] >= threshold).any()
+            }
+            if drop:
+                keep_ids = [i for i in ids if i not in drop]
+                admitted = ckpt(
+                    admitted.where(F.col(id_col).isin(keep_ids))
+                )
+                n_admitted = admitted.count()
+        else:
+            # cell count sized to the BATCH, floorless: the auto
+            # quantizer's max(16, √N) floor would seed more cells than
+            # a micro-batch has vectors, putting every vector alone in
+            # its cell and blinding the same-cell pairing entirely. √b
+            # cells keep the pass at the semantic_dedup economics;
+            # like all cell blocking, cross-cell near-dup pairs can
+            # escape and then BOTH land in the index — the caveat
+            # semantic_dedup itself carries; a periodic offline
+            # semantic_dedup over the corpus is the cleanup path.
+            import math
+
+            dups = similarity.semantic_dedup(
+                admitted, id_col=id_col, vec_col=vec_col,
+                threshold=threshold,
+                n_centroids=max(1, math.isqrt(n_admitted)),
+            ).select(F.col("dup_id").alias(id_col))
+            admitted = ckpt(admitted.join(dups, id_col, "left_anti"))
+            n_admitted = admitted.count()
     if n_admitted == 0:
         return 0
     cents = spark.read.parquet(f"{index_dir}/centroids")
@@ -134,10 +167,18 @@ def admit_vector_batch(
         similarity.as_double_array(vec_col).alias("_cv"),
     )
     assigned = similarity._nearest_cells(a, "_cv", cents, 1)
+    # coalesce before the partitioned append: a micro-batch scattered
+    # over the session's shuffle partitions writes up to
+    # partitions×cells tiny files PER BATCH, and every later probe and
+    # anti-join pays the listing; one input partition writes exactly
+    # one file per touched cell. Micro-batches are small by
+    # definition — a bulk backfill should go through
+    # bootstrap_vector_index instead.
     (
         assigned.select(
             F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col), "_cell"
         )
+        .coalesce(1)
         .write.mode("append")
         .partitionBy("_cell")
         .parquet(vecs_path)
