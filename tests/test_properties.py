@@ -395,3 +395,55 @@ def test_wav_decode_matches_stdlib_wave_reference(samples, rate, odd_aux):
     if odd_aux is not None:
         payload = _inject_odd_chunk(payload, odd_aux)
     assert wav_decode(payload) == _wav_reference_stats(payload)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["slow", "merge", "fast", "Join", "SLOW", "x"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_blocklist_counts_match_python_reference(spark_prop, docs):
+    """blocklist_counts must equal a naive lowercased exact-token count
+    for arbitrary token sequences, including case variants (matching
+    is case-insensitive on BOTH sides) and empty docs."""
+    from voter_gateway_spark.operators import text as text_ops
+
+    terms = ["slow", "merge", "zzzabsent"]
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id",
+            text_ops.blocklist_counts("text", terms).alias("n"),
+        ).collect()
+    }
+    lowered = {t.lower() for t in terms}
+    for i, toks in enumerate(docs):
+        expect = sum(1 for t in toks if t.lower() in lowered)
+        assert got[i] == expect, (i, toks)
+
+
+def test_graph_search_is_rerun_deterministic(spark, sf_dir):
+    """Two constructions of the same beam search over the same graph
+    must return IDENTICAL rows — the md5-seed/round-6/id-tie-break
+    determinism contract the oracle depends on."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 20 == 0)
+    g = similarity.knn_graph(emb, k=4, rounds=1, iters=0)
+    a = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in similarity.knn_graph_search(qs, emb, g, k=3, beam=6, hops=2).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+        for r in similarity.knn_graph_search(qs, emb, g, k=3, beam=6, hops=2).collect()
+    }
+    assert a == b and len(a) > 0
