@@ -2634,3 +2634,22 @@ def test_graph_search_recall_floor_on_clustered_fixture(spark):
         es_sorted = sorted(es, key=lambda e: e.rank)
         key = [(-e.cos_sim, e.neighbor_id) for e in es_sorted]
         assert key == sorted(key), qid
+
+
+def test_docs_ann_ivf_recall_floor_vs_brute(spark, sf_dir):
+    """The scale-path text→ANN capstone must recover most of its own
+    yardstick's exact top-3 (measured 0.85-0.86 on the fixtures —
+    hashed doc vectors cluster by template, so 4-probe IVF recall sits
+    far above the uniform-embedding adversarial case)."""
+    from voter_gateway_spark.queries import QUERIES
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["docs_ann_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["docs_ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.75, recall

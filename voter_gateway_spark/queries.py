@@ -3832,7 +3832,11 @@ def docs_ann_ivf_topk(spark, sf_dir):
     the oracle reproduces every seed, assignment, probe, and rank.
     Same conventions as the embed IVF family: zero-norm (empty-text)
     vectors filtered both sides, queries = doc_id % 10, k=3, cosine
-    rounded to 6 with ties to ascending neighbor id."""
+    rounded to 6 with ties to ascending neighbor id. Recall@3 vs the
+    brute yardstick: 0.85-0.86 on the fixtures (hashed doc vectors
+    cluster by template, so 4-probe IVF sits far above the
+    uniform-embedding adversarial case), floor-pinned >= 0.75 by
+    test_docs_ann_ivf_recall_floor_vs_brute."""
     # widen: the toy-scale documents parquet scans as ONE split, which
     # would serialize the per-row featurizer onto one core; no-op at scale
     docs = widen(_t(spark, sf_dir, "documents"))
