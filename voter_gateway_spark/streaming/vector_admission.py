@@ -13,9 +13,13 @@ Composes existing pieces (no new vector math):
   partitioned by coarse cell + the centroid table alongside);
 - `similarity.query_ivf_index` — top-1 cosine probe with `_cell IN
   (...)` partition pruning at the parquet scan;
-- `similarity.semantic_dedup` — the optional intra-batch pass (the
-  probe only checks batch-vs-corpus; two near-identical vectors in
-  the SAME micro-batch would otherwise both pass);
+- the optional intra-batch pass (the probe only checks
+  batch-vs-corpus; two near-identical vectors in the SAME micro-batch
+  would otherwise both pass): size-gated — micro-batches at/under
+  2048 admitted rows run an EXACT driver-side cosine matrix (the
+  union-find/bpe driver-gate precedent; measured +14 s of job latency
+  for the distributed pass on a 500-row batch), larger batches fall
+  back to `similarity.semantic_dedup` cell blocking;
 - foreachBatch — the read-your-own-writes streaming idiom.
 
 The quantizer is PINNED (graph_maintain's rule): admitted batches
