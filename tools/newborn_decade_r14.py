@@ -61,6 +61,7 @@ NEWBORNS = {
     # embedding outlier audit (the cluster-report cost class)
     "pipeline_chunk_index": QUERIES["pipeline_chunk_index"],
     "embed_outlier_report": QUERIES["embed_outlier_report"],
+    "text_blocklist_filter": QUERIES["text_blocklist_filter"],
 }
 # measured at the baseline dir only: reads no sf table (fixture-driven)
 BASELINE_ONLY: set[str] = {"multimodal_jpeg420_decode"}
