@@ -1,0 +1,213 @@
+"""Fellegi–Sunter probabilistic linkage (plans/linkage.py).
+
+The load-bearing invariant is pattern-compressed EM == naive per-pair
+EM: fs_em runs its iterations over ≤2^k gamma-pattern counts (one
+distributed aggregation, then driver math), and must be bit-identical
+to the textbook formulation that iterates over every pair row.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from voter_gateway_spark.plans import linkage
+from voter_gateway_spark.plans.linkage import FieldWeights
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    src = spark.createDataFrame(
+        [
+            (1, "alice", 10, "A"),
+            (2, "bob", 10, "B"),
+            (3, "carol", 20, "A"),
+            (4, "dave", 20, "B"),
+        ],
+        "src_id int, src_name string, src_block int, src_tag string",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (101, "alice", 10, "A"),
+            (102, "bob", 10, "A"),
+            (103, "carol", 20, "B"),
+            (104, "erin", 20, "B"),
+            (105, "alice", 30, "A"),
+        ],
+        "t_id int, t_name string, t_block int, t_tag string",
+    )
+    return src, tgt
+
+
+_RULES = [
+    [("src_name", "t_name"), ("src_block", "t_block")],
+    [("src_block", "t_block")],
+]
+
+
+def _pairs(src, tgt, project=True):
+    proj = [
+        F.col("src_id"),
+        F.col("t_id"),
+        linkage.gamma("src_name", "t_name").alias("g_name"),
+        linkage.gamma("src_tag", "t_tag").alias("g_tag"),
+    ]
+    if project:
+        return linkage.blocked_pairs(
+            src, tgt, rules=_RULES, source_id="src_id", target_pk="t_id",
+            project=proj,
+        )
+    pairs = linkage.blocked_pairs(
+        src, tgt, rules=_RULES, source_id="src_id", target_pk="t_id"
+    )
+    return pairs.select(*proj)
+
+
+def test_blocked_pairs_union_dedups_overlapping_rules(toy):
+    src, tgt = toy
+    got = _pairs(src, tgt)
+    rows = {(r.src_id, r.t_id) for r in got.collect()}
+    # rule 2 (same block) yields the full block cross product; rule 1's
+    # pairs are a subset of it — the union must not double-count.
+    assert got.count() == len(rows)
+    # block 10: sources 1,2 × targets 101,102; block 20: 3,4 × 103,104.
+    assert rows == {
+        (1, 101), (1, 102), (2, 101), (2, 102),
+        (3, 103), (3, 104), (4, 103), (4, 104),
+    }
+    # (1, 105) agrees on name but sits in another block: blocked out.
+    assert (1, 105) not in rows
+    # the projected (distinct) and unprojected (dropDuplicates-on-key)
+    # paths emit the same pair rows.
+    unproj = {tuple(r) for r in _pairs(src, tgt, project=False).collect()}
+    assert {tuple(r) for r in got.collect()} == unproj
+
+
+def test_fs_score_matches_hand_arithmetic(toy):
+    src, tgt = toy
+    weights = {
+        "g_name": FieldWeights(m=0.9, u=0.1),
+        "g_tag": FieldWeights(m=0.8, u=0.5),
+    }
+    scored = {
+        (r.src_id, r.t_id): r.match_weight
+        for r in linkage.fs_score(_pairs(src, tgt), weights).collect()
+    }
+    wa_n, wd_n = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    wa_t, wd_t = math.log2(0.8 / 0.5), math.log2(0.2 / 0.5)
+    # (1, 101) alice/A vs alice/A: both agree; (2, 101) bob/B vs
+    # alice/A: both disagree; (3, 103) carol/A vs carol/B: name only;
+    # (4, 104) dave/B vs erin/B: tag only.
+    assert scored[(1, 101)] == pytest.approx(wa_n + wa_t, abs=1e-12)
+    assert scored[(2, 101)] == pytest.approx(wd_n + wd_t, abs=1e-12)
+    assert scored[(3, 103)] == pytest.approx(wa_n + wd_t, abs=1e-12)
+    assert scored[(4, 104)] == pytest.approx(wd_n + wa_t, abs=1e-12)
+
+
+def test_fs_top1_threshold_and_tiebreak(toy):
+    src, tgt = toy
+    weights = {
+        "g_name": FieldWeights(m=0.9, u=0.1),
+        "g_tag": FieldWeights(m=0.8, u=0.5),
+    }
+    scored = linkage.fs_score(_pairs(src, tgt), weights)
+    top = {
+        r.src_id: (r.t_id, r.match_weight)
+        for r in linkage.fs_top1(scored, "src_id", "t_id", -10.0).collect()
+    }
+    # src 1 -> 101 (full agreement beats partial).
+    assert top[1][0] == 101
+    # src 2: name agreement with 102 dominates (wa_n + wd_t > wd_n + wd_t).
+    assert top[2][0] == 102
+    # src 4 ('dave', tag B): 103 and 104 both disagree on name and
+    # agree on tag — equal weights, tie-break by ascending target pk.
+    assert top[4][0] == 103
+    # threshold filters: with a high threshold only full agreements stay
+    high = linkage.fs_top1(scored, "src_id", "t_id", 3.0)
+    assert {r.src_id for r in high.collect()} == {1}
+
+
+def _naive_em(pair_gammas, n_fields, iters, init_m=0.9, init_u=0.1, init_lambda=0.5):
+    """Textbook per-pair EM — the uncompressed reference."""
+    m = [init_m] * n_fields
+    u = [init_u] * n_fields
+    lam = init_lambda
+    out = []
+    for it in range(1, iters + 1):
+        ps = []
+        for g in pair_gammas:
+            a, b = lam, 1.0 - lam
+            for i in range(n_fields):
+                a *= m[i] if g[i] else (1.0 - m[i])
+                b *= u[i] if g[i] else (1.0 - u[i])
+            ps.append((g, a / (a + b)))
+        sum_p = sum(p for _, p in ps)
+        sum_q = sum(1.0 - p for _, p in ps)
+        m = [round(sum(p for g, p in ps if g[i]) / sum_p, 10) for i in range(n_fields)]
+        u = [round(sum(1.0 - p for g, p in ps if g[i]) / sum_q, 10) for i in range(n_fields)]
+        lam = round(sum_p / len(pair_gammas), 10)
+        out.append({"iter": it, "lambda": lam, "m": list(m), "u": list(u)})
+    return out
+
+
+def test_pattern_compressed_em_matches_naive_per_pair_em(toy):
+    src, tgt = toy
+    pairs = _pairs(src, tgt)
+    pats = linkage.gamma_pattern_counts(pairs, ["g_name", "g_tag"])
+    assert sum(n for _, n in pats) == pairs.count()
+    compressed = linkage.fs_em(pats, n_fields=2, iters=4)
+
+    # expand patterns back to per-pair gamma rows, SORTED so the naive
+    # reference sums in the same canonical order fs_em does.
+    expanded = []
+    for g, n in pats:
+        expanded.extend([g] * n)
+    naive = _naive_em(sorted(expanded), n_fields=2, iters=4)
+
+    for c, nv in zip(compressed, naive):
+        assert c["lambda"] == pytest.approx(nv["lambda"], abs=1e-9)
+        for a, b in zip(c["m"], nv["m"]):
+            assert a == pytest.approx(b, abs=1e-9)
+        for a, b in zip(c["u"], nv["u"]):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_em_separates_match_and_nonmatch_populations(spark):
+    """On a generated population with a clear match/non-match mixture,
+    EM drives m above u on every field and lambda toward the true
+    match share."""
+    import itertools
+
+    rows = []
+    # 50 "matches": agree on both fields 90% / 80% of the time,
+    # deterministically interleaved; 450 "non-matches": agree 10% / 30%.
+    for i in range(50):
+        rows.append((1 if i % 10 else 0, 1 if i % 5 else 0))
+    for i in range(450):
+        rows.append((1 if i % 10 == 0 else 0, 1 if i % 10 < 3 else 0))
+    pats = [
+        (g, len(list(grp)))
+        for g, grp in itertools.groupby(sorted(rows))
+    ]
+    hist = linkage.fs_em(pats, n_fields=2, iters=10)
+    last = hist[-1]
+    assert last["m"][0] > last["u"][0]
+    assert last["m"][1] > last["u"][1]
+    assert 0.02 < last["lambda"] < 0.4
+
+
+def test_fs_score_plan_is_scan_side(spark, toy):
+    """Scoring adds NO shuffle beyond the blocking joins: the weight
+    projection must not introduce an exchange over the pair table."""
+    src, tgt = toy
+    weights = {
+        "g_name": FieldWeights(m=0.9, u=0.1),
+        "g_tag": FieldWeights(m=0.8, u=0.5),
+    }
+    pairs = _pairs(src, tgt)
+    base = pairs._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    scored = linkage.fs_score(pairs, weights)
+    after = scored._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert after == base

@@ -7,8 +7,10 @@ from voter_gateway_spark.plans.merging import (
     scd2_merge,
 )
 from voter_gateway_spark.plans.dedup import DedupPlan, MergeInvariantError
+from voter_gateway_spark.plans import linkage
 
 __all__ = [
+    "linkage",
     "WorkingFrame",
     "MatchRule",
     "MatchPlan",

@@ -1,0 +1,211 @@
+"""Fellegi–Sunter probabilistic record linkage.
+
+The reference's matching surface is an ordered exact cascade
+(lib/voter_file/csv_driver/record_matcher.rb) plus trigram fuzzy top-1
+(lib/voter_file/csv_driver/fuzzy_merger.rb:48-68). This module adds the
+standard PROBABILISTIC rung of the same job — the Fellegi & Sunter
+(1969) model used by modern voter-roll / census linkage (and by Splink,
+the public large-scale implementation): blocked candidate pairs →
+per-field agreement vector γ → log₂ likelihood-ratio match weight
+Σᵢ [γᵢ·log₂(mᵢ/uᵢ) + (1−γᵢ)·log₂((1−mᵢ)/(1−uᵢ))] → optional EM
+estimation of the (m, u, λ) parameters from the unlabeled pairs.
+
+Spark-first shape, sized for ~10⁹ candidate pairs:
+
+- **Blocking is a union of equi-joins** (Splink's blocking-rule list):
+  each rule is a conjunction of (source_expr = target_expr) equalities,
+  so every rule is a plain shuffled/broadcast hash join Catalyst can
+  plan; the union is de-duplicated on the pair key. At least one rule
+  should be high-cardinality (name/key-derived) so pair counts stay
+  near-linear; low-cardinality recall rules are additive and their
+  block sizes are the disclosed quadratic term.
+- **Scoring is whole-stage-codegen arithmetic** — the field weights are
+  Python-computed double literals folded into the projection, so the
+  score pass is a zero-shuffle scan over the pairs.
+- **EM never iterates over the pairs.** The agreement vector is binary
+  per field, so pairs compress losslessly into ≤2^k pattern counts —
+  ONE exact integer aggregation over the pair table. Every EM iteration
+  is then driver-side arithmetic over those ≤2^k rows (the same
+  size-gate-to-driver shape as bpe.bpe_train_local): at 10⁹ pairs the
+  whole EM costs one groupBy, not `iters` distributed passes.
+  Parameters are rounded to `param_digits` each M-step so the
+  trajectory is bit-reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldWeights:
+    """Per-field (m, u) probabilities: m = P(agree | match),
+    u = P(agree | non-match)."""
+
+    m: float
+    u: float
+
+    def agree_weight(self) -> float:
+        return math.log2(self.m / self.u)
+
+    def disagree_weight(self) -> float:
+        return math.log2((1.0 - self.m) / (1.0 - self.u))
+
+
+def blocked_pairs(
+    source: DataFrame,
+    target: DataFrame,
+    rules: list[list[tuple[str, str]]],
+    source_id: str,
+    target_pk: str,
+    project: list[Column] | None = None,
+) -> DataFrame:
+    """Candidate pairs as a UNION of blocking rules.
+
+    Each rule is a list of (source_expr, target_expr) SQL-expression
+    pairs conjoined into one equi-join condition; the union is
+    de-duplicated on (source_id, target_pk). Source and target column
+    names must be disjoint (rename upstream).
+
+    `project` (optional) is applied to EACH rule's join output before
+    the union. Pass the comparison-vector projection here: the
+    de-duplicating shuffle then carries (pair key + small gamma ints)
+    instead of the full joined rows, and — because the projected row is
+    a pure function of the pair — the dedup compiles to a plain
+    codegen'd distinct instead of a first()-per-column SortAggregate.
+    """
+    outs: list[DataFrame] = []
+    for rule in rules:
+        cond = None
+        for s_expr, t_expr in rule:
+            eq = F.expr(s_expr).eqNullSafe(F.expr(t_expr))
+            cond = eq if cond is None else cond & eq
+        joined = source.join(target, cond, "inner")
+        outs.append(joined.select(*project) if project is not None else joined)
+    pairs = outs[0]
+    for extra in outs[1:]:
+        pairs = pairs.unionByName(extra)
+    if project is not None:
+        return pairs.distinct()
+    return pairs.dropDuplicates([source_id, target_pk])
+
+
+def gamma(source_expr: str, target_expr: str) -> Column:
+    """Binary agreement indicator for one comparison field."""
+    return (
+        F.expr(source_expr).eqNullSafe(F.expr(target_expr)).cast("int")
+    )
+
+
+def fs_score(
+    pairs: DataFrame,
+    fields: dict[str, FieldWeights],
+    score_col: str = "match_weight",
+) -> DataFrame:
+    """Add the Fellegi–Sunter log₂ likelihood-ratio match weight.
+
+    `fields` maps gamma column name → FieldWeights. The agree/disagree
+    weights are computed HERE (driver-side, plain Python floats) and
+    folded into the projection as double literals, so both the Spark
+    plan and any SQL mirror sum the exact same IEEE constants — the
+    score is bit-deterministic cross-engine.
+    """
+    total: Column | None = None
+    for col, w in fields.items():
+        term = F.when(F.col(col) == 1, F.lit(w.agree_weight())).otherwise(
+            F.lit(w.disagree_weight())
+        )
+        total = term if total is None else total + term
+    return pairs.withColumn(score_col, total)
+
+
+def fs_top1(
+    scored: DataFrame,
+    source_id: str,
+    target_pk: str,
+    threshold: float,
+    score_col: str = "match_weight",
+) -> DataFrame:
+    """Per-source best target at or above `threshold`; deterministic
+    tie-break by ascending target pk (the documented deviation from the
+    reference's arbitrary Postgres pick, plans/matching.py docstring)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_id)
+        .orderBy(F.col(score_col).desc(), F.col(target_pk).asc())
+    )
+    return (
+        scored.where(F.col(score_col) >= threshold)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def gamma_pattern_counts(pairs: DataFrame, gamma_cols: list[str]) -> list[tuple[tuple[int, ...], int]]:
+    """Compress the pair table into exact per-pattern counts — the ONE
+    distributed pass EM needs. Returned sorted by pattern so downstream
+    driver arithmetic is order-canonical."""
+    rows = (
+        pairs.groupBy(*gamma_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out = [(tuple(int(r[c]) for c in gamma_cols), int(r["n"])) for r in rows]
+    return sorted(out)
+
+
+def fs_em(
+    patterns: list[tuple[tuple[int, ...], int]],
+    n_fields: int,
+    iters: int = 3,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.5,
+    param_digits: int = 10,
+) -> list[dict]:
+    """EM over pre-aggregated gamma-pattern counts (pure driver math).
+
+    Returns one dict per iteration: {"iter", "lambda", "m": [...],
+    "u": [...]} with every parameter rounded to `param_digits` at the
+    M-step — the rounding is part of the contract so a SQL mirror that
+    unrolls the same iterations lands on identical doubles.
+    """
+    m = [init_m] * n_fields
+    u = [init_u] * n_fields
+    lam = init_lambda
+    total = sum(n for _, n in patterns)
+    history: list[dict] = []
+    for it in range(1, iters + 1):
+        # E-step: posterior match probability per pattern.
+        post: list[tuple[tuple[int, ...], int, float]] = []
+        for g, n in patterns:
+            a = lam
+            b = 1.0 - lam
+            for i in range(n_fields):
+                a *= m[i] if g[i] else (1.0 - m[i])
+                b *= u[i] if g[i] else (1.0 - u[i])
+            post.append((g, n, a / (a + b)))
+        # M-step: weighted agreement rates (ordered sums over the
+        # sorted pattern list — canonical).
+        sum_p = sum(n * p for _, n, p in post)
+        sum_q = sum(n * (1.0 - p) for _, n, p in post)
+        m = [
+            round(sum(n * p for g, n, p in post if g[i]) / sum_p, param_digits)
+            for i in range(n_fields)
+        ]
+        u = [
+            round(
+                sum(n * (1.0 - p) for g, n, p in post if g[i]) / sum_q,
+                param_digits,
+            )
+            for i in range(n_fields)
+        ]
+        lam = round(sum_p / total, param_digits)
+        history.append({"iter": it, "lambda": lam, "m": list(m), "u": list(u)})
+    return history

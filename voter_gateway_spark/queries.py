@@ -17,6 +17,7 @@ recall-floor test).
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Callable
 
@@ -27,7 +28,7 @@ from voter_gateway_spark.audit import column_coverage, value_distribution
 from voter_gateway_spark.session import ckpt, ckpt_lazy
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
-from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan
+from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan, linkage
 from voter_gateway_spark.operators.skew import widen
 from voter_gateway_spark.streaming.events import hourly_counts, sessionize
 
@@ -9275,6 +9276,349 @@ FROM bycell b JOIN maj m USING (cell)
 
 
 # =============================================================================
+# Probabilistic record linkage (Fellegi–Sunter) — plans/linkage.py
+# =============================================================================
+#
+# The incoming "roll" is a deterministic perturbation of customer
+# (every 3rd row), mirrored expression-for-expression in the oracle:
+#   - name replaced for custkey % 7 == 0 (the fuzzy residue the exact
+#     cascade can't link),
+#   - mktsegment rotated for % 11 == 0,
+#   - balance bucket shifted +1 for % 5 == 0.
+# Blocking is the union of a high-cardinality rule (name within nation
+# — near-linear pair counts) and a recall rule (nation, segment,
+# bucket) whose block sizes are the disclosed quadratic term. Rows
+# perturbed in BOTH name and (segment or bucket) are blocked out —
+# the standard blocking-recall tradeoff, deterministic here.
+
+_FS_SEG_ROT = """CASE c_mktsegment
+  WHEN 'AUTOMOBILE' THEN 'BUILDING' WHEN 'BUILDING' THEN 'FURNITURE'
+  WHEN 'FURNITURE' THEN 'HOUSEHOLD' WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+  ELSE 'AUTOMOBILE' END"""
+
+_FS_GAMMAS = ["g_name", "g_seg", "g_bucket"]
+
+_FS_WEIGHTS = {
+    "g_name": linkage.FieldWeights(m=0.95, u=0.001),
+    "g_seg": linkage.FieldWeights(m=0.85, u=0.2),
+    "g_bucket": linkage.FieldWeights(m=0.8, u=0.09),
+}
+
+_FS_THRESHOLD = 4.0
+
+
+def _fs_roll(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src_id"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")).alias("src_name"),
+        F.col("c_nationkey").alias("src_nationkey"),
+        F.when(F.col("c_custkey") % 11 == 0, F.expr(_FS_SEG_ROT))
+        .otherwise(F.col("c_mktsegment")).alias("src_segment"),
+        (
+            F.floor(F.col("c_acctbal") / 1000)
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("src_bucket"),
+    )
+
+
+def _fs_target(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("t_bucket"),
+    )
+
+
+def _fs_pairs(spark, sf_dir):
+    return linkage.blocked_pairs(
+        _fs_roll(spark, sf_dir),
+        _fs_target(spark, sf_dir),
+        rules=[
+            [("src_name", "c_name"), ("src_nationkey", "c_nationkey")],
+            [
+                ("src_nationkey", "c_nationkey"),
+                ("src_segment", "c_mktsegment"),
+                ("src_bucket", "t_bucket"),
+            ],
+        ],
+        source_id="src_id",
+        target_pk="c_custkey",
+        # gamma projection BEFORE the union: the dedup shuffle carries
+        # (pair key + 3 ints), not the joined string rows.
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            linkage.gamma("src_name", "c_name").alias("g_name"),
+            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
+            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    )
+
+
+def match_fs_score(spark, sf_dir):
+    """Fellegi–Sunter match weights over blocked candidate pairs with
+    published (m, u) priors: the probabilistic rung of the reference's
+    matching surface (record_matcher.rb's cascade and fuzzy_merger.rb's
+    trigram top-1 are the exact/fuzzy rungs). The log2 agree/disagree
+    weights are driver-computed double literals folded into a
+    zero-shuffle projection over the pairs, so scoring is pure
+    whole-stage codegen; blocking is a union of two equi-joins."""
+    scored = linkage.fs_score(_fs_pairs(spark, sf_dir), _FS_WEIGHTS)
+    return scored.select(
+        "src_id",
+        F.col("c_custkey").alias("target_custkey"),
+        "g_name",
+        "g_seg",
+        "g_bucket",
+        F.round("match_weight", 6).alias("match_weight"),
+        (F.col("match_weight") >= _FS_THRESHOLD).alias("is_match"),
+    )
+
+
+def match_fs_top1(spark, sf_dir):
+    """Threshold + per-source best target by FS weight (deterministic
+    tie-break by ascending target pk — the documented deviation from
+    the reference's arbitrary Postgres pick)."""
+    scored = linkage.fs_score(_fs_pairs(spark, sf_dir), _FS_WEIGHTS)
+    top = linkage.fs_top1(scored, "src_id", "c_custkey", _FS_THRESHOLD)
+    return top.select(
+        "src_id",
+        F.col("c_custkey").alias("matched_custkey"),
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+def match_fs_em(spark, sf_dir):
+    """EM-estimated (m, u, λ) per comparison field, 3 iterations.
+
+    Scale shape (plans/linkage.py): the binary agreement vector
+    compresses the pair table into ≤2³ exact pattern counts — ONE
+    integer aggregation over the pairs — and every EM iteration is
+    driver-side arithmetic over those ≤8 rows (the bpe_train_local
+    size-gate shape; at 10⁹ pairs EM costs one groupBy, not 3
+    distributed passes). Params round to 10 digits per M-step so the
+    trajectory is reproducible cross-engine; the oracle unrolls the
+    same 3 iterations as CTEs."""
+    pats = linkage.gamma_pattern_counts(_fs_pairs(spark, sf_dir), _FS_GAMMAS)
+    hist = linkage.fs_em(pats, n_fields=3, iters=3)
+    fields = ["name", "seg", "bucket"]
+    rows = [
+        (h["iter"], fields[i], h["m"][i], h["u"][i], h["lambda"])
+        for h in hist
+        for i in range(3)
+    ]
+    out = spark.createDataFrame(
+        rows, "em_iter int, field string, m double, u double, lam double"
+    )
+    return out.select(
+        "em_iter",
+        "field",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round("lam", 6).alias("lam"),
+    )
+
+
+def match_fs_em_score(spark, sf_dir):
+    """Composition capstone: EM-learned weights scored back over the
+    pairs (Splink's predict()): per-pair EM match weight and posterior
+    match probability under the final (iteration-3) parameters. The
+    per-pattern weight/posterior table (≤8 rows) is computed driver-
+    side from the EM params and broadcast-joined onto the pairs, so the
+    scoring pass stays one broadcast hash join over the pair table."""
+    pairs = _fs_pairs(spark, sf_dir)
+    pats = linkage.gamma_pattern_counts(pairs, _FS_GAMMAS)
+    hist = linkage.fs_em(pats, n_fields=3, iters=3)
+    last = hist[-1]
+    m, u, lam = last["m"], last["u"], last["lambda"]
+    w8 = [
+        (round(math.log2(m[i] / u[i]), 8), round(math.log2((1.0 - m[i]) / (1.0 - u[i])), 8))
+        for i in range(3)
+    ]
+    lut_rows = []
+    for g in [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]:
+        w = 0.0
+        for i in range(3):
+            w = w + (w8[i][0] if g[i] else w8[i][1])
+        a = lam
+        b = 1.0 - lam
+        for i in range(3):
+            a *= m[i] if g[i] else (1.0 - m[i])
+            b *= u[i] if g[i] else (1.0 - u[i])
+        lut_rows.append((g[0], g[1], g[2], w, a / (a + b)))
+    lut = spark.createDataFrame(
+        lut_rows, "g_name int, g_seg int, g_bucket int, _w double, _p double"
+    )
+    return pairs.join(F.broadcast(lut), on=_FS_GAMMAS, how="inner").select(
+        "src_id",
+        F.col("c_custkey").alias("target_custkey"),
+        F.round("_w", 6).alias("em_weight"),
+        F.round("_p", 6).alias("match_prob"),
+    )
+
+
+_FS_PAIRS_SQL = """roll AS (
+  SELECT c_custkey AS src_id,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS src_name,
+         c_nationkey AS src_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN CASE c_mktsegment
+              WHEN 'AUTOMOBILE' THEN 'BUILDING' WHEN 'BUILDING' THEN 'FURNITURE'
+              WHEN 'FURNITURE' THEN 'HOUSEHOLD' WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+              ELSE 'AUTOMOBILE' END
+              ELSE c_mktsegment END AS src_segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS src_bucket
+  FROM customer WHERE c_custkey % 3 = 0
+),
+tgt AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS t_bucket
+  FROM customer
+),
+fs_pairs AS (
+  SELECT DISTINCT r.src_id, t.c_custkey,
+         CAST(r.src_name = t.c_name AS INTEGER) AS g_name,
+         CAST(r.src_segment = t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket = t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
+   AND (r.src_name = t.c_name
+        OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
+)"""
+
+
+def _fs_weight_sql() -> str:
+    """The same IEEE double literals fs_score folds into the Spark
+    projection, summed in the same (dict) order with the same left
+    association."""
+    terms = [
+        f"(CASE WHEN {col} = 1 THEN {w.agree_weight()!r}"
+        f" ELSE {w.disagree_weight()!r} END)"
+        for col, w in _FS_WEIGHTS.items()
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+FS_SCORE_SQL = f"""
+WITH {_FS_PAIRS_SQL},
+scored AS (SELECT *, {_fs_weight_sql()} AS w FROM fs_pairs)
+SELECT src_id, c_custkey AS target_custkey, g_name, g_seg, g_bucket,
+       round(w, 6) AS match_weight, w >= {_FS_THRESHOLD!r} AS is_match
+FROM scored
+"""
+
+FS_TOP1_SQL = f"""
+WITH {_FS_PAIRS_SQL},
+scored AS (SELECT *, {_fs_weight_sql()} AS w FROM fs_pairs)
+SELECT src_id, c_custkey AS matched_custkey, round(w, 6) AS match_weight
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY w DESC, c_custkey) AS rn
+  FROM scored WHERE w >= {_FS_THRESHOLD!r}
+) WHERE rn = 1
+"""
+
+
+def _fs_em_ctes(iters: int = 3) -> str:
+    """Unrolled EM iterations over the gamma-pattern counts, every
+    product written with the exact left association fs_em's driver
+    loop uses, params rounded to 10 digits per M-step."""
+    ctes = [
+        "pat AS (SELECT g_name, g_seg, g_bucket, count(*) AS n"
+        " FROM fs_pairs GROUP BY 1, 2, 3)",
+        "p0 AS (SELECT 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,"
+        " 0.1 AS u1, 0.1 AS u2, 0.1 AS u3, 0.5 AS lam)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"p{k - 1}"
+        num = (
+            "(((p.lam"
+            " * (CASE WHEN g.g_name = 1 THEN p.m1 ELSE 1 - p.m1 END))"
+            " * (CASE WHEN g.g_seg = 1 THEN p.m2 ELSE 1 - p.m2 END))"
+            " * (CASE WHEN g.g_bucket = 1 THEN p.m3 ELSE 1 - p.m3 END))"
+        )
+        den_b = (
+            "((((1 - p.lam)"
+            " * (CASE WHEN g.g_name = 1 THEN p.u1 ELSE 1 - p.u1 END))"
+            " * (CASE WHEN g.g_seg = 1 THEN p.u2 ELSE 1 - p.u2 END))"
+            " * (CASE WHEN g.g_bucket = 1 THEN p.u3 ELSE 1 - p.u3 END))"
+        )
+        ctes.append(
+            f"e{k} AS (SELECT g.g_name, g.g_seg, g.g_bucket, g.n,"
+            f" {num} / ({num} + {den_b}) AS p"
+            f" FROM pat g CROSS JOIN {prev} p)"
+        )
+        ctes.append(
+            f"p{k} AS (SELECT"
+            f" round(sum(CASE WHEN g_name = 1 THEN n * p ELSE 0 END) / sum(n * p), 10) AS m1,"
+            f" round(sum(CASE WHEN g_seg = 1 THEN n * p ELSE 0 END) / sum(n * p), 10) AS m2,"
+            f" round(sum(CASE WHEN g_bucket = 1 THEN n * p ELSE 0 END) / sum(n * p), 10) AS m3,"
+            f" round(sum(CASE WHEN g_name = 1 THEN n * (1 - p) ELSE 0 END) / sum(n * (1 - p)), 10) AS u1,"
+            f" round(sum(CASE WHEN g_seg = 1 THEN n * (1 - p) ELSE 0 END) / sum(n * (1 - p)), 10) AS u2,"
+            f" round(sum(CASE WHEN g_bucket = 1 THEN n * (1 - p) ELSE 0 END) / sum(n * (1 - p)), 10) AS u3,"
+            f" round(sum(n * p) / sum(n), 10) AS lam"
+            f" FROM e{k})"
+        )
+    return ",\n".join(ctes)
+
+
+def _fs_em_sql(iters: int = 3) -> str:
+    rows = []
+    for k in range(1, iters + 1):
+        for idx, fld in [(1, "name"), (2, "seg"), (3, "bucket")]:
+            rows.append(
+                f"SELECT {k} AS em_iter, '{fld}' AS field,"
+                f" round(m{idx}, 6) AS m, round(u{idx}, 6) AS u,"
+                f" round(lam, 6) AS lam FROM p{k}"
+            )
+    return (
+        f"WITH {_FS_PAIRS_SQL},\n{_fs_em_ctes(iters)}\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+FS_EM_SQL = _fs_em_sql(3)
+
+FS_EM_SCORE_SQL = f"""
+WITH {_FS_PAIRS_SQL},
+{_fs_em_ctes(3)},
+wts AS (
+  SELECT round(log2(m1 / u1), 8) AS wa1, round(log2((1 - m1) / (1 - u1)), 8) AS wd1,
+         round(log2(m2 / u2), 8) AS wa2, round(log2((1 - m2) / (1 - u2)), 8) AS wd2,
+         round(log2(m3 / u3), 8) AS wa3, round(log2((1 - m3) / (1 - u3)), 8) AS wd3,
+         m1, m2, m3, u1, u2, u3, lam
+  FROM p3
+)
+SELECT g.src_id, g.c_custkey AS target_custkey,
+       round(((CASE WHEN g.g_name = 1 THEN w.wa1 ELSE w.wd1 END
+               + CASE WHEN g.g_seg = 1 THEN w.wa2 ELSE w.wd2 END)
+               + CASE WHEN g.g_bucket = 1 THEN w.wa3 ELSE w.wd3 END), 6) AS em_weight,
+       round(
+         (((w.lam
+            * (CASE WHEN g.g_name = 1 THEN w.m1 ELSE 1 - w.m1 END))
+            * (CASE WHEN g.g_seg = 1 THEN w.m2 ELSE 1 - w.m2 END))
+            * (CASE WHEN g.g_bucket = 1 THEN w.m3 ELSE 1 - w.m3 END))
+         / (
+           (((w.lam
+              * (CASE WHEN g.g_name = 1 THEN w.m1 ELSE 1 - w.m1 END))
+              * (CASE WHEN g.g_seg = 1 THEN w.m2 ELSE 1 - w.m2 END))
+              * (CASE WHEN g.g_bucket = 1 THEN w.m3 ELSE 1 - w.m3 END))
+           + ((((1 - w.lam)
+              * (CASE WHEN g.g_name = 1 THEN w.u1 ELSE 1 - w.u1 END))
+              * (CASE WHEN g.g_seg = 1 THEN w.u2 ELSE 1 - w.u2 END))
+              * (CASE WHEN g.g_bucket = 1 THEN w.u3 ELSE 1 - w.u3 END))
+         ), 6) AS match_prob
+FROM fs_pairs g CROSS JOIN wts w
+"""
+
+
+# =============================================================================
 # Catalog
 # =============================================================================
 
@@ -9305,6 +9649,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative emission this round (oracle changed with them),
     # plus the three opt-in expanded variants pinning the pre-r13
     # listing contract.
+    # r14 late newborns (this session): the Fellegi–Sunter
+    # probabilistic-linkage family takes prefix slots at birth
+    "match_fs_score": match_fs_score,
+    "match_fs_top1": match_fs_top1,
+    "match_fs_em": match_fs_em,
+    "match_fs_em_score": match_fs_em_score,
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_graph_search_topk": embed_graph_search_topk,
@@ -9482,6 +9832,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "match_fs_score": FS_SCORE_SQL,
+    "match_fs_top1": FS_TOP1_SQL,
+    "match_fs_em": FS_EM_SQL,
+    "match_fs_em_score": FS_EM_SCORE_SQL,
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
