@@ -147,6 +147,68 @@ def fs_top1(
     )
 
 
+def fs_matches(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    source_pk: str,
+    target_pk: str,
+    prepare_source,
+    prepare_target,
+    rules: list[list[tuple[str, str]]],
+    gammas: dict[str, tuple[str, str]],
+    weights: dict[str, FieldWeights],
+    threshold: float,
+    source_key: str = "_fs_src_id",
+) -> DataFrame:
+    """FS linkage in MatchPlan.matches() shape (source cols +
+    _source_id/_target_id/_match_rule), so the probabilistic matcher
+    drops into every consumer of the exact cascade — MergePlan.execute,
+    the A6 audit queries, and the streaming upsert sink's per-batch
+    body.
+
+    `prepare_source(df)` / `prepare_target(df)` project the comparison
+    views: the prepared source MUST emit `source_key` carrying the
+    source's `source_pk` value, the prepared target MUST keep
+    `target_pk`, and their column names must be disjoint. `rules` /
+    `gammas` / `weights` reference the prepared column names.
+    _match_rule is 1 for FS-matched rows, NULL for unmatched (the
+    cascade's A6 audit convention)."""
+    from voter_gateway_spark.plans.matching import (
+        MATCH_RULE,
+        SOURCE_ID,
+        TARGET_ID,
+    )
+
+    proj = [F.col(source_key), F.col(target_pk)] + [
+        gamma(s_expr, t_expr).alias(name)
+        for name, (s_expr, t_expr) in gammas.items()
+    ]
+    pairs = blocked_pairs(
+        prepare_source(source),
+        prepare_target(target),
+        rules,
+        source_key,
+        target_pk,
+        project=proj,
+    )
+    top = fs_top1(fs_score(pairs, weights), source_key, target_pk, threshold)
+    link = top.select(source_key, F.col(target_pk).alias("__fs_tid"))
+    return (
+        source.withColumn(SOURCE_ID, F.col(source_pk))
+        .join(link, F.col(SOURCE_ID) == F.col(source_key), "left")
+        .drop(source_key)
+        .withColumn(TARGET_ID, F.col("__fs_tid"))
+        .drop("__fs_tid")
+        .withColumn(
+            MATCH_RULE,
+            F.when(F.col(TARGET_ID).isNotNull(), F.lit(1)).otherwise(
+                F.lit(None).cast("int")
+            ),
+        )
+    )
+
+
 def gamma_pattern_counts(pairs: DataFrame, gamma_cols: list[str]) -> list[tuple[tuple[int, ...], int]]:
     """Compress the pair table into exact per-pattern counts — the ONE
     distributed pass EM needs. Returned sorted by pattern so downstream

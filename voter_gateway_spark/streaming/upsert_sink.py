@@ -140,6 +140,7 @@ def stream_upsert_parquet(
     checkpoint_dir: str | None = None,
     query_name: str = "vgs_stream_upsert",
     honor_legacy_marker: bool = False,
+    matcher=None,
 ):
     """Attach a foreachBatch upsert sink to a streaming DataFrame.
 
@@ -229,10 +230,18 @@ def stream_upsert_parquet(
         if not batch.take(1):
             return
         target = spark.read.parquet(target_dir)
-        mp = MatchPlan(batch, target, target_pk=pk, source_id=source_id)
-        for cols in match_columns:
-            mp.find_exact_matches(cols)
-        merged = plan.execute(mp.matches(), target).target
+        if matcher is not None:
+            # pluggable matching step: `matcher(batch, target)` returns
+            # MatchPlan.matches()-shaped rows (source cols + _source_id/
+            # _target_id/_match_rule) — e.g. plans.linkage.fs_matches
+            # for probabilistic admission. match_columns is ignored.
+            matches = matcher(batch, target)
+        else:
+            mp = MatchPlan(batch, target, target_pk=pk, source_id=source_id)
+            for cols in match_columns:
+                mp.find_exact_matches(cols)
+            matches = mp.matches()
+        merged = plan.execute(matches, target).target
         tmp = f"{target_dir}__v{batch_id}_{uuid.uuid4().hex[:6]}"
         merged.write.mode("overwrite").parquet(tmp)
         _write_marker(spark, tmp, batch_id, qid)
