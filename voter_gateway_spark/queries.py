@@ -9618,6 +9618,203 @@ FROM fs_pairs g CROSS JOIN wts w
 """
 
 
+_FS_ADM_RULES = [
+    [("s_name", "t_name"), ("s_nation", "t_nation")],
+    [("s_nation", "t_nation"), ("s_seg", "t_seg"), ("s_bucket", "t_bucket")],
+]
+_FS_ADM_GAMMAS = {
+    "g_name": ("s_name", "t_name"),
+    "g_seg": ("s_seg", "t_seg"),
+    "g_bucket": ("s_bucket", "t_bucket"),
+}
+
+
+def _fs_adm_prep_src(df):
+    return df.select(
+        F.col("c_custkey").alias("_fs_src_id"),
+        F.col("c_name").alias("s_name"),
+        F.col("c_nationkey").alias("s_nation"),
+        F.col("c_mktsegment").alias("s_seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("s_bucket"),
+    )
+
+
+def _fs_adm_prep_tgt(df):
+    return df.select(
+        "c_custkey",
+        F.col("c_name").alias("t_name"),
+        F.col("c_nationkey").alias("t_nation"),
+        F.col("c_mktsegment").alias("t_seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("t_bucket"),
+    )
+
+
+def _fs_adm_batch1(cust):
+    return cust.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.expr(_FS_SEG_ROT))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        (F.col("c_acctbal") + 11.0).alias("c_acctbal"),
+    )
+
+
+def _fs_adm_batch2(cust):
+    part_a = cust.where(F.col("c_custkey") % 3 == 1).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.expr(_FS_SEG_ROT))
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        (F.col("c_acctbal") + 17.0).alias("c_acctbal"),
+    )
+    # resubmission slice: these rows' only strong match is a row batch 1
+    # INSERTED ('Customer#UNKNOWN<k>' names) — the read-your-own-writes
+    # proof the streaming fold depends on.
+    part_b = cust.where(F.col("c_custkey") % 21 == 0).select(
+        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 23.0).alias("c_acctbal"),
+    )
+    return part_a.unionByName(part_b)
+
+
+def pipeline_fs_admission(spark, sf_dir):
+    """Two chained FS admission rounds over the customer registry — the
+    batch certification of streaming/linkage_admission.py's per-batch
+    body (the pipeline_daily_ingest pattern): each round runs the REAL
+    package machinery (linkage.fs_matches → MergePlan.execute, exactly
+    what the sink's matcher hook executes), matched arrivals overwrite
+    their linked row, unmatched insert in the roll's id space; batch
+    2's resubmission slice links rows batch 1 INSERTED, so hash-green
+    here proves the fold is read-your-own-writes consistent
+    cross-engine. Oracle: both rounds unrolled (blocking OR-join,
+    weight window, per-target min-source pick, update/insert union)."""
+    cust = _t(spark, sf_dir, "customer")
+    reg = cust
+    for batch in [_fs_adm_batch1(cust), _fs_adm_batch2(cust)]:
+        matches = linkage.fs_matches(
+            batch,
+            reg,
+            source_pk="c_custkey",
+            target_pk="c_custkey",
+            prepare_source=_fs_adm_prep_src,
+            prepare_target=_fs_adm_prep_tgt,
+            rules=_FS_ADM_RULES,
+            gammas=_FS_ADM_GAMMAS,
+            weights=_FS_WEIGHTS,
+            threshold=_FS_THRESHOLD,
+        )
+        reg = ckpt_lazy(
+            MergePlan(target_pk="c_custkey").execute(matches, reg).target
+        )
+    return reg.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+def _fs_adm_round_sql(reg: str, src: str, out: str) -> str:
+    """One unrolled admission round: blocking OR-join + gamma distinct,
+    weight threshold + per-source top-1 (min target pk tie-break),
+    per-target min-source pick, overwrite-update LEFT JOIN + insert
+    anti-join union."""
+    return f"""
+prep_t_{out} AS (
+  SELECT c_custkey, c_name AS t_name, c_nationkey AS t_nation,
+         c_mktsegment AS t_seg, CAST(floor(c_acctbal / 1000) AS BIGINT) AS t_bucket
+  FROM {reg}
+),
+prep_s_{out} AS (
+  SELECT c_custkey AS sid, c_name AS s_name, c_nationkey AS s_nation,
+         c_mktsegment AS s_seg, CAST(floor(c_acctbal / 1000) AS BIGINT) AS s_bucket
+  FROM {src}
+),
+pairs_{out} AS (
+  SELECT DISTINCT s.sid, t.c_custkey AS tid,
+         CAST(s.s_name = t.t_name AS INTEGER) AS g_name,
+         CAST(s.s_seg = t.t_seg AS INTEGER) AS g_seg,
+         CAST(s.s_bucket = t.t_bucket AS INTEGER) AS g_bucket
+  FROM prep_s_{out} s JOIN prep_t_{out} t ON s.s_nation = t.t_nation
+   AND (s.s_name = t.t_name OR (s.s_seg = t.t_seg AND s.s_bucket = t.t_bucket))
+),
+top_{out} AS (
+  SELECT sid, tid FROM (
+    SELECT sid, tid,
+           row_number() OVER (PARTITION BY sid ORDER BY w DESC, tid) AS rn
+    FROM (SELECT *, {_fs_weight_sql()} AS w FROM pairs_{out})
+    WHERE w >= {_FS_THRESHOLD!r}
+  ) WHERE rn = 1
+),
+upd_{out} AS (
+  SELECT tid, c_name, c_nationkey, c_mktsegment, c_acctbal FROM (
+    SELECT m.tid, s.c_name, s.c_nationkey, s.c_mktsegment, s.c_acctbal,
+           row_number() OVER (PARTITION BY m.tid ORDER BY m.sid) AS rn
+    FROM top_{out} m JOIN {src} s ON s.c_custkey = m.sid
+  ) WHERE rn = 1
+),
+{out} AS MATERIALIZED (
+  SELECT r.c_custkey,
+         CASE WHEN u.tid IS NOT NULL THEN u.c_name ELSE r.c_name END AS c_name,
+         CASE WHEN u.tid IS NOT NULL THEN u.c_nationkey ELSE r.c_nationkey END AS c_nationkey,
+         CASE WHEN u.tid IS NOT NULL THEN u.c_mktsegment ELSE r.c_mktsegment END AS c_mktsegment,
+         CASE WHEN u.tid IS NOT NULL THEN u.c_acctbal ELSE r.c_acctbal END AS c_acctbal
+  FROM {reg} r LEFT JOIN upd_{out} u ON r.c_custkey = u.tid
+  UNION ALL
+  SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_mktsegment, s.c_acctbal
+  FROM {src} s LEFT JOIN top_{out} m ON s.c_custkey = m.sid
+  WHERE m.sid IS NULL
+)"""
+
+
+_FS_SEG_ROT_SQL = """CASE c_mktsegment
+              WHEN 'AUTOMOBILE' THEN 'BUILDING' WHEN 'BUILDING' THEN 'FURNITURE'
+              WHEN 'FURNITURE' THEN 'HOUSEHOLD' WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+              ELSE 'AUTOMOBILE' END"""
+
+FS_ADMISSION_SQL = f"""
+WITH b1 AS (
+  SELECT c_custkey + 1000000 AS c_custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS c_name,
+         c_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN {_FS_SEG_ROT_SQL}
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal + 11.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+),
+b2 AS (
+  SELECT c_custkey + 2000000 AS c_custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END AS c_name,
+         c_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN {_FS_SEG_ROT_SQL}
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal + 17.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 3 = 1
+  UNION ALL
+  SELECT c_custkey + 3000000 AS c_custkey,
+         'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR) AS c_name,
+         c_nationkey, c_mktsegment,
+         c_acctbal + 23.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 21 = 0
+),
+{_fs_adm_round_sql("customer", "b1", "reg1")},
+{_fs_adm_round_sql("reg1", "b2", "reg2")}
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal FROM reg2
+"""
+
+
 # =============================================================================
 # Catalog
 # =============================================================================
@@ -9655,6 +9852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_top1": match_fs_top1,
     "match_fs_em": match_fs_em,
     "match_fs_em_score": match_fs_em_score,
+    "pipeline_fs_admission": pipeline_fs_admission,
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_graph_search_topk": embed_graph_search_topk,
@@ -9836,6 +10034,7 @@ ORACLES: dict[str, str] = {
     "match_fs_top1": FS_TOP1_SQL,
     "match_fs_em": FS_EM_SQL,
     "match_fs_em_score": FS_EM_SCORE_SQL,
+    "pipeline_fs_admission": FS_ADMISSION_SQL,
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
