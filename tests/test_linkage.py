@@ -198,6 +198,27 @@ def test_em_separates_match_and_nonmatch_populations(spark):
     assert 0.02 < last["lambda"] < 0.4
 
 
+def test_blocking_audit_hand_counts(toy):
+    src, tgt = toy
+    audit = {
+        r.rule: r
+        for r in linkage.blocking_audit(src, tgt, _RULES).collect()
+    }
+    # rule 1 keys (name, block): co-occurring blocks alice/10, bob/10,
+    # carol/20 — one source x one target each.
+    assert audit[1].n_blocks == 3
+    assert audit[1].n_pairs == 3
+    assert audit[1].max_block_pairs == 1
+    assert audit[1].reduction_ratio == round(1.0 - 3 / 20.0, 6)
+    # rule 2 key (block): blocks 10 and 20 co-occur with 2x2 pairs each;
+    # target block 30 has no source side.
+    assert audit[2].n_blocks == 2
+    assert audit[2].n_pairs == 8
+    assert audit[2].max_block_pairs == 4
+    assert audit[2].reduction_ratio == round(1.0 - 8 / 20.0, 6)
+    assert "src_block = t_block" in audit[2].rule_keys
+
+
 def test_fs_score_plan_is_scan_side(spark, toy):
     """Scoring adds NO shuffle beyond the blocking joins: the weight
     projection must not introduce an exchange over the pair table."""

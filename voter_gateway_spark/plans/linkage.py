@@ -147,6 +147,60 @@ def fs_top1(
     )
 
 
+def blocking_audit(
+    source: DataFrame,
+    target: DataFrame,
+    rules: list[list[tuple[str, str]]],
+) -> DataFrame:
+    """Per-rule blocking diagnostics WITHOUT materializing pairs — the
+    record-linkage reduction-ratio audit one reads before trusting a
+    blocking scheme at scale.
+
+    For each rule, sources and targets are grouped by the rule's key
+    expressions (two aggregations, output ∝ distinct keys) and joined
+    key-to-key: a block's pair count is the product of its side counts.
+    Emits per rule: distinct co-occurring blocks, total candidate
+    pairs, the largest block's pair count (the skew/straggler signal),
+    and the reduction ratio 1 − pairs/(|S|·|T|) rounded to 6. Audit
+    cost is two groupBys per rule — at 10⁹×10⁹ candidates the audit
+    still never expands a single pair."""
+    n_src = source.count()
+    n_tgt = target.count()
+    outs: list[DataFrame] = []
+    for idx, rule in enumerate(rules, start=1):
+        s_keys = [F.expr(s).alias(f"_k{i}") for i, (s, _) in enumerate(rule)]
+        t_keys = [F.expr(t).alias(f"_k{i}") for i, (_, t) in enumerate(rule)]
+        ks = [f"_k{i}" for i in range(len(rule))]
+        s_cnt = source.groupBy(*s_keys).agg(F.count(F.lit(1)).alias("_cs"))
+        t_cnt = target.groupBy(*t_keys).agg(F.count(F.lit(1)).alias("_ct"))
+        blocks = s_cnt.join(t_cnt, on=ks, how="inner").select(
+            (F.col("_cs") * F.col("_ct")).alias("_bp")
+        )
+        outs.append(
+            blocks.agg(
+                F.lit(idx).alias("rule"),
+                F.lit(" AND ".join(f"{s} = {t}" for s, t in rule)).alias(
+                    "rule_keys"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                F.coalesce(F.sum("_bp"), F.lit(0)).cast("bigint").alias("n_pairs"),
+                F.coalesce(F.max("_bp"), F.lit(0)).cast("bigint").alias(
+                    "max_block_pairs"
+                ),
+                F.round(
+                    1.0
+                    - F.coalesce(F.sum("_bp"), F.lit(0))
+                    / F.lit(float(n_src) * float(n_tgt)),
+                    6,
+                ).alias("reduction_ratio"),
+            )
+        )
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def fs_matches(
     source: DataFrame,
     target: DataFrame,

@@ -9618,6 +9618,99 @@ FROM fs_pairs g CROSS JOIN wts w
 """
 
 
+def match_fs_patterns(spark, sf_dir):
+    """The Splink-style agreement-pattern table: one row per gamma
+    pattern with its pair count and FS weight — the weight histogram
+    read to choose a threshold. One partial-agg groupBy over the pairs
+    (≤2³ output rows); the weight attaches to the aggregated rows, so
+    scoring cost is O(patterns), not O(pairs)."""
+    pat = (
+        _fs_pairs(spark, sf_dir)
+        .groupBy(*_FS_GAMMAS)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    scored = linkage.fs_score(pat, _FS_WEIGHTS)
+    return scored.select(
+        *_FS_GAMMAS, "n_pairs", F.round("match_weight", 6).alias("match_weight")
+    )
+
+
+FS_PATTERNS_SQL = f"""
+WITH {_FS_PAIRS_SQL},
+pat AS (
+  SELECT g_name, g_seg, g_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM fs_pairs GROUP BY 1, 2, 3
+)
+SELECT g_name, g_seg, g_bucket, n_pairs,
+       round({_fs_weight_sql()}, 6) AS match_weight
+FROM pat
+"""
+
+
+def match_fs_blocking_audit(spark, sf_dir):
+    """Pair-free blocking diagnostics (plans/linkage.blocking_audit):
+    per rule, co-occurring block count, total candidate pairs, largest
+    block (the skew signal), and the reduction ratio — all from two
+    per-rule groupBys whose block pair counts are side-count PRODUCTS,
+    so auditing a blocking scheme at 10⁹ pairs never expands one."""
+    return linkage.blocking_audit(
+        _fs_roll(spark, sf_dir),
+        _fs_target(spark, sf_dir),
+        rules=[
+            [("src_name", "c_name"), ("src_nationkey", "c_nationkey")],
+            [
+                ("src_nationkey", "c_nationkey"),
+                ("src_segment", "c_mktsegment"),
+                ("src_bucket", "t_bucket"),
+            ],
+        ],
+    )
+
+
+def _fs_blocking_audit_sql() -> str:
+    rules = [
+        (1, [("src_name", "c_name"), ("src_nationkey", "c_nationkey")]),
+        (
+            2,
+            [
+                ("src_nationkey", "c_nationkey"),
+                ("src_segment", "c_mktsegment"),
+                ("src_bucket", "t_bucket"),
+            ],
+        ),
+    ]
+    ctes, selects = [], []
+    for idx, rule in rules:
+        s_keys = ", ".join(f"{s} AS k{i}" for i, (s, _) in enumerate(rule))
+        t_keys = ", ".join(f"{t} AS k{i}" for i, (_, t) in enumerate(rule))
+        using = ", ".join(f"k{i}" for i in range(len(rule)))
+        label = " AND ".join(f"{s} = {t}" for s, t in rule)
+        ctes.append(
+            f"r{idx}s AS (SELECT {s_keys}, count(*) AS cs FROM roll GROUP BY ALL),\n"
+            f"r{idx}t AS (SELECT {t_keys}, count(*) AS ct FROM tgt GROUP BY ALL),\n"
+            f"r{idx}b AS (SELECT cs * ct AS bp FROM r{idx}s JOIN r{idx}t USING ({using}))"
+        )
+        selects.append(
+            f"SELECT {idx} AS rule, '{label}' AS rule_keys,"
+            f" CAST(count(*) AS BIGINT) AS n_blocks,"
+            f" CAST(coalesce(sum(bp), 0) AS BIGINT) AS n_pairs,"
+            f" CAST(coalesce(max(bp), 0) AS BIGINT) AS max_block_pairs,"
+            f" round(1.0 - CAST(coalesce(sum(bp), 0) AS DOUBLE)"
+            f" / (CAST((SELECT count(*) FROM roll) AS DOUBLE)"
+            f" * CAST((SELECT count(*) FROM tgt) AS DOUBLE)), 6) AS reduction_ratio"
+            f" FROM r{idx}b"
+        )
+    return (
+        f"WITH {_FS_PAIRS_SQL},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+FS_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql()
+
+
 _FS_ADM_RULES = [
     [("s_name", "t_name"), ("s_nation", "t_nation")],
     [("s_nation", "t_nation"), ("s_seg", "t_seg"), ("s_bucket", "t_bucket")],
@@ -9853,6 +9946,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_em": match_fs_em,
     "match_fs_em_score": match_fs_em_score,
     "pipeline_fs_admission": pipeline_fs_admission,
+    "match_fs_patterns": match_fs_patterns,
+    "match_fs_blocking_audit": match_fs_blocking_audit,
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_graph_search_topk": embed_graph_search_topk,
@@ -10035,6 +10130,8 @@ ORACLES: dict[str, str] = {
     "match_fs_em": FS_EM_SQL,
     "match_fs_em_score": FS_EM_SCORE_SQL,
     "pipeline_fs_admission": FS_ADMISSION_SQL,
+    "match_fs_patterns": FS_PATTERNS_SQL,
+    "match_fs_blocking_audit": FS_BLOCKING_AUDIT_SQL,
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
