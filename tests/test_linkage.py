@@ -198,6 +198,40 @@ def test_em_separates_match_and_nonmatch_populations(spark):
     assert 0.02 < last["lambda"] < 0.4
 
 
+def test_pattern_counts_blocked_matches_distinct(toy):
+    """Inclusion–exclusion over rule subsets must equal counting on the
+    deduped pair union — same patterns, same exact integers."""
+    src, tgt = toy
+    via_pairs = linkage.gamma_pattern_counts(
+        _pairs(src, tgt), ["g_name", "g_tag"]
+    )
+    via_ie = linkage.gamma_pattern_counts_blocked(
+        src,
+        tgt,
+        rules=_RULES,
+        gammas={"g_name": ("src_name", "t_name"), "g_tag": ("src_tag", "t_tag")},
+    )
+    assert via_ie == via_pairs
+
+
+def test_fs_top1_threshold_folds_into_blocking_joins(spark, sf_dir):
+    """The production-assignment query stays near-linear at scale
+    because Catalyst folds the weight threshold into the blocking JOIN
+    conditions (recomputed from raw columns), so recall-rule-only
+    pairs die before the pair-dedup aggregate — measured 14 MB vs
+    4.5 GB shuffle at the x100 linkage replica. Pin the shape."""
+    from voter_gateway_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["match_fs_top1"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_lines = [ln for ln in plan.split("\n") if "Join" in ln]
+    assert sum(">= 4.0" in ln for ln in join_lines) >= 2, plan
+
+
 def test_blocking_audit_hand_counts(toy):
     src, tgt = toy
     audit = {

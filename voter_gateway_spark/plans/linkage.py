@@ -78,6 +78,8 @@ def blocked_pairs(
     a pure function of the pair — the dedup compiles to a plain
     codegen'd distinct instead of a first()-per-column SortAggregate.
     """
+    if not rules:
+        raise ValueError("blocked_pairs needs at least one blocking rule")
     outs: list[DataFrame] = []
     for rule in rules:
         cond = None
@@ -164,6 +166,8 @@ def blocking_audit(
     and the reduction ratio 1 − pairs/(|S|·|T|) rounded to 6. Audit
     cost is two groupBys per rule — at 10⁹×10⁹ candidates the audit
     still never expands a single pair."""
+    if not rules:
+        raise ValueError("blocking_audit needs at least one blocking rule")
     n_src = source.count()
     n_tgt = target.count()
     outs: list[DataFrame] = []
@@ -274,6 +278,69 @@ def gamma_pattern_counts(pairs: DataFrame, gamma_cols: list[str]) -> list[tuple[
     )
     out = [(tuple(int(r[c]) for c in gamma_cols), int(r["n"])) for r in rows]
     return sorted(out)
+
+
+def gamma_pattern_counts_blocked(
+    source: DataFrame,
+    target: DataFrame,
+    rules: list[list[tuple[str, str]]],
+    gammas: dict[str, tuple[str, str]],
+) -> list[tuple[tuple[int, ...], int]]:
+    """Pattern counts over the DEDUPED union of blocking rules without
+    materializing or shuffling a single pair.
+
+    gamma_pattern_counts needs the union of rule joins de-duplicated on
+    the pair key first — at 10⁹ candidate pairs that distinct is a
+    pair-sized shuffle (measured 4.5 GB / 130 s at the x100 linkage
+    replica). But the deduped per-pattern count obeys inclusion–
+    exclusion over rule subsets:
+
+        |∪ᵢ Aᵢ| per pattern = Σ_{∅≠S} (−1)^{|S|+1} |∩_{i∈S} Aᵢ|
+
+    and each intersection is ONE equi-join (the conjunction of the
+    subset's equalities) whose rows flow straight into a ≤2^k-group
+    map-side-combined aggregation — the only exchange anywhere is the
+    ≤2^k·(2^r−1)-row union of the signed term aggregates. Results are
+    exact integers, identical to gamma_pattern_counts on the deduped
+    pairs (parity-tested). Requires source/target rows to be unique
+    (each rule join has set semantics); 2^r − 1 terms for r rules —
+    meant for the small hand-written rule lists linkage uses."""
+    from itertools import combinations
+
+    if not rules:
+        raise ValueError("gamma_pattern_counts_blocked needs >= 1 rule")
+    names = list(gammas)
+    gamma_cols = [
+        gamma(s_expr, t_expr).alias(name)
+        for name, (s_expr, t_expr) in gammas.items()
+    ]
+    terms: list[DataFrame] = []
+    for r in range(1, len(rules) + 1):
+        sign = 1 if r % 2 == 1 else -1
+        for subset in combinations(range(len(rules)), r):
+            cond = None
+            for i in subset:
+                for s_expr, t_expr in rules[i]:
+                    eq = F.expr(s_expr).eqNullSafe(F.expr(t_expr))
+                    cond = eq if cond is None else cond & eq
+            joined = source.join(target, cond, "inner")
+            terms.append(
+                joined.select(*gamma_cols)
+                .groupBy(*names)
+                .agg((F.count(F.lit(1)) * F.lit(sign)).alias("_n"))
+            )
+    unioned = terms[0]
+    for t in terms[1:]:
+        unioned = unioned.unionByName(t)
+    rows = (
+        unioned.groupBy(*names)
+        .agg(F.sum("_n").alias("n"))
+        .where(F.col("n") > 0)
+        .collect()
+    )
+    return sorted(
+        (tuple(int(r[c]) for c in names), int(r["n"])) for r in rows
+    )
 
 
 def fs_em(

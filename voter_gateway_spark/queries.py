@@ -9298,6 +9298,21 @@ _FS_SEG_ROT = """CASE c_mktsegment
 
 _FS_GAMMAS = ["g_name", "g_seg", "g_bucket"]
 
+_FS_RULES = [
+    [("src_name", "c_name"), ("src_nationkey", "c_nationkey")],
+    [
+        ("src_nationkey", "c_nationkey"),
+        ("src_segment", "c_mktsegment"),
+        ("src_bucket", "t_bucket"),
+    ],
+]
+
+_FS_GAMMA_EXPRS = {
+    "g_name": ("src_name", "c_name"),
+    "g_seg": ("src_segment", "c_mktsegment"),
+    "g_bucket": ("src_bucket", "t_bucket"),
+}
+
 _FS_WEIGHTS = {
     "g_name": linkage.FieldWeights(m=0.95, u=0.001),
     "g_seg": linkage.FieldWeights(m=0.85, u=0.2),
@@ -9339,14 +9354,7 @@ def _fs_pairs(spark, sf_dir):
     return linkage.blocked_pairs(
         _fs_roll(spark, sf_dir),
         _fs_target(spark, sf_dir),
-        rules=[
-            [("src_name", "c_name"), ("src_nationkey", "c_nationkey")],
-            [
-                ("src_nationkey", "c_nationkey"),
-                ("src_segment", "c_mktsegment"),
-                ("src_bucket", "t_bucket"),
-            ],
-        ],
+        rules=_FS_RULES,
         source_id="src_id",
         target_pk="c_custkey",
         # gamma projection BEFORE the union: the dedup shuffle carries
@@ -9354,10 +9362,23 @@ def _fs_pairs(spark, sf_dir):
         project=[
             F.col("src_id"),
             F.col("c_custkey"),
-            linkage.gamma("src_name", "c_name").alias("g_name"),
-            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
-            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+            *[
+                linkage.gamma(s, t).alias(name)
+                for name, (s, t) in _FS_GAMMA_EXPRS.items()
+            ],
         ],
+    )
+
+
+def _fs_pattern_counts(spark, sf_dir):
+    """EM's one distributed pass, in the inclusion–exclusion shape:
+    deduped per-pattern counts from 3 signed join→agg terms — no
+    pair-sized distinct shuffle (x100: 130 s / 4.5 GB → join-bound)."""
+    return linkage.gamma_pattern_counts_blocked(
+        _fs_roll(spark, sf_dir),
+        _fs_target(spark, sf_dir),
+        rules=_FS_RULES,
+        gammas=_FS_GAMMA_EXPRS,
     )
 
 
@@ -9404,8 +9425,12 @@ def match_fs_em(spark, sf_dir):
     size-gate shape; at 10⁹ pairs EM costs one groupBy, not 3
     distributed passes). Params round to 10 digits per M-step so the
     trajectory is reproducible cross-engine; the oracle unrolls the
-    same 3 iterations as CTEs."""
-    pats = linkage.gamma_pattern_counts(_fs_pairs(spark, sf_dir), _FS_GAMMAS)
+    same 3 iterations as CTEs. The pattern counts come via inclusion–
+    exclusion over the blocking rules (gamma_pattern_counts_blocked),
+    so not even the pair-dedup distinct is paid — the only exchange is
+    the ≤24-row union of signed term aggregates (x100 replica: 130 s /
+    4.5 GB shuffle → join-bound / ~0)."""
+    pats = _fs_pattern_counts(spark, sf_dir)
     hist = linkage.fs_em(pats, n_fields=3, iters=3)
     fields = ["name", "seg", "bucket"]
     rows = [
@@ -9433,7 +9458,7 @@ def match_fs_em_score(spark, sf_dir):
     side from the EM params and broadcast-joined onto the pairs, so the
     scoring pass stays one broadcast hash join over the pair table."""
     pairs = _fs_pairs(spark, sf_dir)
-    pats = linkage.gamma_pattern_counts(pairs, _FS_GAMMAS)
+    pats = _fs_pattern_counts(spark, sf_dir)
     hist = linkage.fs_em(pats, n_fields=3, iters=3)
     last = hist[-1]
     m, u, lam = last["m"], last["u"], last["lambda"]
