@@ -129,6 +129,60 @@ def test_fs_top1_threshold_and_tiebreak(toy):
     assert {r.src_id for r in high.collect()} == {1}
 
 
+def test_graded_weights_score_matches_hand_arithmetic(spark):
+    from voter_gateway_spark.plans.linkage import GradedWeights
+
+    gw = GradedWeights(m=(0.05, 0.15, 0.8), u=(0.9, 0.08, 0.02))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 0)], "pid int, g_lvl int"
+    )
+    scored = {
+        r.pid: r.w
+        for r in linkage.fs_score(pairs, {"g_lvl": gw}, score_col="w").collect()
+    }
+    assert scored[1] == pytest.approx(math.log2(0.8 / 0.02), abs=1e-12)
+    assert scored[2] == pytest.approx(math.log2(0.15 / 0.08), abs=1e-12)
+    assert scored[3] == pytest.approx(math.log2(0.05 / 0.9), abs=1e-12)
+    with pytest.raises(ValueError):
+        GradedWeights(m=(0.5,), u=(0.5,))
+    with pytest.raises(ValueError):
+        GradedWeights(m=(0.5, 0.5), u=(0.5, 0.4, 0.1))
+
+
+def test_graded_catalog_levels_all_live(spark, sf_dir):
+    """The graded roll's damage tiers must populate every comparison
+    level — a dead level means the fixture stopped exercising the CASE
+    chain (the r14 lesson: TPC-H shared-prefix names put EVERY pair
+    over a 0.3 trigram threshold, leaving level 0 empty)."""
+    from voter_gateway_spark.queries import QUERIES
+
+    got = {
+        r.g_name_lvl: r.n
+        for r in QUERIES["match_fs_graded"](spark, sf_dir)
+        .groupBy("g_name_lvl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == {0, 1, 2}, got
+
+
+def test_tf_adjustment_varies_by_matched_value(spark, sf_dir):
+    """The TF-adjusted weight must actually vary with the matched
+    segment's frequency — a constant adjustment means the fixture's
+    value distribution stopped exercising it (the unique-names lesson:
+    every name frequency is 1, so only segment variation is live)."""
+    from voter_gateway_spark.queries import QUERIES
+
+    rows = (
+        QUERIES["match_fs_tf_score"](spark, sf_dir)
+        .where("g_name = 1 AND g_seg = 1 AND g_bucket = 1")
+        .select("match_weight")
+        .distinct()
+        .collect()
+    )
+    assert len(rows) > 1, rows
+
+
 def _naive_em(pair_gammas, n_fields, iters, init_m=0.9, init_u=0.1, init_lambda=0.5):
     """Textbook per-pair EM — the uncompressed reference."""
     m = [init_m] * n_fields

@@ -56,6 +56,24 @@ class FieldWeights:
         return math.log2((1.0 - self.m) / (1.0 - self.u))
 
 
+@dataclass(frozen=True)
+class GradedWeights:
+    """Multi-level comparison weights (Splink's comparison levels):
+    m[l] = P(level l | match), u[l] = P(level l | non-match), level 0
+    = most different, level len−1 = exact. Each distribution should
+    sum to 1 over its levels."""
+
+    m: tuple
+    u: tuple
+
+    def __post_init__(self):
+        if len(self.m) != len(self.u) or len(self.m) < 2:
+            raise ValueError("GradedWeights needs equal-length m/u, >= 2 levels")
+
+    def level_weight(self, level: int) -> float:
+        return math.log2(self.m[level] / self.u[level])
+
+
 def blocked_pairs(
     source: DataFrame,
     target: DataFrame,
@@ -118,9 +136,17 @@ def fs_score(
     """
     total: Column | None = None
     for col, w in fields.items():
-        term = F.when(F.col(col) == 1, F.lit(w.agree_weight())).otherwise(
-            F.lit(w.disagree_weight())
-        )
+        if isinstance(w, GradedWeights):
+            # descending CASE over levels; level 0 is the ELSE branch
+            term = None
+            for lvl in range(len(w.m) - 1, 0, -1):
+                branch = (F.col(col) == lvl, F.lit(w.level_weight(lvl)))
+                term = F.when(*branch) if term is None else term.when(*branch)
+            term = term.otherwise(F.lit(w.level_weight(0)))
+        else:
+            term = F.when(F.col(col) == 1, F.lit(w.agree_weight())).otherwise(
+                F.lit(w.disagree_weight())
+            )
         total = term if total is None else total + term
     return pairs.withColumn(score_col, total)
 

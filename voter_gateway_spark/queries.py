@@ -9643,6 +9643,270 @@ FROM fs_pairs g CROSS JOIN wts w
 """
 
 
+_FS_NAME_GRADED = linkage.GradedWeights(
+    m=(0.03, 0.04, 0.93), u=(0.979, 0.02, 0.001)
+)
+
+
+def _fs_graded_roll(spark, sf_dir):
+    """Roll with GRADED name damage (the binary roll's UNKNOWN
+    replacement destroys the name entirely, which a similarity level
+    can't rank): every 13th row gets a heavy replacement
+    ('ZZZ<k>' — trigram sim ≈ 0.1 vs anything), else every 7th a
+    last-char typo (sim ≈ 0.75 vs its original); TPC-H's shared
+    'Customer#' prefix holds cross-entity sims near 0.55, so the 0.7
+    level threshold separates typo (level 1) from both heavy damage
+    and random same-block names (level 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src_id"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.lit("ZZZ"), F.col("c_custkey").cast("string")),
+        )
+        .when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name")).alias("src_name"),
+        F.col("c_nationkey").alias("src_nationkey"),
+        F.when(F.col("c_custkey") % 11 == 0, F.expr(_FS_SEG_ROT))
+        .otherwise(F.col("c_mktsegment")).alias("src_segment"),
+        (
+            F.floor(F.col("c_acctbal") / 1000)
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("src_bucket"),
+    )
+
+
+def match_fs_graded(spark, sf_dir):
+    """Graded (multi-level) comparison — Splink's comparison levels:
+    the name gamma is 2 on exact match, 1 on pg_trgm similarity ≥ 0.7
+    (last-char typos land here — partial evidence instead of a flat
+    disagreement), 0 otherwise (heavy damage AND random same-block
+    names, whose shared-prefix sim ≈ 0.55 sits below the threshold);
+    per-level (m, u) weights are driver-computed literals in the same
+    codegen CASE chain as the binary fields. The trigram sets are the
+    fuzzy family's exact pg_trgm model, computed in-row per candidate
+    pair (disclosed: the graded variant pays trigram evaluation on the
+    recall rule's quadratic pair mass)."""
+    lvl = (
+        F.when(F.col("src_name") == F.col("c_name"), F.lit(2))
+        .when(
+            fuzzy.trigram_similarity(F.col("src_name"), F.col("c_name"))
+            >= 0.7,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    pairs = linkage.blocked_pairs(
+        _fs_graded_roll(spark, sf_dir),
+        _fs_target(spark, sf_dir),
+        rules=_FS_RULES,
+        source_id="src_id",
+        target_pk="c_custkey",
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            lvl.alias("g_name_lvl"),
+            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
+            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    )
+    scored = linkage.fs_score(
+        pairs,
+        {
+            "g_name_lvl": _FS_NAME_GRADED,
+            "g_seg": _FS_WEIGHTS["g_seg"],
+            "g_bucket": _FS_WEIGHTS["g_bucket"],
+        },
+    )
+    return scored.select(
+        "src_id",
+        F.col("c_custkey").alias("target_custkey"),
+        "g_name_lvl",
+        "g_seg",
+        "g_bucket",
+        F.round("match_weight", 6).alias("match_weight"),
+        (F.col("match_weight") >= _FS_THRESHOLD).alias("is_match"),
+    )
+
+
+def _trgm_sql(expr: str) -> str:
+    """DuckDB mirror of fuzzy.trigrams over an arbitrary expression."""
+    return f"""list_distinct(flatten(list_transform(
+  list_filter(string_split(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'), ' '), w -> w != ''),
+  w -> list_transform(generate_series(1, length(w) + 1), i -> substr('  ' || w || ' ', i, 3))
+)))"""
+
+
+def _fs_graded_sql() -> str:
+    gw = _FS_NAME_GRADED
+    seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+    sim = (
+        f"len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})) * 1.0"
+        f" / (len({_trgm_sql('r.src_name')}) + len({_trgm_sql('t.c_name')})"
+        f" - len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})))"
+    )
+    weight = (
+        f"(CASE WHEN g_name_lvl = 2 THEN {gw.level_weight(2)!r}"
+        f" WHEN g_name_lvl = 1 THEN {gw.level_weight(1)!r}"
+        f" ELSE {gw.level_weight(0)!r} END)"
+        f" + (CASE WHEN g_seg = 1 THEN {seg.agree_weight()!r}"
+        f" ELSE {seg.disagree_weight()!r} END)"
+        f" + (CASE WHEN g_bucket = 1 THEN {bucket.agree_weight()!r}"
+        f" ELSE {bucket.disagree_weight()!r} END)"
+    )
+    graded_roll = """roll AS (
+  SELECT c_custkey AS src_id,
+         CASE WHEN c_custkey % 13 = 0 THEN 'ZZZ' || CAST(c_custkey AS VARCHAR)
+              WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+              ELSE c_name END AS src_name,
+         c_nationkey AS src_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN CASE c_mktsegment
+              WHEN 'AUTOMOBILE' THEN 'BUILDING' WHEN 'BUILDING' THEN 'FURNITURE'
+              WHEN 'FURNITURE' THEN 'HOUSEHOLD' WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+              ELSE 'AUTOMOBILE' END
+              ELSE c_mktsegment END AS src_segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS src_bucket
+  FROM customer WHERE c_custkey % 3 = 0
+),
+tgt AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS t_bucket
+  FROM customer
+)"""
+    return f"""
+WITH {graded_roll},
+graded AS (
+  SELECT DISTINCT r.src_id, t.c_custkey,
+         CASE WHEN r.src_name = t.c_name THEN 2
+              WHEN {sim} >= 0.7 THEN 1 ELSE 0 END AS g_name_lvl,
+         CAST(r.src_segment = t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket = t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
+   AND (r.src_name = t.c_name
+        OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
+),
+scored AS (SELECT *, ({weight}) AS w FROM graded)
+SELECT src_id, c_custkey AS target_custkey, g_name_lvl, g_seg, g_bucket,
+       round(w, 6) AS match_weight, w >= {_FS_THRESHOLD!r} AS is_match
+FROM scored
+"""
+
+
+FS_GRADED_SQL = _fs_graded_sql()
+
+
+def match_fs_tf_score(spark, sf_dir):
+    """Term-frequency-adjusted agreement weights (Splink's TF
+    adjustment): agreeing on a RARE value is stronger evidence than on
+    a common one, so an agreement's weight is log₂(m / (freq/N)) with
+    the matched VALUE's own target frequency in u's place. Applied to
+    both string fields: names are unique in customer so the name
+    adjustment is the constant log₂(0.95·N) ceiling, while segment
+    frequencies vary — agreement on a rarer segment scores measurably
+    higher (the live variation). Disagreements and the bucket field
+    keep their global literals. One value-keyed count per adjusted
+    field + equi-joins of the pairs to them (skew-safe; never forced
+    broadcast — at corpus scale the name-frequency table is
+    name-cardinality-sized). Weights round to 8 before summing (the
+    em_score discipline) since log₂ here runs in-engine on both
+    sides."""
+    tgt = _fs_target(spark, sf_dir)
+    n_t = tgt.count()
+    pairs = linkage.blocked_pairs(
+        _fs_roll(spark, sf_dir),
+        tgt,
+        rules=_FS_RULES,
+        source_id="src_id",
+        target_pk="c_custkey",
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            *[
+                linkage.gamma(s, t).alias(name)
+                for name, (s, t) in _FS_GAMMA_EXPRS.items()
+            ],
+        ],
+    )
+    name_freq = tgt.groupBy("c_name").agg(F.count(F.lit(1)).alias("_nf"))
+    seg_freq = tgt.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_sf"))
+    seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+    name_w = _FS_WEIGHTS["g_name"]
+    name_term = F.when(
+        F.col("g_name") == 1,
+        F.round(F.log2(F.lit(0.95) * F.lit(float(n_t)) / F.col("_nf")), 8),
+    ).otherwise(F.lit(round(name_w.disagree_weight(), 8)))
+    seg_term = F.when(
+        F.col("g_seg") == 1,
+        F.round(F.log2(F.lit(0.85) * F.lit(float(n_t)) / F.col("_sf")), 8),
+    ).otherwise(F.lit(round(seg.disagree_weight(), 8)))
+    bucket_term = F.when(
+        F.col("g_bucket") == 1, F.lit(bucket.agree_weight())
+    ).otherwise(F.lit(bucket.disagree_weight()))
+    return (
+        pairs.join(name_freq, "c_name", "inner")
+        .join(seg_freq, "c_mktsegment", "inner")
+        .withColumn("match_weight", name_term + seg_term + bucket_term)
+        .select(
+            "src_id",
+            F.col("c_custkey").alias("target_custkey"),
+            "g_name",
+            "g_seg",
+            "g_bucket",
+            F.round("match_weight", 6).alias("match_weight"),
+        )
+    )
+
+
+def _fs_tf_sql() -> str:
+    seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+    name_w = _FS_WEIGHTS["g_name"]
+    weight = (
+        f"(CASE WHEN p.g_name = 1"
+        f" THEN round(log2(0.95 * CAST((SELECT count(*) FROM tgt) AS DOUBLE) / q._nf), 8)"
+        f" ELSE {round(name_w.disagree_weight(), 8)!r} END)"
+        f" + (CASE WHEN p.g_seg = 1"
+        f" THEN round(log2(0.85 * CAST((SELECT count(*) FROM tgt) AS DOUBLE) / sq._sf), 8)"
+        f" ELSE {round(seg.disagree_weight(), 8)!r} END)"
+        f" + (CASE WHEN p.g_bucket = 1 THEN {bucket.agree_weight()!r}"
+        f" ELSE {bucket.disagree_weight()!r} END)"
+    )
+    roll_tgt = _FS_PAIRS_SQL.rsplit(",\nfs_pairs AS", 1)[0]
+    return f"""
+WITH {roll_tgt},
+tf_pairs AS (
+  SELECT DISTINCT r.src_id, t.c_custkey, t.c_name, t.c_mktsegment,
+         CAST(r.src_name = t.c_name AS INTEGER) AS g_name,
+         CAST(r.src_segment = t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket = t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
+   AND (r.src_name = t.c_name
+        OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
+),
+nfreq AS (SELECT c_name, CAST(count(*) AS BIGINT) AS _nf FROM tgt GROUP BY 1),
+sfreq AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS _sf FROM tgt GROUP BY 1),
+scored AS (
+  SELECT p.src_id, p.c_custkey, p.g_name, p.g_seg, p.g_bucket,
+         ({weight}) AS w
+  FROM tf_pairs p JOIN nfreq q USING (c_name) JOIN sfreq sq USING (c_mktsegment)
+)
+SELECT src_id, c_custkey AS target_custkey, g_name, g_seg, g_bucket,
+       round(w, 6) AS match_weight
+FROM scored
+"""
+
+
+FS_TF_SQL = _fs_tf_sql()
+
+
 def match_fs_patterns(spark, sf_dir):
     """The Splink-style agreement-pattern table: one row per gamma
     pattern with its pair count and FS weight — the weight histogram
@@ -9973,6 +10237,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_fs_admission": pipeline_fs_admission,
     "match_fs_patterns": match_fs_patterns,
     "match_fs_blocking_audit": match_fs_blocking_audit,
+    "match_fs_graded": match_fs_graded,
+    "match_fs_tf_score": match_fs_tf_score,
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_graph_search_topk": embed_graph_search_topk,
@@ -10157,6 +10423,8 @@ ORACLES: dict[str, str] = {
     "pipeline_fs_admission": FS_ADMISSION_SQL,
     "match_fs_patterns": FS_PATTERNS_SQL,
     "match_fs_blocking_audit": FS_BLOCKING_AUDIT_SQL,
+    "match_fs_graded": FS_GRADED_SQL,
+    "match_fs_tf_score": FS_TF_SQL,
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
