@@ -43,7 +43,15 @@ NEWBORNS = [
     "match_fs_top1",
     "match_fs_em",
     "match_fs_em_score",
+    "match_fs_patterns",
+    "match_fs_blocking_audit",
+    "match_fs_tf_score",
+    "match_fs_graded",
+    "pipeline_fs_admission",
 ]
+# graded pays per-pair trigram-set evaluation on the recall rule's
+# quadratic pair mass BY CONTRACT — the minhash-expanded class
+SKIP_AT_X100 = {"match_fs_graded"}
 
 
 def build_customer_replica(spark, n: int, dst: str) -> None:
@@ -78,9 +86,12 @@ def main() -> None:
             print(f"building {d} (customer x{mult})", flush=True)
             build_customer_replica(spark, mult, d)
     results: dict[str, dict] = {}
-    for d in dirs:
+    for i, d in enumerate(dirs):
         results[d] = {}
         for name in NEWBORNS:
+            if name in SKIP_AT_X100 and i >= 2:
+                results[d][name] = "skipped: per-pair trigram on quadratic-by-contract pair mass"
+                continue
             fn = QUERIES[name]
             best, best_sh = float("inf"), None
             for _ in range(runs):

@@ -9910,17 +9910,23 @@ FS_TF_SQL = _fs_tf_sql()
 def match_fs_patterns(spark, sf_dir):
     """The Splink-style agreement-pattern table: one row per gamma
     pattern with its pair count and FS weight — the weight histogram
-    read to choose a threshold. One partial-agg groupBy over the pairs
-    (≤2³ output rows); the weight attaches to the aggregated rows, so
-    scoring cost is O(patterns), not O(pairs)."""
-    pat = (
-        _fs_pairs(spark, sf_dir)
-        .groupBy(*_FS_GAMMAS)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    read to choose a threshold. Counts ride the inclusion–exclusion
+    path (gamma_pattern_counts_blocked): no pair-dedup shuffle, the
+    only exchange is the ≤24-row union of signed term aggregates; the
+    weight literals attach driver-side, so scoring cost is
+    O(patterns), not O(pairs)."""
+    pats = _fs_pattern_counts(spark, sf_dir)
+    rows = []
+    for g, n in pats:
+        w = 0.0
+        for i, fw in enumerate(_FS_WEIGHTS.values()):
+            w = w + (fw.agree_weight() if g[i] else fw.disagree_weight())
+        rows.append((g[0], g[1], g[2], n, w))
+    out = spark.createDataFrame(
+        rows, "g_name int, g_seg int, g_bucket int, n_pairs bigint, _w double"
     )
-    scored = linkage.fs_score(pat, _FS_WEIGHTS)
-    return scored.select(
-        *_FS_GAMMAS, "n_pairs", F.round("match_weight", 6).alias("match_weight")
+    return out.select(
+        *_FS_GAMMAS, "n_pairs", F.round("_w", 6).alias("match_weight")
     )
 
 
