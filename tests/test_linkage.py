@@ -228,6 +228,57 @@ def test_pattern_compressed_em_matches_naive_per_pair_em(toy):
             assert a == pytest.approx(b, abs=1e-9)
 
 
+def test_graded_em_matches_naive_per_pattern_reference():
+    """fs_em_graded vs a straightforward per-pair reference with the
+    same init ramp — identical params at every iteration."""
+    import itertools
+
+    # synthetic 3-level x 2-level gamma rows
+    rows = []
+    for i in range(200):
+        name_lvl = 2 if i % 4 == 0 else (1 if i % 4 == 1 else 0)
+        tag = 1 if i % 3 == 0 else 0
+        rows.append((name_lvl, tag))
+    pats = [(g, len(list(grp))) for g, grp in itertools.groupby(sorted(rows))]
+    levels = [3, 2]
+    hist = linkage.fs_em_graded(pats, levels, iters=4)
+
+    m, u = linkage.em_graded_init(levels)
+    assert m[0] == [1 / 6, 2 / 6, 3 / 6] and u[0] == [3 / 6, 2 / 6, 1 / 6]
+    lam = 0.5
+    expanded = sorted(g for g, n in pats for _ in range(n))
+    for h in hist:
+        post = []
+        for g in expanded:
+            a, b = lam, 1.0 - lam
+            for i in range(2):
+                a *= m[i][g[i]]
+                b *= u[i][g[i]]
+            post.append((g, a / (a + b)))
+        sum_p = sum(p for _, p in post)
+        sum_q = sum(1.0 - p for _, p in post)
+        m = [
+            [round(sum(p for g, p in post if g[i] == lvl) / sum_p, 10)
+             for lvl in range(levels[i])]
+            for i in range(2)
+        ]
+        u = [
+            [round(sum(1.0 - p for g, p in post if g[i] == lvl) / sum_q, 10)
+             for lvl in range(levels[i])]
+            for i in range(2)
+        ]
+        lam = round(sum_p / len(expanded), 10)
+        assert h["lambda"] == pytest.approx(lam, abs=1e-9)
+        for i in range(2):
+            for lvl in range(levels[i]):
+                assert h["m"][i][lvl] == pytest.approx(m[i][lvl], abs=1e-9)
+                assert h["u"][i][lvl] == pytest.approx(u[i][lvl], abs=1e-9)
+        # each field's level distributions stay normalized
+        for i in range(2):
+            assert sum(h["m"][i]) == pytest.approx(1.0, abs=1e-8)
+            assert sum(h["u"][i]) == pytest.approx(1.0, abs=1e-8)
+
+
 def test_em_separates_match_and_nonmatch_populations(spark):
     """On a generated population with a clear match/non-match mixture,
     EM drives m above u on every field and lambda toward the true

@@ -231,6 +231,80 @@ def blocking_audit(
     return out
 
 
+def em_graded_init(levels: list[int]) -> tuple[list[list[float]], list[list[float]]]:
+    """Deterministic init for multi-level EM: for a field with L
+    levels, m ramps UP toward agreement (m_l = (l+1)/Σ1..L) and u
+    ramps DOWN (u_l = (L−l)/Σ1..L) — the 'matches agree more' prior,
+    exact small-integer ratios so both engines inline identical
+    literals."""
+    m, u = [], []
+    for L in levels:
+        tot = L * (L + 1) // 2
+        m.append([(l + 1) / tot for l in range(L)])
+        u.append([(L - l) / tot for l in range(L)])
+    return m, u
+
+
+def fs_em_graded(
+    patterns: list[tuple[tuple[int, ...], int]],
+    levels: list[int],
+    iters: int = 3,
+    init_lambda: float = 0.5,
+    param_digits: int = 10,
+) -> list[dict]:
+    """Multi-level EM over pre-aggregated gamma-pattern counts — the
+    per-comparison-level (m, u) estimation Splink trains (fs_em is the
+    binary special case). Pattern compression still applies: ∏ᵢ Lᵢ
+    patterns (12 for a 3×2×2 scheme), so every iteration stays driver
+    math over that table. Same rounding contract as fs_em.
+
+    Returns per iteration {"iter", "lambda", "m": [[per level]...],
+    "u": [[...]]}."""
+    k = len(levels)
+    m, u = em_graded_init(levels)
+    lam = init_lambda
+    total = sum(n for _, n in patterns)
+    history: list[dict] = []
+    for it in range(1, iters + 1):
+        post: list[tuple[tuple[int, ...], int, float]] = []
+        for g, n in patterns:
+            a = lam
+            b = 1.0 - lam
+            for i in range(k):
+                a *= m[i][g[i]]
+                b *= u[i][g[i]]
+            post.append((g, n, a / (a + b)))
+        sum_p = sum(n * p for _, n, p in post)
+        sum_q = sum(n * (1.0 - p) for _, n, p in post)
+        m = [
+            [
+                round(
+                    sum(n * p for g, n, p in post if g[i] == lvl) / sum_p,
+                    param_digits,
+                )
+                for lvl in range(levels[i])
+            ]
+            for i in range(k)
+        ]
+        u = [
+            [
+                round(
+                    sum(n * (1.0 - p) for g, n, p in post if g[i] == lvl)
+                    / sum_q,
+                    param_digits,
+                )
+                for lvl in range(levels[i])
+            ]
+            for i in range(k)
+        ]
+        lam = round(sum_p / total, param_digits)
+        history.append(
+            {"iter": it, "lambda": lam, "m": [list(x) for x in m],
+             "u": [list(x) for x in u]}
+        )
+    return history
+
+
 def fs_matches(
     source: DataFrame,
     target: DataFrame,
@@ -336,9 +410,11 @@ def gamma_pattern_counts_blocked(
     if not rules:
         raise ValueError("gamma_pattern_counts_blocked needs >= 1 rule")
     names = list(gammas)
+    # a gamma spec is either (source_expr, target_expr) — binary
+    # agreement — or a ready Column computing a multi-level gamma
     gamma_cols = [
-        gamma(s_expr, t_expr).alias(name)
-        for name, (s_expr, t_expr) in gammas.items()
+        (spec if isinstance(spec, Column) else gamma(*spec)).alias(name)
+        for name, spec in gammas.items()
     ]
     terms: list[DataFrame] = []
     for r in range(1, len(rules) + 1):

@@ -9692,16 +9692,6 @@ def match_fs_graded(spark, sf_dir):
     fuzzy family's exact pg_trgm model, computed in-row per candidate
     pair (disclosed: the graded variant pays trigram evaluation on the
     recall rule's quadratic pair mass)."""
-    lvl = (
-        F.when(F.col("src_name") == F.col("c_name"), F.lit(2))
-        .when(
-            fuzzy.trigram_similarity(F.col("src_name"), F.col("c_name"))
-            >= 0.7,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
     pairs = linkage.blocked_pairs(
         _fs_graded_roll(spark, sf_dir),
         _fs_target(spark, sf_dir),
@@ -9711,7 +9701,7 @@ def match_fs_graded(spark, sf_dir):
         project=[
             F.col("src_id"),
             F.col("c_custkey"),
-            lvl.alias("g_name_lvl"),
+            _fs_graded_lvl().alias("g_name_lvl"),
             linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
             linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
         ],
@@ -9735,6 +9725,20 @@ def match_fs_graded(spark, sf_dir):
     )
 
 
+def _fs_graded_lvl():
+    """3-level name gamma: 2 exact, 1 trigram sim ≥ 0.7, 0 otherwise."""
+    return (
+        F.when(F.col("src_name") == F.col("c_name"), F.lit(2))
+        .when(
+            fuzzy.trigram_similarity(F.col("src_name"), F.col("c_name"))
+            >= 0.7,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
 def _trgm_sql(expr: str) -> str:
     """DuckDB mirror of fuzzy.trigrams over an arbitrary expression."""
     return f"""list_distinct(flatten(list_transform(
@@ -9743,22 +9747,13 @@ def _trgm_sql(expr: str) -> str:
 )))"""
 
 
-def _fs_graded_sql() -> str:
-    gw = _FS_NAME_GRADED
-    seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+def _fs_graded_pairs_sql() -> str:
+    """roll/tgt/graded CTE prefix shared by the graded score and
+    graded EM oracles."""
     sim = (
         f"len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})) * 1.0"
         f" / (len({_trgm_sql('r.src_name')}) + len({_trgm_sql('t.c_name')})"
         f" - len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})))"
-    )
-    weight = (
-        f"(CASE WHEN g_name_lvl = 2 THEN {gw.level_weight(2)!r}"
-        f" WHEN g_name_lvl = 1 THEN {gw.level_weight(1)!r}"
-        f" ELSE {gw.level_weight(0)!r} END)"
-        f" + (CASE WHEN g_seg = 1 THEN {seg.agree_weight()!r}"
-        f" ELSE {seg.disagree_weight()!r} END)"
-        f" + (CASE WHEN g_bucket = 1 THEN {bucket.agree_weight()!r}"
-        f" ELSE {bucket.disagree_weight()!r} END)"
     )
     graded_roll = """roll AS (
   SELECT c_custkey AS src_id,
@@ -9780,9 +9775,8 @@ tgt AS (
          CAST(floor(c_acctbal / 1000) AS BIGINT) AS t_bucket
   FROM customer
 )"""
-    return f"""
-WITH {graded_roll},
-graded AS (
+    return f"""{graded_roll},
+graded AS MATERIALIZED (
   SELECT DISTINCT r.src_id, t.c_custkey,
          CASE WHEN r.src_name = t.c_name THEN 2
               WHEN {sim} >= 0.7 THEN 1 ELSE 0 END AS g_name_lvl,
@@ -9791,7 +9785,23 @@ graded AS (
   FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
    AND (r.src_name = t.c_name
         OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
-),
+)"""
+
+
+def _fs_graded_sql() -> str:
+    gw = _FS_NAME_GRADED
+    seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+    weight = (
+        f"(CASE WHEN g_name_lvl = 2 THEN {gw.level_weight(2)!r}"
+        f" WHEN g_name_lvl = 1 THEN {gw.level_weight(1)!r}"
+        f" ELSE {gw.level_weight(0)!r} END)"
+        f" + (CASE WHEN g_seg = 1 THEN {seg.agree_weight()!r}"
+        f" ELSE {seg.disagree_weight()!r} END)"
+        f" + (CASE WHEN g_bucket = 1 THEN {bucket.agree_weight()!r}"
+        f" ELSE {bucket.disagree_weight()!r} END)"
+    )
+    return f"""
+WITH {_fs_graded_pairs_sql()},
 scored AS (SELECT *, ({weight}) AS w FROM graded)
 SELECT src_id, c_custkey AS target_custkey, g_name_lvl, g_seg, g_bucket,
        round(w, 6) AS match_weight, w >= {_FS_THRESHOLD!r} AS is_match
@@ -9800,6 +9810,117 @@ FROM scored
 
 
 FS_GRADED_SQL = _fs_graded_sql()
+
+_FS_GRADED_FIELDS = [("g_name_lvl", 3, "name"), ("g_seg", 2, "seg"), ("g_bucket", 2, "bucket")]
+
+
+def match_fs_em_graded(spark, sf_dir):
+    """Multi-level EM — per-comparison-level (m, u) estimation over the
+    graded scheme (3 name levels × 2 × 2), the training Splink runs for
+    its comparison levels. Pattern compression holds at ≤12 patterns
+    (one aggregation, then driver math); counts ride the inclusion–
+    exclusion path with the graded level expression evaluated per
+    joined row, so no pair-sized exchange here either. Init is the
+    deterministic 'matches agree more' ramp (em_graded_init); 3
+    iterations, params rounded to 10 per M-step, oracle unrolled."""
+    pats = linkage.gamma_pattern_counts_blocked(
+        _fs_graded_roll(spark, sf_dir),
+        _fs_target(spark, sf_dir),
+        rules=_FS_RULES,
+        gammas={
+            "g_name_lvl": _fs_graded_lvl(),
+            "g_seg": ("src_segment", "c_mktsegment"),
+            "g_bucket": ("src_bucket", "t_bucket"),
+        },
+    )
+    hist = linkage.fs_em_graded(pats, levels=[3, 2, 2], iters=3)
+    rows = []
+    for h in hist:
+        for i, (_, n_lvl, fname) in enumerate(_FS_GRADED_FIELDS):
+            for lvl in range(n_lvl):
+                rows.append(
+                    (h["iter"], fname, lvl, h["m"][i][lvl], h["u"][i][lvl], h["lambda"])
+                )
+    out = spark.createDataFrame(
+        rows, "em_iter int, field string, level int, m double, u double, lam double"
+    )
+    return out.select(
+        "em_iter",
+        "field",
+        "level",
+        F.round("m", 6).alias("m"),
+        F.round("u", 6).alias("u"),
+        F.round("lam", 6).alias("lam"),
+    )
+
+
+def _fs_em_graded_sql(iters: int = 3) -> str:
+    levels = [n for _, n, _ in _FS_GRADED_FIELDS]
+    m0, u0 = linkage.em_graded_init(levels)
+    cols = [c for c, _, _ in _FS_GRADED_FIELDS]
+    # p0 literals
+    p0_parts = []
+    # CAST to DOUBLE: bare literals parse as DECIMAL, whose exact
+    # product chain overflows scale 38 across three fields AND diverges
+    # from the driver loop's IEEE arithmetic
+    for i, (_, n_lvl, _) in enumerate(_FS_GRADED_FIELDS):
+        for lvl in range(n_lvl):
+            p0_parts.append(f"CAST({m0[i][lvl]!r} AS DOUBLE) AS m{i}_{lvl}")
+            p0_parts.append(f"CAST({u0[i][lvl]!r} AS DOUBLE) AS u{i}_{lvl}")
+    p0_parts.append("CAST(0.5 AS DOUBLE) AS lam")
+    ctes = [
+        "pat AS (SELECT g_name_lvl, g_seg, g_bucket, count(*) AS n"
+        " FROM graded GROUP BY 1, 2, 3)",
+        f"p0 AS (SELECT {', '.join(p0_parts)})",
+    ]
+
+    def _pick(i: int, kind: str) -> str:
+        col, n_lvl, _ = _FS_GRADED_FIELDS[i]
+        whens = " ".join(
+            f"WHEN {lvl} THEN p.{kind}{i}_{lvl}" for lvl in range(n_lvl - 1)
+        )
+        return f"(CASE g.{col} {whens} ELSE p.{kind}{i}_{n_lvl - 1} END)"
+
+    for k in range(1, iters + 1):
+        num = f"(((p.lam * {_pick(0, 'm')}) * {_pick(1, 'm')}) * {_pick(2, 'm')})"
+        den_b = f"((((1 - p.lam) * {_pick(0, 'u')}) * {_pick(1, 'u')}) * {_pick(2, 'u')})"
+        ctes.append(
+            f"e{k} AS (SELECT g.g_name_lvl, g.g_seg, g.g_bucket, g.n,"
+            f" {num} / ({num} + {den_b}) AS p"
+            f" FROM pat g CROSS JOIN p{k - 1} p)"
+        )
+        pk_parts = []
+        for i, (col, n_lvl, _) in enumerate(_FS_GRADED_FIELDS):
+            for lvl in range(n_lvl):
+                pk_parts.append(
+                    f"round(sum(CASE WHEN {col} = {lvl} THEN n * p ELSE 0 END)"
+                    f" / sum(n * p), 10) AS m{i}_{lvl}"
+                )
+                pk_parts.append(
+                    f"round(sum(CASE WHEN {col} = {lvl} THEN n * (1 - p) ELSE 0 END)"
+                    f" / sum(n * (1 - p)), 10) AS u{i}_{lvl}"
+                )
+        pk_parts.append("round(sum(n * p) / sum(n), 10) AS lam")
+        ctes.append(f"p{k} AS (SELECT {', '.join(pk_parts)} FROM e{k})")
+
+    selects = []
+    for k in range(1, iters + 1):
+        for i, (_, n_lvl, fname) in enumerate(_FS_GRADED_FIELDS):
+            for lvl in range(n_lvl):
+                selects.append(
+                    f"SELECT {k} AS em_iter, '{fname}' AS field, {lvl} AS level,"
+                    f" round(m{i}_{lvl}, 6) AS m, round(u{i}_{lvl}, 6) AS u,"
+                    f" round(lam, 6) AS lam FROM p{k}"
+                )
+    return (
+        f"WITH {_fs_graded_pairs_sql()},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+FS_EM_GRADED_SQL = _fs_em_graded_sql(3)
 
 
 def match_fs_tf_score(spark, sf_dir):
@@ -10245,6 +10366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_blocking_audit": match_fs_blocking_audit,
     "match_fs_graded": match_fs_graded,
     "match_fs_tf_score": match_fs_tf_score,
+    "match_fs_em_graded": match_fs_em_graded,
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_graph_search_topk": embed_graph_search_topk,
@@ -10431,6 +10553,7 @@ ORACLES: dict[str, str] = {
     "match_fs_blocking_audit": FS_BLOCKING_AUDIT_SQL,
     "match_fs_graded": FS_GRADED_SQL,
     "match_fs_tf_score": FS_TF_SQL,
+    "match_fs_em_graded": FS_EM_GRADED_SQL,
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
