@@ -47,11 +47,12 @@ NEWBORNS = [
     "match_fs_blocking_audit",
     "match_fs_tf_score",
     "match_fs_graded",
+    "match_fs_em_graded",
     "pipeline_fs_admission",
 ]
-# graded pays per-pair trigram-set evaluation on the recall rule's
-# quadratic pair mass BY CONTRACT — the minhash-expanded class
-SKIP_AT_X100 = {"match_fs_graded"}
+# graded variants pay per-(joined-row) trigram-set evaluation on the
+# recall rule's quadratic mass BY CONTRACT — the minhash-expanded class
+SKIP_AT_X100 = {"match_fs_graded", "match_fs_em_graded"}
 
 
 def build_customer_replica(spark, n: int, dst: str) -> None:
@@ -85,10 +86,22 @@ def main() -> None:
         if d in dirs and not os.path.exists(f"{d}/customer.parquet"):
             print(f"building {d} (customer x{mult})", flush=True)
             build_customer_replica(spark, mult, d)
+    only = os.environ.get("SPARK_GRAFT_NEWBORN_ONLY")
+    newborns = NEWBORNS
     results: dict[str, dict] = {}
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in NEWBORNS]
+        if unknown:
+            sys.exit(f"unknown newborn names {unknown}; valid: {NEWBORNS}")
+        newborns = names
+        # subset runs MERGE into the existing artifact
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                results = json.load(fh).get("results", {})
     for i, d in enumerate(dirs):
-        results[d] = {}
-        for name in NEWBORNS:
+        results.setdefault(d, {})
+        for name in newborns:
             if name in SKIP_AT_X100 and i >= 2:
                 results[d][name] = "skipped: per-pair trigram on quadratic-by-contract pair mass"
                 continue
