@@ -10127,6 +10127,137 @@ def _fs_blocking_audit_sql() -> str:
 FS_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql()
 
 
+def dedup_fs_entities(spark, sf_dir):
+    """Probabilistic ENTITY RESOLUTION — FS self-linkage (Splink's
+    dedupe mode, completing the link/dedupe pair): the customer file
+    plus a perturbed re-registration slice form one messy table;
+    blocked self-pairs (src < tgt kills self/symmetric duplicates)
+    score under the FS weights, pairs at/above threshold become edges,
+    and connected components collapse them into entities with min-id
+    representatives (dedup_ops.connected_components — size-gated
+    driver union-find at toy scale, pointer jumping at scale). Output:
+    every record with its entity id and member count. The weight
+    threshold folds into the blocking joins exactly as in
+    match_fs_top1, so the recall rule's sub-threshold pair mass dies
+    join-side."""
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bucket"),
+    )
+    dup = cust.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
+        ).otherwise(F.col("c_name")).alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_custkey") % 11 == 0, F.expr(_FS_SEG_ROT))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        (
+            F.floor(F.col("c_acctbal") / 1000)
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("bucket"),
+    )
+    messy = base.unionByName(dup)
+    s = messy.select(
+        F.col("rid").alias("src_id"),
+        F.col("name").alias("s_name"),
+        F.col("nation").alias("s_nation"),
+        F.col("seg").alias("s_seg"),
+        F.col("bucket").alias("s_bucket"),
+    )
+    t = messy.select(
+        F.col("rid").alias("t_id"),
+        F.col("name").alias("t_name"),
+        F.col("nation").alias("t_nation"),
+        F.col("seg").alias("t_seg"),
+        F.col("bucket").alias("t_bucket"),
+    )
+    pairs = linkage.blocked_pairs(
+        s,
+        t,
+        rules=[
+            [("s_name", "t_name"), ("s_nation", "t_nation")],
+            [("s_nation", "t_nation"), ("s_seg", "t_seg"), ("s_bucket", "t_bucket")],
+        ],
+        source_id="src_id",
+        target_pk="t_id",
+        project=[
+            F.col("src_id"),
+            F.col("t_id"),
+            linkage.gamma("s_name", "t_name").alias("g_name"),
+            linkage.gamma("s_seg", "t_seg").alias("g_seg"),
+            linkage.gamma("s_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    ).where(F.col("src_id") < F.col("t_id"))
+    edges = (
+        linkage.fs_score(pairs, _FS_WEIGHTS)
+        .where(F.col("match_weight") >= _FS_THRESHOLD)
+        .select("src_id", "t_id")
+    )
+    comp = dedup_ops.connected_components(edges, "src_id", "t_id")
+    ent = messy.join(comp, messy["rid"] == comp["id"], "left").select(
+        "rid", F.coalesce("component", "rid").alias("entity_id")
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return ent.join(sizes, "entity_id").select(
+        F.col("rid").alias("record_id"), "entity_id", "n_members"
+    )
+
+
+FS_ENTITIES_SQL = f"""
+WITH RECURSIVE messy AS (
+  SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nation,
+         c_mktsegment AS seg, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
+              ELSE c_name END,
+         c_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN CASE c_mktsegment
+              WHEN 'AUTOMOBILE' THEN 'BUILDING' WHEN 'BUILDING' THEN 'FURNITURE'
+              WHEN 'FURNITURE' THEN 'HOUSEHOLD' WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+              ELSE 'AUTOMOBILE' END
+              ELSE c_mktsegment END,
+         CAST(floor(c_acctbal / 1000) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END
+  FROM customer WHERE c_custkey % 3 = 0
+),
+cand AS (
+  SELECT DISTINCT a.rid AS ra, b.rid AS rb,
+         CAST(a.name = b.name AS INTEGER) AS g_name,
+         CAST(a.seg = b.seg AS INTEGER) AS g_seg,
+         CAST(a.bucket = b.bucket AS INTEGER) AS g_bucket
+  FROM messy a JOIN messy b ON a.nation = b.nation
+   AND (a.name = b.name OR (a.seg = b.seg AND a.bucket = b.bucket))
+  WHERE a.rid < b.rid
+),
+fs_edges AS (
+  SELECT ra, rb FROM (SELECT *, {_fs_weight_sql()} AS w FROM cand)
+  WHERE w >= {_FS_THRESHOLD!r}
+),
+edges AS (SELECT ra AS a, rb AS b FROM fs_edges UNION SELECT rb, ra FROM fs_edges),
+walk(id, r) AS (
+  SELECT rid, rid FROM messy
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a
+),
+comp AS (SELECT id, min(r) AS entity_id FROM walk GROUP BY id)
+SELECT c.id AS record_id, c.entity_id, s.n_members
+FROM comp c JOIN (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members FROM comp GROUP BY 1
+) s USING (entity_id)
+"""
+
+
 _FS_ADM_RULES = [
     [("s_name", "t_name"), ("s_nation", "t_nation")],
     [("s_nation", "t_nation"), ("s_seg", "t_seg"), ("s_bucket", "t_bucket")],
@@ -10367,6 +10498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_graded": match_fs_graded,
     "match_fs_tf_score": match_fs_tf_score,
     "match_fs_em_graded": match_fs_em_graded,
+    "dedup_fs_entities": dedup_fs_entities,
     # r13 late newborns: the graph-ANN surface + its cluster consumer
     "embed_knn_graph": embed_knn_graph,
     "embed_graph_search_topk": embed_graph_search_topk,
@@ -10554,6 +10686,7 @@ ORACLES: dict[str, str] = {
     "match_fs_graded": FS_GRADED_SQL,
     "match_fs_tf_score": FS_TF_SQL,
     "match_fs_em_graded": FS_EM_GRADED_SQL,
+    "dedup_fs_entities": FS_ENTITIES_SQL,
     "pipeline_quality_gate": _quality_gate_sql(),
     "sample_temperature_mixture": TEMPERATURE_MIXTURE_SQL,
     "corpus_drift_report": CORPUS_DRIFT_SQL,
