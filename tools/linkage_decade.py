@@ -49,6 +49,7 @@ NEWBORNS = [
     "match_fs_graded",
     "match_fs_em_graded",
     "pipeline_fs_admission",
+    "dedup_fs_entities",
 ]
 # graded variants pay per-(joined-row) trigram-set evaluation on the
 # recall rule's quadratic mass BY CONTRACT — the minhash-expanded class
