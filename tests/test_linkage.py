@@ -169,11 +169,15 @@ def test_graded_catalog_levels_all_live(spark, sf_dir):
 def test_fs_entities_pair_structure(spark, sf_dir):
     """Entity resolution over the messy fixture: a weight >= 4 edge
     requires name agreement, names are unique per entity, so every
-    multi-member entity is exactly {base k, re-registration k + 1e6};
-    name-destroyed re-registrations (custkey % 7 == 0) stay singleton
-    — the disclosed recall loss."""
-    from voter_gateway_spark.queries import QUERIES
+    multi-member entity is exactly {base k, re-registration k + off}
+    where off is the derived synthetic-id band (r15: data-derived, not
+    a fixed 1e6 — see _fs_synth_offset); name-destroyed
+    re-registrations (custkey % 7 == 0) stay singleton — the disclosed
+    recall loss."""
+    from voter_gateway_spark.queries import QUERIES, _fs_synth_offset
+    from voter_gateway_spark.queries import _t
 
+    off = _fs_synth_offset(_t(spark, sf_dir, "customer"))
     rows = QUERIES["dedup_fs_entities"](spark, sf_dir).collect()
     by_entity = {}
     for r in rows:
@@ -182,13 +186,13 @@ def test_fs_entities_pair_structure(spark, sf_dir):
     assert multi, "expected some resolved entities"
     for e, members in multi.items():
         assert len(members) == 2
-        assert members[1] == members[0] + 1_000_000
+        assert members[1] == members[0] + off
         assert e == members[0]          # min-id representative
         assert members[0] % 7 != 0      # destroyed names stay singleton
     # and every destroyed-name re-registration IS singleton
     singles = {m[0] for m in by_entity.values() if len(m) == 1}
     destroyed = [r.record_id for r in rows
-                 if r.record_id >= 1_000_000 and (r.record_id - 1_000_000) % 7 == 0]
+                 if r.record_id >= off and (r.record_id - off) % 7 == 0]
     assert destroyed and all(d in singles for d in destroyed)
 
 

@@ -202,8 +202,22 @@ def blocking_audit(
         t_keys = [F.expr(t).alias(f"_k{i}") for i, (_, t) in enumerate(rule)]
         ks = [f"_k{i}" for i in range(len(rule))]
         s_cnt = source.groupBy(*s_keys).agg(F.count(F.lit(1)).alias("_cs"))
-        t_cnt = target.groupBy(*t_keys).agg(F.count(F.lit(1)).alias("_ct"))
-        blocks = s_cnt.join(t_cnt, on=ks, how="inner").select(
+        t_cnt = (
+            target.groupBy(*t_keys)
+            .agg(F.count(F.lit(1)).alias("_ct"))
+            .select(
+                *[F.col(k).alias(f"_t{k}") for k in ks], "_ct"
+            )
+        )
+        # null-safe key join so the audit counts exactly the pairs
+        # blocked_pairs (eqNullSafe joins) would generate — a plain
+        # name-join would silently drop NULL-key blocks the generator
+        # keeps (r14 ADVICE)
+        cond = None
+        for k in ks:
+            eq = F.col(k).eqNullSafe(F.col(f"_t{k}"))
+            cond = eq if cond is None else cond & eq
+        blocks = s_cnt.join(t_cnt, cond, "inner").select(
             (F.col("_cs") * F.col("_ct")).alias("_bp")
         )
         outs.append(

@@ -9510,22 +9510,26 @@ tgt AS (
 ),
 fs_pairs AS (
   SELECT DISTINCT r.src_id, t.c_custkey,
-         CAST(r.src_name = t.c_name AS INTEGER) AS g_name,
-         CAST(r.src_segment = t.c_mktsegment AS INTEGER) AS g_seg,
-         CAST(r.src_bucket = t.t_bucket AS INTEGER) AS g_bucket
-  FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
-   AND (r.src_name = t.c_name
-        OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
+         CAST(r.src_name IS NOT DISTINCT FROM t.c_name AS INTEGER) AS g_name,
+         CAST(r.src_segment IS NOT DISTINCT FROM t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket IS NOT DISTINCT FROM t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t ON r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
+   AND (r.src_name IS NOT DISTINCT FROM t.c_name
+        OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
+            AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))
 )"""
 
 
 def _fs_weight_sql() -> str:
     """The same IEEE double literals fs_score folds into the Spark
     projection, summed in the same (dict) order with the same left
-    association."""
+    association. Every literal is CAST(... AS DOUBLE): bare repr()
+    floats type as DECIMAL(16,15) in DuckDB, which would sum exact
+    decimals where Spark sums IEEE doubles (r14 ADVICE — the same fix
+    _fs_em_graded_sql's p0 literals already carry)."""
     terms = [
-        f"(CASE WHEN {col} = 1 THEN {w.agree_weight()!r}"
-        f" ELSE {w.disagree_weight()!r} END)"
+        f"(CASE WHEN {col} = 1 THEN CAST({w.agree_weight()!r} AS DOUBLE)"
+        f" ELSE CAST({w.disagree_weight()!r} AS DOUBLE) END)"
         for col, w in _FS_WEIGHTS.items()
     ]
     return "(" + " + ".join(terms) + ")"
@@ -9535,7 +9539,7 @@ FS_SCORE_SQL = f"""
 WITH {_FS_PAIRS_SQL},
 scored AS (SELECT *, {_fs_weight_sql()} AS w FROM fs_pairs)
 SELECT src_id, c_custkey AS target_custkey, g_name, g_seg, g_bucket,
-       round(w, 6) AS match_weight, w >= {_FS_THRESHOLD!r} AS is_match
+       round(w, 6) AS match_weight, w >= CAST({_FS_THRESHOLD!r} AS DOUBLE) AS is_match
 FROM scored
 """
 
@@ -9545,7 +9549,7 @@ scored AS (SELECT *, {_fs_weight_sql()} AS w FROM fs_pairs)
 SELECT src_id, c_custkey AS matched_custkey, round(w, 6) AS match_weight
 FROM (
   SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY w DESC, c_custkey) AS rn
-  FROM scored WHERE w >= {_FS_THRESHOLD!r}
+  FROM scored WHERE w >= CAST({_FS_THRESHOLD!r} AS DOUBLE)
 ) WHERE rn = 1
 """
 
@@ -9778,33 +9782,36 @@ tgt AS (
     return f"""{graded_roll},
 graded AS MATERIALIZED (
   SELECT DISTINCT r.src_id, t.c_custkey,
-         CASE WHEN r.src_name = t.c_name THEN 2
+         CASE WHEN r.src_name IS NOT DISTINCT FROM t.c_name THEN 2
               WHEN {sim} >= 0.7 THEN 1 ELSE 0 END AS g_name_lvl,
-         CAST(r.src_segment = t.c_mktsegment AS INTEGER) AS g_seg,
-         CAST(r.src_bucket = t.t_bucket AS INTEGER) AS g_bucket
-  FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
-   AND (r.src_name = t.c_name
-        OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
+         CAST(r.src_segment IS NOT DISTINCT FROM t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket IS NOT DISTINCT FROM t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t ON r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
+   AND (r.src_name IS NOT DISTINCT FROM t.c_name
+        OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
+            AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))
 )"""
 
 
 def _fs_graded_sql() -> str:
     gw = _FS_NAME_GRADED
     seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+    # CAST every literal to DOUBLE — bare repr() floats type as exact
+    # DECIMALs in DuckDB (r14 ADVICE; see _fs_weight_sql)
     weight = (
-        f"(CASE WHEN g_name_lvl = 2 THEN {gw.level_weight(2)!r}"
-        f" WHEN g_name_lvl = 1 THEN {gw.level_weight(1)!r}"
-        f" ELSE {gw.level_weight(0)!r} END)"
-        f" + (CASE WHEN g_seg = 1 THEN {seg.agree_weight()!r}"
-        f" ELSE {seg.disagree_weight()!r} END)"
-        f" + (CASE WHEN g_bucket = 1 THEN {bucket.agree_weight()!r}"
-        f" ELSE {bucket.disagree_weight()!r} END)"
+        f"(CASE WHEN g_name_lvl = 2 THEN CAST({gw.level_weight(2)!r} AS DOUBLE)"
+        f" WHEN g_name_lvl = 1 THEN CAST({gw.level_weight(1)!r} AS DOUBLE)"
+        f" ELSE CAST({gw.level_weight(0)!r} AS DOUBLE) END)"
+        f" + (CASE WHEN g_seg = 1 THEN CAST({seg.agree_weight()!r} AS DOUBLE)"
+        f" ELSE CAST({seg.disagree_weight()!r} AS DOUBLE) END)"
+        f" + (CASE WHEN g_bucket = 1 THEN CAST({bucket.agree_weight()!r} AS DOUBLE)"
+        f" ELSE CAST({bucket.disagree_weight()!r} AS DOUBLE) END)"
     )
     return f"""
 WITH {_fs_graded_pairs_sql()},
 scored AS (SELECT *, ({weight}) AS w FROM graded)
 SELECT src_id, c_custkey AS target_custkey, g_name_lvl, g_seg, g_bucket,
-       round(w, 6) AS match_weight, w >= {_FS_THRESHOLD!r} AS is_match
+       round(w, 6) AS match_weight, w >= CAST({_FS_THRESHOLD!r} AS DOUBLE) AS is_match
 FROM scored
 """
 
@@ -9961,13 +9968,16 @@ def match_fs_tf_score(spark, sf_dir):
     seg_freq = tgt.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("_sf"))
     seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
     name_w = _FS_WEIGHTS["g_name"]
+    # m-probabilities come from _FS_WEIGHTS (not re-hardcoded) so an
+    # edit to the shared priors can't desynchronize the TF query from
+    # the rest of the family (r14 ADVICE)
     name_term = F.when(
         F.col("g_name") == 1,
-        F.round(F.log2(F.lit(0.95) * F.lit(float(n_t)) / F.col("_nf")), 8),
+        F.round(F.log2(F.lit(name_w.m) * F.lit(float(n_t)) / F.col("_nf")), 8),
     ).otherwise(F.lit(round(name_w.disagree_weight(), 8)))
     seg_term = F.when(
         F.col("g_seg") == 1,
-        F.round(F.log2(F.lit(0.85) * F.lit(float(n_t)) / F.col("_sf")), 8),
+        F.round(F.log2(F.lit(seg.m) * F.lit(float(n_t)) / F.col("_sf")), 8),
     ).otherwise(F.lit(round(seg.disagree_weight(), 8)))
     bucket_term = F.when(
         F.col("g_bucket") == 1, F.lit(bucket.agree_weight())
@@ -9990,27 +10000,32 @@ def match_fs_tf_score(spark, sf_dir):
 def _fs_tf_sql() -> str:
     seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
     name_w = _FS_WEIGHTS["g_name"]
+    # m-probs referenced from _FS_WEIGHTS and every literal CAST to
+    # DOUBLE (r14 ADVICE: no re-hardcoded priors, no DECIMAL typing)
     weight = (
         f"(CASE WHEN p.g_name = 1"
-        f" THEN round(log2(0.95 * CAST((SELECT count(*) FROM tgt) AS DOUBLE) / q._nf), 8)"
-        f" ELSE {round(name_w.disagree_weight(), 8)!r} END)"
+        f" THEN round(log2(CAST({name_w.m!r} AS DOUBLE)"
+        f" * CAST((SELECT count(*) FROM tgt) AS DOUBLE) / q._nf), 8)"
+        f" ELSE CAST({round(name_w.disagree_weight(), 8)!r} AS DOUBLE) END)"
         f" + (CASE WHEN p.g_seg = 1"
-        f" THEN round(log2(0.85 * CAST((SELECT count(*) FROM tgt) AS DOUBLE) / sq._sf), 8)"
-        f" ELSE {round(seg.disagree_weight(), 8)!r} END)"
-        f" + (CASE WHEN p.g_bucket = 1 THEN {bucket.agree_weight()!r}"
-        f" ELSE {bucket.disagree_weight()!r} END)"
+        f" THEN round(log2(CAST({seg.m!r} AS DOUBLE)"
+        f" * CAST((SELECT count(*) FROM tgt) AS DOUBLE) / sq._sf), 8)"
+        f" ELSE CAST({round(seg.disagree_weight(), 8)!r} AS DOUBLE) END)"
+        f" + (CASE WHEN p.g_bucket = 1 THEN CAST({bucket.agree_weight()!r} AS DOUBLE)"
+        f" ELSE CAST({bucket.disagree_weight()!r} AS DOUBLE) END)"
     )
     roll_tgt = _FS_PAIRS_SQL.rsplit(",\nfs_pairs AS", 1)[0]
     return f"""
 WITH {roll_tgt},
 tf_pairs AS (
   SELECT DISTINCT r.src_id, t.c_custkey, t.c_name, t.c_mktsegment,
-         CAST(r.src_name = t.c_name AS INTEGER) AS g_name,
-         CAST(r.src_segment = t.c_mktsegment AS INTEGER) AS g_seg,
-         CAST(r.src_bucket = t.t_bucket AS INTEGER) AS g_bucket
-  FROM roll r JOIN tgt t ON r.src_nationkey = t.c_nationkey
-   AND (r.src_name = t.c_name
-        OR (r.src_segment = t.c_mktsegment AND r.src_bucket = t.t_bucket))
+         CAST(r.src_name IS NOT DISTINCT FROM t.c_name AS INTEGER) AS g_name,
+         CAST(r.src_segment IS NOT DISTINCT FROM t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket IS NOT DISTINCT FROM t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t ON r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
+   AND (r.src_name IS NOT DISTINCT FROM t.c_name
+        OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
+            AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))
 ),
 nfreq AS (SELECT c_name, CAST(count(*) AS BIGINT) AS _nf FROM tgt GROUP BY 1),
 sfreq AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS _sf FROM tgt GROUP BY 1),
@@ -10099,12 +10114,17 @@ def _fs_blocking_audit_sql() -> str:
     for idx, rule in rules:
         s_keys = ", ".join(f"{s} AS k{i}" for i, (s, _) in enumerate(rule))
         t_keys = ", ".join(f"{t} AS k{i}" for i, (_, t) in enumerate(rule))
-        using = ", ".join(f"k{i}" for i in range(len(rule)))
+        # null-safe key join mirrors the Spark audit's eqNullSafe join
+        # (which itself mirrors blocked_pairs) — USING would drop
+        # NULL-key blocks (r14 ADVICE)
+        using = " AND ".join(
+            f"s.k{i} IS NOT DISTINCT FROM t.k{i}" for i in range(len(rule))
+        )
         label = " AND ".join(f"{s} = {t}" for s, t in rule)
         ctes.append(
             f"r{idx}s AS (SELECT {s_keys}, count(*) AS cs FROM roll GROUP BY ALL),\n"
             f"r{idx}t AS (SELECT {t_keys}, count(*) AS ct FROM tgt GROUP BY ALL),\n"
-            f"r{idx}b AS (SELECT cs * ct AS bp FROM r{idx}s JOIN r{idx}t USING ({using}))"
+            f"r{idx}b AS (SELECT cs * ct AS bp FROM r{idx}s s JOIN r{idx}t t ON {using})"
         )
         selects.append(
             f"SELECT {idx} AS rule, '{label}' AS rule_keys,"
@@ -10127,6 +10147,28 @@ def _fs_blocking_audit_sql() -> str:
 FS_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql()
 
 
+def _fs_synth_offset(cust) -> int:
+    """Synthetic-id band width for fabricated re-registrations: the
+    smallest power of 10 strictly above max(c_custkey), floored at
+    10^7. A FIXED +1e6 offset collides with real keys once the input
+    outgrows it — the x100 decade replica reaches c_custkey ~1.5M, so
+    ~167k fabricated ids would conflate with real entities (r14
+    ADVICE, medium). Deriving from the data keeps the id bands
+    disjoint at ANY replica scale. Driver-bounded 1-row agg; the SQL
+    oracles derive the identical value via _FS_SYNTH_OFF_SQL."""
+    key_max = cust.agg(F.max("c_custkey")).collect()[0][0] or 0
+    return 10 ** max(7, len(str(int(key_max))))
+
+
+# the same derivation as a DuckDB scalar CTE (power() returns DOUBLE;
+# exact for all offsets below 2^53)
+_FS_SYNTH_OFF_SQL = """soff AS (
+  SELECT CAST(power(10, greatest(7,
+           length(CAST(max(c_custkey) AS VARCHAR)))) AS BIGINT) AS o
+  FROM customer
+)"""
+
+
 def dedup_fs_entities(spark, sf_dir):
     """Probabilistic ENTITY RESOLUTION — FS self-linkage (Splink's
     dedupe mode, completing the link/dedupe pair): the customer file
@@ -10141,6 +10183,7 @@ def dedup_fs_entities(spark, sf_dir):
     match_fs_top1, so the recall rule's sub-threshold pair mass dies
     join-side."""
     cust = _t(spark, sf_dir, "customer")
+    off = _fs_synth_offset(cust)
     base = cust.select(
         F.col("c_custkey").alias("rid"),
         F.col("c_name").alias("name"),
@@ -10149,7 +10192,7 @@ def dedup_fs_entities(spark, sf_dir):
         F.floor(F.col("c_acctbal") / 1000).alias("bucket"),
     )
     dup = cust.where(F.col("c_custkey") % 3 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("rid"),
+        (F.col("c_custkey") + F.lit(off)).alias("rid"),
         F.when(
             F.col("c_custkey") % 7 == 0,
             F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
@@ -10212,12 +10255,13 @@ def dedup_fs_entities(spark, sf_dir):
 
 
 FS_ENTITIES_SQL = f"""
-WITH RECURSIVE messy AS (
+WITH RECURSIVE {_FS_SYNTH_OFF_SQL},
+messy AS (
   SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nation,
          c_mktsegment AS seg, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket
   FROM customer
   UNION ALL
-  SELECT c_custkey + 1000000,
+  SELECT c_custkey + (SELECT o FROM soff),
          CASE WHEN c_custkey % 7 = 0
               THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
               ELSE c_name END,
@@ -10233,16 +10277,18 @@ WITH RECURSIVE messy AS (
 ),
 cand AS (
   SELECT DISTINCT a.rid AS ra, b.rid AS rb,
-         CAST(a.name = b.name AS INTEGER) AS g_name,
-         CAST(a.seg = b.seg AS INTEGER) AS g_seg,
-         CAST(a.bucket = b.bucket AS INTEGER) AS g_bucket
-  FROM messy a JOIN messy b ON a.nation = b.nation
-   AND (a.name = b.name OR (a.seg = b.seg AND a.bucket = b.bucket))
+         CAST(a.name IS NOT DISTINCT FROM b.name AS INTEGER) AS g_name,
+         CAST(a.seg IS NOT DISTINCT FROM b.seg AS INTEGER) AS g_seg,
+         CAST(a.bucket IS NOT DISTINCT FROM b.bucket AS INTEGER) AS g_bucket
+  FROM messy a JOIN messy b ON a.nation IS NOT DISTINCT FROM b.nation
+   AND (a.name IS NOT DISTINCT FROM b.name
+        OR (a.seg IS NOT DISTINCT FROM b.seg
+            AND a.bucket IS NOT DISTINCT FROM b.bucket))
   WHERE a.rid < b.rid
 ),
 fs_edges AS (
   SELECT ra, rb FROM (SELECT *, {_fs_weight_sql()} AS w FROM cand)
-  WHERE w >= {_FS_THRESHOLD!r}
+  WHERE w >= CAST({_FS_THRESHOLD!r} AS DOUBLE)
 ),
 edges AS (SELECT ra AS a, rb AS b FROM fs_edges UNION SELECT rb, ra FROM fs_edges),
 walk(id, r) AS (
@@ -10289,9 +10335,9 @@ def _fs_adm_prep_tgt(df):
     )
 
 
-def _fs_adm_batch1(cust):
+def _fs_adm_batch1(cust, off):
     return cust.where(F.col("c_custkey") % 3 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (F.col("c_custkey") + F.lit(off)).alias("c_custkey"),
         F.when(
             F.col("c_custkey") % 7 == 0,
             F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
@@ -10303,9 +10349,9 @@ def _fs_adm_batch1(cust):
     )
 
 
-def _fs_adm_batch2(cust):
+def _fs_adm_batch2(cust, off):
     part_a = cust.where(F.col("c_custkey") % 3 == 1).select(
-        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        (F.col("c_custkey") + F.lit(2 * off)).alias("c_custkey"),
         F.when(
             F.col("c_custkey") % 7 == 0,
             F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")),
@@ -10319,7 +10365,7 @@ def _fs_adm_batch2(cust):
     # INSERTED ('Customer#UNKNOWN<k>' names) — the read-your-own-writes
     # proof the streaming fold depends on.
     part_b = cust.where(F.col("c_custkey") % 21 == 0).select(
-        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        (F.col("c_custkey") + F.lit(3 * off)).alias("c_custkey"),
         F.concat(F.lit("Customer#UNKNOWN"), F.col("c_custkey").cast("string")).alias("c_name"),
         "c_nationkey",
         "c_mktsegment",
@@ -10340,8 +10386,9 @@ def pipeline_fs_admission(spark, sf_dir):
     cross-engine. Oracle: both rounds unrolled (blocking OR-join,
     weight window, per-target min-source pick, update/insert union)."""
     cust = _t(spark, sf_dir, "customer")
+    off = _fs_synth_offset(cust)
     reg = cust
-    for batch in [_fs_adm_batch1(cust), _fs_adm_batch2(cust)]:
+    for batch in [_fs_adm_batch1(cust, off), _fs_adm_batch2(cust, off)]:
         matches = linkage.fs_matches(
             batch,
             reg,
@@ -10380,18 +10427,20 @@ prep_s_{out} AS (
 ),
 pairs_{out} AS (
   SELECT DISTINCT s.sid, t.c_custkey AS tid,
-         CAST(s.s_name = t.t_name AS INTEGER) AS g_name,
-         CAST(s.s_seg = t.t_seg AS INTEGER) AS g_seg,
-         CAST(s.s_bucket = t.t_bucket AS INTEGER) AS g_bucket
-  FROM prep_s_{out} s JOIN prep_t_{out} t ON s.s_nation = t.t_nation
-   AND (s.s_name = t.t_name OR (s.s_seg = t.t_seg AND s.s_bucket = t.t_bucket))
+         CAST(s.s_name IS NOT DISTINCT FROM t.t_name AS INTEGER) AS g_name,
+         CAST(s.s_seg IS NOT DISTINCT FROM t.t_seg AS INTEGER) AS g_seg,
+         CAST(s.s_bucket IS NOT DISTINCT FROM t.t_bucket AS INTEGER) AS g_bucket
+  FROM prep_s_{out} s JOIN prep_t_{out} t ON s.s_nation IS NOT DISTINCT FROM t.t_nation
+   AND (s.s_name IS NOT DISTINCT FROM t.t_name
+        OR (s.s_seg IS NOT DISTINCT FROM t.t_seg
+            AND s.s_bucket IS NOT DISTINCT FROM t.t_bucket))
 ),
 top_{out} AS (
   SELECT sid, tid FROM (
     SELECT sid, tid,
            row_number() OVER (PARTITION BY sid ORDER BY w DESC, tid) AS rn
     FROM (SELECT *, {_fs_weight_sql()} AS w FROM pairs_{out})
-    WHERE w >= {_FS_THRESHOLD!r}
+    WHERE w >= CAST({_FS_THRESHOLD!r} AS DOUBLE)
   ) WHERE rn = 1
 ),
 upd_{out} AS (
@@ -10421,8 +10470,9 @@ _FS_SEG_ROT_SQL = """CASE c_mktsegment
               ELSE 'AUTOMOBILE' END"""
 
 FS_ADMISSION_SQL = f"""
-WITH b1 AS (
-  SELECT c_custkey + 1000000 AS c_custkey,
+WITH {_FS_SYNTH_OFF_SQL},
+b1 AS (
+  SELECT c_custkey + (SELECT o FROM soff) AS c_custkey,
          CASE WHEN c_custkey % 7 = 0
               THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
               ELSE c_name END AS c_name,
@@ -10433,7 +10483,7 @@ WITH b1 AS (
   FROM customer WHERE c_custkey % 3 = 0
 ),
 b2 AS (
-  SELECT c_custkey + 2000000 AS c_custkey,
+  SELECT c_custkey + 2 * (SELECT o FROM soff) AS c_custkey,
          CASE WHEN c_custkey % 7 = 0
               THEN 'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR)
               ELSE c_name END AS c_name,
@@ -10443,7 +10493,7 @@ b2 AS (
          c_acctbal + 17.0 AS c_acctbal
   FROM customer WHERE c_custkey % 3 = 1
   UNION ALL
-  SELECT c_custkey + 3000000 AS c_custkey,
+  SELECT c_custkey + 3 * (SELECT o FROM soff) AS c_custkey,
          'Customer#UNKNOWN' || CAST(c_custkey AS VARCHAR) AS c_name,
          c_nationkey, c_mktsegment,
          c_acctbal + 23.0 AS c_acctbal
