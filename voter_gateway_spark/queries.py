@@ -1669,8 +1669,13 @@ def embed_graph_search_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     g = similarity.knn_graph(emb, k=4, n_centroids=None, rounds=2, iters=0)
     qs = emb.where(F.col("vec_id") % 10 == 0)
+    # check_degree=False: this row DELIBERATELY searches k=5 over the
+    # standard k=4 catalog graph — the under-built case the recall
+    # report grades (embed_recall_report's graph row); the oracle pins
+    # the k=4 graph, so auto-sizing would change the contract. Sized
+    # builds go through similarity.knn_graph_for_search.
     return similarity.knn_graph_search(
-        qs, emb, g, k=5, beam=8, hops=2
+        qs, emb, g, k=5, beam=8, hops=2, check_degree=False
     )
 
 
@@ -2035,6 +2040,9 @@ def _ivfpq_sql(
     sub: int = 8,
     n_centroids: int = 16,
     n_probe: int = 4,
+    c_cte: str | None = None,
+    prefix: str | None = None,
+    auto_centroids: bool = False,
 ) -> str:
     """Mirror of ivfpq_topk(coarse_iters=0, pq_iters=1,
     centroid_round=9): md5-ordered seeds feed both quantizers, each
@@ -2054,10 +2062,18 @@ def _ivfpq_sql(
     )
     d_cb0 = l2.format(a="s.sv", b="b.cw")
     d_q = l2.format(a="qs.sv", b="b.cw")
+    if c_cte is None:
+        c_cte = "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    pre = f"{prefix},\n" if prefix else ""
+    limit_sql = (
+        "(SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM c)"
+        if auto_centroids
+        else str(n_centroids)
+    )
     return f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH {pre}{c_cte},
 seeds AS (
-  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {n_centroids}
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {limit_sql}
 ),
 cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
 assign AS (
@@ -3901,6 +3917,46 @@ FROM (
   FROM cand
 ) WHERE rn <= 3
 """
+
+
+def docs_ann_ivfpq_topk(spark, sf_dir):
+    """Text → vector → IVF-PQ, the COMPRESSED scale capstone (r14
+    VERDICT ask #7): docs_ann_ivf_topk proves hashed_embedding → IVF;
+    this runs the same featurized corpus through the PQ-coded form —
+    the shape a 100 TB corpus actually ships, where the index stores
+    m=8 uint8 codes per chunk (32× smaller than the 16 doubles) and
+    candidates rank by asymmetric distance (per-query LUT, m lookups
+    per candidate). Same auto-√N fixed-seed coarse quantizer and
+    4-probe front half as the IVF capstone; PQ codebook = 16 codewords
+    per 2-dim subspace, ONE snapped Lloyd round (centroid_round=9).
+    Zero-norm vectors filtered both sides, queries = doc_id % 10, k=3.
+    Oracle: featurize CTEs + the full PQ trajectory (seeds, unrolled
+    Lloyd round, encode, LUT, ADC) composed via _ivfpq_sql."""
+    docs = widen(_t(spark, sf_dir, "documents"))
+    emb = docs.select(
+        "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
+    )
+    nz = ckpt(
+        emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    )
+    qs = nz.where(F.col("doc_id") % 10 == 0)
+    return similarity.ivfpq_topk(
+        qs, nz, k=3, m=8, ks=16, pq_iters=1,
+        n_centroids=None, n_probe=4, coarse_iters=0, centroid_round=9,
+        id_col="doc_id", vec_col="embedding",
+    )
+
+
+# featurized corpus referenced by seeds/assign/q/subs/pq_seeds —
+# MATERIALIZED or DuckDB re-inlines the featurize chain per reference
+DOCS_ANN_IVFPQ_TOPK_SQL = _ivfpq_sql(
+    k=3, m=8, ks=16, sub=2, n_probe=4, auto_centroids=True,
+    prefix=_hash_emb_ctes(),
+    c_cte="""c AS MATERIALIZED (
+  SELECT doc_id AS vec_id, v FROM emb
+  WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+)""",
+)
 
 
 _CHUNK_INDEX_CACHE: dict[str, str] = {}
@@ -6396,9 +6452,14 @@ def pipeline_daily_ingest(spark, sf_dir):
     cols = ["doc_id", "text", "lang"]
     docs = _t(spark, sf_dir, "documents").select(*cols)
     mh = dict(k=3, n_hashes=16, bands=4, threshold=0.1)
-    state_docs = ckpt(docs.where(F.col("doc_id") < DAILY_INGEST_GENESIS_MAX))
+    # genesis state: lineage truncation is all that's needed — lazy
+    # checkpoints materialize inside the first consuming job instead of
+    # paying a separate eager barrier each (r14 VERDICT ask #4; the
+    # END-of-day checkpoints below stay eager because they ARE the
+    # day->day state handoff)
+    state_docs = ckpt_lazy(docs.where(F.col("doc_id") < DAILY_INGEST_GENESIS_MAX))
     cpairs = dedup_ops.minhash_lsh_pairs(state_docs, "doc_id", "text", **mh)
-    state_map = ckpt(
+    state_map = ckpt_lazy(
         state_docs.select("doc_id")
         .join(
             dedup_ops.connected_components(cpairs).withColumnRenamed(
@@ -6420,7 +6481,7 @@ def pipeline_daily_ingest(spark, sf_dir):
         docs.where(F.col("doc_id") >= DAILY_INGEST_DAY1_MAX),
     ]
     for batch in batches:
-        admitted = ckpt(
+        admitted = ckpt_lazy(
             dedup_ops.bloom_admission(state_docs, batch, "doc_id", "text")
         )
         # expand_corpus=False: see dedup_incremental_components
@@ -9313,6 +9374,23 @@ _FS_GAMMA_EXPRS = {
     "g_bucket": ("src_bucket", "t_bucket"),
 }
 
+# POPULATION-SCALED blocking (r14 VERDICT ask #2): the recall rule
+# above blocks on (nation, segment, bucket) — ~1375 blocks whose count
+# is FIXED, so its pair mass is quadratic per decade by contract. Real
+# linkage deployments block on a key whose cardinality GROWS with the
+# population (zip, surname prefix); the analogue on the synthetic name
+# column is the name minus its final character — the graded roll's
+# typo model damages exactly that character, so every typo'd
+# re-registration still shares its entity's block, while block count
+# scales ~N/10 and block size stays O(1). Pair mass under this scheme
+# is LINEAR in N (proven pair-free by match_fs_scaled_blocking_audit).
+_FS_NAME_PREFIX_S = "substr(src_name, 1, length(src_name) - 1)"
+_FS_NAME_PREFIX_T = "substr(c_name, 1, length(c_name) - 1)"
+_FS_RULES_SCALED = [
+    [("src_name", "c_name"), ("src_nationkey", "c_nationkey")],
+    [(_FS_NAME_PREFIX_S, _FS_NAME_PREFIX_T), ("src_nationkey", "c_nationkey")],
+]
+
 _FS_WEIGHTS = {
     "g_name": linkage.FieldWeights(m=0.95, u=0.001),
     "g_seg": linkage.FieldWeights(m=0.85, u=0.2),
@@ -9693,19 +9771,21 @@ def match_fs_graded(spark, sf_dir):
     names, whose shared-prefix sim ≈ 0.55 sits below the threshold);
     per-level (m, u) weights are driver-computed literals in the same
     codegen CASE chain as the binary fields. The trigram sets are the
-    fuzzy family's exact pg_trgm model, computed in-row per candidate
-    pair (disclosed: the graded variant pays trigram evaluation on the
-    recall rule's quadratic pair mass)."""
+    fuzzy family's exact pg_trgm model, STAGED once per record before
+    the blocking joins (_fs_graded_sides) so the per-pair cost over
+    the recall rule's quadratic-by-contract mass is one
+    array_intersect, not a set build (r15; x10 A/B in SCALING.md)."""
+    roll, tgt = _fs_graded_sides(spark, sf_dir)
     pairs = linkage.blocked_pairs(
-        _fs_graded_roll(spark, sf_dir),
-        _fs_target(spark, sf_dir),
+        roll,
+        tgt,
         rules=_FS_RULES,
         source_id="src_id",
         target_pk="c_custkey",
         project=[
             F.col("src_id"),
             F.col("c_custkey"),
-            _fs_graded_lvl().alias("g_name_lvl"),
+            _fs_graded_lvl_staged().alias("g_name_lvl"),
             linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
             linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
         ],
@@ -9729,12 +9809,103 @@ def match_fs_graded(spark, sf_dir):
     )
 
 
+def match_fs_graded_top1(spark, sf_dir):
+    """Graded top-1 assignment — the production form of the graded
+    scheme (r14 VERDICT ask #1: the staged gamma pass shared by
+    score/EM must also feed an assignment). Per-source best target at
+    or above threshold with the fs_top1 tie-break. Scale shape: the
+    threshold predicate references the staged trigram arrays, so it
+    cannot fold into the equi-join keys the way the binary top-1's
+    does — but it EVALUATES inside the join stage as a post-join
+    filter, so sub-threshold recall-rule mass still dies before any
+    exchange and the window shuffle stays match-sized. Under FS
+    arithmetic a level-0 name can never reach the 4.0 threshold
+    (−4.17 + max rest 5.24 < 4), so survivors are exact or
+    typo-graded names only."""
+    roll, tgt = _fs_graded_sides(spark, sf_dir)
+    pairs = linkage.blocked_pairs(
+        roll,
+        tgt,
+        rules=_FS_RULES,
+        source_id="src_id",
+        target_pk="c_custkey",
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            _fs_graded_lvl_staged().alias("g_name_lvl"),
+            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
+            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    )
+    scored = linkage.fs_score(
+        pairs,
+        {
+            "g_name_lvl": _FS_NAME_GRADED,
+            "g_seg": _FS_WEIGHTS["g_seg"],
+            "g_bucket": _FS_WEIGHTS["g_bucket"],
+        },
+    )
+    top = linkage.fs_top1(scored, "src_id", "c_custkey", _FS_THRESHOLD)
+    return top.select(
+        "src_id",
+        F.col("c_custkey").alias("matched_custkey"),
+        "g_name_lvl",
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
 def _fs_graded_lvl():
-    """3-level name gamma: 2 exact, 1 trigram sim ≥ 0.7, 0 otherwise."""
+    """3-level name gamma: 2 exact, 1 trigram sim ≥ 0.7, 0 otherwise.
+
+    UNSTAGED form (builds both trigram sets in-row per candidate pair)
+    — kept as the semantic definition; the catalog queries use
+    _fs_graded_lvl_staged over _fs_graded_sides, which evaluates the
+    identical CASE against trigram arrays computed once per RECORD."""
     return (
         F.when(F.col("src_name") == F.col("c_name"), F.lit(2))
         .when(
             fuzzy.trigram_similarity(F.col("src_name"), F.col("c_name"))
+            >= 0.7,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def _fs_graded_sides(spark, sf_dir):
+    """Graded roll/target with the name's pg_trgm set STAGED as a
+    per-record array column before any join (r14 VERDICT ask #1).
+
+    The unstaged graded gamma rebuilt both trigram sets per JOINED
+    candidate row — and because Catalyst does not common-subexpression
+    higher-order-function subtrees, the set build ran up to twice per
+    side per pair (once in the similarity's intersect, once in its
+    size). Over the recall rule's quadratic-by-contract pair mass that
+    was the whole x10 43.7 s bill. Staging moves the O(len(name))
+    shingle/dedup work to the scan projection (N rows), leaving the
+    per-pair cost at one array_intersect of two ~15-element arrays —
+    the same featurize-once lesson as r14's hashed_embedding hot-path
+    fix. Identical semantics: trigram sets are a pure function of the
+    name, so every downstream gamma/score/EM result is bit-identical
+    and the DuckDB oracles are unchanged."""
+    roll = _fs_graded_roll(spark, sf_dir).withColumn(
+        "_s_trgms", fuzzy.trigrams(F.col("src_name"))
+    )
+    tgt = _fs_target(spark, sf_dir).withColumn(
+        "_t_trgms", fuzzy.trigrams(F.col("c_name"))
+    )
+    return roll, tgt
+
+
+def _fs_graded_lvl_staged():
+    """_fs_graded_lvl against the staged per-record trigram arrays."""
+    return (
+        F.when(F.col("src_name") == F.col("c_name"), F.lit(2))
+        .when(
+            fuzzy.trigram_set_similarity(
+                F.col("_s_trgms"), F.col("_t_trgms")
+            )
             >= 0.7,
             F.lit(1),
         )
@@ -9751,15 +9922,7 @@ def _trgm_sql(expr: str) -> str:
 )))"""
 
 
-def _fs_graded_pairs_sql() -> str:
-    """roll/tgt/graded CTE prefix shared by the graded score and
-    graded EM oracles."""
-    sim = (
-        f"len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})) * 1.0"
-        f" / (len({_trgm_sql('r.src_name')}) + len({_trgm_sql('t.c_name')})"
-        f" - len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})))"
-    )
-    graded_roll = """roll AS (
+_FS_GRADED_ROLL_TGT_SQL = """roll AS (
   SELECT c_custkey AS src_id,
          CASE WHEN c_custkey % 13 = 0 THEN 'ZZZ' || CAST(c_custkey AS VARCHAR)
               WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
@@ -9779,26 +9942,45 @@ tgt AS (
          CAST(floor(c_acctbal / 1000) AS BIGINT) AS t_bucket
   FROM customer
 )"""
-    return f"""{graded_roll},
+
+# the scaled blocking join (mirrors _FS_RULES_SCALED, null-safe)
+_FS_SCALED_JOIN_SQL = """r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
+   AND (r.src_name IS NOT DISTINCT FROM t.c_name
+        OR substr(r.src_name, 1, length(r.src_name) - 1)
+           IS NOT DISTINCT FROM substr(t.c_name, 1, length(t.c_name) - 1))"""
+
+
+def _fs_graded_pairs_sql(join_sql: str | None = None) -> str:
+    """roll/tgt/graded CTE prefix shared by the graded score, graded
+    EM, graded top-1 and scaled-blocking oracles. `join_sql` overrides
+    the blocking join (default: the fixed-block recall scheme)."""
+    sim = (
+        f"len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})) * 1.0"
+        f" / (len({_trgm_sql('r.src_name')}) + len({_trgm_sql('t.c_name')})"
+        f" - len(list_intersect({_trgm_sql('r.src_name')}, {_trgm_sql('t.c_name')})))"
+    )
+    if join_sql is None:
+        join_sql = """r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
+   AND (r.src_name IS NOT DISTINCT FROM t.c_name
+        OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
+            AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))"""
+    return f"""{_FS_GRADED_ROLL_TGT_SQL},
 graded AS MATERIALIZED (
   SELECT DISTINCT r.src_id, t.c_custkey,
          CASE WHEN r.src_name IS NOT DISTINCT FROM t.c_name THEN 2
               WHEN {sim} >= 0.7 THEN 1 ELSE 0 END AS g_name_lvl,
          CAST(r.src_segment IS NOT DISTINCT FROM t.c_mktsegment AS INTEGER) AS g_seg,
          CAST(r.src_bucket IS NOT DISTINCT FROM t.t_bucket AS INTEGER) AS g_bucket
-  FROM roll r JOIN tgt t ON r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
-   AND (r.src_name IS NOT DISTINCT FROM t.c_name
-        OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
-            AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))
+  FROM roll r JOIN tgt t ON {join_sql}
 )"""
 
 
-def _fs_graded_sql() -> str:
+def _fs_graded_weight_sql() -> str:
     gw = _FS_NAME_GRADED
     seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
     # CAST every literal to DOUBLE — bare repr() floats type as exact
     # DECIMALs in DuckDB (r14 ADVICE; see _fs_weight_sql)
-    weight = (
+    return (
         f"(CASE WHEN g_name_lvl = 2 THEN CAST({gw.level_weight(2)!r} AS DOUBLE)"
         f" WHEN g_name_lvl = 1 THEN CAST({gw.level_weight(1)!r} AS DOUBLE)"
         f" ELSE CAST({gw.level_weight(0)!r} AS DOUBLE) END)"
@@ -9807,9 +9989,12 @@ def _fs_graded_sql() -> str:
         f" + (CASE WHEN g_bucket = 1 THEN CAST({bucket.agree_weight()!r} AS DOUBLE)"
         f" ELSE CAST({bucket.disagree_weight()!r} AS DOUBLE) END)"
     )
+
+
+def _fs_graded_sql() -> str:
     return f"""
 WITH {_fs_graded_pairs_sql()},
-scored AS (SELECT *, ({weight}) AS w FROM graded)
+scored AS (SELECT *, ({_fs_graded_weight_sql()}) AS w FROM graded)
 SELECT src_id, c_custkey AS target_custkey, g_name_lvl, g_seg, g_bucket,
        round(w, 6) AS match_weight, w >= CAST({_FS_THRESHOLD!r} AS DOUBLE) AS is_match
 FROM scored
@@ -9817,6 +10002,91 @@ FROM scored
 
 
 FS_GRADED_SQL = _fs_graded_sql()
+
+FS_GRADED_TOP1_SQL = f"""
+WITH {_fs_graded_pairs_sql()},
+scored AS (SELECT *, ({_fs_graded_weight_sql()}) AS w FROM graded)
+SELECT src_id, c_custkey AS matched_custkey, g_name_lvl,
+       round(w, 6) AS match_weight
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY w DESC, c_custkey) AS rn
+  FROM scored WHERE w >= CAST({_FS_THRESHOLD!r} AS DOUBLE)
+) WHERE rn = 1
+"""
+
+
+def match_fs_graded_scaled(spark, sf_dir):
+    """Graded FS scoring under POPULATION-SCALED blocking (r14 VERDICT
+    ask #2): same staged 3-level gammas and weights as match_fs_graded,
+    but the recall rule blocks on (name-minus-last-char, nation)
+    instead of the fixed ~1375 (nation, segment, bucket) blocks. Block
+    count grows ~N/10 with the population and block size stays O(1),
+    so the listed pair mass — and the x100 decade row — is LINEAR in N
+    where the fixed scheme is quadratic by contract; the trade is the
+    weak-evidence recall mass (segment+bucket-only agreements between
+    different-named records no longer pair). The graded roll's typo
+    model damages exactly the final character, so every typo'd
+    re-registration still lands in its entity's block — the surname-
+    prefix bet, on this fixture, is lossless for the level-1 class.
+    Reduction ratio proven pair-free by match_fs_scaled_blocking_audit."""
+    roll, tgt = _fs_graded_sides(spark, sf_dir)
+    pairs = linkage.blocked_pairs(
+        roll,
+        tgt,
+        rules=_FS_RULES_SCALED,
+        source_id="src_id",
+        target_pk="c_custkey",
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            _fs_graded_lvl_staged().alias("g_name_lvl"),
+            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
+            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    )
+    scored = linkage.fs_score(
+        pairs,
+        {
+            "g_name_lvl": _FS_NAME_GRADED,
+            "g_seg": _FS_WEIGHTS["g_seg"],
+            "g_bucket": _FS_WEIGHTS["g_bucket"],
+        },
+    )
+    return scored.select(
+        "src_id",
+        F.col("c_custkey").alias("target_custkey"),
+        "g_name_lvl",
+        "g_seg",
+        "g_bucket",
+        F.round("match_weight", 6).alias("match_weight"),
+        (F.col("match_weight") >= _FS_THRESHOLD).alias("is_match"),
+    )
+
+
+FS_GRADED_SCALED_SQL = f"""
+WITH {_fs_graded_pairs_sql(_FS_SCALED_JOIN_SQL)},
+scored AS (SELECT *, ({_fs_graded_weight_sql()}) AS w FROM graded)
+SELECT src_id, c_custkey AS target_custkey, g_name_lvl, g_seg, g_bucket,
+       round(w, 6) AS match_weight, w >= CAST({_FS_THRESHOLD!r} AS DOUBLE) AS is_match
+FROM scored
+"""
+
+
+def match_fs_scaled_blocking_audit(spark, sf_dir):
+    """Pair-free blocking diagnostics for the population-scaled scheme
+    — the audit one reads BEFORE trusting that the name-prefix rule
+    actually bought linear pair mass: per rule, block count, total
+    candidate pairs (side-count products, never expanded), largest
+    block, reduction ratio. Compare against match_fs_blocking_audit's
+    rule-2 row to see the fixed scheme's quadratic mass disappear."""
+    return linkage.blocking_audit(
+        _fs_graded_roll(spark, sf_dir),
+        _fs_target(spark, sf_dir),
+        rules=_FS_RULES_SCALED,
+    )
+
+
+
 
 _FS_GRADED_FIELDS = [("g_name_lvl", 3, "name"), ("g_seg", 2, "seg"), ("g_bucket", 2, "bucket")]
 
@@ -9826,16 +10096,18 @@ def match_fs_em_graded(spark, sf_dir):
     graded scheme (3 name levels × 2 × 2), the training Splink runs for
     its comparison levels. Pattern compression holds at ≤12 patterns
     (one aggregation, then driver math); counts ride the inclusion–
-    exclusion path with the graded level expression evaluated per
-    joined row, so no pair-sized exchange here either. Init is the
+    exclusion path with the graded level evaluated per joined row
+    against the STAGED per-record trigram arrays (_fs_graded_sides),
+    so no pair-sized exchange and no per-pair set builds either. Init is the
     deterministic 'matches agree more' ramp (em_graded_init); 3
     iterations, params rounded to 10 per M-step, oracle unrolled."""
+    roll, tgt = _fs_graded_sides(spark, sf_dir)
     pats = linkage.gamma_pattern_counts_blocked(
-        _fs_graded_roll(spark, sf_dir),
-        _fs_target(spark, sf_dir),
+        roll,
+        tgt,
         rules=_FS_RULES,
         gammas={
-            "g_name_lvl": _fs_graded_lvl(),
+            "g_name_lvl": _fs_graded_lvl_staged(),
             "g_seg": ("src_segment", "c_mktsegment"),
             "g_bucket": ("src_bucket", "t_bucket"),
         },
@@ -10098,18 +10370,15 @@ def match_fs_blocking_audit(spark, sf_dir):
     )
 
 
-def _fs_blocking_audit_sql() -> str:
-    rules = [
-        (1, [("src_name", "c_name"), ("src_nationkey", "c_nationkey")]),
-        (
-            2,
-            [
-                ("src_nationkey", "c_nationkey"),
-                ("src_segment", "c_mktsegment"),
-                ("src_bucket", "t_bucket"),
-            ],
-        ),
-    ]
+def _fs_blocking_audit_sql(
+    rules_list: list[list[tuple[str, str]]] | None = None,
+    prefix_sql: str | None = None,
+) -> str:
+    if rules_list is None:
+        rules_list = _FS_RULES
+    if prefix_sql is None:
+        prefix_sql = _FS_PAIRS_SQL
+    rules = list(enumerate(rules_list, start=1))
     ctes, selects = [], []
     for idx, rule in rules:
         s_keys = ", ".join(f"{s} AS k{i}" for i, (s, _) in enumerate(rule))
@@ -10137,7 +10406,7 @@ def _fs_blocking_audit_sql() -> str:
             f" FROM r{idx}b"
         )
     return (
-        f"WITH {_FS_PAIRS_SQL},\n"
+        f"WITH {prefix_sql},\n"
         + ",\n".join(ctes)
         + "\n"
         + "\nUNION ALL\n".join(selects)
@@ -10145,6 +10414,9 @@ def _fs_blocking_audit_sql() -> str:
 
 
 FS_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql()
+FS_SCALED_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql(
+    _FS_RULES_SCALED, _FS_GRADED_ROLL_TGT_SQL
+)
 
 
 def _fs_synth_offset(cust) -> int:
@@ -10546,6 +10818,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_patterns": match_fs_patterns,
     "match_fs_blocking_audit": match_fs_blocking_audit,
     "match_fs_graded": match_fs_graded,
+    # r15 newborn: graded top-1 over the staged gamma pass
+    "match_fs_graded_top1": match_fs_graded_top1,
+    # r15 newborns: population-scaled blocking (linear pair mass)
+    "match_fs_graded_scaled": match_fs_graded_scaled,
+    "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
     "match_fs_em_graded": match_fs_em_graded,
     "dedup_fs_entities": dedup_fs_entities,
@@ -10559,6 +10836,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_embedding": text_hash_embedding,
     "docs_ann_topk": docs_ann_topk,
     "docs_ann_ivf_topk": docs_ann_ivf_topk,
+    # r15 newborn: the PQ-coded text capstone
+    "docs_ann_ivfpq_topk": docs_ann_ivfpq_topk,
     "pipeline_chunk_index": pipeline_chunk_index,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
@@ -10734,6 +11013,9 @@ ORACLES: dict[str, str] = {
     "match_fs_patterns": FS_PATTERNS_SQL,
     "match_fs_blocking_audit": FS_BLOCKING_AUDIT_SQL,
     "match_fs_graded": FS_GRADED_SQL,
+    "match_fs_graded_top1": FS_GRADED_TOP1_SQL,
+    "match_fs_graded_scaled": FS_GRADED_SCALED_SQL,
+    "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
     "match_fs_em_graded": FS_EM_GRADED_SQL,
     "dedup_fs_entities": FS_ENTITIES_SQL,
@@ -10805,6 +11087,7 @@ ORACLES: dict[str, str] = {
     "text_hash_embedding": TEXT_HASH_EMBEDDING_SQL,
     "docs_ann_topk": DOCS_ANN_TOPK_SQL,
     "docs_ann_ivf_topk": DOCS_ANN_IVF_TOPK_SQL,
+    "docs_ann_ivfpq_topk": DOCS_ANN_IVFPQ_TOPK_SQL,
     "pipeline_chunk_index": _chunk_index_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
