@@ -1593,6 +1593,39 @@ def test_ivf_topk_collapse_equals_plain_on_dup_heavy(spark, sf_dir):
         assert len(a) > 0
 
 
+def test_ivfpq_topk_collapse_equals_plain_on_dup_heavy(spark, sf_dir):
+    """The r15 PQ collapse (reps-only assignment/encode/ADC + in-row
+    member expansion with the (adc ASC, id ASC) struct order) must be
+    bit-identical to the plain PQ plan on a replicated corpus,
+    including exclude_self. The x100 docs capstone is exactly this
+    shape: 100-way duplicated hashed embeddings paid 97 s of coarse
+    assignment for 5 000 distinct vectors before the collapse."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    reps = spark.range(5).select(F.col("id").alias("_r"))
+    dup = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("_r") * 1000000).alias("vec_id"), "embedding"
+    )
+    qs = dup.where(F.col("vec_id") % 10 == 0)
+
+    def canon(collapse, **kw):
+        return sorted(
+            tuple(r)
+            for r in similarity.ivfpq_topk(
+                qs, dup, collapse_exact=collapse, **kw
+            ).collect()
+        )
+
+    for kw in (
+        dict(k=5, m=8, ks=16, n_centroids=16, coarse_iters=0),
+        dict(k=3, m=8, ks=16, n_centroids=16, coarse_iters=0, exclude_self=False),
+    ):
+        a, b = canon(True, **kw), canon(False, **kw)
+        assert a == b, kw
+        assert len(a) > 0
+
+
 def test_ivf_topk_null_element_vectors_decline_collapse(spark):
     """A null ELEMENT inside a vector makes cos_sim NULL; the plain
     window orders NULLs last but an in-row struct sort would order a
@@ -2594,6 +2627,61 @@ def test_hashed_embedding_properties(spark):
     assert all(abs(x) == 2 for x in rows[4])  # two copies of one token
     with _pytest.raises(ValueError):
         text_ops.hashed_embedding("text", dim=33)
+
+
+def _clustered_embeddings(spark, n=240, n_clusters=8, dim=8):
+    """Deterministic tight-cluster fixture shared by the graph-search
+    recall tests: orthogonal one-hot cluster axes + small jitter."""
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        vec = [(((i * 7 + d * 13) % 11) - 5) / 100.0 for d in range(dim)]
+        vec[c] += 1.0
+        rows.append((i, [float(v) for v in vec]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_graph_search_warns_on_underbuilt_graph(spark):
+    """r14 VERDICT ask #6: searching a graph whose build degree is
+    below 1.6x the answer k must warn loudly (the measured recall
+    cliff); a knn_graph_for_search-sized build must stay silent, and
+    check_degree=False must silence the under-built case."""
+    import warnings as _warnings
+
+    emb = _clustered_embeddings(spark, n=80)
+    qs = emb.where(F.col("vec_id") % 20 == 0)
+    g4 = similarity.knn_graph(emb, k=4, rounds=0, iters=0)
+    with pytest.warns(UserWarning, match="under-built graph"):
+        similarity.knn_graph_search(qs, emb, g4, k=5, beam=8, hops=1).collect()
+    # degree metadata survives checkpoint/parquet-free lineage; the
+    # sized build (2x answer k = 10 >= 1.6x5) must not warn
+    g10 = similarity.knn_graph_for_search(emb, search_k=5, rounds=0, iters=0)
+    assert g10.schema["rank"].metadata["knn_graph_k"] == 10
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        similarity.knn_graph_search(qs, emb, g10, k=5, beam=8, hops=1).collect()
+        # opting out silences the under-built warning too
+        similarity.knn_graph_search(
+            qs, emb, g4, k=5, beam=8, hops=1, check_degree=False
+        ).collect()
+
+
+def test_graph_search_sized_build_recall_on_clustered_fixture(spark):
+    """The knn_graph_for_search-sized build must clear 0.9 recall@5 on
+    the tight-cluster fixture where the k=4 graph measured 0.52 —
+    pinning that the auto-sizing actually buys the recall it claims
+    (r14 VERDICT ask #6 done-bar)."""
+    emb = _clustered_embeddings(spark)
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    g = similarity.knn_graph_for_search(emb, search_k=5, rounds=2, iters=0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(qs, emb, k=5).collect()
+    }
+    got = similarity.knn_graph_search(qs, emb, g, k=5, beam=8, hops=2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
 
 
 def test_graph_search_recall_floor_on_clustered_fixture(spark):

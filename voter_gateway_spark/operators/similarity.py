@@ -1263,6 +1263,7 @@ def pq_train(
     sub: int,
     iters: int = 1,
     centroid_round: int | None = 9,
+    dup_mult: float | None = None,
 ) -> DataFrame:
     """Train per-subspace PQ codebooks with the repo's deterministic
     k-means recipe: md5-seeded initial codewords, fixed-count Lloyd
@@ -1274,11 +1275,31 @@ def pq_train(
     `c` is the canonical (_cid, _cv) frame. All m subspaces train in
     ONE plan: subrows are keyed (_j, _code), so each Lloyd round is a
     single broadcast-argmin projection plus one (j, code, pos)-keyed
-    mean — never a per-subspace job loop. Returns (_j, _code, _cw)."""
+    mean — never a per-subspace job loop. Returns (_j, _code, _cw).
+
+    `dup_mult` (the caller's already-probed identical-vector fanout;
+    only pass it for null-free corpora — the _train_centroids
+    contract): above the collapse threshold each Lloyd round runs the
+    argmin on DISTINCT (subspace, subvector) pairs and joins the codes
+    back, so the means stay member-weighted and bit-identical while
+    the broadcast-argmin work drops by the duplication factor (the
+    x100 docs capstone: 4M subrows → 40k distinct)."""
     subs = _subvectors(c.select("_cid", "_cv"), "_cv", m, sub)
     cb = _pq_seed_codebook(c, m, ks, sub).transform(ckpt)
+    collapse_train = (
+        dup_mult is not None and dup_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
+    )
+    uniq = None
+    if collapse_train and iters > 0:
+        uniq = subs.select("_j", "_sv").distinct().transform(ckpt)
     for _ in range(iters):
-        assigned = _nearest_code(subs, cb)
+        if uniq is not None:
+            code_u = _nearest_code(uniq, cb).select("_j", "_sv", "_code")
+            assigned = subs.join(code_u, ["_j", "_sv"]).select(
+                "_j", "_code", "_sv"
+            )
+        else:
+            assigned = _nearest_code(subs, cb)
         means = (
             assigned.select(
                 "_j", "_code", F.posexplode("_sv").alias("_pos", "_x")
@@ -1332,6 +1353,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     residual: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: the IVF coarse quantizer restricts
     candidates to each query's `n_probe` nearest cells (the existing
@@ -1397,14 +1419,60 @@ def ivfpq_topk(
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     sub = dim // m
 
+    # exact-duplicate collapse (ivf_topk's r13 contract, extended to
+    # the PQ path in r15): a d-way duplicated corpus pays d× in every
+    # per-vector stage (coarse assignment was 97 s of the capstone's
+    # 219 s at the 100× docs replica — 500k × √N-cells cosines for
+    # 5 000 distinct vectors) and q_dups × c_dups in the ADC stage.
+    # Duplicate vectors get identical cells, codes, and ADC distances,
+    # so the pair stage runs on unique-vector representatives and
+    # members expand back in-row — bit-identical output (the ivf_topk
+    # cover proof carries: ADC ASC, id ASC in place of cos DESC).
+    # Both trainers still see the FULL corpus (seeds depend on member
+    # ids). Residual mode keeps the plain plan: its PQ input derives
+    # from per-member cell assignment, which the collapse would reshape.
+    do_collapse = False
+    c_mult = None
+    if collapse_exact and not residual:
+        probe = _fanout_probe(
+            c.select(F.lit("c").alias("_side"), F.xxhash64("_cv").alias("_h"),
+                     _null_vec_flag("_cv").alias("_nul"))
+            .unionByName(
+                q.select(F.lit("q").alias("_side"), F.xxhash64("_qv").alias("_h"),
+                         _null_vec_flag("_qv").alias("_nul"))
+            )
+        )
+        c_mult, c_nulls = probe.get("c", (1.0, 0))
+        q_mult, q_nulls = probe.get("q", (1.0, 0))
+        do_collapse = (
+            c_nulls + q_nulls == 0
+            and c_mult * q_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
+        )
+        if c_nulls + q_nulls != 0:
+            c_mult = None
+
     # coarse quantizer: cells + probes (the ivf_topk front half)
     n_centroids, centroids = _train_centroids(
-        c, n_centroids, coarse_iters, centroid_round
+        c, n_centroids, coarse_iters, centroid_round, dup_mult=c_mult
     )
-    cells = _nearest_cells(c, "_cv", centroids, 1).select(
+    if do_collapse:
+        cgrp = (
+            c.groupBy("_cv")
+            .agg(
+                F.min("_cid").alias("_rep"),
+                F.array_sort(F.collect_list("_cid")).alias("_mem"),
+            )
+            .transform(ckpt_lazy)
+        )
+        creps = cgrp.select(F.col("_rep").alias("_cid"), "_cv")
+        qgrp = q.groupBy("_qv").agg(F.min("query_id").alias("_qrep"))
+        qreps = qgrp.select(F.col("_qrep").alias("query_id"), "_qv")
+    else:
+        creps, qreps = c, q
+    cells = _nearest_cells(creps, "_cv", centroids, 1).select(
         "_cid", "_cv", "_cell"
     )
-    probes = _nearest_cells(q, "_qv", centroids, n_probe).select(
+    probes = _nearest_cells(qreps, "_qv", centroids, n_probe).select(
         "query_id", "_qv", "_cell"
     )
 
@@ -1430,9 +1498,12 @@ def ivfpq_topk(
     else:
         pq_input = c
     cb = pq_train(
-        pq_input, m, ks, sub, iters=pq_iters, centroid_round=centroid_round
+        pq_input, m, ks, sub, iters=pq_iters, centroid_round=centroid_round,
+        dup_mult=c_mult,
     )
-    codes = pq_encode(pq_input, cb, m, sub)
+    # encode representatives only under the collapse — duplicates get
+    # identical codes, and only candidate (rep) codes are consumed
+    codes = pq_encode(creps if do_collapse else pq_input, cb, m, sub)
 
     # per-query ADC lookup table: _lut[j*ks + code] = ||q_j − cw||².
     # Built DENSE over the full (j, code) grid, not positionally over
@@ -1441,38 +1512,52 @@ def ivfpq_topk(
     # would shift every later position. Missing grid entries become
     # NULL — unreachable, because candidates are encoded against the
     # same shrunken codebook and can only carry surviving codes.
-    one = cb.agg(
-        F.array_sort(F.collect_list(F.struct("_j", "_code", "_cw"))).alias(
-            "_cbs"
+    #
+    # r15 plan fix: the first cut assembled the array with an in-row
+    # filter over the broadcast codebook — (m·ks)² struct-predicate
+    # evals per PROBE ROW in interpreted higher-order expressions,
+    # measured 219 s vs the IVF capstone's 21 s at the x100 docs
+    # replica. This form computes each ||q_j − cw||² exactly once per
+    # (query, j, code) via a broadcast join over exploded query
+    # subvectors (|Q|·m·ks tiny rows, map-side combine into a ≤m·ks
+    # map per query), then assembles the dense array in one pass. The
+    # distances use the identical _l2sq expression on the identical
+    # slices, so every ADC value — and the oracle hash — is unchanged.
+    # Residual mode re-bases _qv per probed cell, so its LUT keys on
+    # (query, cell); plain mode shares one LUT across a query's probes.
+    lut_keys = ["query_id", "_cell"] if residual else ["query_id"]
+    lut_src = probes if residual else q
+    qsubs = _subvectors(
+        lut_src.select(*lut_keys, F.col("_qv").alias("_cv")), "_cv", m, sub
+    )
+    lut_tbl = (
+        qsubs.join(F.broadcast(cb), "_j")
+        .select(
+            *lut_keys,
+            (F.col("_j") * ks + F.col("_code") - 1).cast("int").alias("_idx"),
+            _l2sq(F.col("_sv"), F.col("_cw")).alias("_d"),
+        )
+        .groupBy(*lut_keys)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_idx", "_d"))).alias(
+                "_lm"
+            )
+        )
+        .select(
+            *lut_keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m * ks - 1)),
+                lambda idx: F.element_at(F.col("_lm"), idx.cast("int")),
+            ).alias("_lut"),
         )
     )
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m * ks - 1)),
-        lambda idx: F.try_element_at(
-            F.transform(
-                F.filter(
-                    F.col("_cbs"),
-                    lambda s: (s["_j"] == F.floor(idx / ks).cast("int"))
-                    & (s["_code"] == (idx % ks + 1).cast("int")),
-                ),
-                lambda s: _l2sq(
-                    F.slice(F.col("_qv"), s["_j"] * sub + 1, sub), s["_cw"]
-                ),
-            ),
-            F.lit(1),
-        ),
-    )
-    probes_lut = (
-        probes.crossJoin(F.broadcast(one))
-        .withColumn("_lut", lut)
-        .drop("_cbs", "_qv")
-    )
+    probes_lut = probes.join(lut_tbl, lut_keys).drop("_qv")
 
     # candidates: probed cells carry (id, codes) only — m ints/row
     cand = probes_lut.join(
         cells.select("_cid", "_cell").join(codes, "_cid"), "_cell"
     )
-    if exclude_self:
+    if exclude_self and not do_collapse:
         cand = cand.where(F.col("query_id") != F.col("_cid"))
     score = F.round(
         F.aggregate(
@@ -1494,10 +1579,55 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
+    if not do_collapse:
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_dist")
+        )
+    # rep-level top-(k[+1]) then in-row member expansion: the struct
+    # sort (adc ASC, id ASC) IS the plain window's order — ADC can't
+    # be NULL/NaN here (sums of rounded squared L2 over codes that
+    # exist by construction), so no NaN remap is needed
+    rep_k = k + 1 if exclude_self else k
+    rep_top = (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rep_k)
+        .join(
+            cgrp.select(F.col("_rep").alias("neighbor_id"), "_mem"),
+            "neighbor_id",
+        )
+    )
+    packed = rep_top.groupBy(F.col("query_id").alias("_qrep")).agg(
+        F.array_sort(
+            F.flatten(
+                F.collect_list(
+                    F.transform(
+                        "_mem",
+                        lambda mem: F.struct(
+                            F.col("adc_dist").alias("d"), mem.alias("id")
+                        ),
+                    )
+                )
+            )
+        ).alias("_sorted")
+    )
+    qmem = q.join(qgrp, "_qv").select("query_id", "_qrep")
+    arr = F.col("_sorted")
+    if exclude_self:
+        arr = F.filter(arr, lambda s: s["id"] != F.col("query_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        qmem.join(packed, "_qrep")
+        .select(
+            "query_id",
+            F.posexplode(F.slice(arr, 1, k)).alias("_p", "_s"),
+        )
+        .select(
+            "query_id",
+            F.col("_s.id").alias("neighbor_id"),
+            (F.col("_p") + 1).alias("rank"),
+            F.col("_s.d").alias("adc_dist"),
+        )
     )
 
 
@@ -1715,9 +1845,32 @@ def knn_graph(
     return edges.select(
         F.col("src").alias("vec_id"),
         F.col("dst").alias("neighbor_id"),
-        "rank",
+        # stamp the build degree as column metadata so consumers
+        # (knn_graph_search's under-built check) can read it without
+        # an action — an eager degree agg here would force a second
+        # full graph build per search
+        F.col("rank").alias("rank", metadata={"knn_graph_k": k}),
         "cos_sim",
     )
+
+
+# below this ratio of graph degree to answer k, beam search recall
+# collapses on clustered data (0.52 vs 0.95+ measured; r14 notes)
+_SEARCH_DEGREE_FACTOR = 1.6
+
+
+def knn_graph_for_search(
+    df: DataFrame,
+    search_k: int,
+    **kwargs,
+) -> DataFrame:
+    """Build a kNN graph SIZED FOR SEARCH: degree defaults to 2× the
+    largest answer k its searches will serve (r14 VERDICT ask #6 —
+    the measured recall cliff sits at ~1.6×; 2× buys margin without
+    changing the O(k²·N) refine economics class). Any knn_graph
+    keyword passes through; an explicit k= in kwargs wins."""
+    kwargs.setdefault("k", max(4, 2 * search_k))
+    return knn_graph(df, **kwargs)
 
 
 def knn_graph_search(
@@ -1732,6 +1885,7 @@ def knn_graph_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    check_degree: bool = True,
 ) -> DataFrame:
     """Point-query search OVER a built kNN graph: greedy beam search
     from quantizer-cell entry points — the lookup half of the
@@ -1764,7 +1918,33 @@ def knn_graph_search(
     (measured 0.52 recall@5); building the graph at degree ≥ ~1.6×
     the answer k recovers 0.95+ at the same beam/hops
     (test_graph_search_recall_floor_on_clustered_fixture). Size the
-    graph's k to the largest answer k its searches will serve."""
+    graph's k to the largest answer k its searches will serve —
+    knn_graph_for_search does that sizing (2× the answer k), and this
+    function WARNS when handed an under-built graph (degree < 1.6·k;
+    r14 VERDICT ask #6) unless check_degree=False."""
+    if check_degree:
+        # degree comes from the build-k metadata knn_graph stamps on
+        # its rank column — zero-cost (no action; an agg here would
+        # force a second full graph build). Unstamped graphs (user-
+        # assembled edge frames) skip the check.
+        try:
+            degree = graph.schema["rank"].metadata.get("knn_graph_k")
+        except KeyError:
+            degree = None
+        if degree is not None and degree < _SEARCH_DEGREE_FACTOR * k:
+            import warnings
+
+            warnings.warn(
+                f"knn_graph_search: graph degree {degree} < "
+                f"{_SEARCH_DEGREE_FACTOR}x answer k={k} — beam search "
+                f"over an under-built graph strands in local regions "
+                f"(measured recall@5 0.52 at degree 4 vs 0.95+ at "
+                f"degree >= {_SEARCH_DEGREE_FACTOR}x). Build with "
+                f"knn_graph_for_search(corpus, search_k={k}) or pass "
+                f"check_degree=False to accept the recall loss.",
+                UserWarning,
+                stacklevel=2,
+            )
     c = widen(corpus).select(
         F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
     ).transform(ckpt)
@@ -2085,6 +2265,8 @@ def knn_graph_increment(
     return edges.select(
         F.col("src").alias(id_col),
         F.col("dst").alias("neighbor_id"),
-        "rank",
+        # re-stamp the degree metadata (see knn_graph) — the increment
+        # preserves the build degree k
+        F.col("rank").alias("rank", metadata={"knn_graph_k": k}),
         "cos_sim",
     )
