@@ -75,11 +75,17 @@ def stream_fs_admission(
     merge_plan: MergePlan | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "vgs_fs_admission",
+    sink_format: str = "parquet",
 ):
     """writeStream writer running FS admission per micro-batch; caller
     picks the trigger and calls .start(). The stream and the registry
     share the pk name; prepare_source/prepare_target project the
-    disjointly-named comparison views (see linkage.fs_matches)."""
+    disjointly-named comparison views (see linkage.fs_matches).
+
+    sink_format="delta" routes the per-batch apply through the Delta
+    MERGE fast path (stream_upsert_delta — rewrites only matched
+    files, transactional replay skip) instead of the parquet
+    write-new-then-swap; requires the optional delta-spark package."""
     matcher = fs_registry_matcher(
         source_pk=pk,
         target_pk=pk,
@@ -90,6 +96,21 @@ def stream_fs_admission(
         weights=weights,
         threshold=threshold,
     )
+    if sink_format == "delta":
+        from voter_gateway_spark.streaming.upsert_sink import stream_upsert_delta
+
+        return stream_upsert_delta(
+            stream,
+            target_dir,
+            pk=pk,
+            match_columns=[],
+            merge_plan=merge_plan,
+            checkpoint_dir=checkpoint_dir,
+            query_name=query_name,
+            matcher=matcher,
+        )
+    if sink_format != "parquet":
+        raise ValueError(f"unknown sink_format {sink_format!r}")
     return stream_upsert_parquet(
         stream,
         target_dir,

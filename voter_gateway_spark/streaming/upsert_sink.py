@@ -279,3 +279,79 @@ def bootstrap_target(
 ) -> None:
     """Materialize the initial target table for a streaming upsert."""
     initial.write.mode("overwrite").parquet(target_dir)
+
+
+def stream_upsert_delta(
+    stream: DataFrame,
+    target_path: str,
+    pk: str,
+    match_columns: list[list[str]],
+    merge_plan: MergePlan | None = None,
+    source_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "vgs_stream_upsert_delta",
+    matcher=None,
+):
+    """Delta MERGE fast path for the streaming upsert (r14 VERDICT ask
+    #5): the SAME per-batch body as stream_upsert_parquet — match the
+    micro-batch against the live target, apply the MergePlan — but the
+    apply step is a storage-layer MERGE INTO via
+    sources/merge_sink.merge_into_delta, so each batch rewrites only
+    the files containing matched rows instead of the whole registry
+    (the swap sink's documented O(registry)-per-batch bound, the local
+    throughput ceiling behind the 276 rows/s FS admission row).
+
+    Exactly-once: Delta MERGE is transactional, and the batch sets the
+    Delta idempotent-writer identity (txnAppId = query_name,
+    txnVersion = batch_id) for its duration, so a foreachBatch replay
+    of an already-committed batch is a no-op at the storage layer — no
+    swap protocol, no marker file, no __old parking.
+
+    Gated on the optional delta-spark package (merge_sink.delta_available);
+    raises at CONSTRUCTION time, not first-batch time, when absent.
+    Parity with the swap sink is pinned by the (gated)
+    test_stream_upsert_delta_parity_with_swap_sink."""
+    from voter_gateway_spark.sources.merge_sink import (
+        delta_available,
+        merge_into_delta,
+    )
+
+    if not delta_available():
+        raise RuntimeError(
+            "stream_upsert_delta needs the delta-spark package; use "
+            "stream_upsert_parquet (write-new-then-swap) without it"
+        )
+    plan = merge_plan or MergePlan(target_pk=pk)
+
+    def _apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.take(1):
+            return
+        from delta.tables import DeltaTable
+
+        target = DeltaTable.forPath(spark, target_path).toDF()
+        if matcher is not None:
+            matches = matcher(batch, target)
+        else:
+            mp = MatchPlan(batch, target, target_pk=pk, source_id=source_id)
+            for cols in match_columns:
+                mp.find_exact_matches(cols)
+            matches = mp.matches()
+        # Delta idempotent-writer identity: a replayed (query, batch)
+        # pair commits nothing the second time
+        spark.conf.set("spark.databricks.delta.write.txnAppId", query_name)
+        spark.conf.set("spark.databricks.delta.write.txnVersion", str(batch_id))
+        try:
+            merge_into_delta(spark, target_path, matches, plan)
+        finally:
+            spark.conf.unset("spark.databricks.delta.write.txnAppId")
+            spark.conf.unset("spark.databricks.delta.write.txnVersion")
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply_batch)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
