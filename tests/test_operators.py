@@ -2741,3 +2741,42 @@ def test_docs_ann_ivf_recall_floor_vs_brute(spark, sf_dir):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.75, recall
+
+
+def test_pq_index_probe_equals_inquery_and_collapse(spark, sf_dir, tmp_path):
+    """The persisted PQ index (build_pq_index/query_pq_index) must be
+    bit-identical to the in-query ivfpq_topk on the same geometry —
+    the contract that lets docs_ann_pq_index_probe share the in-query
+    capstone's oracle — and the probe's query-side collapse must be
+    output-preserving on a replicated query set."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    dup = emb.crossJoin(spark.range(5).select(F.col("id").alias("_r"))).select(
+        (F.col("vec_id") + F.col("_r") * 1000000).alias("vec_id"), "embedding"
+    )
+    p = str(tmp_path / "pqidx")
+    similarity.build_pq_index(
+        dup, p, m=8, ks=16, pq_iters=1, n_centroids=16, coarse_iters=0
+    )
+    qs = dup.where(F.col("vec_id") % 10 == 0)
+    collapsed = sorted(
+        tuple(r)
+        for r in similarity.query_pq_index(
+            spark, p, qs, k=5, collapse_exact=True
+        ).collect()
+    )
+    plain = sorted(
+        tuple(r)
+        for r in similarity.query_pq_index(
+            spark, p, qs, k=5, collapse_exact=False
+        ).collect()
+    )
+    inquery = sorted(
+        tuple(r)
+        for r in similarity.ivfpq_topk(
+            qs, dup, k=5, m=8, ks=16, n_centroids=16, coarse_iters=0
+        ).collect()
+    )
+    assert collapsed == plain == inquery
+    assert len(collapsed) > 0
