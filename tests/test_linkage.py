@@ -401,3 +401,34 @@ def test_fs_score_plan_is_scan_side(spark, toy):
     scored = linkage.fs_score(pairs, weights)
     after = scored._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert after == base
+
+
+def test_scaled_top1_trade_is_small_and_prefix_shaped(spark):
+    """The population-scaled blocking's recall trade must be LIVE and
+    SMALL on the graded fixture: the typo model damages exactly the
+    final character, so prefix blocks keep every typo'd assignment;
+    the only divergences allowed are level-1 (trigram-similar)
+    matches whose names differ earlier than the last character —
+    pairs only the fixed (nation, segment, bucket) block can admit.
+    A zero-divergence result would mean the trade stopped being
+    exercised; a large one would mean the prefix bet broke."""
+    from voter_gateway_spark.queries import QUERIES
+
+    # sf0.01: the divergence class needs a same-block trigram-similar
+    # name pair, which the 1,500-customer sf0.001 fixture is too small
+    # to produce (verified empty there)
+    sf_dir = "/root/testdata/sf0.01"
+    fixed = {r.src_id: r for r in QUERIES["match_fs_graded_top1"](spark, sf_dir).collect()}
+    scaled = {r.src_id: r for r in QUERIES["match_fs_scaled_top1"](spark, sf_dir).collect()}
+    assert len(fixed) == len(scaled)
+    diverged = {
+        s for s in fixed
+        if (fixed[s].matched_custkey, fixed[s].match_weight)
+        != (scaled[s].matched_custkey, scaled[s].match_weight)
+    }
+    assert diverged, "trade not exercised — fixture stopped producing it"
+    assert len(diverged) <= max(2, len(fixed) // 50), (len(diverged), len(fixed))
+    for s in diverged:
+        # the fixed-scheme pick had to come through a similarity level,
+        # never an exact-name agreement (those share the prefix block)
+        assert fixed[s].g_name_lvl == 1, fixed[s]

@@ -10127,6 +10127,58 @@ FROM scored
 """
 
 
+def match_fs_scaled_top1(spark, sf_dir):
+    """Graded top-1 assignment under the population-scaled blocking —
+    the production query of the scaled family (score lists, audit
+    proves, top-1 ASSIGNS): per-source best target at/above threshold
+    with the fs_top1 tie-break, over the linear pair mass the
+    (name-prefix, nation) scheme admits. This is the composition a
+    third-decade deployment runs: staged gammas + scaled blocks +
+    match-sized window shuffle."""
+    roll, tgt = _fs_graded_sides(spark, sf_dir)
+    pairs = linkage.blocked_pairs(
+        roll,
+        tgt,
+        rules=_FS_RULES_SCALED,
+        source_id="src_id",
+        target_pk="c_custkey",
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            _fs_graded_lvl_staged().alias("g_name_lvl"),
+            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
+            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    )
+    scored = linkage.fs_score(
+        pairs,
+        {
+            "g_name_lvl": _FS_NAME_GRADED,
+            "g_seg": _FS_WEIGHTS["g_seg"],
+            "g_bucket": _FS_WEIGHTS["g_bucket"],
+        },
+    )
+    top = linkage.fs_top1(scored, "src_id", "c_custkey", _FS_THRESHOLD)
+    return top.select(
+        "src_id",
+        F.col("c_custkey").alias("matched_custkey"),
+        "g_name_lvl",
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+FS_SCALED_TOP1_SQL = f"""
+WITH {_fs_graded_pairs_sql(_FS_SCALED_JOIN_SQL)},
+scored AS (SELECT *, ({_fs_graded_weight_sql()}) AS w FROM graded)
+SELECT src_id, c_custkey AS matched_custkey, g_name_lvl,
+       round(w, 6) AS match_weight
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY w DESC, c_custkey) AS rn
+  FROM scored WHERE w >= CAST({_FS_THRESHOLD!r} AS DOUBLE)
+) WHERE rn = 1
+"""
+
+
 def match_fs_scaled_blocking_audit(spark, sf_dir):
     """Pair-free blocking diagnostics for the population-scaled scheme
     — the audit one reads BEFORE trusting that the name-prefix rule
@@ -10877,6 +10929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_graded_top1": match_fs_graded_top1,
     # r15 newborns: population-scaled blocking (linear pair mass)
     "match_fs_graded_scaled": match_fs_graded_scaled,
+    "match_fs_scaled_top1": match_fs_scaled_top1,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
     "match_fs_em_graded": match_fs_em_graded,
@@ -11071,6 +11124,7 @@ ORACLES: dict[str, str] = {
     "match_fs_graded": FS_GRADED_SQL,
     "match_fs_graded_top1": FS_GRADED_TOP1_SQL,
     "match_fs_graded_scaled": FS_GRADED_SCALED_SQL,
+    "match_fs_scaled_top1": FS_SCALED_TOP1_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
     "match_fs_em_graded": FS_EM_GRADED_SQL,
