@@ -432,3 +432,18 @@ def test_scaled_top1_trade_is_small_and_prefix_shaped(spark):
         # the fixed-scheme pick had to come through a similarity level,
         # never an exact-name agreement (those share the prefix block)
         assert fixed[s].g_name_lvl == 1, fixed[s]
+
+
+def test_em_scaled_training_signal_is_live(spark, sf_dir):
+    """EM under the population-scaled blocking must train on a
+    genuinely different pair population than the fixed-block EM — if
+    every parameter coincides, the scaled rules stopped changing the
+    candidate mix and the query is a dead mirror."""
+    from voter_gateway_spark.queries import QUERIES
+
+    a = {(r.em_iter, r.field, r.level): (r.m, r.u, r.lam)
+         for r in QUERIES["match_fs_em_graded"](spark, sf_dir).collect()}
+    b = {(r.em_iter, r.field, r.level): (r.m, r.u, r.lam)
+         for r in QUERIES["match_fs_em_graded_scaled"](spark, sf_dir).collect()}
+    assert set(a) == set(b) and len(a) == 21
+    assert any(a[k] != b[k] for k in a)

@@ -10208,11 +10208,15 @@ def match_fs_em_graded(spark, sf_dir):
     so no pair-sized exchange and no per-pair set builds either. Init is the
     deterministic 'matches agree more' ramp (em_graded_init); 3
     iterations, params rounded to 10 per M-step, oracle unrolled."""
+    return _fs_em_graded_impl(spark, sf_dir, _FS_RULES)
+
+
+def _fs_em_graded_impl(spark, sf_dir, rules):
     roll, tgt = _fs_graded_sides(spark, sf_dir)
     pats = linkage.gamma_pattern_counts_blocked(
         roll,
         tgt,
-        rules=_FS_RULES,
+        rules=rules,
         gammas={
             "g_name_lvl": _fs_graded_lvl_staged(),
             "g_seg": ("src_segment", "c_mktsegment"),
@@ -10240,7 +10244,21 @@ def match_fs_em_graded(spark, sf_dir):
     )
 
 
-def _fs_em_graded_sql(iters: int = 3) -> str:
+def match_fs_em_graded_scaled(spark, sf_dir):
+    """Multi-level EM TRAINED UNDER the population-scaled blocking —
+    the missing rung that makes the scaled family a complete Splink
+    workflow at the third decade (audit the scheme, TRAIN the
+    comparison levels on its pairs, score, assign). Same pattern
+    compression (≤12 patterns via inclusion–exclusion, zero pair-sized
+    exchange) with the scaled rules' joins, whose joined-row mass is
+    linear in N where the fixed scheme's is quadratic by contract —
+    so EM training itself survives the decade the fixed-block EM
+    cannot. Oracle: the 3 iterations unrolled over the scaled pairs
+    CTE."""
+    return _fs_em_graded_impl(spark, sf_dir, _FS_RULES_SCALED)
+
+
+def _fs_em_graded_sql(iters: int = 3, join_sql: str | None = None) -> str:
     levels = [n for _, n, _ in _FS_GRADED_FIELDS]
     m0, u0 = linkage.em_graded_init(levels)
     cols = [c for c, _, _ in _FS_GRADED_FIELDS]
@@ -10299,7 +10317,7 @@ def _fs_em_graded_sql(iters: int = 3) -> str:
                     f" round(lam, 6) AS lam FROM p{k}"
                 )
     return (
-        f"WITH {_fs_graded_pairs_sql()},\n"
+        f"WITH {_fs_graded_pairs_sql(join_sql)},\n"
         + ",\n".join(ctes)
         + "\n"
         + "\nUNION ALL\n".join(selects)
@@ -10307,6 +10325,7 @@ def _fs_em_graded_sql(iters: int = 3) -> str:
 
 
 FS_EM_GRADED_SQL = _fs_em_graded_sql(3)
+FS_EM_GRADED_SCALED_SQL = _fs_em_graded_sql(3, _FS_SCALED_JOIN_SQL)
 
 
 def match_fs_tf_score(spark, sf_dir):
@@ -10930,6 +10949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r15 newborns: population-scaled blocking (linear pair mass)
     "match_fs_graded_scaled": match_fs_graded_scaled,
     "match_fs_scaled_top1": match_fs_scaled_top1,
+    "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
     "match_fs_em_graded": match_fs_em_graded,
@@ -11125,6 +11145,7 @@ ORACLES: dict[str, str] = {
     "match_fs_graded_top1": FS_GRADED_TOP1_SQL,
     "match_fs_graded_scaled": FS_GRADED_SCALED_SQL,
     "match_fs_scaled_top1": FS_SCALED_TOP1_SQL,
+    "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
     "match_fs_em_graded": FS_EM_GRADED_SQL,
