@@ -2780,3 +2780,35 @@ def test_pq_index_probe_equals_inquery_and_collapse(spark, sf_dir, tmp_path):
     )
     assert collapsed == plain == inquery
     assert len(collapsed) > 0
+
+
+def test_pq_index_append_guards(spark, sf_dir, tmp_path):
+    """append_to_pq_index must reject geometry-mismatched batches
+    loudly (silent wrong ADC otherwise) and no-op on empty batches;
+    appended vectors must be probe-visible."""
+    from voter_gateway_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    p = str(tmp_path / "pq_incr")
+    similarity.build_pq_index(
+        base, p, m=8, ks=16, pq_iters=1, n_centroids=16, coarse_iters=0
+    )
+    # wrong dim rejects
+    bad = batch.select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        similarity.append_to_pq_index(spark, p, bad)
+    # empty batch no-ops
+    similarity.append_to_pq_index(spark, p, batch.where(F.lit(False)))
+    before = spark.read.parquet(f"{p}/codes").count()
+    similarity.append_to_pq_index(spark, p, batch)
+    after = spark.read.parquet(f"{p}/codes").count()
+    assert after == before + batch.count()
+    # appended ids are probe-visible
+    qs = batch.limit(8)
+    got = similarity.query_pq_index(spark, p, qs, k=5, exclude_self=False)
+    ids = {r.neighbor_id for r in got.collect()}
+    assert ids & {r.vec_id for r in batch.collect()}

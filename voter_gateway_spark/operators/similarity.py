@@ -866,6 +866,50 @@ def build_pq_index(
     return centroids
 
 
+def append_to_pq_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted PQ index WITHOUT retraining —
+    the FAISS add-after-train contract, and the missing lifecycle rung
+    between build_pq_index and query_pq_index (a 100 TB store trains
+    its quantizers once and appends arriving shards forever; a rebuild
+    per batch would re-scan the corpus). The batch is assigned against
+    the FROZEN centroid table and encoded against the FROZEN codebook,
+    then appended to the cell-partitioned codes file — batch-sized
+    work, corpus never touched. Drift is the operator's disclosed
+    trade: heavy distribution shift degrades cell balance and ADC
+    fidelity until a rebuild (embed_recall_report is the audit that
+    would show it)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, ks, sub = int(meta["m"]), int(meta["ks"]), int(meta["sub"])
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    b = widen(batch).select(
+        F.col(id_col).alias("_cid"), as_double_array(vec_col).alias("_cv")
+    ).transform(ckpt_lazy)
+    dim_row = b.select(F.size("_cv").alias("_d")).first()
+    if dim_row is None:
+        return  # empty batch: nothing to append
+    if int(dim_row["_d"]) != m * sub:
+        raise ValueError(
+            f"append_to_pq_index: batch dim {int(dim_row['_d'])} != "
+            f"index geometry m*sub = {m * sub} (ks={ks})"
+        )
+    cells = _nearest_cells(b, "_cv", centroids, 1).select("_cid", "_cell")
+    codes = pq_encode(b, cb, m, sub)
+    (
+        cells.join(codes, "_cid")
+        .select(F.col("_cid").alias(id_col), "_codes", "_cell")
+        .write.mode("append")
+        .partitionBy("_cell")
+        .parquet(f"{path}/codes")
+    )
+
+
 def query_pq_index(
     spark,
     path: str,

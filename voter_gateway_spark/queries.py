@@ -2043,6 +2043,7 @@ def _ivfpq_sql(
     c_cte: str | None = None,
     prefix: str | None = None,
     auto_centroids: bool = False,
+    train_name: str = "c",
 ) -> str:
     """Mirror of ivfpq_topk(coarse_iters=0, pq_iters=1,
     centroid_round=9): md5-ordered seeds feed both quantizers, each
@@ -2065,15 +2066,18 @@ def _ivfpq_sql(
     if c_cte is None:
         c_cte = "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     pre = f"{prefix},\n" if prefix else ""
+    # seeds/limit draw from the TRAINING corpus (train_name) — for the
+    # incremental-index oracle that is the base corpus, while assign/
+    # encode/query CTEs run over the full one
     limit_sql = (
-        "(SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM c)"
+        f"(SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS INT)) FROM {train_name})"
         if auto_centroids
         else str(n_centroids)
     )
     return f"""
 WITH {pre}{c_cte},
 seeds AS (
-  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {limit_sql}
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM {train_name} ORDER BY h LIMIT {limit_sql}
 ),
 cents AS (SELECT row_number() OVER (ORDER BY h) AS cell, v AS cv FROM seeds),
 assign AS (
@@ -2095,7 +2099,7 @@ probes AS (
 ),
 js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
 pq_seeds AS (
-  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM c ORDER BY h LIMIT {ks}
+  SELECT v, md5(CAST(vec_id AS VARCHAR)) AS h FROM {train_name} ORDER BY h LIMIT {ks}
 ),
 cb0 AS (
   SELECT js.j, sc.code, sc.cv[js.j*{sub}+1 : js.j*{sub}+{sub}] AS cw
@@ -2104,12 +2108,16 @@ cb0 AS (
 subs AS (
   SELECT c.vec_id, js.j, c.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv FROM c, js
 ),
+tsubs AS (
+  SELECT t.vec_id, js.j, t.v[js.j*{sub}+1 : js.j*{sub}+{sub}] AS sv
+  FROM {train_name} t, js
+),
 pa1 AS (
   SELECT vec_id, j, sv, code FROM (
     SELECT s.vec_id, s.j, s.sv, b.code,
            row_number() OVER (PARTITION BY s.vec_id, s.j
              ORDER BY {d_cb0} ASC, b.code) AS rn
-    FROM subs s JOIN cb0 b ON s.j = b.j
+    FROM tsubs s JOIN cb0 b ON s.j = b.j
   ) WHERE rn = 1
 ),
 cb1 AS (
@@ -4000,6 +4008,73 @@ def docs_ann_pq_index_probe(spark, sf_dir):
     return similarity.query_pq_index(
         spark, _PQ_INDEX_CACHE[sf_dir], qs, k=3, n_probe=4, id_col="doc_id"
     )
+
+
+_PQ_INCR_INDEX_CACHE: dict[str, str] = {}
+
+
+def docs_ann_pq_index_increment(spark, sf_dir):
+    """The PQ index LIFECYCLE row (train once, add forever — FAISS's
+    add-after-train contract): build_pq_index trains quantizers on the
+    BASE corpus (doc_id % 7 != 3), append_to_pq_index assigns+encodes
+    the arriving slice (doc_id % 7 == 3) against the FROZEN centroid
+    table and codebook and appends it to the cell partitions
+    (batch-sized work, base corpus never re-read), and the probe then
+    sees the union. Oracle: the full PQ trajectory with seeds and
+    Lloyd training drawn from the base corpus ONLY while assignment,
+    encoding, and queries run over the union — exactly what frozen-
+    quantizer append means. Built once per process per sf_dir."""
+    import atexit
+    import functools
+    import hashlib
+    import shutil
+    import uuid
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    if sf_dir not in _PQ_INCR_INDEX_CACHE:
+        path = (
+            "/tmp/vgs_pq_incr_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            + "_"
+            + uuid.uuid4().hex[:12]
+        )
+        atexit.register(functools.partial(shutil.rmtree, path, ignore_errors=True))
+        emb = docs.select(
+            "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
+        )
+        nz = emb.where(
+            similarity.norm(similarity.as_double_array("embedding")) > 0
+        )
+        similarity.build_pq_index(
+            nz.where(F.col("doc_id") % 7 != 3), path, m=8, ks=16, pq_iters=1,
+            n_centroids=None, coarse_iters=0, centroid_round=9,
+            id_col="doc_id",
+        )
+        similarity.append_to_pq_index(
+            spark, path, nz.where(F.col("doc_id") % 7 == 3), id_col="doc_id"
+        )
+        _PQ_INCR_INDEX_CACHE[sf_dir] = path
+    qdocs = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
+    )
+    qs = qdocs.where(
+        similarity.norm(similarity.as_double_array("embedding")) > 0
+    )
+    return similarity.query_pq_index(
+        spark, _PQ_INCR_INDEX_CACHE[sf_dir], qs, k=3, n_probe=4, id_col="doc_id"
+    )
+
+
+DOCS_ANN_PQ_INCREMENT_SQL = _ivfpq_sql(
+    k=3, m=8, ks=16, sub=2, n_probe=4, auto_centroids=True,
+    train_name="c_base",
+    prefix=_hash_emb_ctes(),
+    c_cte="""c AS MATERIALIZED (
+  SELECT doc_id AS vec_id, v FROM emb
+  WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+),
+c_base AS MATERIALIZED (SELECT vec_id, v FROM c WHERE vec_id % 7 <> 3)""",
+)
 
 
 # featurized corpus referenced by seeds/assign/q/subs/pq_seeds —
@@ -10967,6 +11042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r15 newborn: the PQ-coded text capstone
     "docs_ann_ivfpq_topk": docs_ann_ivfpq_topk,
     "docs_ann_pq_index_probe": docs_ann_pq_index_probe,
+    "docs_ann_pq_index_increment": docs_ann_pq_index_increment,
     "pipeline_chunk_index": pipeline_chunk_index,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expanded": dedup_minhash_lsh_expanded,
@@ -11222,6 +11298,7 @@ ORACLES: dict[str, str] = {
     # bit-identical contract: the persisted-index probe replays the
     # in-query capstone's trajectory, so it shares the oracle
     "docs_ann_pq_index_probe": DOCS_ANN_IVFPQ_TOPK_SQL,
+    "docs_ann_pq_index_increment": DOCS_ANN_PQ_INCREMENT_SQL,
     "pipeline_chunk_index": _chunk_index_sql(),
     "merge_fuzzy_upsert_documents": _merge_fuzzy_sql(),
     "asof_order_revenue_events": ASOF_SQL,
