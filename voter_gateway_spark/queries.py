@@ -11009,8 +11009,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative emission this round (oracle changed with them),
     # plus the three opt-in expanded variants pinning the pre-r13
     # listing contract.
-    # r14 late newborns (this session): the Fellegi–Sunter
-    # probabilistic-linkage family takes prefix slots at birth
+    # r14 late newborns: the Fellegi–Sunter probabilistic-linkage
+    # family takes prefix slots at birth
+    # r15 newborns interleave into their families' prefix slots (all
+    # within the driver's ~50-query sample window): graded top-1, the
+    # population-scaled blocking family (score/top1/EM/audit) right
+    # after match_fs_graded, and the PQ capstone trio (in-query,
+    # persisted-index probe, frozen-quantizer increment) right after
+    # docs_ann_ivf_topk
     "match_fs_score": match_fs_score,
     "match_fs_top1": match_fs_top1,
     "match_fs_em": match_fs_em,
