@@ -447,3 +447,22 @@ def test_em_scaled_training_signal_is_live(spark, sf_dir):
          for r in QUERIES["match_fs_em_graded_scaled"](spark, sf_dir).collect()}
     assert set(a) == set(b) and len(a) == 21
     assert any(a[k] != b[k] for k in a)
+
+
+def test_fs_synth_offset_bands_disjoint(spark):
+    """_fs_synth_offset must produce an offset strictly above the max
+    key and at least 1e7, so the fabricated-id bands [k*off, k*off+max]
+    can never collide with real keys or each other at ANY replica
+    scale (the r14 collision class: fixed +1e6 vs x100 keys ~1.5M)."""
+    from voter_gateway_spark.queries import _fs_synth_offset
+
+    for max_key in [1, 14_999, 999_999, 1_499_999, 9_999_999, 14_999_000]:
+        df = spark.createDataFrame([(max_key,)], "c_custkey bigint")
+        off = _fs_synth_offset(df)
+        assert off > max_key
+        assert off >= 10_000_000
+        assert off == 10 ** len(str(off)) // 10  # a power of 10
+        # three admission bands stay disjoint from base keys and each other
+        bands = [(k * off, k * off + max_key) for k in range(4)]
+        for (alo, ahi), (blo, bhi) in zip(bands, bands[1:]):
+            assert ahi < blo
