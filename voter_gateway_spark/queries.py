@@ -2396,6 +2396,51 @@ FROM (
 """
 
 
+def embed_binary_topk(spark, sf_dir):
+    """1-bit quantized top-k (similarity.binary_topk): sign bits packed
+    into longs, Hamming (XOR+popcount) prefilter over the packed words,
+    exact-cosine rerank of the per-query candidate pool. The Hamming
+    identity ones_q + ones_c − 2·(bits_q · bits_c) lets the oracle
+    reproduce stage 1 with a plain dot product — all integer-exact —
+    and both stages' windows tie-break on neighbor_id, so the pool and
+    the final ranking are deterministic across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return similarity.binary_topk(queries, emb, k=5, candidates=20, dim=64)
+
+
+BINARY_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS sb
+  FROM e
+),
+s2 AS (SELECT vec_id, v, sb, list_sum(sb) AS ones FROM s),
+q AS (SELECT * FROM s2 WHERE vec_id % 10 = 0),
+h AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(q.ones + c.ones - 2 * list_dot_product(q.sb, c.sb) AS INTEGER) AS hamming,
+         q.v AS qv, c.v AS cv
+  FROM q, s2 c WHERE q.vec_id <> c.vec_id
+),
+pool AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS cr
+  FROM h
+),
+r AS (
+  SELECT query_id, neighbor_id, hamming,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM pool WHERE cr <= 20
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, hamming, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM r
+) WHERE rn <= 5
+"""
+
+
 # =============================================================================
 # Events: windowed + sessionized
 # =============================================================================
@@ -7045,6 +7090,7 @@ def embed_recall_report(spark, sf_dir):
     for name, fn in (
         ("ivf", embed_ivf_topk),
         ("int8", embed_int8_topk),
+        ("binary", embed_binary_topk),
         ("lsh", embed_lsh_topk),
         ("pq", embed_ivfpq_topk),
         ("pq_res", embed_ivfpq_residual_topk),
@@ -7070,8 +7116,8 @@ def embed_recall_report(spark, sf_dir):
     )
     bn = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nb"))
     methods = spark.createDataFrame(
-        [("ivf",), ("int8",), ("lsh",), ("pq",), ("pq_res",), ("knn",),
-         ("graph",)],
+        [("ivf",), ("int8",), ("binary",), ("lsh",), ("pq",), ("pq_res",),
+         ("knn",), ("graph",)],
         "method string",
     )
     grid = bn.crossJoin(F.broadcast(methods))
@@ -7092,6 +7138,7 @@ def _recall_report_sql() -> str:
 WITH brute AS ({TOPK_SQL}),
 lsh AS ({_lsh_topk_sql()}),
 i8 AS ({INT8_TOPK_SQL}),
+bin AS (SELECT query_id, neighbor_id FROM ({BINARY_TOPK_SQL})),
 ivf AS ({_ivf_sql()}),
 pq AS ({_ivfpq_sql()}),
 pq_res AS ({_ivfpq_residual_sql()}),
@@ -7105,6 +7152,7 @@ gsearch AS (
 tagged AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
   UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8
+  UNION ALL SELECT 'binary', query_id, neighbor_id FROM bin
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
   UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
   UNION ALL SELECT 'pq_res', query_id, neighbor_id FROM pq_res
@@ -7125,6 +7173,7 @@ grid AS (
   -- vanish from the audit (r7 code review)
   SELECT m.method, bn.query_id, bn.nb
   FROM (SELECT 'lsh' AS method UNION ALL SELECT 'int8'
+        UNION ALL SELECT 'binary'
         UNION ALL SELECT 'ivf' UNION ALL SELECT 'pq'
         UNION ALL SELECT 'pq_res' UNION ALL SELECT 'knn'
         UNION ALL SELECT 'graph') m
@@ -11170,6 +11219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_pmi": text_bigram_pmi,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_int8_topk": embed_int8_topk,
+    "embed_binary_topk": embed_binary_topk,
     "embed_near_dup": embed_near_dup,
     "embed_knn_label": embed_knn_label,
     "q5_region_revenue": q5_region_revenue,
@@ -11284,6 +11334,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash_expanded": _simhash_sql(),
     "embed_lsh_topk": _lsh_topk_sql(),
     "embed_int8_topk": INT8_TOPK_SQL,
+    "embed_binary_topk": BINARY_TOPK_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
