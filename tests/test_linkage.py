@@ -466,3 +466,68 @@ def test_fs_synth_offset_bands_disjoint(spark):
         bands = [(k * off, k * off + max_key) for k in range(4)]
         for (alo, ahi), (blo, bhi) in zip(bands, bands[1:]):
             assert ahi < blo
+
+
+def test_phonetic_key_misspelling_invariances(spark):
+    """phonetic_key must be invariant under the misspelling classes it
+    exists to absorb (doubled consonant, vowel swap/rotation, inserted
+    H) and immune to numeric characters fabricating codes; genuinely
+    different sounds must key apart."""
+    from voter_gateway_spark.functions.registry import phonetic_key
+
+    rows = spark.createDataFrame(
+        [
+            ("dafegi",), ("daffegi",), ("defigo",), ("dahfegi",),
+            ("Robert",), ("Rupert",), ("Ashcraft",), ("Ashcroft",),
+            ("zz123",), ("zzdafegi",), ("maneru",), ("",),
+        ],
+        "name string",
+    )
+    keys = {
+        r.name: r.k
+        for r in rows.select("name", phonetic_key("name").alias("k")).collect()
+    }
+    base = keys["dafegi"]
+    assert keys["daffegi"] == base      # doubled consonant
+    assert keys["defigo"] == base       # vowel rotation (the roll's model)
+    assert keys["dahfegi"] == base      # inserted H
+    assert keys["Robert"] == keys["Rupert"] == "R163"   # classic Soundex pair
+    assert keys["Ashcraft"] == keys["Ashcroft"]
+    assert keys["zz123"] == keys["zzdafegi"][:1] + keys["zz123"][1:]  # same first letter
+    assert keys["zz123"] == "Z200"      # digits contribute NO codes
+    assert keys["maneru"] != base       # different sound keys apart
+    assert keys[""] == "000"
+
+
+def test_phonetic_catalog_levels_all_live(spark, sf_dir):
+    """Every phonetic comparison level must be populated on the scored
+    pairs (level 0 only survives scoring, not top-1 — its weight sits
+    below threshold — so liveness is asserted on the pair stage), and
+    the vowel-rotated re-registrations must link to their own entity
+    at level 1 in the top-1 output."""
+    from voter_gateway_spark.queries import (
+        QUERIES, _PHON_RULES, _phon_gamma_lvl, _phon_sides,
+    )
+
+    roll, tgt = _phon_sides(spark, sf_dir)
+    pairs = linkage.blocked_pairs(
+        roll, tgt, rules=_PHON_RULES, source_id="src_id", target_pk="c_custkey",
+        project=[
+            F.col("src_id"), F.col("c_custkey"),
+            _phon_gamma_lvl().alias("g_name_lvl"),
+        ],
+    )
+    lvls = {
+        r.g_name_lvl: r.n
+        for r in pairs.groupBy("g_name_lvl").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(lvls) == {0, 1, 2}, lvls
+
+    top = QUERIES["match_phonetic_top1"](spark, sf_dir).collect()
+    rotated = [
+        r for r in top
+        if r.src_id % 7 == 0 and r.src_id % 13 != 0
+    ]
+    assert rotated, "no vowel-rotated rolls in the fixture slice"
+    assert all(r.g_name_lvl == 1 for r in rotated), rotated[:5]
+    assert all(r.matched_custkey == r.src_id for r in rotated), rotated[:5]

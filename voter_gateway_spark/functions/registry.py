@@ -100,6 +100,62 @@ def location_point(lng_col: Column | str, lat_col: Column | str) -> Column:
     )
 
 
+PHONETIC_CONSONANTS = "BFPVCGJKQSXZDTLMNR"
+PHONETIC_CODES = "111122222222334556"
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Soundex-style phonetic blocking key: first letter + the first
+    three consonant-class digits of the rest, runs collapsed, padded
+    with '0' — e.g. 'dafegi' → 'D120'.
+
+    Spec (deliberately simplified vs classic Soundex, identical in
+    both engines): (1) uppercase and keep LETTERS only (digits and
+    punctuation never contribute — a numeric suffix must not fabricate
+    phonetic codes); (2) map consonants B F P V→1, C G J K Q S X Z→2,
+    D T→3, L→4, M N→5, R→6; (3) drop everything unmapped (vowels, H,
+    W, Y); (4) collapse adjacent equal digits — note this collapses
+    across dropped vowels too, where classic Soundex keeps
+    vowel-separated repeats; (5) key = first letter + first 3 digits,
+    '0'-padded. Empty input yields '000'.
+
+    The classic voter-file blocking key: invariant under the
+    misspellings people actually make (vowel swaps, doubled
+    consonants, inserted H), so re-registrations with typos still
+    land in their entity's block. Scale caveat, disclosed wherever
+    this blocks: the key ALPHABET is bounded (≤26·1000 keys), so
+    phonetic blocks grow linearly with population and pair mass is
+    quadratic by contract — compose with a population-scaled key
+    (match_fs_scaled_* pattern) or a nation/geo key for the third
+    decade. Pure Column composition — stays in whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    rest = F.substring(letters, 2, 2147483647)
+    digits = F.regexp_replace(
+        F.translate(rest, PHONETIC_CONSONANTS, PHONETIC_CODES), "[^1-6]", ""
+    )
+    for d in "123456":
+        digits = F.regexp_replace(digits, d + "+", d)
+    return F.concat(
+        F.substring(letters, 1, 1), F.rpad(F.substring(digits, 1, 3), 3, "0")
+    )
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """DuckDB rendering of `phonetic_key` (oracle mirror — same spec,
+    step for step; DuckDB regexp_replace needs the explicit 'g' flag
+    where Spark's replaces all matches by default)."""
+    letters = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    digits = (
+        f"regexp_replace(translate(substr({letters}, 2),"
+        f" '{PHONETIC_CONSONANTS}', '{PHONETIC_CODES}'), '[^1-6]', '', 'g')"
+    )
+    for d in "123456":
+        digits = f"regexp_replace({digits}, '{d}+', '{d}', 'g')"
+    return f"(substr({letters}, 1, 1) || rpad(substr({digits}, 1, 3), 3, '0'))"
+
+
 def point_wkt(point_col: Column | str, precision: int = 6) -> Column:
     """WKT export of a `location_point` struct: 'POINT(lng lat)'.
 

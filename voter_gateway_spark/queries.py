@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.audit import column_coverage, value_distribution
+from voter_gateway_spark.functions import registry as registry_functions
 from voter_gateway_spark.session import ckpt, ckpt_lazy
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
@@ -10317,6 +10318,234 @@ def match_fs_scaled_blocking_audit(spark, sf_dir):
     )
 
 
+# -----------------------------------------------------------------------------
+# Phonetic blocking (Soundex-style) — the classic voter-file rung
+# -----------------------------------------------------------------------------
+#
+# Real voter registries block on a PHONETIC key of the surname: the
+# misspellings clerks and registrants actually make (vowel swaps,
+# doubled consonants, inserted H) change the exact string but not how
+# the name sounds, and a Soundex-class code is invariant under exactly
+# those edits. TPC-H names ('Customer#000000123') are phonetically
+# degenerate — every name would share one key — so this family
+# synthesizes a pronounceable surname per customer by mapping the
+# custkey's digits to syllables ('123' → 'dafegi'), giving the key
+# real cardinality, then damages the roll with PHONETIC-PRESERVING
+# misspellings (vowel rotation) plus occasional heavy damage that no
+# phonetic key survives. Scale disclosure: the phonetic alphabet is
+# bounded, so block count saturates and pair mass is quadratic by
+# contract at the third decade (same contract as the fixed FS recall
+# rule; the audit row quantifies it) — production composes the key
+# with a population-scaled or geographic key.
+
+_PHON_SYL = ["bo", "da", "fe", "gi", "ku", "lo", "ma", "ne", "pi", "ru"]
+
+_PHON_NAME_GRADED = linkage.GradedWeights(
+    m=(0.02, 0.08, 0.90), u=(0.975, 0.024, 0.001)
+)
+
+_PHON_RULES = [
+    [("src_phon", "t_phon"), ("src_nationkey", "c_nationkey")],
+    [
+        ("src_nationkey", "c_nationkey"),
+        ("src_segment", "c_mktsegment"),
+        ("src_bucket", "t_bucket"),
+    ],
+]
+
+
+def _phon_surname(col: F.Column) -> F.Column:
+    """Deterministic pronounceable surname from an integer key: each
+    decimal digit maps to a CV syllable (0→bo … 9→ru). Syllables are
+    all-letter, so the chained replaces can never re-trigger."""
+    s = col.cast("string")
+    for d, syl in enumerate(_PHON_SYL):
+        s = F.replace(s, F.lit(str(d)), F.lit(syl))
+    return s
+
+
+def _phon_surname_sql(expr: str) -> str:
+    s = f"CAST({expr} AS VARCHAR)"
+    for d, syl in enumerate(_PHON_SYL):
+        s = f"replace({s}, '{d}', '{syl}')"
+    return s
+
+
+def _phon_sides(spark, sf_dir):
+    """Roll/target for the phonetic family, with the blocking key
+    STAGED per record (the r15 staging lesson — the key is a pure
+    function of the row, so computing it before the join changes no
+    semantics and evaluates it once per record instead of per joined
+    candidate). Roll damage model: every 13th key is replaced outright
+    ('zz<key>' — lands in a different phonetic block; only the recall
+    rule can still pair it), every 7th gets its vowels rotated
+    (phonetic key INVARIANT, exact match broken — the case this rung
+    exists for); segment/bucket perturbations as in the FS roll."""
+    cust = _t(spark, sf_dir, "customer")
+    tgt = cust.select(
+        "c_custkey",
+        _phon_surname(F.col("c_custkey")).alias("t_surname"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("t_bucket"),
+    ).withColumn("t_phon", registry_functions.phonetic_key(F.col("t_surname")))
+    sur = _phon_surname(F.col("c_custkey"))
+    roll = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src_id"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.lit("zz"), F.col("c_custkey").cast("string")),
+        )
+        .when(F.col("c_custkey") % 7 == 0, F.translate(sur, "aeiou", "eioua"))
+        .otherwise(sur)
+        .alias("src_surname"),
+        F.col("c_nationkey").alias("src_nationkey"),
+        F.when(F.col("c_custkey") % 11 == 0, F.expr(_FS_SEG_ROT))
+        .otherwise(F.col("c_mktsegment")).alias("src_segment"),
+        (
+            F.floor(F.col("c_acctbal") / 1000)
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("src_bucket"),
+    ).withColumn("src_phon", registry_functions.phonetic_key(F.col("src_surname")))
+    return roll, tgt
+
+
+def _phon_gamma_lvl() -> F.Column:
+    """3-level name comparison: 2 = exact surname, 1 = phonetically
+    equal (the misspelling band), 0 = different sound. All three
+    levels are live on the fixture (pinned by test): unperturbed rolls
+    hit 2, vowel-rotated hit 1, recall-rule pairs across entities hit
+    0."""
+    return (
+        F.when(F.col("src_surname").eqNullSafe(F.col("t_surname")), F.lit(2))
+        .when(F.col("src_phon").eqNullSafe(F.col("t_phon")), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def match_phonetic_top1(spark, sf_dir):
+    """Phonetic-blocked probabilistic assignment — the Soundex rung of
+    the matching surface (exact cascade → phonetic → trigram fuzzy →
+    FS probabilistic): candidate pairs from (phonetic key, nation)
+    unioned with the (nation, segment, bucket) recall rule, FS-scored
+    with a 3-level name comparison (exact / sounds-alike / different),
+    per-source best target at/above threshold with the deterministic
+    fs_top1 tie-break. Vowel-rotated re-registrations — invisible to
+    exact AND prefix blocking — land at level 1 and clear the
+    threshold on segment+bucket agreement."""
+    roll, tgt = _phon_sides(spark, sf_dir)
+    pairs = linkage.blocked_pairs(
+        roll,
+        tgt,
+        rules=_PHON_RULES,
+        source_id="src_id",
+        target_pk="c_custkey",
+        project=[
+            F.col("src_id"),
+            F.col("c_custkey"),
+            _phon_gamma_lvl().alias("g_name_lvl"),
+            linkage.gamma("src_segment", "c_mktsegment").alias("g_seg"),
+            linkage.gamma("src_bucket", "t_bucket").alias("g_bucket"),
+        ],
+    )
+    scored = linkage.fs_score(
+        pairs,
+        {
+            "g_name_lvl": _PHON_NAME_GRADED,
+            "g_seg": _FS_WEIGHTS["g_seg"],
+            "g_bucket": _FS_WEIGHTS["g_bucket"],
+        },
+    )
+    top = linkage.fs_top1(scored, "src_id", "c_custkey", _FS_THRESHOLD)
+    return top.select(
+        "src_id",
+        F.col("c_custkey").alias("matched_custkey"),
+        "g_name_lvl",
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+_PHON_ROLL_TGT_SQL = f"""roll0 AS (
+  SELECT c_custkey AS src_id,
+         CASE WHEN c_custkey % 13 = 0 THEN 'zz' || CAST(c_custkey AS VARCHAR)
+              WHEN c_custkey % 7 = 0
+                THEN translate({_phon_surname_sql('c_custkey')}, 'aeiou', 'eioua')
+              ELSE {_phon_surname_sql('c_custkey')} END AS src_surname,
+         c_nationkey AS src_nationkey,
+         CASE WHEN c_custkey % 11 = 0 THEN CASE c_mktsegment
+              WHEN 'AUTOMOBILE' THEN 'BUILDING' WHEN 'BUILDING' THEN 'FURNITURE'
+              WHEN 'FURNITURE' THEN 'HOUSEHOLD' WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+              ELSE 'AUTOMOBILE' END
+              ELSE c_mktsegment END AS src_segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT)
+           + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS src_bucket
+  FROM customer WHERE c_custkey % 3 = 0
+),
+roll AS (
+  SELECT *, {registry_functions.phonetic_key_sql('src_surname')} AS src_phon
+  FROM roll0
+),
+tgt0 AS (
+  SELECT c_custkey, {_phon_surname_sql('c_custkey')} AS t_surname,
+         c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS t_bucket
+  FROM customer
+),
+tgt AS (
+  SELECT *, {registry_functions.phonetic_key_sql('t_surname')} AS t_phon
+  FROM tgt0
+)"""
+
+
+def _phon_weight_sql() -> str:
+    gw = _PHON_NAME_GRADED
+    seg, bucket = _FS_WEIGHTS["g_seg"], _FS_WEIGHTS["g_bucket"]
+    return (
+        f"(CASE WHEN g_name_lvl = 2 THEN CAST({gw.level_weight(2)!r} AS DOUBLE)"
+        f" WHEN g_name_lvl = 1 THEN CAST({gw.level_weight(1)!r} AS DOUBLE)"
+        f" ELSE CAST({gw.level_weight(0)!r} AS DOUBLE) END)"
+        f" + (CASE WHEN g_seg = 1 THEN CAST({seg.agree_weight()!r} AS DOUBLE)"
+        f" ELSE CAST({seg.disagree_weight()!r} AS DOUBLE) END)"
+        f" + (CASE WHEN g_bucket = 1 THEN CAST({bucket.agree_weight()!r} AS DOUBLE)"
+        f" ELSE CAST({bucket.disagree_weight()!r} AS DOUBLE) END)"
+    )
+
+
+PHONETIC_TOP1_SQL = f"""
+WITH {_PHON_ROLL_TGT_SQL},
+graded AS MATERIALIZED (
+  SELECT DISTINCT r.src_id, t.c_custkey,
+         CASE WHEN r.src_surname IS NOT DISTINCT FROM t.t_surname THEN 2
+              WHEN r.src_phon IS NOT DISTINCT FROM t.t_phon THEN 1
+              ELSE 0 END AS g_name_lvl,
+         CAST(r.src_segment IS NOT DISTINCT FROM t.c_mktsegment AS INTEGER) AS g_seg,
+         CAST(r.src_bucket IS NOT DISTINCT FROM t.t_bucket AS INTEGER) AS g_bucket
+  FROM roll r JOIN tgt t
+    ON r.src_nationkey IS NOT DISTINCT FROM t.c_nationkey
+   AND (r.src_phon IS NOT DISTINCT FROM t.t_phon
+        OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
+            AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))
+),
+scored AS (SELECT *, ({_phon_weight_sql()}) AS w FROM graded)
+SELECT src_id, c_custkey AS matched_custkey, g_name_lvl,
+       round(w, 6) AS match_weight
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY w DESC, c_custkey) AS rn
+  FROM scored WHERE w >= CAST({_FS_THRESHOLD!r} AS DOUBLE)
+) WHERE rn = 1
+"""
+
+
+def match_phonetic_blocking_audit(spark, sf_dir):
+    """Pair-free diagnostics for the phonetic scheme: block counts,
+    side-count-product pair mass, largest block, reduction ratio per
+    rule. This is where the bounded-alphabet contract shows up as a
+    number — the phonetic rule's block count saturates (the key
+    alphabet is finite) while the scaled scheme's keeps growing, so
+    read this row before shipping phonetic blocking at the third
+    decade."""
+    roll, tgt = _phon_sides(spark, sf_dir)
+    return linkage.blocking_audit(roll, tgt, rules=_PHON_RULES)
 
 
 _FS_GRADED_FIELDS = [("g_name_lvl", 3, "name"), ("g_seg", 2, "seg"), ("g_bucket", 2, "bucket")]
@@ -10666,6 +10895,12 @@ def _fs_blocking_audit_sql(
 FS_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql()
 FS_SCALED_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql(
     _FS_RULES_SCALED, _FS_GRADED_ROLL_TGT_SQL
+)
+# the phonetic prefix stages the key in roll/tgt CTEs (roll0/tgt0 are
+# the raw sides), so the generic audit template's `FROM roll`/`FROM
+# tgt` sees src_phon/t_phon as plain columns
+PHONETIC_BLOCKING_AUDIT_SQL = _fs_blocking_audit_sql(
+    _PHON_RULES, _PHON_ROLL_TGT_SQL
 )
 
 
@@ -11079,6 +11314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r15 newborns: population-scaled blocking (linear pair mass)
     "match_fs_graded_scaled": match_fs_graded_scaled,
     "match_fs_scaled_top1": match_fs_scaled_top1,
+    "match_phonetic_top1": match_phonetic_top1,
+    "match_phonetic_blocking_audit": match_phonetic_blocking_audit,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
@@ -11277,6 +11514,8 @@ ORACLES: dict[str, str] = {
     "match_fs_graded_top1": FS_GRADED_TOP1_SQL,
     "match_fs_graded_scaled": FS_GRADED_SCALED_SQL,
     "match_fs_scaled_top1": FS_SCALED_TOP1_SQL,
+    "match_phonetic_top1": PHONETIC_TOP1_SQL,
+    "match_phonetic_blocking_audit": PHONETIC_BLOCKING_AUDIT_SQL,
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
