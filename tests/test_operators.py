@@ -2880,3 +2880,34 @@ def test_pq_index_append_guards(spark, sf_dir, tmp_path):
     got = similarity.query_pq_index(spark, p, qs, k=5, exclude_self=False)
     ids = {r.neighbor_id for r in got.collect()}
     assert ids & {r.vec_id for r in batch.collect()}
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """similarity.pagerank must equal a pure-python rendering of the
+    same integer algorithm exactly (BIGINT units end to end — no
+    float enters the iteration), and the hub of a star graph must
+    out-rank its leaves."""
+    # star: 1..4 -> 0, plus 0 -> 1 (no dangling mass from the hub)
+    edge_rows = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)]
+    edges = spark.createDataFrame(edge_rows, "src bigint, dst bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node bigint")
+    got = {
+        r.node: r.rank_units
+        for r in similarity.pagerank(edges, nodes, iters=3).collect()
+    }
+
+    u, n = 1_000_000_000_000, 5
+    outd = {}
+    for s, _ in edge_rows:
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: u // n for v in range(n)}
+    tele = (u * 3) // (20 * n)
+    for _ in range(3):
+        s = {v: 0 for v in range(n)}
+        for a, b in edge_rows:
+            s[b] += r[a] // outd[a]
+        r = {v: tele + (17 * s[v]) // 20 for v in range(n)}
+    assert got == r, (got, r)
+    assert got[0] > got[1] > got[2] == got[3] == got[4]
+    # mass conservation up to floor losses: <= 1 unit per division
+    assert abs(sum(got.values()) - u) < (n + len(edge_rows) + 2) * 3

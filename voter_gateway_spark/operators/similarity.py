@@ -2681,3 +2681,86 @@ def knn_graph_increment(
         F.col("rank").alias("rank", metadata={"knn_graph_k": k}),
         "cos_sim",
     )
+
+
+PAGERANK_UNITS = 1_000_000_000_000  # total mass in integer units
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """PageRank over an explicit edge list, in EXACT integer
+    arithmetic — every quantity is a BIGINT count of 10⁻¹² mass units,
+    so per-node in-edge sums are fold-order-free and an engine-neutral
+    oracle reproduces the ranks bit-for-bit (the round(avg(...))
+    fold-order lesson applied to an iterative algorithm: doubles never
+    enter the iteration at all).
+
+    r₀(v) = U div N;  contribution c(u) = r(u) div outdeg(u);
+    r_{t+1}(v) = (U·(den−num)) div (den·N)  +  (num · Σ_{u→v} c(u)) div den
+    with damping = num/den (default 17/20 = 0.85). div is integral
+    division on positives; U = 10¹². Floor losses are bounded by one
+    unit per division — ~(N + |E|)·10⁻¹² of total mass per iteration,
+    irrelevant at rank precision and identical across engines.
+
+    Dangling nodes (no out-edges) simply leak their damped mass, as in
+    the classic formulation without a dangling patch; a kNN graph has
+    none (every node emits k edges). On the data-selection side this
+    is centrality-based corpus weighting: a document whose neighbors'
+    neighbors keep pointing back at it is a cluster core; tails rank
+    near the teleport floor — select-by-rank keeps cores, or inverts
+    to oversample the tails for diversity.
+
+    Scale shape: each iteration is one groupBy(dst).sum over the edge
+    list (shuffle on dst) plus a broadcast-or-shuffle join of the
+    rank frame (N rows, 2 cols) — linear per iteration, the classic
+    Pregel/GraphX pattern expressed as DataFrame aggregation. The rank
+    frame is checkpointed per iteration to cut the self-referential
+    lineage (the r13 stats-explosion lesson).
+
+    Output: (node, rank_units bigint, pagerank double) — pagerank is
+    rank_units/10¹², a deterministic function of the integer.
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank needs a non-empty node frame")
+    u = PAGERANK_UNITS
+    teleport = (u * (damping_den - damping_num)) // (damping_den * n_nodes)
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    outd = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
+    # out-degree is a static property of the graph: stage it on the
+    # edge list once, outside the iteration
+    eo = ckpt_lazy(e.join(outd, "_src"))
+    ranks = nodes.select(
+        F.col(node_col).alias("_node"), F.lit(u // n_nodes).cast("long").alias("_r")
+    )
+    for _ in range(iters):
+        contrib = (
+            eo.join(ranks, eo["_src"] == ranks["_node"])
+            .select("_dst", F.expr("_r div _od").alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = ckpt(
+            ranks.join(contrib, ranks["_node"] == contrib["_dst"], "left").select(
+                "_node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
+                    )
+                ).alias("_r"),
+            )
+        )
+    return ranks.select(
+        F.col("_node").alias("node"),
+        F.col("_r").alias("rank_units"),
+        F.round(F.col("_r") / F.lit(float(u)), 12).alias("pagerank"),
+    )

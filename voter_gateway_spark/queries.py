@@ -1656,6 +1656,63 @@ def _knn_graph_ctes(
     return ",\n".join(ctes), f"e_{rounds}"
 
 
+def embed_pagerank(spark, sf_dir):
+    """Centrality-based corpus weighting: PageRank over the kNN graph
+    (same deterministic NN-descent build as embed_knn_graph), 3 power
+    iterations at damping 17/20, ENTIRELY in integer mass units
+    (similarity.pagerank) — per-node in-edge sums are BIGINT sums, so
+    fold order cannot move a rank and the oracle unrolls the identical
+    iterations over the identical edges. Cluster cores accumulate
+    mass; isolated tails sit at the teleport floor — rank-ordered
+    selection keeps cores (canonical coverage) or inverts for
+    diversity oversampling."""
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=4, n_centroids=None, rounds=2, iters=0)
+    return similarity.pagerank(
+        edges.select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+        emb.select(F.col("vec_id").alias("node")),
+        iters=3,
+    ).select(F.col("node").alias("vec_id"), "rank_units", "pagerank")
+
+
+def _pagerank_sql(iters: int = 3, u: int = 1_000_000_000_000) -> str:
+    """Unrolled integer PageRank over the knn-graph mirror: r0 = U//N,
+    then per iteration one contribution aggregate (BIGINT, fold-order-
+    free) and one rank rebuild. `//` is DuckDB integer division ==
+    Spark's `div` on positives."""
+    joined, final = _knn_graph_ctes(4, 2, 2)
+    ctes = [
+        f"edges AS (SELECT src, dst FROM {final})",
+        "outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        "eo AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outd o USING (src))",
+        "nn AS (SELECT count(*) AS n FROM c)",
+        f"r0 AS (SELECT vec_id AS node, {u} // (SELECT n FROM nn) AS r FROM c)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT eo.dst, sum({prev}.r // eo.od) AS s"
+            f" FROM eo JOIN {prev} ON eo.src = {prev}.node GROUP BY eo.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT {prev}.node,"
+            f" (({u} * 3) // (20 * (SELECT n FROM nn)))"
+            f" + (17 * coalesce(c{i}.s, 0)) // 20 AS r"
+            f" FROM {prev} LEFT JOIN c{i} ON {prev}.node = c{i}.dst)"
+        )
+        prev = f"r{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+{body}
+SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_units,
+       round(r / {float(u)!r}, 12) AS pagerank
+FROM {prev}
+"""
+
+
 def embed_graph_search_topk(spark, sf_dir):
     """Point-query lookup OVER the kNN graph (similarity.
     knn_graph_search): greedy beam search from quantizer-cell entry
@@ -11316,6 +11373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_scaled_top1": match_fs_scaled_top1,
     "match_phonetic_top1": match_phonetic_top1,
     "match_phonetic_blocking_audit": match_phonetic_blocking_audit,
+    "embed_pagerank": embed_pagerank,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
@@ -11516,6 +11574,7 @@ ORACLES: dict[str, str] = {
     "match_fs_scaled_top1": FS_SCALED_TOP1_SQL,
     "match_phonetic_top1": PHONETIC_TOP1_SQL,
     "match_phonetic_blocking_audit": PHONETIC_BLOCKING_AUDIT_SQL,
+    "embed_pagerank": _pagerank_sql(),
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
