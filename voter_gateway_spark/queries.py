@@ -6893,6 +6893,45 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def orc_roundtrip_documents(spark, sf_dir):
+    """ORC corpus-interchange fidelity (the columnar sibling of
+    jsonl_roundtrip_documents, same checksum contract): write the
+    documents table as zlib ORC shards through Spark's native writer,
+    read it back, aggregate the 40-bit text checksum per (lang,
+    source). The oracle computes the aggregate straight from the
+    parquet table, so hash-green proves the ORC sink+source
+    round-trips every byte — warehouse interchange with Hive/Trino
+    stacks whose tables ship as ORC. Same uuid-scratch + eager-
+    materialize discipline as the JSONL row (r8 advice)."""
+    import hashlib
+    import shutil
+    import uuid
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        "/tmp/vgs_orc_cat_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + "_"
+        + uuid.uuid4().hex[:12]
+    )
+    docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    checksum = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 10), 16, 10
+    ).cast("bigint")
+    agg = (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(checksum).cast("bigint").alias("text_checksum"),
+        )
+    )
+    rows = agg.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
+
+
 def events_props_extract(spark, sf_dir):
     """Semi-structured payload extraction: events.props carries a JSON
     object per row; parse it with an explicit schema (from_json — a
@@ -11474,6 +11513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     sample ever widens ---
     "text_perplexity_buckets": text_perplexity_buckets,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+    "orc_roundtrip_documents": orc_roundtrip_documents,
     "text_bigram_logprob": text_bigram_logprob,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -11689,6 +11729,7 @@ ORACLES: dict[str, str] = {
     "dedup_bloom_admission": BLOOM_ADMISSION_SQL,
     "split_leakage_safe": LEAKAGE_SAFE_SPLIT_SQL,
     "jsonl_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
+    "orc_roundtrip_documents": JSONL_ROUNDTRIP_SQL,
     "events_props_extract": EVENTS_PROPS_SQL,
     # the probe is roundtrip-tested equal to the in-memory bipartite
     # probe, so the same bit-exact oracle applies
