@@ -531,3 +531,25 @@ def test_phonetic_catalog_levels_all_live(spark, sf_dir):
     assert rotated, "no vowel-rotated rolls in the fixture slice"
     assert all(r.g_name_lvl == 1 for r in rotated), rotated[:5]
     assert all(r.matched_custkey == r.src_id for r in rotated), rotated[:5]
+
+
+def test_phonetic_em_training_signal_is_live(spark, sf_dir):
+    """Phonetic EM must (a) train on a different pair population than
+    the FS graded EM (different fixture, different blocks) and (b)
+    separate the sounds-alike level from exact and different in the
+    final iteration's match-class distribution — a collapsed level
+    means the vowel-rotation damage stopped reaching the pattern
+    counts."""
+    from voter_gateway_spark.queries import QUERIES
+
+    a = {(r.em_iter, r.field, r.level): (r.m, r.u, r.lam)
+         for r in QUERIES["match_fs_em_graded"](spark, sf_dir).collect()}
+    p = {(r.em_iter, r.field, r.level): (r.m, r.u, r.lam)
+         for r in QUERIES["match_phonetic_em"](spark, sf_dir).collect()}
+    assert set(a) == set(p) and len(p) == 21
+    assert any(a[k] != p[k] for k in a)
+    final_m = {lvl: p[(3, "name", lvl)][0] for lvl in range(3)}
+    assert len(set(final_m.values())) == 3, final_m
+    # exact agreement dominates the match class; sounds-alike carries
+    # real (non-vanishing) match mass
+    assert final_m[2] > final_m[1] > 0.0, final_m

@@ -10607,8 +10607,12 @@ def _phon_weight_sql() -> str:
     )
 
 
-PHONETIC_TOP1_SQL = f"""
-WITH {_PHON_ROLL_TGT_SQL},
+def _phon_pairs_sql() -> str:
+    """roll/tgt/graded CTE prefix shared by the phonetic top-1 and
+    phonetic EM oracles — same shape contract as _fs_graded_pairs_sql
+    (a `graded` CTE of (src_id, c_custkey, g_name_lvl, g_seg,
+    g_bucket))."""
+    return f"""{_PHON_ROLL_TGT_SQL},
 graded AS MATERIALIZED (
   SELECT DISTINCT r.src_id, t.c_custkey,
          CASE WHEN r.src_surname IS NOT DISTINCT FROM t.t_surname THEN 2
@@ -10621,7 +10625,11 @@ graded AS MATERIALIZED (
    AND (r.src_phon IS NOT DISTINCT FROM t.t_phon
         OR (r.src_segment IS NOT DISTINCT FROM t.c_mktsegment
             AND r.src_bucket IS NOT DISTINCT FROM t.t_bucket))
-),
+)"""
+
+
+PHONETIC_TOP1_SQL = f"""
+WITH {_phon_pairs_sql()},
 scored AS (SELECT *, ({_phon_weight_sql()}) AS w FROM graded)
 SELECT src_id, c_custkey AS matched_custkey, g_name_lvl,
        round(w, 6) AS match_weight
@@ -10672,6 +10680,33 @@ def _fs_em_graded_impl(spark, sf_dir, rules):
             "g_bucket": ("src_bucket", "t_bucket"),
         },
     )
+    return _em_graded_rows_df(spark, pats)
+
+
+def match_phonetic_em(spark, sf_dir):
+    """Multi-level EM trained on the PHONETIC scheme's pairs — learns
+    per-level (m, u) for the exact/sounds-alike/different name
+    comparison from the data, the training rung that turns the
+    hand-set _PHON_NAME_GRADED weights into estimated ones. Same
+    machinery as the FS graded EM (pattern compression to ≤12 rows via
+    inclusion–exclusion — zero pair-sized exchange) over the phonetic
+    blocks; the sounds-alike level's m/u separate from both exact and
+    different (liveness pinned by test)."""
+    roll, tgt = _phon_sides(spark, sf_dir)
+    pats = linkage.gamma_pattern_counts_blocked(
+        roll,
+        tgt,
+        rules=_PHON_RULES,
+        gammas={
+            "g_name_lvl": _phon_gamma_lvl(),
+            "g_seg": ("src_segment", "c_mktsegment"),
+            "g_bucket": ("src_bucket", "t_bucket"),
+        },
+    )
+    return _em_graded_rows_df(spark, pats)
+
+
+def _em_graded_rows_df(spark, pats):
     hist = linkage.fs_em_graded(pats, levels=[3, 2, 2], iters=3)
     rows = []
     for h in hist:
@@ -10707,7 +10742,11 @@ def match_fs_em_graded_scaled(spark, sf_dir):
     return _fs_em_graded_impl(spark, sf_dir, _FS_RULES_SCALED)
 
 
-def _fs_em_graded_sql(iters: int = 3, join_sql: str | None = None) -> str:
+def _fs_em_graded_sql(
+    iters: int = 3,
+    join_sql: str | None = None,
+    pairs_sql: str | None = None,
+) -> str:
     levels = [n for _, n, _ in _FS_GRADED_FIELDS]
     m0, u0 = linkage.em_graded_init(levels)
     cols = [c for c, _, _ in _FS_GRADED_FIELDS]
@@ -10765,8 +10804,10 @@ def _fs_em_graded_sql(iters: int = 3, join_sql: str | None = None) -> str:
                     f" round(m{i}_{lvl}, 6) AS m, round(u{i}_{lvl}, 6) AS u,"
                     f" round(lam, 6) AS lam FROM p{k}"
                 )
+    if pairs_sql is None:
+        pairs_sql = _fs_graded_pairs_sql(join_sql)
     return (
-        f"WITH {_fs_graded_pairs_sql(join_sql)},\n"
+        f"WITH {pairs_sql},\n"
         + ",\n".join(ctes)
         + "\n"
         + "\nUNION ALL\n".join(selects)
@@ -10775,6 +10816,7 @@ def _fs_em_graded_sql(iters: int = 3, join_sql: str | None = None) -> str:
 
 FS_EM_GRADED_SQL = _fs_em_graded_sql(3)
 FS_EM_GRADED_SCALED_SQL = _fs_em_graded_sql(3, _FS_SCALED_JOIN_SQL)
+PHONETIC_EM_SQL = _fs_em_graded_sql(3, pairs_sql=_phon_pairs_sql())
 
 
 def match_fs_tf_score(spark, sf_dir):
@@ -11412,6 +11454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_fs_scaled_top1": match_fs_scaled_top1,
     "match_phonetic_top1": match_phonetic_top1,
     "match_phonetic_blocking_audit": match_phonetic_blocking_audit,
+    "match_phonetic_em": match_phonetic_em,
     "embed_pagerank": embed_pagerank,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
@@ -11614,6 +11657,7 @@ ORACLES: dict[str, str] = {
     "match_fs_scaled_top1": FS_SCALED_TOP1_SQL,
     "match_phonetic_top1": PHONETIC_TOP1_SQL,
     "match_phonetic_blocking_audit": PHONETIC_BLOCKING_AUDIT_SQL,
+    "match_phonetic_em": PHONETIC_EM_SQL,
     "embed_pagerank": _pagerank_sql(),
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
