@@ -182,3 +182,68 @@ def test_token_frequencies_doc_count(spark):
     out2 = {r.token: (r["count"], r.doc_count)
             for r in token_frequencies(df, "text").collect()}
     assert out2 == out
+
+
+def test_geo_radius_join_complete_vs_brute_and_margins(spark, sf_dir):
+    """The 3x3 cell neighborhood must recover EXACTLY the naive cross
+    join's within-radius pairs across the full ±60° band, and the
+    fixture must keep every candidate distance away from both the
+    radius and the round-4 boundary (the float-predicate determinism
+    contract the oracle relies on)."""
+    from voter_gateway_spark.operators.relational import (
+        geo_radius_join, haversine_km,
+    )
+    from voter_gateway_spark.queries import _geo_base, match_geo_radius
+
+    base = _geo_base(spark, sf_dir)
+    roll = base.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src_id"),
+        (F.col("lat") + F.when(F.col("c_custkey") % 13 == 0, F.lit(0.5))
+         .when(F.col("c_custkey") % 7 == 0, F.lit(0.004))
+         .otherwise(F.lit(0.0))).alias("s_lat"),
+        (F.col("lng") + F.when(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 13 != 0),
+            F.lit(0.003)).otherwise(F.lit(0.0))).alias("s_lng"),
+    )
+    blocked = {
+        (r.src_id, r.c_custkey)
+        for r in geo_radius_join(
+            roll, base, radius_km=1.0, cell_deg=0.02,
+            left_lat="s_lat", left_lng="s_lng",
+        ).collect()
+    }
+    d = haversine_km(
+        F.col("s_lat"), F.col("s_lng"), F.col("lat"), F.col("lng")
+    )
+    all_pairs = roll.crossJoin(base).select(
+        "src_id", "c_custkey", d.alias("d")
+    )
+    brute = {
+        (r.src_id, r.c_custkey)
+        for r in all_pairs.where(F.col("d") <= 1.0).collect()
+    }
+    assert blocked == brute and len(brute) > 0
+
+    # margin contracts: nothing near the 1 km radius, and no kept
+    # distance near a round(.,4) half-boundary
+    margins = all_pairs.agg(
+        F.min(F.abs(F.col("d") - 1.0)).alias("radius_gap"),
+        F.min(
+            F.when(
+                F.col("d") <= 1.0,
+                F.abs(F.col("d") * 10000 - F.floor(F.col("d") * 10000) - 0.5),
+            )
+        ).alias("round_gap"),
+    ).collect()[0]
+    assert margins.radius_gap > 0.01, margins
+    assert margins.round_gap > 1e-6, margins
+
+    # damage-model semantics: moved-apartment rows pair with their own
+    # registry row; left-the-area rows never do
+    got = {(r.src_id, r.near_custkey) for r in match_geo_radius(spark, sf_dir).collect()}
+    keys = [r.c_custkey for r in base.collect()]
+    moved = [k for k in keys if k % 3 == 0 and k % 7 == 0 and k % 13 != 0]
+    gone = [k for k in keys if k % 3 == 0 and k % 13 == 0]
+    assert moved and gone
+    assert all((k, k) in got for k in moved)
+    assert all((k, k) not in got for k in gone)

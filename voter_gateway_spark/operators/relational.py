@@ -388,3 +388,90 @@ def pack_sequences(
             ).cast("bigint"),
         )
     )
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(lat_a: Column, lng_a: Column, lat_b: Column, lng_b: Column) -> Column:
+    """Great-circle distance in km (haversine form — numerically stable
+    for the short distances blocking produces, where the spherical-law
+    cosine loses precision). Pure Column trig: sin/cos/asin run
+    JVM-side in codegen. Engines' libm implementations may differ in
+    the last ulp for transcendentals, so a cross-engine consumer must
+    round the output AND keep decision thresholds away from achievable
+    distances (geo_radius_join's catalog fixture asserts its margin by
+    test — the determinism discipline for any float predicate)."""
+    dlat = F.radians(lat_b - lat_a)
+    dlng = F.radians(lng_b - lng_a)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat_a)) * F.cos(F.radians(lat_b)) * F.pow(F.sin(dlng / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+    left_lat: str = "lat",
+    left_lng: str = "lng",
+    right_lat: str = "lat",
+    right_lng: str = "lng",
+    dist_col: str = "dist_km",
+) -> DataFrame:
+    """Spatial radius join (find all right rows within radius_km of
+    each left row) as a grid-cell equi-join — the range-join class
+    Spark has no built-in for, done without a BroadcastNestedLoop:
+
+    1. snap both sides to (floor(lat/cell), floor(lng/cell)) grid
+       cells;
+    2. explode each LEFT row to its 3x3 cell neighborhood (9 compact
+       int-pair keys — the bounded fan-out side) and equi-join the
+       right side on the cell key: a plain shuffled hash join whose
+       work scales with cell occupancy, never |L|x|R|;
+    3. verify the exact haversine predicate on the survivors.
+
+    Correctness requires the neighborhood to cover the radius:
+    cell_deg >= radius_km / (111.0 * cos(max |lat|)) — longitude
+    degrees shrink by cos(lat), so the caller passes a cell size
+    derived from their latitude band (the fixture uses |lat| <= 60 →
+    cell 2x the equatorial radius-degrees). Completeness vs the naive
+    cross join is pinned by test on a fixture spanning the band.
+
+    At 100 TB this is the standard geospatial-blocking shape: cells
+    are partition keys (skew from dense cities is ordinary key skew —
+    AQE skew-split applies), and the exact predicate touches only
+    co-located candidates. Output: left row + right row + dist_col.
+    Left and right column names must be disjoint (rename upstream —
+    the blocked_pairs convention).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"geo_radius_join needs disjoint column names; shared: {sorted(overlap)}"
+        )
+    lcell_lat = F.floor(F.col(left_lat) / cell_deg).cast("long")
+    lcell_lng = F.floor(F.col(left_lng) / cell_deg).cast("long")
+    offs = [F.struct(F.lit(i).alias("di"), F.lit(j).alias("dj"))
+            for i in (-1, 0, 1) for j in (-1, 0, 1)]
+    lx = (
+        left.withColumn("_o", F.explode(F.array(*offs)))
+        .withColumn("_ci", lcell_lat + F.col("_o.di"))
+        .withColumn("_cj", lcell_lng + F.col("_o.dj"))
+        .drop("_o")
+    )
+    rx = right.withColumn(
+        "_ci", F.floor(F.col(right_lat) / cell_deg).cast("long")
+    ).withColumn("_cj", F.floor(F.col(right_lng) / cell_deg).cast("long"))
+    d = haversine_km(
+        F.col(left_lat), F.col(left_lng), F.col(right_lat), F.col(right_lng)
+    )
+    return (
+        lx.join(rx, ["_ci", "_cj"])
+        .withColumn(dist_col, d)
+        .where(F.col(dist_col) <= radius_km)
+        .drop("_ci", "_cj")
+    )

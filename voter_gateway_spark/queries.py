@@ -5435,6 +5435,100 @@ FROM c
 """
 
 
+def _geo_base(spark, sf_dir):
+    """Deterministic synthetic locations: lat/lng derived from md5 of
+    the custkey (the _plane idiom — engine-neutral), lat banded to
+    ±60° so a single grid cell size covers the longitude shrink."""
+    key = F.md5(F.col("c_custkey").cast("string"))
+    lat = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 120000
+    ) / 1000.0 - 60.0
+    lng = (
+        F.conv(F.substring(key, 9, 8), 16, 10).cast("bigint") % 360000
+    ) / 1000.0 - 180.0
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", lat.alias("lat"), lng.alias("lng")
+    )
+
+
+def match_geo_radius(spark, sf_dir):
+    """Address-proximity candidate pairs — the spatial blocking rung
+    (voter files link on residence when names fail): every 3rd
+    customer re-registers; every 7th of those moved ~0.5 km (a new
+    apartment — must still pair within the 1 km radius), every 13th
+    moved ~55 km (left the area — must not pair). geo_radius_join
+    blocks on 0.02° grid cells (3x3 neighborhood covers 1 km through
+    |lat| <= 60) and verifies exact haversine — candidate work scales
+    with cell occupancy, never |roll| x |registry|. Completeness vs
+    the naive cross join and the float-predicate margin (no distance
+    near the radius or a rounding boundary) are pinned by test."""
+    base = _geo_base(spark, sf_dir)
+    roll = base.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src_id"),
+        (
+            F.col("lat")
+            + F.when(F.col("c_custkey") % 13 == 0, F.lit(0.5))
+            .when(F.col("c_custkey") % 7 == 0, F.lit(0.004))
+            .otherwise(F.lit(0.0))
+        ).alias("s_lat"),
+        (
+            F.col("lng")
+            + F.when(
+                (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 13 != 0),
+                F.lit(0.003),
+            ).otherwise(F.lit(0.0))
+        ).alias("s_lng"),
+    )
+    from voter_gateway_spark.operators.relational import geo_radius_join
+
+    joined = geo_radius_join(
+        roll, base, radius_km=1.0, cell_deg=0.02,
+        left_lat="s_lat", left_lng="s_lng",
+    )
+    return joined.select(
+        "src_id",
+        F.col("c_custkey").alias("near_custkey"),
+        F.round("dist_km", 4).alias("dist_km"),
+    )
+
+
+def _geo_base_sql(expr: str = "c_custkey") -> str:
+    lat = (
+        f"(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % 120000) / CAST(1000.0 AS DOUBLE) - CAST(60.0 AS DOUBLE)"
+    )
+    lng = (
+        f"(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 9, 8))::BIGINT"
+        f" % 360000) / CAST(1000.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)"
+    )
+    return f"SELECT {expr}, {lat} AS lat, {lng} AS lng FROM customer"
+
+
+GEO_RADIUS_SQL = f"""
+WITH base AS ({_geo_base_sql()}),
+roll AS (
+  SELECT c_custkey AS src_id,
+         lat + CASE WHEN c_custkey % 13 = 0 THEN CAST(0.5 AS DOUBLE)
+                    WHEN c_custkey % 7 = 0 THEN CAST(0.004 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS lat,
+         lng + CASE WHEN c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+                    THEN CAST(0.003 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS lng
+  FROM base WHERE c_custkey % 3 = 0
+),
+p AS (
+  SELECT r.src_id, b.c_custkey AS near_custkey,
+         CAST(2.0 AS DOUBLE) * CAST(6371.0088 AS DOUBLE) * asin(sqrt(
+           pow(sin(radians(b.lat - r.lat) / 2), 2)
+           + cos(radians(r.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lng - r.lng) / 2), 2)
+         )) AS d
+  FROM roll r, base b
+)
+SELECT src_id, near_custkey, round(d, 4) AS dist_km
+FROM p WHERE d <= CAST(1.0 AS DOUBLE)
+"""
+
+
 def events_value_cap(spark, sf_dir):
     """Per-user value-budget admission (batch form of the streaming
     quota controller, streaming/events.py stream_value_cap_admissions)."""
@@ -11455,6 +11549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_phonetic_top1": match_phonetic_top1,
     "match_phonetic_blocking_audit": match_phonetic_blocking_audit,
     "match_phonetic_em": match_phonetic_em,
+    "match_geo_radius": match_geo_radius,
     "embed_pagerank": embed_pagerank,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
@@ -11658,6 +11753,7 @@ ORACLES: dict[str, str] = {
     "match_phonetic_top1": PHONETIC_TOP1_SQL,
     "match_phonetic_blocking_audit": PHONETIC_BLOCKING_AUDIT_SQL,
     "match_phonetic_em": PHONETIC_EM_SQL,
+    "match_geo_radius": GEO_RADIUS_SQL,
     "embed_pagerank": _pagerank_sql(),
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
