@@ -553,3 +553,22 @@ def test_phonetic_em_training_signal_is_live(spark, sf_dir):
     # exact agreement dominates the match class; sounds-alike carries
     # real (non-vanishing) match mass
     assert final_m[2] > final_m[1] > 0.0, final_m
+
+
+def test_phonetic_top1_threshold_folds_into_blocking_joins(spark, sf_dir):
+    """The phonetic assignment inherits the fold: its gammas are plain
+    expressions over staged columns, so Catalyst recomputes the graded
+    weight inside each blocking join and the recall rule's
+    quadratic-by-contract mass dies join-side — measured 76 MB shuffle
+    at the x100 replica where a listed pair mass pays gigabytes. Pin
+    the shape."""
+    from voter_gateway_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["match_phonetic_top1"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_lines = [ln for ln in plan.split("\n") if "Join" in ln]
+    assert sum(">= 4.0" in ln for ln in join_lines) >= 2, plan
