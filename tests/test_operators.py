@@ -2809,6 +2809,16 @@ def test_docs_ann_ivf_recall_floor_vs_brute(spark, sf_dir):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.75, recall
+    # the 1-bit rung: templated docs collapse to identical sign
+    # patterns (the adversarial case for binary codes), so its floor
+    # sits below IVF's — the 96-candidate pool holds 0.74-0.79 on the
+    # fixtures, and the pool is the documented lever
+    binary = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["docs_ann_binary_topk"](spark, sf_dir).collect()
+    }
+    b_recall = len(brute & binary) / len(brute)
+    assert b_recall >= 0.6, b_recall
 
 
 def test_pq_index_probe_equals_inquery_and_collapse(spark, sf_dir, tmp_path):

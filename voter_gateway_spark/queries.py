@@ -3949,6 +3949,66 @@ SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cos_sim FROM (
 """
 
 
+def docs_ann_binary_topk(spark, sf_dir):
+    """Text → vector → ANN, the 1-BIT rung of the capstone family:
+    the hashed-trick featurizer feeds binary_topk — 16 sign bits per
+    document packed into ONE long, so the corpus-wide stage-1 pass
+    reads 8 bytes per doc (vs 128 for the float vectors) and runs as
+    XOR+popcount in codegen; the exact-cosine rerank touches only the
+    24-candidate pool per query. The retrieval shape a 100 TB text
+    corpus ships when even int8 vectors are too big to scan. Same
+    family conventions: zero-norm filtered, queries = doc_id % 10,
+    k=3, deterministic ties. Graded against the brute yardstick in
+    the capstone recall test alongside the IVF form."""
+    docs = widen(_t(spark, sf_dir, "documents"))
+    emb = docs.select(
+        "doc_id", text.hashed_embedding("text", dim=16).alias("embedding")
+    )
+    nz = ckpt(
+        emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    )
+    qs = nz.where(F.col("doc_id") % 10 == 0)
+    return similarity.binary_topk(
+        qs, nz, k=3, candidates=96, dim=16, id_col="doc_id", vec_col="embedding"
+    )
+
+
+DOCS_ANN_BINARY_SQL = f"""
+WITH {_hash_emb_ctes()},
+nz AS (
+  SELECT doc_id, v FROM emb
+  WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+),
+s2 AS (
+  SELECT doc_id, v,
+         list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS sb
+  FROM nz
+),
+s3 AS (SELECT doc_id, v, sb, list_sum(sb) AS ones FROM s2),
+q AS (SELECT * FROM s3 WHERE doc_id % 10 = 0),
+h AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         CAST(q.ones + c.ones - 2 * list_dot_product(q.sb, c.sb) AS INTEGER) AS hamming,
+         q.v AS qv, c.v AS cv
+  FROM q, s3 c WHERE q.doc_id <> c.doc_id
+),
+pool AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS cr
+  FROM h
+),
+r AS (
+  SELECT query_id, neighbor_id, hamming,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM pool WHERE cr <= 96
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, hamming, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM r
+) WHERE rn <= 3
+"""
+
+
 def docs_ann_ivf_topk(spark, sf_dir):
     """Text → vector → ANN, the SCALE capstone (r13 verdict ask #1):
     the same hashed-trick featurizer (text.hashed_embedding) feeds the
@@ -11566,6 +11626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_embedding": text_hash_embedding,
     "docs_ann_topk": docs_ann_topk,
     "docs_ann_ivf_topk": docs_ann_ivf_topk,
+    "docs_ann_binary_topk": docs_ann_binary_topk,
     # r15 newborn: the PQ-coded text capstone
     "docs_ann_ivfpq_topk": docs_ann_ivfpq_topk,
     "docs_ann_pq_index_probe": docs_ann_pq_index_probe,
@@ -11829,6 +11890,7 @@ ORACLES: dict[str, str] = {
     "text_hash_embedding": TEXT_HASH_EMBEDDING_SQL,
     "docs_ann_topk": DOCS_ANN_TOPK_SQL,
     "docs_ann_ivf_topk": DOCS_ANN_IVF_TOPK_SQL,
+    "docs_ann_binary_topk": DOCS_ANN_BINARY_SQL,
     "docs_ann_ivfpq_topk": DOCS_ANN_IVFPQ_TOPK_SQL,
     # bit-identical contract: the persisted-index probe replays the
     # in-query capstone's trajectory, so it shares the oracle
