@@ -47,8 +47,15 @@ from voter_gateway_spark.session import build_spark  # noqa: E402
 GROUPS = [
     (
         ["/root/testdata/sf0.1", "/tmp/stress_x10", "/tmp/stress_x100"],
-        ["embed_binary_topk", "embed_pagerank", "orc_roundtrip_documents"],
-        {"embed_binary_topk": 2},  # skip from dir index 2 (x100)
+        [
+            "embed_binary_topk",
+            "embed_pagerank",
+            "orc_roundtrip_documents",
+            "docs_ann_binary_topk",
+        ],
+        # |Q| grows with N in these catalog forms — quadratic-by-design
+        # yardstick contract past x10 (see docstring)
+        {"embed_binary_topk": 2, "docs_ann_binary_topk": 2},
     ),
     (
         ["/root/testdata/sf0.1", "/tmp/fs_x10", "/tmp/fs_x100"],
