@@ -2921,3 +2921,34 @@ def test_pagerank_matches_integer_reference(spark):
     assert got[0] > got[1] > got[2] == got[3] == got[4]
     # mass conservation up to floor losses: <= 1 unit per division
     assert abs(sum(got.values()) - u) < (n + len(edge_rows) + 2) * 3
+
+
+def test_rrf_fusion_hand_arithmetic_and_consensus(spark):
+    """RRF on hand-built rankings must equal 1/(60+r) sums computed by
+    hand, a consensus candidate (mid-ranked by BOTH methods) must beat
+    a single method's favorite, and a method missing a candidate
+    contributes exactly zero."""
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    got = {
+        r.neighbor_id: (r.rank, r.rrf_score)
+        for r in similarity.rrf_fusion([("a", a), ("b", b)], k=4).collect()
+    }
+    exp = {
+        10: 1 / 61 + 1 / 63,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,        # only method a
+        13: 1 / 62,        # only method b
+    }
+    for nid, score in exp.items():
+        assert got[nid][1] == round(score, 9), (nid, got[nid], score)
+    order = [nid for nid, _ in sorted(got.items(), key=lambda kv: kv[1][0])]
+    # consensus: 11 (ranks 2+1) beats 10 (ranks 1+3); singles trail,
+    # 13 (rank 2) ahead of 12 (rank 3)
+    assert order == [11, 10, 13, 12], order

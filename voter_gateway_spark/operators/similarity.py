@@ -2764,3 +2764,66 @@ def pagerank(
         F.col("_r").alias("rank_units"),
         F.round(F.col("_r") / F.lit(float(u)), 12).alias("pagerank"),
     )
+
+
+def rrf_fusion(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    standard combiner for hybrid retrieval: each input ranking
+    contributes 1/(rrf_k + rank) per (query, candidate), candidates
+    are re-ranked by the sum. Rank-based, so incomparable scores
+    (cosine vs ADC vs lexical) fuse without calibration, and a
+    candidate surfaced by several methods beats one ranked high by a
+    single method.
+
+    Determinism contract: the per-method contributions are PIVOTED
+    into one column per method (each method emits at most one rank per
+    pair, so max() is exact) and summed in the FIXED order of the
+    `rankings` list as a single projection expression — never a
+    groupBy-sum over the float contributions, whose shuffle fold order
+    could differ between engines. 1/(rrf_k+rank) is one IEEE division;
+    a fixed-order chain of adds is bit-identical everywhere, so an
+    oracle mirrors the fusion exactly.
+
+    Scale shape: inputs are already top-k-sized (|Q|·k rows per
+    method), so the union + one shuffled aggregate on (query,
+    candidate) is tiny relative to any retrieval stage that produced
+    them — fusion is never the bottleneck.
+
+    Input frames carry (query_id, neighbor_id, rank); output:
+    (query_id, neighbor_id, rank, rrf_score) with the usual
+    deterministic tie-break (score desc, neighbor_id asc).
+    """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    tagged = None
+    for name, df in rankings:
+        part = df.select(
+            F.lit(name).alias("_m"), "query_id", "neighbor_id", "rank"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    methods = [name for name, _ in rankings]
+    pivoted = (
+        tagged.groupBy("query_id", "neighbor_id")
+        .pivot("_m", methods)
+        .agg(F.max("rank"))
+    )
+    score = None
+    for name in methods:
+        term = F.when(
+            F.col(name).isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(name)),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pivoted.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("rrf_score", 9).alias("rrf_score"))
+    )

@@ -2499,6 +2499,59 @@ FROM (
 """
 
 
+def embed_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval rank fusion (similarity.rrf_fusion, RRF —
+    Cormack 2009): the IVF, SQ8, and LSH top-k rankings fuse by
+    Σ 1/(60+rank) without score calibration — a candidate several
+    methods surface beats a single method's favorite. Contributions
+    pivot to one column per method and sum in fixed written order
+    (ivf, int8, lsh), so the score is one deterministic IEEE chain the
+    oracle mirrors term for term — no float aggregate, no fold order."""
+    return similarity.rrf_fusion(
+        [
+            ("ivf", embed_ivf_topk(spark, sf_dir)),
+            ("int8", embed_int8_topk(spark, sf_dir)),
+            ("lsh", embed_lsh_topk(spark, sf_dir)),
+        ],
+        k=5,
+    )
+
+
+def _rrf_sql() -> str:
+    terms = []
+    for m in ("ivf", "int8", "lsh"):
+        terms.append(
+            f"(CASE WHEN r_{m} IS NOT NULL"
+            f" THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_{m})"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+    score = " + ".join(terms)
+    return f"""
+WITH ivf AS ({_ivf_sql()}),
+i8 AS ({INT8_TOPK_SQL}),
+lshr AS ({_lsh_topk_sql()}),
+t AS (
+  SELECT 'ivf' AS m, query_id, neighbor_id, rank FROM ivf
+  UNION ALL SELECT 'int8', query_id, neighbor_id, rank FROM i8
+  UNION ALL SELECT 'lsh', query_id, neighbor_id, rank FROM lshr
+),
+p AS (
+  SELECT query_id, neighbor_id,
+         max(CASE WHEN m = 'ivf' THEN rank END) AS r_ivf,
+         max(CASE WHEN m = 'int8' THEN rank END) AS r_int8,
+         max(CASE WHEN m = 'lsh' THEN rank END) AS r_lsh
+  FROM t GROUP BY 1, 2
+),
+s AS (SELECT query_id, neighbor_id, {score} AS sc FROM p)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+       round(sc, 9) AS rrf_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn
+  FROM s
+) WHERE rn <= 5
+"""
+
+
 # =============================================================================
 # Events: windowed + sessionized
 # =============================================================================
@@ -11754,6 +11807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_topk": embed_lsh_topk,
     "embed_int8_topk": embed_int8_topk,
     "embed_binary_topk": embed_binary_topk,
+    "embed_rrf_fusion": embed_rrf_fusion,
     "embed_near_dup": embed_near_dup,
     "embed_knn_label": embed_knn_label,
     "q5_region_revenue": q5_region_revenue,
@@ -11874,6 +11928,7 @@ ORACLES: dict[str, str] = {
     "embed_lsh_topk": _lsh_topk_sql(),
     "embed_int8_topk": INT8_TOPK_SQL,
     "embed_binary_topk": BINARY_TOPK_SQL,
+    "embed_rrf_fusion": _rrf_sql(),
     "multimodal_features": MULTIMODAL_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     "fuzzy_claiming_documents": _fuzzy_claiming_sql(),
