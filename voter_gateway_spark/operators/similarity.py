@@ -2695,6 +2695,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an explicit edge list, in EXACT integer
     arithmetic — every quantity is a BIGINT count of 10⁻¹² mass units,
@@ -2709,6 +2710,13 @@ def pagerank(
     division on positives; U = 10¹². Floor losses are bounded by one
     unit per division — ~(N + |E|)·10⁻¹² of total mass per iteration,
     irrelevant at rank precision and identical across engines.
+
+    With `seeds` (a frame of node ids), the PERSONALIZED form: the
+    teleport mass and initial distribution concentrate on the seed set
+    (U div |S| per seed, 0 elsewhere), so ranks measure graph
+    proximity to the seeds — the seed-expansion / label-propagation
+    selection primitive ("find more documents like these labeled
+    ones") rather than global centrality. Identical integer contract.
 
     Dangling nodes (no out-edges) simply leak their damped mass, as in
     the classic formulation without a dangling patch; a kNN graph has
@@ -2732,15 +2740,41 @@ def pagerank(
     if n_nodes == 0:
         raise ValueError("pagerank needs a non-empty node frame")
     u = PAGERANK_UNITS
-    teleport = (u * (damping_den - damping_num)) // (damping_den * n_nodes)
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
     outd = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
     # out-degree is a static property of the graph: stage it on the
     # edge list once, outside the iteration
     eo = ckpt_lazy(e.join(outd, "_src"))
-    ranks = nodes.select(
-        F.col(node_col).alias("_node"), F.lit(u // n_nodes).cast("long").alias("_r")
-    )
+    if seeds is None:
+        teleport = (u * (damping_den - damping_num)) // (damping_den * n_nodes)
+        ranks = nodes.select(
+            F.col(node_col).alias("_node"),
+            F.lit(u // n_nodes).cast("long").alias("_r"),
+            F.lit(teleport).cast("long").alias("_tele"),
+        )
+    else:
+        # PERSONALIZED form: teleport mass (and the initial
+        # distribution) concentrates on the seed set — ranks measure
+        # graph proximity to the seeds (seed-expansion / label-prop
+        # selection), not global centrality. Same integer units.
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank seeds frame is empty")
+        tele_seed = (u * (damping_den - damping_num)) // (damping_den * n_seeds)
+        flag = seeds.select(
+            F.col(node_col).alias("_node"), F.lit(1).alias("_is_seed")
+        ).distinct()
+        ranks = (
+            nodes.select(F.col(node_col).alias("_node"))
+            .join(flag, "_node", "left")
+            .select(
+                "_node",
+                F.when(F.col("_is_seed") == 1, F.lit(u // n_seeds))
+                .otherwise(F.lit(0)).cast("long").alias("_r"),
+                F.when(F.col("_is_seed") == 1, F.lit(tele_seed))
+                .otherwise(F.lit(0)).cast("long").alias("_tele"),
+            )
+        )
     for _ in range(iters):
         contrib = (
             eo.join(ranks, eo["_src"] == ranks["_node"])
@@ -2752,11 +2786,12 @@ def pagerank(
             ranks.join(contrib, ranks["_node"] == contrib["_dst"], "left").select(
                 "_node",
                 (
-                    F.lit(teleport).cast("long")
+                    F.col("_tele")
                     + F.expr(
                         f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
                     )
                 ).alias("_r"),
+                "_tele",
             )
         )
     return ranks.select(

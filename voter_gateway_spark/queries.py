@@ -1677,19 +1677,59 @@ def embed_pagerank(spark, sf_dir):
     ).select(F.col("node").alias("vec_id"), "rank_units", "pagerank")
 
 
-def _pagerank_sql(iters: int = 3, u: int = 1_000_000_000_000) -> str:
-    """Unrolled integer PageRank over the knn-graph mirror: r0 = U//N,
-    then per iteration one contribution aggregate (BIGINT, fold-order-
-    free) and one rank rebuild. `//` is DuckDB integer division ==
-    Spark's `div` on positives."""
+def embed_ppr_seeds(spark, sf_dir):
+    """Personalized PageRank from a labeled seed set — the
+    seed-expansion selection primitive ('find more documents like
+    these curated ones'): teleport mass concentrates on the label-0
+    vectors, so a node's rank is its kNN-graph proximity to the seed
+    class, decaying with graph distance. Integer-exact like
+    embed_pagerank (same BIGINT units, per-node teleport as a carried
+    column), so the oracle unrolls identically. Selection reads: rank
+    the non-seed corpus by ppr and keep the head — test-pinned that
+    same-label non-seeds outrank other-label nodes on average."""
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=4, n_centroids=None, rounds=2, iters=0)
+    return similarity.pagerank(
+        edges.select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+        emb.select(F.col("vec_id").alias("node")),
+        iters=3,
+        seeds=emb.where(F.col("label") == 0).select(F.col("vec_id").alias("node")),
+    ).select(F.col("node").alias("vec_id"), "rank_units", "pagerank")
+
+
+def _pagerank_sql(
+    iters: int = 3, u: int = 1_000_000_000_000, seed_where: str | None = None
+) -> str:
+    """Unrolled integer PageRank over the knn-graph mirror: r0 = U//N
+    (or U//|S| on the seed set for the personalized form), then per
+    iteration one contribution aggregate (BIGINT, fold-order-free) and
+    one rank rebuild; the per-node teleport rides along as a column.
+    `//` is DuckDB integer division == Spark's `div` on positives."""
     joined, final = _knn_graph_ctes(4, 2, 2)
     ctes = [
         f"edges AS (SELECT src, dst FROM {final})",
         "outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
         "eo AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outd o USING (src))",
-        "nn AS (SELECT count(*) AS n FROM c)",
-        f"r0 AS (SELECT vec_id AS node, {u} // (SELECT n FROM nn) AS r FROM c)",
     ]
+    if seed_where is None:
+        ctes += [
+            "nn AS (SELECT count(*) AS n FROM c)",
+            f"r0 AS (SELECT vec_id AS node, {u} // (SELECT n FROM nn) AS r,"
+            f" ({u} * 3) // (20 * (SELECT n FROM nn)) AS tele FROM c)",
+        ]
+    else:
+        ctes += [
+            f"sd AS (SELECT vec_id FROM embeddings WHERE {seed_where})",
+            "ns AS (SELECT count(*) AS n FROM sd)",
+            f"r0 AS (SELECT c.vec_id AS node,"
+            f" CASE WHEN sd.vec_id IS NOT NULL THEN {u} // (SELECT n FROM ns)"
+            f" ELSE 0 END AS r,"
+            f" CASE WHEN sd.vec_id IS NOT NULL"
+            f" THEN ({u} * 3) // (20 * (SELECT n FROM ns)) ELSE 0 END AS tele"
+            f" FROM c LEFT JOIN sd ON c.vec_id = sd.vec_id)",
+        ]
     prev = "r0"
     for i in range(1, iters + 1):
         ctes.append(
@@ -1697,9 +1737,8 @@ def _pagerank_sql(iters: int = 3, u: int = 1_000_000_000_000) -> str:
             f" FROM eo JOIN {prev} ON eo.src = {prev}.node GROUP BY eo.dst)"
         )
         ctes.append(
-            f"r{i} AS (SELECT {prev}.node,"
-            f" (({u} * 3) // (20 * (SELECT n FROM nn)))"
-            f" + (17 * coalesce(c{i}.s, 0)) // 20 AS r"
+            f"r{i} AS (SELECT {prev}.node, {prev}.tele"
+            f" + (17 * coalesce(c{i}.s, 0)) // 20 AS r, {prev}.tele"
             f" FROM {prev} LEFT JOIN c{i} ON {prev}.node = c{i}.dst)"
         )
         prev = f"r{i}"
@@ -11664,6 +11703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_phonetic_em": match_phonetic_em,
     "match_geo_radius": match_geo_radius,
     "embed_pagerank": embed_pagerank,
+    "embed_ppr_seeds": embed_ppr_seeds,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
@@ -11870,6 +11910,7 @@ ORACLES: dict[str, str] = {
     "match_phonetic_em": PHONETIC_EM_SQL,
     "match_geo_radius": GEO_RADIUS_SQL,
     "embed_pagerank": _pagerank_sql(),
+    "embed_ppr_seeds": _pagerank_sql(seed_where="label = 0"),
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
