@@ -3000,3 +3000,23 @@ def test_personalized_pagerank_reference_and_seed_affinity(spark, sf_dir):
     # from every seed get (near-)zero while seed-adjacent nodes carry
     # real mass — that spread IS the selection signal
     assert min(other) == 0 and max(other) > u // (100 * len(ppr))
+
+
+def test_docs_ppr_expansion_seed_and_spread_contract(spark, sf_dir):
+    """The curation-expansion composite: seeds are exactly the
+    non-empty English docs, non-seed mass exists and is sharply
+    non-uniform (the selection signal), and every non-zero-vector doc
+    appears exactly once."""
+    from voter_gateway_spark.queries import QUERIES
+
+    rows = QUERIES["docs_ppr_expansion"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    en_nonempty = {
+        d.doc_id for d in docs
+        if d.lang == "en" and d.text is not None and d.text.split()
+    }
+    assert {r.doc_id for r in rows if r.is_seed == 1} == en_nonempty
+    assert len({r.doc_id for r in rows}) == len(rows)
+    non_seed = [r.rank_units for r in rows if r.is_seed == 0]
+    assert non_seed and max(non_seed) > 0
+    assert min(non_seed) < max(non_seed) // 10

@@ -1699,21 +1699,23 @@ def embed_ppr_seeds(spark, sf_dir):
     ).select(F.col("node").alias("vec_id"), "rank_units", "pagerank")
 
 
-def _pagerank_sql(
-    iters: int = 3, u: int = 1_000_000_000_000, seed_where: str | None = None
-) -> str:
-    """Unrolled integer PageRank over the knn-graph mirror: r0 = U//N
-    (or U//|S| on the seed set for the personalized form), then per
+def _pagerank_core_ctes(
+    iters: int, u: int, seed_sql: str | None, edge_cte: str
+) -> tuple[str, str]:
+    """Unrolled integer-PageRank CTE core over any (src, dst) edge CTE
+    whose node universe is the `c` CTE (vec_id, v): r0 = U//N (or
+    U//|S| on the seed set for the personalized form), then per
     iteration one contribution aggregate (BIGINT, fold-order-free) and
     one rank rebuild; the per-node teleport rides along as a column.
-    `//` is DuckDB integer division == Spark's `div` on positives."""
-    joined, final = _knn_graph_ctes(4, 2, 2)
+    `//` is DuckDB integer division == Spark's `div` on positives.
+    `seed_sql` is a SELECT of seed vec_ids, or None for the global
+    form. Returns (ctes_sql, final_cte_name)."""
     ctes = [
-        f"edges AS (SELECT src, dst FROM {final})",
+        f"edges AS (SELECT src, dst FROM {edge_cte})",
         "outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
         "eo AS (SELECT e.src, e.dst, o.od FROM edges e JOIN outd o USING (src))",
     ]
-    if seed_where is None:
+    if seed_sql is None:
         ctes += [
             "nn AS (SELECT count(*) AS n FROM c)",
             f"r0 AS (SELECT vec_id AS node, {u} // (SELECT n FROM nn) AS r,"
@@ -1721,7 +1723,7 @@ def _pagerank_sql(
         ]
     else:
         ctes += [
-            f"sd AS (SELECT vec_id FROM embeddings WHERE {seed_where})",
+            f"sd AS ({seed_sql})",
             "ns AS (SELECT count(*) AS n FROM sd)",
             f"r0 AS (SELECT c.vec_id AS node,"
             f" CASE WHEN sd.vec_id IS NOT NULL THEN {u} // (SELECT n FROM ns)"
@@ -1742,7 +1744,19 @@ def _pagerank_sql(
             f" FROM {prev} LEFT JOIN c{i} ON {prev}.node = c{i}.dst)"
         )
         prev = f"r{i}"
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes), prev
+
+
+def _pagerank_sql(
+    iters: int = 3, u: int = 1_000_000_000_000, seed_where: str | None = None
+) -> str:
+    joined, final = _knn_graph_ctes(4, 2, 2)
+    seed_sql = (
+        f"SELECT vec_id FROM embeddings WHERE {seed_where}"
+        if seed_where is not None
+        else None
+    )
+    body, prev = _pagerank_core_ctes(iters, u, seed_sql, final)
     return f"""
 WITH {joined},
 {body}
@@ -4098,6 +4112,74 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
   FROM r
 ) WHERE rn <= 3
+"""
+
+
+def docs_ppr_expansion(spark, sf_dir):
+    """Graph-based corpus curation capstone: text → hashed vectors →
+    kNN graph → PERSONALIZED PageRank from a curated seed set ('find
+    more documents like the labeled-English ones') — the
+    semi-supervised seed-expansion technique for growing a curated
+    corpus without a trained classifier. Seeds are the non-empty
+    English docs; every other document's rank is its graph proximity
+    to that set through the deterministic NN-descent kNN graph, in the
+    integer mass units that make the whole composite — featurizer,
+    graph, and 3 power iterations — bit-reproducible in the unrolled
+    oracle. Selection reads: ORDER BY pagerank DESC over is_seed = 0
+    and keep the head."""
+    docs = widen(_t(spark, sf_dir, "documents"))
+    emb = docs.select(
+        "doc_id",
+        text.hashed_embedding("text", dim=16).alias("embedding"),
+        "lang",
+    )
+    nz = ckpt(
+        emb.where(similarity.norm(similarity.as_double_array("embedding")) > 0)
+    )
+    vecs = nz.select(F.col("doc_id").alias("vec_id"), "embedding")
+    edges = similarity.knn_graph(vecs, k=4, n_centroids=None, rounds=2, iters=0)
+    seeds = nz.where(F.col("lang") == "en").select(F.col("doc_id").alias("node"))
+    ranks = similarity.pagerank(
+        edges.select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+        vecs.select(F.col("vec_id").alias("node")),
+        iters=3,
+        seeds=seeds,
+    )
+    flag = seeds.select("node", F.lit(1).alias("_sf"))
+    return (
+        ranks.join(flag, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("_sf", F.lit(0)).cast("int").alias("is_seed"),
+            "rank_units",
+            "pagerank",
+        )
+    )
+
+
+def _docs_ppr_sql(iters: int = 3, u: int = 1_000_000_000_000) -> str:
+    knn_joined, knn_final = _knn_graph_ctes(4, 2, 2, src="demb")
+    seed_sql = (
+        "SELECT n.doc_id AS vec_id FROM nz n"
+        " JOIN documents d ON n.doc_id = d.doc_id WHERE d.lang = 'en'"
+    )
+    body, prev = _pagerank_core_ctes(iters, u, seed_sql, knn_final)
+    return f"""
+WITH {_hash_emb_ctes()},
+nz AS (
+  SELECT doc_id, v FROM emb
+  WHERE list_aggregate(list_transform(v, x -> x * x), 'sum') > 0
+),
+demb AS (SELECT doc_id AS vec_id, v AS embedding FROM nz),
+{knn_joined},
+{body}
+SELECT r.node AS doc_id,
+       CAST(CASE WHEN sd.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+       CAST(r.r AS BIGINT) AS rank_units,
+       round(r.r / {float(u)!r}, 12) AS pagerank
+FROM {prev} r LEFT JOIN sd ON r.node = sd.vec_id
 """
 
 
@@ -11720,6 +11802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ann_topk": docs_ann_topk,
     "docs_ann_ivf_topk": docs_ann_ivf_topk,
     "docs_ann_binary_topk": docs_ann_binary_topk,
+    "docs_ppr_expansion": docs_ppr_expansion,
     # r15 newborn: the PQ-coded text capstone
     "docs_ann_ivfpq_topk": docs_ann_ivfpq_topk,
     "docs_ann_pq_index_probe": docs_ann_pq_index_probe,
@@ -11987,6 +12070,7 @@ ORACLES: dict[str, str] = {
     "docs_ann_topk": DOCS_ANN_TOPK_SQL,
     "docs_ann_ivf_topk": DOCS_ANN_IVF_TOPK_SQL,
     "docs_ann_binary_topk": DOCS_ANN_BINARY_SQL,
+    "docs_ppr_expansion": _docs_ppr_sql(),
     "docs_ann_ivfpq_topk": DOCS_ANN_IVFPQ_TOPK_SQL,
     # bit-identical contract: the persisted-index probe replays the
     # in-query capstone's trajectory, so it shares the oracle
