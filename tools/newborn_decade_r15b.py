@@ -52,10 +52,13 @@ GROUPS = [
             "embed_pagerank",
             "orc_roundtrip_documents",
             "docs_ann_binary_topk",
+            "embed_rrf_fusion",
+            "embed_ppr_seeds",
+            "docs_ppr_expansion",
         ],
         # |Q| grows with N in these catalog forms — quadratic-by-design
         # yardstick contract past x10 (see docstring)
-        {"embed_binary_topk": 2, "docs_ann_binary_topk": 2},
+        {"embed_binary_topk": 2, "docs_ann_binary_topk": 2, "embed_rrf_fusion": 2},
     ),
     (
         ["/root/testdata/sf0.1", "/tmp/fs_x10", "/tmp/fs_x100"],
