@@ -247,3 +247,41 @@ def test_geo_radius_join_complete_vs_brute_and_margins(spark, sf_dir):
     assert moved and gone
     assert all((k, k) in got for k in moved)
     assert all((k, k) not in got for k in gone)
+
+
+def test_geo_nearest_assignment_selection_is_live(spark, sf_dir):
+    """The 60 km nearest-assignment: stayers and small movers assign
+    to their own entity at the expected distances, every roll row
+    assigns (the catchment covers even the 55 km movers), and the
+    nearest-SELECTION branch is genuinely exercised — some sources
+    must see multiple in-catchment candidates."""
+    from voter_gateway_spark.operators.relational import geo_radius_join
+    from voter_gateway_spark.queries import (
+        QUERIES, _geo_base, _geo_roll,
+    )
+
+    got = {r.src_id: r for r in QUERIES["match_geo_nearest"](spark, sf_dir).collect()}
+    roll_ids = [r.src_id for r in _geo_roll(spark, sf_dir).collect()]
+    assert set(got) == set(roll_ids)  # everyone assigns at 60 km
+    for sid, r in got.items():
+        if sid % 13 == 0:
+            continue
+        if sid % 7 == 0:
+            assert r.matched_custkey == sid and 0.4 < r.dist_km < 0.6, r
+        else:
+            assert r.matched_custkey == sid and r.dist_km == 0.0, r
+
+    # liveness is pinned at the GATE scale (sf0.01): the sf0.001 test
+    # fixture is too sparse for 60 km strangers (0 multi-candidate
+    # sources), while sf0.01 has ~19 and sf0.1 ~1620 — the scale the
+    # oracle actually exercises the selection at
+    gate_dir = "/root/testdata/sf0.01"
+    cand_counts = (
+        geo_radius_join(
+            _geo_roll(spark, gate_dir), _geo_base(spark, gate_dir),
+            radius_km=60.0, cell_deg=1.1,
+            left_lat="s_lat", left_lng="s_lng",
+        )
+        .groupBy("src_id").count().where(F.col("count") > 1).count()
+    )
+    assert cand_counts > 0, "no multi-candidate source — selection branch dead"

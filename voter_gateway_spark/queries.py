@@ -5685,19 +5685,11 @@ def _geo_base(spark, sf_dir):
     )
 
 
-def match_geo_radius(spark, sf_dir):
-    """Address-proximity candidate pairs — the spatial blocking rung
-    (voter files link on residence when names fail): every 3rd
-    customer re-registers; every 7th of those moved ~0.5 km (a new
-    apartment — must still pair within the 1 km radius), every 13th
-    moved ~55 km (left the area — must not pair). geo_radius_join
-    blocks on 0.02° grid cells (3x3 neighborhood covers 1 km through
-    |lat| <= 60) and verifies exact haversine — candidate work scales
-    with cell occupancy, never |roll| x |registry|. Completeness vs
-    the naive cross join and the float-predicate margin (no distance
-    near the radius or a rounding boundary) are pinned by test."""
-    base = _geo_base(spark, sf_dir)
-    roll = base.where(F.col("c_custkey") % 3 == 0).select(
+def _geo_roll(spark, sf_dir):
+    """The re-registration roll with location damage: every 7th mover
+    shifts ~0.5 km (new apartment), every 13th ~55 km (left the
+    area)."""
+    return _geo_base(spark, sf_dir).where(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("src_id"),
         (
             F.col("lat")
@@ -5713,6 +5705,21 @@ def match_geo_radius(spark, sf_dir):
             ).otherwise(F.lit(0.0))
         ).alias("s_lng"),
     )
+
+
+def match_geo_radius(spark, sf_dir):
+    """Address-proximity candidate pairs — the spatial blocking rung
+    (voter files link on residence when names fail): every 3rd
+    customer re-registers; every 7th of those moved ~0.5 km (a new
+    apartment — must still pair within the 1 km radius), every 13th
+    moved ~55 km (left the area — must not pair). geo_radius_join
+    blocks on 0.02° grid cells (3x3 neighborhood covers 1 km through
+    |lat| <= 60) and verifies exact haversine — candidate work scales
+    with cell occupancy, never |roll| x |registry|. Completeness vs
+    the naive cross join and the float-predicate margin (no distance
+    near the radius or a rounding boundary) are pinned by test."""
+    base = _geo_base(spark, sf_dir)
+    roll = _geo_roll(spark, sf_dir)
     from voter_gateway_spark.operators.relational import geo_radius_join
 
     joined = geo_radius_join(
@@ -5723,6 +5730,41 @@ def match_geo_radius(spark, sf_dir):
         "src_id",
         F.col("c_custkey").alias("near_custkey"),
         F.round("dist_km", 4).alias("dist_km"),
+    )
+
+
+def match_geo_nearest(spark, sf_dir):
+    """The geo rung's production ASSIGNMENT (radius lists, nearest
+    ASSIGNS — the top-1 convention every matching rung ends in): per
+    roll row, the single closest registry row within a 60 km catchment
+    (wide enough that the ~55 km left-the-area movers AND occasional
+    md5-uniform strangers fall inside — so the nearest-selection
+    branch is LIVE at gate scale, unlike the 1 km listing where every
+    source has one candidate), ties broken by ascending custkey like
+    fs_top1. Cell size 1.1° keeps the 3x3 neighborhood covering 60 km
+    through |lat| <= 60; the window shuffle is match-sized. Stayers
+    and movers must both assign to their own entity — 0 and ~0.5 km
+    beat any stranger's expected tens-of-km distance (test-pinned)."""
+    base = _geo_base(spark, sf_dir)
+    roll = _geo_roll(spark, sf_dir)
+    from voter_gateway_spark.operators.relational import geo_radius_join
+
+    joined = geo_radius_join(
+        roll, base, radius_km=60.0, cell_deg=1.1,
+        left_lat="s_lat", left_lng="s_lng",
+    )
+    cand = joined.select(
+        "src_id",
+        F.col("c_custkey").alias("near_custkey"),
+        F.round("dist_km", 4).alias("dist_km"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("dist_km").asc(), F.col("near_custkey").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("src_id", F.col("near_custkey").alias("matched_custkey"), "dist_km")
     )
 
 
@@ -5738,7 +5780,8 @@ def _geo_base_sql(expr: str = "c_custkey") -> str:
     return f"SELECT {expr}, {lat} AS lat, {lng} AS lng FROM customer"
 
 
-GEO_RADIUS_SQL = f"""
+def _geo_radius_sql(radius: str) -> str:
+    return f"""
 WITH base AS ({_geo_base_sql()}),
 roll AS (
   SELECT c_custkey AS src_id,
@@ -5759,7 +5802,20 @@ p AS (
   FROM roll r, base b
 )
 SELECT src_id, near_custkey, round(d, 4) AS dist_km
-FROM p WHERE d <= CAST(1.0 AS DOUBLE)
+FROM p WHERE d <= CAST({radius} AS DOUBLE)
+"""
+
+
+GEO_RADIUS_SQL = _geo_radius_sql("1.0")
+
+
+GEO_NEAREST_SQL = f"""
+SELECT src_id, near_custkey AS matched_custkey, dist_km
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+    ORDER BY dist_km, near_custkey) AS rn
+  FROM ({_geo_radius_sql("60.0")})
+) WHERE rn = 1
 """
 
 
@@ -11784,6 +11840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_phonetic_blocking_audit": match_phonetic_blocking_audit,
     "match_phonetic_em": match_phonetic_em,
     "match_geo_radius": match_geo_radius,
+    "match_geo_nearest": match_geo_nearest,
     "embed_pagerank": embed_pagerank,
     "embed_ppr_seeds": embed_ppr_seeds,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
@@ -11992,6 +12049,7 @@ ORACLES: dict[str, str] = {
     "match_phonetic_blocking_audit": PHONETIC_BLOCKING_AUDIT_SQL,
     "match_phonetic_em": PHONETIC_EM_SQL,
     "match_geo_radius": GEO_RADIUS_SQL,
+    "match_geo_nearest": GEO_NEAREST_SQL,
     "embed_pagerank": _pagerank_sql(),
     "embed_ppr_seeds": _pagerank_sql(seed_where="label = 0"),
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
