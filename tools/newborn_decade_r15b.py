@@ -67,6 +67,7 @@ GROUPS = [
             "match_phonetic_blocking_audit",
             "match_phonetic_em",
             "match_geo_radius",
+            "match_geo_nearest",
         ],
         {},
     ),
