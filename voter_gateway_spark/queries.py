@@ -11860,6 +11860,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ann_ivf_topk": docs_ann_ivf_topk,
     "docs_ann_binary_topk": docs_ann_binary_topk,
     "docs_ppr_expansion": docs_ppr_expansion,
+    # late-r15 newborns rotated into the sample prefix at birth:
+    # the 1-bit quantization rung, the RRF hybrid combiner, and the
+    # ORC interchange row (their registration-order slots sat at
+    # catalog positions 147/148/106 — outside the driver window)
+    "embed_binary_topk": embed_binary_topk,
+    "embed_rrf_fusion": embed_rrf_fusion,
+    "orc_roundtrip_documents": orc_roundtrip_documents,
     # r15 newborn: the PQ-coded text capstone
     "docs_ann_ivfpq_topk": docs_ann_ivfpq_topk,
     "docs_ann_pq_index_probe": docs_ann_pq_index_probe,
@@ -11945,7 +11952,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     sample ever widens ---
     "text_perplexity_buckets": text_perplexity_buckets,
     "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
-    "orc_roundtrip_documents": orc_roundtrip_documents,
     "text_bigram_logprob": text_bigram_logprob,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -11986,8 +11992,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_pmi": text_bigram_pmi,
     "embed_lsh_topk": embed_lsh_topk,
     "embed_int8_topk": embed_int8_topk,
-    "embed_binary_topk": embed_binary_topk,
-    "embed_rrf_fusion": embed_rrf_fusion,
     "embed_near_dup": embed_near_dup,
     "embed_knn_label": embed_knn_label,
     "q5_region_revenue": q5_region_revenue,
