@@ -3020,3 +3020,22 @@ def test_docs_ppr_expansion_seed_and_spread_contract(spark, sf_dir):
     non_seed = [r.rank_units for r in rows if r.is_seed == 0]
     assert non_seed and max(non_seed) > 0
     assert min(non_seed) < max(non_seed) // 10
+
+
+def test_triangle_stats_hand_graph(spark):
+    """triangle_stats must count each triangle once, attribute it to
+    all three corners, and compute the clustering coefficient from the
+    undirected-closure degree — pinned on a hand graph: K3 {0,1,2}
+    plus a pendant 2-3, with a duplicate and a reversed edge that the
+    canonicalization must collapse."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 0), (2, 3), (0, 1)],
+        "src bigint, dst bigint",
+    )
+    got = {r.node: (r.degree, r.triangles, r.clustering)
+           for r in similarity.triangle_stats(edges).collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    # node 2: degree 3 (0,1,3), one triangle -> 2*1/(3*2)
+    assert got[2] == (3, 1, round(2 / 6, 6))
+    assert got[3] == (1, 0, 0.0)

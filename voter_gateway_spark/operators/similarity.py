@@ -2862,3 +2862,72 @@ def rrf_fusion(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("rrf_score", 9).alias("rrf_score"))
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    the UNDIRECTED closure of a directed edge list — the standard
+    graph-quality audit for a kNN graph: a high clustering coefficient
+    means neighbors-of-neighbors close into triangles, which is
+    exactly the property greedy graph search (knn_graph_search)
+    exploits; a low-coefficient graph predicts the recall collapse the
+    degree warning guards against.
+
+    Shape: canonicalize edges to sorted pairs (x < y, distinct), then
+    count each triangle a<b<c ONCE via the two-join chain
+    (a,b)⋈(b,c)⋈(a,c) — the classic distributed triangle count. Join
+    fan-out is degree-bounded (kNN degree ≈ k + in-degree), so the
+    candidate mass is Σ deg² — linear in N for bounded-degree graphs,
+    never |E|². Counts are integers and the coefficient divides two
+    integers, so the output is engine-exact under round-6.
+
+    Output: (node, degree, triangles, clustering) where clustering =
+    2·triangles / (degree·(degree−1)), 0 when degree < 2.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = ckpt_lazy(und)
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = (
+        und.join(e2, und["b"] == e2["b2"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -1699,6 +1699,59 @@ def embed_ppr_seeds(spark, sf_dir):
     ).select(F.col("node").alias("vec_id"), "rank_units", "pagerank")
 
 
+def embed_graph_triangles(spark, sf_dir):
+    """kNN-graph quality audit (similarity.triangle_stats): per-node
+    triangle count and local clustering coefficient over the
+    undirected closure of the deterministic NN-descent graph. High
+    clustering (neighbors' neighbors close into triangles) is the
+    property greedy graph search exploits — read this row with
+    embed_recall_report's graph rung when diagnosing search recall.
+    Integer counts + an integer-ratio coefficient: engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=4, n_centroids=None, rounds=2, iters=0)
+    return similarity.triangle_stats(
+        edges.select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+    ).select(F.col("node").alias("vec_id"), "degree", "triangles", "clustering")
+
+
+def _triangles_sql() -> str:
+    joined, final = _knn_graph_ctes(4, 2, 2)
+    return f"""
+WITH {joined},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {final} WHERE src <> dst
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+pern AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT d.node AS vec_id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(2.0 AS DOUBLE) * coalesce(p.triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM deg d LEFT JOIN pern p ON d.node = p.node
+"""
+
+
 def _pagerank_core_ctes(
     iters: int, u: int, seed_sql: str | None, edge_cte: str
 ) -> tuple[str, str]:
@@ -11843,6 +11896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_geo_nearest": match_geo_nearest,
     "embed_pagerank": embed_pagerank,
     "embed_ppr_seeds": embed_ppr_seeds,
+    "embed_graph_triangles": embed_graph_triangles,
     "match_fs_em_graded_scaled": match_fs_em_graded_scaled,
     "match_fs_scaled_blocking_audit": match_fs_scaled_blocking_audit,
     "match_fs_tf_score": match_fs_tf_score,
@@ -12056,6 +12110,7 @@ ORACLES: dict[str, str] = {
     "match_geo_nearest": GEO_NEAREST_SQL,
     "embed_pagerank": _pagerank_sql(),
     "embed_ppr_seeds": _pagerank_sql(seed_where="label = 0"),
+    "embed_graph_triangles": _triangles_sql(),
     "match_fs_em_graded_scaled": FS_EM_GRADED_SCALED_SQL,
     "match_fs_scaled_blocking_audit": FS_SCALED_BLOCKING_AUDIT_SQL,
     "match_fs_tf_score": FS_TF_SQL,
