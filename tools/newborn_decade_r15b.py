@@ -55,6 +55,7 @@ GROUPS = [
             "embed_rrf_fusion",
             "embed_ppr_seeds",
             "docs_ppr_expansion",
+            "embed_graph_triangles",
         ],
         # |Q| grows with N in these catalog forms — quadratic-by-design
         # yardstick contract past x10 (see docstring)
