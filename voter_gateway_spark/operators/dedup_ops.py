@@ -93,10 +93,16 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_value):
+def _collapse_exact(
+    full: DataFrame,
+    materialize: bool,
+    value_col: str,
+    intra_value,
+    stage=None,
+):
     """Collapse rows whose `_hh` hash lists are IDENTICAL to one
     representative before a pair-producing join, and return
-    (members, reps, expand, spanning).
+    (members, reps, expand, spanning, grouped).
 
     Crawl-style corpora carry d identical copies of a document; every
     blocking scheme (shared shingle, LSH band, simhash band) keys the
@@ -116,50 +122,86 @@ def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_va
     one group — and sorting makes the key engine-portable (the DuckDB
     oracle mirrors it as array_to_string(list_sort(hl), ',') without
     depending on either engine's distinct-preserving order).
+
+    r15 optimization (guide §2.4 "remove shuffles outright"): the r13
+    shape derived reps with a groupBy(_fp) + join-back to `full` — two
+    exchanges, and with materialize=True THREE eager checkpoint
+    barriers (callers also checkpointed `full` because the join-back
+    read it a second time). This is the windowed single-pass form
+    `incremental_minhash_pairs` already used (r14): ONE exchange (hash
+    by _fp), a row_number + collect_list window, rep rows carry their
+    group's ascending-id member array, and members / spanning / expand
+    / membership all derive IN-ROW from the one materialized frame.
+    Callers no longer checkpoint `full` (the window pass is its only
+    consumer), so each pair generator pays exactly one eager barrier.
+    Outputs are bit-identical: the rep is still the group-min id
+    (row_number over _id ascending), member arrays enumerate the same
+    group, and collect_list's partition-sorted window order makes
+    `_mem` ascending.
+
+    `stage`: optional callable applied to the rep frame BEFORE
+    materialization, so callers stage derived per-rep columns (e.g.
+    the MinHash signature) into the same single checkpoint instead of
+    paying a second barrier or recomputing them per branch.
+
+    Fifth return value `grouped` is that materialized rep frame —
+    (_id, _hh, _fp, _mem, _n, + staged cols) — for callers that read
+    the staged columns directly.
     """
     fp = F.md5(
         F.concat_ws(
             ",", F.transform(F.sort_array(F.col("_hh")), lambda h: h.cast("string"))
         ).cast("binary")
     )
-    members = full.select("_id", fp.alias("_fp"), F.size("_hh").alias("_n"))
-    if materialize:
-        members = members.transform(ckpt)
-    reps = (
-        members.groupBy("_fp").agg(F.min("_id").alias("_id"))
-        .join(full, "_id")
-        .select("_id", "_fp", "_hh")
+    w_ord = Window.partitionBy("_fp").orderBy("_id")
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped = (
+        full.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_mem", F.collect_list("_id").over(w_all))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_n", F.size("_hh"))
     )
+    if stage is not None:
+        grouped = stage(grouped)
     if materialize:
-        reps = reps.transform(ckpt)
+        grouped = grouped.transform(ckpt)
+    reps = grouped.select("_id", "_fp", "_hh")
+    members = grouped.select(
+        F.explode("_mem").alias("_id"), F.col("_fp"), F.col("_n")
+    )
 
     def expand(rep_pairs: DataFrame) -> DataFrame:
-        rfa = reps.select(F.col("_id").alias("_ra"), F.col("_fp").alias("_fpa"))
-        rfb = reps.select(F.col("_id").alias("_rb"), F.col("_fp").alias("_fpb"))
-        mem_a = members.select(F.col("_id").alias("_ma"), F.col("_fp").alias("_fpa"))
-        mem_b = members.select(F.col("_id").alias("_mb"), F.col("_fp").alias("_fpb"))
+        ga = grouped.select(F.col("_id").alias("id_a"), F.col("_mem").alias("_mema"))
+        gb = grouped.select(F.col("_id").alias("id_b"), F.col("_mem").alias("_memb"))
         cross = (
-            rep_pairs.join(rfa, rep_pairs["id_a"] == rfa["_ra"])
-            .join(rfb, rep_pairs["id_b"] == rfb["_rb"])
-            .join(mem_a, "_fpa")
-            .join(mem_b, "_fpb")
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(
+                F.explode("_mema").alias("_ma"), F.col("_memb"), F.col(value_col)
+            )
+            .select(
+                "_ma", F.explode("_memb").alias("_mb"), F.col(value_col)
+            )
             .select(
                 F.least("_ma", "_mb").alias("id_a"),
                 F.greatest("_ma", "_mb").alias("id_b"),
                 value_col,
             )
         )
+        # intra-group pairs: ascending _mem makes (i, j>i) enumeration
+        # exactly the old x._id < y._id self-join, without the join
         intra = (
-            members.where(F.col("_n") > 0).alias("x")
-            .join(
-                members.where(F.col("_n") > 0).alias("y"),
-                (F.col("x._fp") == F.col("y._fp")) & (F.col("x._id") < F.col("y._id")),
-            )
+            grouped.where((F.col("_n") > 0) & (F.size("_mem") > 1))
+            .select("_mem", F.posexplode("_mem").alias("_i", "_pa"))
             .select(
-                F.col("x._id").alias("id_a"),
-                F.col("y._id").alias("id_b"),
-                F.lit(intra_value).alias(value_col),
+                F.col("_pa").alias("id_a"),
+                F.explode(
+                    F.slice(F.col("_mem"), F.col("_i") + 2, F.size("_mem"))
+                ).alias("id_b"),
             )
+            .select("id_a", "id_b", F.lit(intra_value).alias(value_col))
         )
         return cross.unionByName(intra)
 
@@ -187,18 +229,14 @@ def _collapse_exact(full: DataFrame, materialize: bool, value_col: str, intra_va
         need `expand` (opt-in via the producers' expand_pairs=True).
         Reps are each group's min id, so id_a < id_b holds."""
         grp = (
-            members.where(F.col("_n") > 0)
-            .join(reps.select(F.col("_id").alias("_rid"), "_fp"), "_fp")
-            .where(F.col("_id") != F.col("_rid"))
-            .select(
-                F.col("_rid").alias("id_a"),
-                F.col("_id").alias("id_b"),
-                F.lit(intra_value).alias(value_col),
-            )
+            grouped.where(F.col("_n") > 0)
+            .select(F.col("_id").alias("id_a"), F.explode("_mem").alias("id_b"))
+            .where(F.col("id_b") != F.col("id_a"))
+            .select("id_a", "id_b", F.lit(intra_value).alias(value_col))
         )
         return rep_pairs.select("id_a", "id_b", value_col).unionByName(grp)
 
-    return members, reps, expand, spanning
+    return members, reps, expand, spanning, grouped
 
 
 def _ngram_graph(
@@ -222,15 +260,15 @@ def _ngram_graph(
     keys instead of multi-word text, and Jaccard over the distinct
     hash sets equals Jaccard over the shingle sets (the oracle hashes
     the same way, so even a collision — ~n²/2^60 — is mirrored).
-    Returns (members, reps, rep_pairs, expand, spanning)."""
+    Returns (members, reps, rep_pairs, expand, spanning, grouped)."""
     full = widen(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
     ).select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
-    if materialize:
-        # eager: several branches read this; a lazy checkpoint lets
-        # them race and recompute the shingle pass per branch
-        full = full.transform(ckpt)
-    members, reps, expand, spanning = _collapse_exact(
+    # no checkpoint of `full` here: the windowed _collapse_exact is its
+    # single consumer and materializes the one rep frame every branch
+    # (candidates, verification, spanning/expand) reads — 3 eager
+    # barriers -> 1 per call (r15 optimization)
+    members, reps, expand, spanning, grouped = _collapse_exact(
         full, materialize, "jaccard", 1.0
     )
     base = reps.select("_id", "_hh")
@@ -276,7 +314,7 @@ def _ngram_graph(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        return members, reps, rep_pairs, expand, spanning
+        return members, reps, rep_pairs, expand, spanning, grouped
     # low thresholds: full inverted-index join; intersection size = pair
     # count (arrays are distinct), so only (id, id) tuples shuffle —
     # never the arrays
@@ -298,7 +336,7 @@ def _ngram_graph(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return members, reps, rep_pairs, expand, spanning
+    return members, reps, rep_pairs, expand, spanning, grouped
 
 
 def ngram_jaccard_pairs(
@@ -327,7 +365,7 @@ def ngram_jaccard_pairs(
     audit listings). Consumers that only need COUNTS of the expanded
     multiset should use ngram_jaccard_graph and multiply group sizes
     instead (the corpus_source_overlap pattern)."""
-    members, reps, rep_pairs, expand, spanning = _ngram_graph(
+    _, _, rep_pairs, expand, spanning, _ = _ngram_graph(
         df, id_col, text_col, k, threshold, materialize, prefix_filter
     )
     return (expand if expand_pairs else spanning)(rep_pairs)
@@ -355,15 +393,15 @@ def ngram_jaccard_graph(
     (jaccard 1.0) are C(|G|,2)-style products within membership. A
     million-row duplicate group costs one membership row per doc and
     ONE rep_pairs row per neighbor group — never C(d,2) pair rows."""
-    members, reps, rep_pairs, expand, spanning = _ngram_graph(
+    _, _, rep_pairs, expand, spanning, grouped = _ngram_graph(
         df, id_col, text_col, k, threshold, materialize, prefix_filter
     )
+    # in-row from the one materialized rep frame: each rep row carries
+    # its group's member-id array (was: members ⋈ reps on _fp)
     membership = (
-        members.where(F.col("_n") > 0)
-        .join(
-            reps.select(F.col("_id").alias("rep"), "_fp"), "_fp"
-        )
-        .select(F.col("_id").alias("id"), "rep")
+        grouped.where(F.col("_n") > 0)
+        .select(F.col("_id").alias("rep"), F.explode("_mem").alias("id"))
+        .select("id", "rep")
     )
     return rep_pairs, membership
 
@@ -630,20 +668,25 @@ def minhash_lsh_pairs(
         widen(df)
         .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
         .select("_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh"))
-        .transform(ckpt)
     )
     # exact-dup collapse: identical shingle sets share all bands, so d
-    # copies would cost d² in the band join — see _collapse_exact
-    members, reps, expand, spanning = _collapse_exact(full, True, "jaccard", 1.0)
-    emit = expand if expand_pairs else spanning
-    base = (
-        reps.select("_id", "_hh")
-        .select("_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"))
-        # eager: three downstream branches (both band sides + the
-        # verification join) read this — a lazy checkpoint lets them
-        # race and recompute the signature pass per branch
-        .transform(ckpt)
+    # copies would cost d² in the band join — see _collapse_exact. The
+    # MinHash signature is STAGED into the collapse's single
+    # materialization (computed on rep rows only, after the rn=1
+    # filter), so the whole front half — shingle pass, collapse,
+    # signatures — costs ONE eager barrier where the r13 shape paid
+    # four (full, members, reps, base).
+    members, reps, expand, spanning, grouped = _collapse_exact(
+        full,
+        True,
+        "jaccard",
+        1.0,
+        stage=lambda g: g.withColumn(
+            "_sig", minhash_signature(F.col("_hh"), n_hashes)
+        ),
     )
+    emit = expand if expand_pairs else spanning
+    base = grouped.select("_id", "_hh", "_sig")
     # band keys shuffle as compact strings; candidate pairs carry ids
     # only, then the (small, blocked) candidate set joins the shingle
     # arrays back for exact verification
@@ -675,17 +718,21 @@ def minhash_lsh_pairs(
 
 # -- connected components ------------------------------------------------------
 
-def _driver_components(edges: DataFrame) -> DataFrame:
+def _driver_components(edges: DataFrame, rows=None) -> DataFrame:
     """Driver-side union-find over a COLLECTED small edge list —
     the size-gated fast path of connected_components. Union-by-min
     keeps every root the minimum id of its merged set, so the final
     find(x) is exactly "min id reachable from x", the distributed
     contract. NULL endpoints mirror join semantics: a null never
     links anything (it appears in the output labeled by itself), and
-    its partner keeps its own label unless linked elsewhere."""
+    its partner keeps its own label unless linked elsewhere.
+
+    `rows`: the already-collected edge list, when the size gate's
+    probe collected it — skips a second collect job."""
     import pyspark.sql.types as T
 
-    rows = edges.collect()
+    if rows is None:
+        rows = edges.collect()
     parent: dict = {}
 
     def find(x):
@@ -762,8 +809,16 @@ def connected_components(
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).transform(ckpt_lazy)
-    if driver_max_edges and edges.count() <= driver_max_edges:
-        return _driver_components(edges)
+    if driver_max_edges:
+        # ONE job for gate + collect (r15 optimization): fetch at most
+        # max+1 rows — getting <= max rows proves the limit returned
+        # the COMPLETE edge list, which union-find then labels without
+        # the separate count() job the r13 gate paid. An over-limit
+        # graph wastes only the bounded (~max rows) fetch before
+        # falling through to the distributed path.
+        probe = edges.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _driver_components(edges, rows=probe)
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).transform(ckpt_lazy)
@@ -1001,12 +1056,14 @@ def simhash_pairs(
     full = (
         widen(df)
         .select(F.col(id_col).alias("_id"), word_hashes(text_col, k).alias("_hh"))
-        .transform(ckpt)
     )
     # exact-dup collapse: identical hash lists → identical simhash →
     # identical bands, so d copies cost d² in the band join without it.
     # Intra-group hamming is 0 by definition — see _collapse_exact
-    members, reps, expand, spanning = _collapse_exact(full, True, "hamming", 0)
+    # (windowed r15 form: one eager barrier for the whole front half)
+    members, reps, expand, spanning, grouped = _collapse_exact(
+        full, True, "hamming", 0
+    )
     emit = expand if expand_pairs else spanning
     ones = [
         F.sum(F.shiftrightunsigned("_wh", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")

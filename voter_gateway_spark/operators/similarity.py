@@ -270,6 +270,7 @@ def _train_centroids(
     centroid_round: int | None = None,
     train_per_cell: int | None = None,
     dup_mult: float | None = None,
+    n_rows: int | None = None,
 ) -> tuple[int, DataFrame]:
     """The ONE deterministic coarse-quantizer trainer shared by
     ivf_topk, build_ivf_index, and semantic_dedup — any determinism
@@ -300,11 +301,15 @@ def _train_centroids(
 
     Returns (resolved n_centroids, (cell, centroid) frame). The
     count action only runs when auto cells or an engaged training
-    sample needs N — iters=0 never samples."""
+    sample needs N — iters=0 never samples. Callers whose fanout
+    probe already summed the corpus row count pass it as `n_rows`
+    (exactly c.count() — the probe sums its per-hash group counts),
+    skipping the count job entirely (r15 optimization)."""
     import math
 
     need_n = n_centroids is None or (train_per_cell is not None and iters > 0)
-    n_rows = c.count() if need_n else None
+    if n_rows is None:
+        n_rows = c.count() if need_n else None
     if n_centroids is None:
         n_centroids = max(16, math.ceil(math.sqrt(n_rows)))
     seeds = (
@@ -555,16 +560,19 @@ def ivf_topk(
                          _null_vec_flag("_qv").alias("_nul"))
             )
         )
-        c_mult, c_nulls = probe.get("c", (1.0, 0))
-        q_mult, q_nulls = probe.get("q", (1.0, 0))
+        c_mult, c_nulls, c_rows = probe.get("c", (1.0, 0, None))
+        q_mult, q_nulls, _ = probe.get("q", (1.0, 0, None))
         do_collapse = (
             c_nulls + q_nulls == 0
             and c_mult * q_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
         )
         if c_nulls + q_nulls != 0:
             c_mult = None  # keep training on the plain path too
+    else:
+        c_rows = None
     n_centroids, centroids = _train_centroids(
-        c, n_centroids, iters, centroid_round, train_per_cell, dup_mult=c_mult
+        c, n_centroids, iters, centroid_round, train_per_cell, dup_mult=c_mult,
+        n_rows=c_rows,
     )
 
     if do_collapse:
@@ -812,14 +820,15 @@ def build_pq_index(
         c.select(F.lit("c").alias("_side"), F.xxhash64("_cv").alias("_h"),
                  _null_vec_flag("_cv").alias("_nul"))
     )
-    c_mult, c_nulls = probe.get("c", (1.0, 0))
+    c_mult, c_nulls, c_rows = probe.get("c", (1.0, 0, None))
     do_collapse = (
         c_nulls == 0 and c_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
     )
     if c_nulls != 0:
         c_mult = None
     n_centroids, centroids = _train_centroids(
-        c, n_centroids, coarse_iters, centroid_round, dup_mult=c_mult
+        c, n_centroids, coarse_iters, centroid_round, dup_mult=c_mult,
+        n_rows=c_rows,
     )
     cb = pq_train(
         c, m, ks, sub, iters=pq_iters, centroid_round=centroid_round,
@@ -948,7 +957,7 @@ def query_pq_index(
             q.select(F.lit("q").alias("_side"), F.xxhash64("_qv").alias("_h"),
                      _null_vec_flag("_qv").alias("_nul"))
         )
-        q_mult, q_nulls = probe_fan.get("q", (1.0, 0))
+        q_mult, q_nulls, _ = probe_fan.get("q", (1.0, 0, None))
         do_collapse = q_nulls == 0 and q_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
     if do_collapse:
         qgrp = q.groupBy("_qv").agg(F.min("query_id").alias("_qrep"))
@@ -1406,13 +1415,18 @@ def _null_vec_flag(col: str) -> Column:
     ).cast("int")
 
 
-def _fanout_probe(rows: DataFrame) -> dict[str, tuple[float, int]]:
+def _fanout_probe(rows: DataFrame) -> dict[str, tuple[float, int, int]]:
     """The ONE dup-fanout gate job shared by the vector collapses:
     `rows` is (_side, _h, _nul) — a hash per vector plus a 0/1
     null-content flag per side — and the result maps each side to
-    (sum(n²)/sum(n) fanout multiplier, null count). One aggregate, one
-    collect; ~sixty bytes over the wire regardless of corpus size."""
-    out: dict[str, tuple[float, int]] = {}
+    (sum(n²)/sum(n) fanout multiplier, null count, row count). One
+    aggregate, one collect; ~sixty bytes over the wire regardless of
+    corpus size. The row count rides along (sum of the group counts =
+    exactly that side's .count()) so callers that need N — the auto
+    ⌈√N⌉ cell count, the train_per_cell sample cut — skip the separate
+    count() job the r14 shape paid (r15 optimization, guide §1.2:
+    fewer passes)."""
+    out: dict[str, tuple[float, int, int]] = {}
     agg = (
         rows.groupBy("_side", "_h")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_nul").alias("_nuls"))
@@ -1420,11 +1434,16 @@ def _fanout_probe(rows: DataFrame) -> dict[str, tuple[float, int]]:
         .agg(
             (F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")).alias("_mult"),
             F.sum("_nuls").alias("_nulls"),
+            F.sum("_n").alias("_rows"),
         )
         .collect()
     )
     for r in agg:
-        out[r["_side"]] = (float(r["_mult"] or 1.0), int(r["_nulls"] or 0))
+        out[r["_side"]] = (
+            float(r["_mult"] or 1.0),
+            int(r["_nulls"] or 0),
+            int(r["_rows"] or 0),
+        )
     return out
 
 
@@ -1492,14 +1511,15 @@ def semantic_dedup(
     ).transform(ckpt)
     groups: DataFrame | None = None
     mult = None
+    c_rows = None
     if collapse_exact:
-        mult, nulls = _fanout_probe(
+        mult, nulls, c_rows = _fanout_probe(
             c.select(
                 F.lit("c").alias("_side"),
                 F.xxhash64("_cv").alias("_h"),
                 _null_vec_flag("_cv").alias("_nul"),
             )
-        ).get("c", (1.0, 0))
+        ).get("c", (1.0, 0, None))
         if nulls:
             # null vectors / null elements: both the member-expansion
             # join on _cv and Lloyd's collapsed-training re-join use
@@ -1520,7 +1540,7 @@ def semantic_dedup(
         else c
     )
     n_centroids, centroids = _train_centroids(
-        c, n_centroids, iters, centroid_round, dup_mult=mult
+        c, n_centroids, iters, centroid_round, dup_mult=mult, n_rows=c_rows
     )
     cells = (
         _nearest_cells(pool, "_cv", centroids, 1)
@@ -1853,18 +1873,21 @@ def ivfpq_topk(
                          _null_vec_flag("_qv").alias("_nul"))
             )
         )
-        c_mult, c_nulls = probe.get("c", (1.0, 0))
-        q_mult, q_nulls = probe.get("q", (1.0, 0))
+        c_mult, c_nulls, c_rows = probe.get("c", (1.0, 0, None))
+        q_mult, q_nulls, _ = probe.get("q", (1.0, 0, None))
         do_collapse = (
             c_nulls + q_nulls == 0
             and c_mult * q_mult > SEMDEDUP_COLLAPSE_FANOUT_THRESHOLD
         )
         if c_nulls + q_nulls != 0:
             c_mult = None
+    else:
+        c_rows = None
 
     # coarse quantizer: cells + probes (the ivf_topk front half)
     n_centroids, centroids = _train_centroids(
-        c, n_centroids, coarse_iters, centroid_round, dup_mult=c_mult
+        c, n_centroids, coarse_iters, centroid_round, dup_mult=c_mult,
+        n_rows=c_rows,
     )
     if do_collapse:
         cgrp = (
