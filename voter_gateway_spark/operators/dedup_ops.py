@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from voter_gateway_spark.operators.skew import widen
-from voter_gateway_spark.session import ckpt, ckpt_lazy
+from voter_gateway_spark.session import ckpt, ckpt_lazy, ckpt_parallel
 
 
 def _c(col: Column | str) -> Column:
@@ -591,11 +591,12 @@ def incremental_minhash_pairs(
             .withColumn("_mem", F.collect_list("_id").over(w_all))
             .where(F.col("_rn") == 1)
             .drop("_rn", "_fp")
-            .transform(ckpt)
         )
 
-    nreps = rep_sigs(new_df)
-    creps = rep_sigs(corpus_df)
+    # the two sides are independent — materialize their checkpoints
+    # concurrently (guide §2.6) instead of paying two sequential
+    # barriers; outputs are identical
+    nreps, creps = ckpt_parallel([rep_sigs(new_df), rep_sigs(corpus_df)])
     cand = (
         _minhash_band_rows(nreps, bands, rows_per_band)
         .alias("a")

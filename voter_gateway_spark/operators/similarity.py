@@ -317,10 +317,18 @@ def _train_centroids(
         .orderBy("_h")
         .limit(n_centroids)
     )
+    # intermediate centroid tables (the seeds when Lloyd rounds follow,
+    # and every non-final round below) are each read EXACTLY ONCE — by
+    # the next round's assignment — so they checkpoint lazily and
+    # materialize inside that consumer's job instead of paying a
+    # sequential barrier each (r15 optimization; values are unchanged:
+    # the same plan runs, only the job boundary moves). The FINAL
+    # table stays eager: ivf_topk reads it from two branches (corpus
+    # cells + query probes), which a lazy checkpoint would let race.
     centroids = seeds.select(
         F.row_number().over(Window.orderBy("_h")).alias("_cell"),
         F.col("_cv").alias("_centroid"),
-    ).transform(ckpt)
+    ).transform(ckpt if iters == 0 else ckpt_lazy)
     tr = c
     # n_rows == 0: an empty corpus yields empty seeds/centroids above;
     # degrade gracefully (as the unsampled path always did) instead of
@@ -345,7 +353,7 @@ def _train_centroids(
         # loop-invariant: the unique-vector set of the fixed training
         # sample — built and materialized once, re-assigned per round
         uniq = tr.select("_cv").distinct().transform(ckpt)
-    for _ in range(iters):
+    for i in range(iters):
         if uniq is not None:
             cells_u = _nearest_cells(uniq, "_cv", centroids, 1).select(
                 "_cv", "_cell"
@@ -361,7 +369,9 @@ def _train_centroids(
                     "_centroid", lambda x: F.round(x, centroid_round)
                 ).alias("_centroid"),
             )
-        centroids = centroids.select("_cell", "_centroid").transform(ckpt)
+        centroids = centroids.select("_cell", "_centroid").transform(
+            ckpt if i == iters - 1 else ckpt_lazy
+        )
     return n_centroids, centroids
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from voter_gateway_spark.audit import column_coverage, value_distribution
 from voter_gateway_spark.functions import registry as registry_functions
-from voter_gateway_spark.session import ckpt, ckpt_lazy
+from voter_gateway_spark.session import ckpt, ckpt_lazy, ckpt_parallel
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
 from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan, linkage
@@ -7161,15 +7161,21 @@ def pipeline_daily_ingest(spark, sf_dir):
         nn = dedup_ops.minhash_lsh_pairs(admitted, "doc_id", "text", **mh).select(
             "id_a", "id_b"
         )
-        state_map = ckpt(
-            dedup_ops.incremental_component_assign(
-                state_map.select("id", "component"),
-                admitted.select("doc_id"),
-                bp,
-                nn,
-            )
+        # the day-end state handoff: the refreshed cluster map and the
+        # grown corpus are independent of each other — materialize the
+        # two eager checkpoints concurrently (guide §2.6) instead of
+        # paying two sequential barriers per day
+        state_map, state_docs = ckpt_parallel(
+            [
+                dedup_ops.incremental_component_assign(
+                    state_map.select("id", "component"),
+                    admitted.select("doc_id"),
+                    bp,
+                    nn,
+                ),
+                state_docs.unionByName(admitted.select(*cols)),
+            ]
         )
-        state_docs = ckpt(state_docs.unionByName(admitted.select(*cols)))
     clustered = state_docs.select("doc_id", "lang").join(
         state_map.select(F.col("id").alias("doc_id"), "component"), "doc_id"
     )
