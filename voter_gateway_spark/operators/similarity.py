@@ -317,18 +317,20 @@ def _train_centroids(
         .orderBy("_h")
         .limit(n_centroids)
     )
-    # intermediate centroid tables (the seeds when Lloyd rounds follow,
-    # and every non-final round below) are each read EXACTLY ONCE — by
-    # the next round's assignment — so they checkpoint lazily and
-    # materialize inside that consumer's job instead of paying a
-    # sequential barrier each (r15 optimization; values are unchanged:
-    # the same plan runs, only the job boundary moves). The FINAL
-    # table stays eager: ivf_topk reads it from two branches (corpus
-    # cells + query probes), which a lazy checkpoint would let race.
+    # every round's centroid table checkpoints EAGERLY, including the
+    # seeds and intermediate rounds that are read only once. The r15
+    # optimization pass TRIED lazy intermediate checkpoints (materialize
+    # inside the next round's job, fewer barriers) and same-session A/B
+    # showed a consistent ~2x REGRESSION (embed_semantic_dedup 2.8 s ->
+    # 7.4 s, embed_ivf_lloyd_topk 3.9 s -> 7.5 s): the next round reads
+    # the previous table through a broadcast-exchange subtree, and a
+    # lazily-checkpointed plan there re-plans/re-runs the whole
+    # upstream chain inside the broadcast build instead of reading the
+    # tiny materialized block. Keep eager.
     centroids = seeds.select(
         F.row_number().over(Window.orderBy("_h")).alias("_cell"),
         F.col("_cv").alias("_centroid"),
-    ).transform(ckpt if iters == 0 else ckpt_lazy)
+    ).transform(ckpt)
     tr = c
     # n_rows == 0: an empty corpus yields empty seeds/centroids above;
     # degrade gracefully (as the unsampled path always did) instead of
@@ -369,9 +371,7 @@ def _train_centroids(
                     "_centroid", lambda x: F.round(x, centroid_round)
                 ).alias("_centroid"),
             )
-        centroids = centroids.select("_cell", "_centroid").transform(
-            ckpt if i == iters - 1 else ckpt_lazy
-        )
+        centroids = centroids.select("_cell", "_centroid").transform(ckpt)
     return n_centroids, centroids
 
 
