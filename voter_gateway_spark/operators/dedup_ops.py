@@ -126,27 +126,47 @@ def _collapse_exact(
     r15 optimization (guide §2.4 "remove shuffles outright"): the r13
     shape derived reps with a groupBy(_fp) + join-back to `full` — two
     exchanges, and with materialize=True THREE eager checkpoint
-    barriers (callers also checkpointed `full` because the join-back
-    read it a second time). This is the windowed single-pass form
-    `incremental_minhash_pairs` already used (r14): ONE exchange (hash
-    by _fp), a row_number + collect_list window, rep rows carry their
-    group's ascending-id member array, and members / spanning / expand
-    / membership all derive IN-ROW from the one materialized frame.
-    Callers no longer checkpoint `full` (the window pass is its only
-    consumer), so each pair generator pays exactly one eager barrier.
-    Outputs are bit-identical: the rep is still the group-min id
-    (row_number over _id ascending), member arrays enumerate the same
-    group, and collect_list's partition-sorted window order makes
-    `_mem` ascending.
+    barriers. Since r15 this is ONE window pass (hash-exchange by
+    _fp) feeding ONE materialization that every branch reads.
 
-    `stage`: optional callable applied to the rep frame BEFORE
+    r16 skew-hardening (guide §2.5/§5 — the r15 VERDICT's "what's
+    wrong" #2): the r15 window carried each group's full member-id
+    array on its rep row (`collect_list` over an unbounded frame) and
+    `expand` re-listed pairs with a nested in-row explode — both put
+    an ENTIRE duplicate group (or d×e pair block) in one row / one
+    task, which OOMs or serializes on crawl-skew groups (a million-way
+    duplicated boilerplate doc ⇒ a 10⁶-element array on one row and a
+    10¹²-row single-task explode). The materialized frame is now
+    ROWS-NOT-ARRAYS: every row carries its group REPRESENTATIVE id
+    (`_rep` = running `first(_id)` over the same ordered window — a
+    streaming frame, so the window buffers nothing), members/spanning/
+    membership derive row-per-member with no per-group structure
+    anywhere, and `expand` rebuilds the pair multiset with ordinary
+    joins on `_rep` (distributed; AQE skew-split applies). Exchange
+    count is unchanged (the one hash-by-_fp window exchange); no
+    construct is group-sized, so no group-size probe or fallback
+    branch is needed — the guard is structural.
+
+    Null-id contract (r15 ADVICE): rows with NULL `_id` are dropped at
+    entry. This is exactly the r13 groupBy+join-back semantics (min()
+    ignored nulls and the join-back on `_id` dropped null rows from
+    every output); the r15 window form silently ELECTED a null row as
+    rep (asc-nulls-first) while collect_list dropped it from `_mem` —
+    hash-green on null-free fixtures but divergent on null ids.
+    Pinned by tests/test_collapse_windowed.py::test_null_ids_dropped.
+
+    `stage`: optional callable applied to the full row frame BEFORE
     materialization, so callers stage derived per-rep columns (e.g.
-    the MinHash signature) into the same single checkpoint instead of
-    paying a second barrier or recomputing them per branch.
+    the MinHash signature) into the same single checkpoint. `_hh` is
+    NULL on non-rep rows (each group's hash set is stored once), so
+    staged expressions should be guarded with `_id == _rep` when they
+    are nontrivial.
 
-    Fifth return value `grouped` is that materialized rep frame —
-    (_id, _hh, _fp, _mem, _n, + staged cols) — for callers that read
-    the staged columns directly.
+    Returns (members, reps, expand, spanning, grouped):
+    - members: (_id, _rep, _n) — one row per non-null-id input row;
+    - reps: (_id, _hh) — one row per group, _id = group-min id;
+    - grouped: rep rows with all staged columns;
+    - expand/spanning: pair-emission callables over rep-level pairs.
     """
     fp = F.md5(
         F.concat_ws(
@@ -154,35 +174,36 @@ def _collapse_exact(
         ).cast("binary")
     )
     w_ord = Window.partitionBy("_fp").orderBy("_id")
-    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    grouped = (
-        full.withColumn("_fp", fp)
-        .withColumn("_rn", F.row_number().over(w_ord))
-        .withColumn("_mem", F.collect_list("_id").over(w_all))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    rows = (
+        full.where(F.col("_id").isNotNull())
+        .withColumn("_fp", fp)
+        .withColumn("_rep", F.first("_id").over(w_ord))
+        .drop("_fp")
         .withColumn("_n", F.size("_hh"))
+        .withColumn("_hh", F.when(F.col("_id") == F.col("_rep"), F.col("_hh")))
     )
     if stage is not None:
-        grouped = stage(grouped)
+        rows = stage(rows)
     if materialize:
-        grouped = grouped.transform(ckpt)
-    reps = grouped.select("_id", "_fp", "_hh")
-    members = grouped.select(
-        F.explode("_mem").alias("_id"), F.col("_fp"), F.col("_n")
-    )
+        rows = rows.transform(ckpt)
+    grouped = rows.where(F.col("_id") == F.col("_rep"))
+    reps = grouped.select("_id", "_hh")
+    members = rows.select("_id", "_rep", "_n")
 
     def expand(rep_pairs: DataFrame) -> DataFrame:
-        ga = grouped.select(F.col("_id").alias("id_a"), F.col("_mem").alias("_mema"))
-        gb = grouped.select(F.col("_id").alias("id_b"), F.col("_mem").alias("_memb"))
+        # join form (guide §2.5): the d×e cross-member block and the
+        # C(d,2) intra listing are produced by joins keyed on the
+        # 8-byte rep id, so the work distributes across tasks (and AQE
+        # can skew-split it) instead of exploding from one row
+        m = rows.select("_id", "_rep")
         cross = (
-            rep_pairs.join(ga, "id_a")
-            .join(gb, "id_b")
-            .select(
-                F.explode("_mema").alias("_ma"), F.col("_memb"), F.col(value_col)
+            rep_pairs.join(
+                m.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_ma")),
+                "id_a",
             )
-            .select(
-                "_ma", F.explode("_memb").alias("_mb"), F.col(value_col)
+            .join(
+                m.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_mb")),
+                "id_b",
             )
             .select(
                 F.least("_ma", "_mb").alias("id_a"),
@@ -190,18 +211,21 @@ def _collapse_exact(
                 value_col,
             )
         )
-        # intra-group pairs: ascending _mem makes (i, j>i) enumeration
-        # exactly the old x._id < y._id self-join, without the join
+        # intra-group pairs: self-join within the group; _id inequality
+        # reproduces the old x._id < y._id enumeration exactly
+        mi = rows.where(F.col("_n") > 0).select("_id", "_rep")
         intra = (
-            grouped.where((F.col("_n") > 0) & (F.size("_mem") > 1))
-            .select("_mem", F.posexplode("_mem").alias("_i", "_pa"))
-            .select(
-                F.col("_pa").alias("id_a"),
-                F.explode(
-                    F.slice(F.col("_mem"), F.col("_i") + 2, F.size("_mem"))
-                ).alias("id_b"),
+            mi.alias("a")
+            .join(
+                mi.alias("b"),
+                (F.col("a._rep") == F.col("b._rep"))
+                & (F.col("a._id") < F.col("b._id")),
             )
-            .select("id_a", "id_b", F.lit(intra_value).alias(value_col))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.lit(intra_value).alias(value_col),
+            )
         )
         return cross.unionByName(intra)
 
@@ -229,10 +253,12 @@ def _collapse_exact(
         need `expand` (opt-in via the producers' expand_pairs=True).
         Reps are each group's min id, so id_a < id_b holds."""
         grp = (
-            grouped.where(F.col("_n") > 0)
-            .select(F.col("_id").alias("id_a"), F.explode("_mem").alias("id_b"))
-            .where(F.col("id_b") != F.col("id_a"))
-            .select("id_a", "id_b", F.lit(intra_value).alias(value_col))
+            rows.where((F.col("_n") > 0) & (F.col("_id") != F.col("_rep")))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(intra_value).alias(value_col),
+            )
         )
         return rep_pairs.select("id_a", "id_b", value_col).unionByName(grp)
 
@@ -393,15 +419,14 @@ def ngram_jaccard_graph(
     (jaccard 1.0) are C(|G|,2)-style products within membership. A
     million-row duplicate group costs one membership row per doc and
     ONE rep_pairs row per neighbor group — never C(d,2) pair rows."""
-    _, _, rep_pairs, expand, spanning, grouped = _ngram_graph(
+    members, _, rep_pairs, expand, spanning, _ = _ngram_graph(
         df, id_col, text_col, k, threshold, materialize, prefix_filter
     )
-    # in-row from the one materialized rep frame: each rep row carries
-    # its group's member-id array (was: members ⋈ reps on _fp)
-    membership = (
-        grouped.where(F.col("_n") > 0)
-        .select(F.col("_id").alias("rep"), F.explode("_mem").alias("id"))
-        .select("id", "rep")
+    # row-per-member from the one materialized frame: every row carries
+    # its group rep in-row (r16 rows-not-arrays form), so membership is
+    # a projection — no explode, no per-group array
+    membership = members.where(F.col("_n") > 0).select(
+        F.col("_id").alias("id"), F.col("_rep").alias("rep")
     )
     return rep_pairs, membership
 
@@ -466,7 +491,11 @@ def minhash_signature(hashes: Column, n_hashes: int = 16) -> Column:
 
 def _minhash_band_rows(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """Explode a (_id, _sig) frame into (_id, _b, _k) LSH band rows —
-    band keys ride as compact strings."""
+    band keys ride as compact strings. This is the PERSISTED-index
+    form (build_band_index stores `_k` and md5-prefixes it for the
+    partition layout); in-memory band joins use
+    :func:`_minhash_band_rows_packed` instead, which shuffles the same
+    information as fixed-width ints (guide §2.3)."""
     return base.select(
         "_id",
         F.explode(
@@ -487,6 +516,65 @@ def _minhash_band_rows(base: DataFrame, bands: int, rows_per_band: int) -> DataF
             )
         ).alias("_band"),
     ).select("_id", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+
+
+def _n_band_keys(rows_per_band: int) -> int:
+    return (rows_per_band + 1) // 2
+
+
+def _minhash_band_rows_packed(
+    base: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(_id, _b, _k0.._k{m-1}) LSH band rows with the band's signature
+    slice PACKED into m = ceil(rows_per_band/2) bigints, two values per
+    word (signature values are mod 2^31-1, so 31 bits each; lo<<31|hi
+    stays under 2^62 — no ANSI overflow). A bijection of the string
+    key `_minhash_band_rows` builds (candidate sets identical, proven
+    by construction), but the default 4-row band shuffles 16 bytes of
+    key instead of a ~40-byte concat-ws string (guide §2.3 "shuffle
+    fewer bytes / narrower types")."""
+    def band_keys(b: int) -> list[Column]:
+        ks = []
+        for j in range(0, rows_per_band, 2):
+            lo = F.element_at("_sig", b * rows_per_band + j + 1)
+            if j + 1 < rows_per_band:
+                hi = F.element_at("_sig", b * rows_per_band + j + 2)
+                ks.append(F.shiftleft(lo, 31).bitwiseOR(hi))
+            else:
+                ks.append(lo)
+        return ks
+
+    nk = _n_band_keys(rows_per_band)
+    return base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            k.alias(f"key{i}")
+                            for i, k in enumerate(band_keys(b))
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(
+        "_id",
+        F.col("_band.band").alias("_b"),
+        *[F.col(f"_band.key{i}").alias(f"_k{i}") for i in range(nk)],
+    )
+
+
+def _band_join_cond(nk: int) -> Column:
+    """Equi-join condition over (_b, _k0.._k{nk-1}) for two aliased
+    packed band-row frames `a` and `b`."""
+    cond = F.col("a._b") == F.col("b._b")
+    for i in range(nk):
+        cond = cond & (F.col(f"a._k{i}") == F.col(f"b._k{i}"))
+    return cond
 
 
 def minhash_hashed_sigs(
@@ -548,23 +636,24 @@ def incremental_minhash_pairs(
     out of the OUTPUT too.
 
     r14: the collapse costs the SAME job structure as the plain r12
-    shape — one eager checkpoint per side. The r13 form derived
-    (members, reps) with a groupBy + join-back + two more checkpoints
-    per side; those four extra jobs were pure overhead on corpora
-    without duplication and regressed the sf0.1 catalog row 1.23 s →
-    2.4 s (the one r13 bench delta that reproduced on a quiet-box
-    best-of-5). Now each side's signature pass tags every row in-plan
-    with its group fingerprint and a rank-within-group window
-    (row_number over _fp, ordered by _id), filters to reps (_rn = 1,
-    rep id = group min — identical to the r13 contract) BEFORE the
-    checkpoint, so the one materialization per side holds only the
-    rep rows, each carrying its group's ascending-id member array;
-    the output then expands IN-ROW (explode) — the ivf_topk
-    collapse's no-extra-shuffle expansion — instead of the r13
-    shape's two membership joins. The window is one extra shuffle
-    inside the pass the plain shape already paid, and at replica
-    scale it is the same full-width movement the r13 join-back did
-    (with only reps written to the checkpoint store afterwards)."""
+    shape — one eager checkpoint per side (window-derived reps; the
+    r13 groupBy+join-back form's four extra jobs regressed the sf0.1
+    catalog row 1.23 s → 2.4 s).
+
+    r16 skew-hardening (guide §2.5/§5, same change as _collapse_exact):
+    each side's one materialization now holds ROWS-NOT-ARRAYS — every
+    row tagged in-plan with its group representative (`_rep` = running
+    first(_id) over the _fp window, a streaming frame), signatures
+    computed on rep rows ONLY (the r15 form computed them on every row
+    and then discarded the non-reps — §1.2 "don't compute things you
+    throw away"), and the verified rep-level pairs expand back to
+    member ids by joins on the 8-byte rep key AFTER the jaccard
+    threshold (rp is pair-bounded and AQE broadcast-joins it when
+    small). No row carries its duplicate group, so a crawl-skew
+    million-way group costs one row per member, never a 10⁶-element
+    array or a d×e single-task explode. Null-id rows are dropped at
+    entry (same contract as _collapse_exact — the r13 join-back
+    semantics)."""
     rows_per_band = n_hashes // bands
     fp = F.md5(
         F.concat_ws(
@@ -572,74 +661,73 @@ def incremental_minhash_pairs(
         ).cast("binary")
     )
     w_ord = Window.partitionBy("_fp").orderBy("_id")
-    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
     def rep_sigs(df: DataFrame) -> DataFrame:
         return (
             widen(df)
+            .where(F.col(id_col).isNotNull())
             .select(F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh"))
             .select(
                 "_id", F.array_distinct(F.transform("_sh", shingle_hash60)).alias("_hh")
             )
-            .select(
-                "_id", "_hh", minhash_signature(F.col("_hh"), n_hashes).alias("_sig"),
-                fp.alias("_fp"),
+            .withColumn("_fp", fp)
+            .withColumn("_rep", F.first("_id").over(w_ord))
+            .drop("_fp")
+            .withColumn(
+                "_sig",
+                F.when(
+                    F.col("_id") == F.col("_rep"),
+                    minhash_signature(F.col("_hh"), n_hashes),
+                ),
             )
             .withColumn(
-                "_rn", F.row_number().over(w_ord)
+                "_hh", F.when(F.col("_id") == F.col("_rep"), F.col("_hh"))
             )
-            .withColumn("_mem", F.collect_list("_id").over(w_all))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_fp")
         )
 
-    # the two sides are independent — materialize their checkpoints
-    # concurrently (guide §2.6) instead of paying two sequential
-    # barriers; outputs are identical
-    nreps, creps = ckpt_parallel([rep_sigs(new_df), rep_sigs(corpus_df)])
+    # the two sides are independent — one union materialization job
+    # (guide §2.6) instead of two sequential barriers
+    nrows, crows = ckpt_parallel([rep_sigs(new_df), rep_sigs(corpus_df)])
+    nreps = nrows.where(F.col("_id") == F.col("_rep"))
+    creps = crows.where(F.col("_id") == F.col("_rep"))
+    nk = _n_band_keys(rows_per_band)
     cand = (
-        _minhash_band_rows(nreps, bands, rows_per_band)
+        _minhash_band_rows_packed(nreps, bands, rows_per_band)
         .alias("a")
         .join(
-            _minhash_band_rows(creps, bands, rows_per_band).alias("b"),
-            (F.col("a._b") == F.col("b._b")) & (F.col("a._k") == F.col("b._k")),
+            _minhash_band_rows_packed(creps, bands, rows_per_band).alias("b"),
+            _band_join_cond(nk),
         )
         .select(F.col("a._id").alias("_nr"), F.col("b._id").alias("_cr"))
         .dropDuplicates(["_nr", "_cr"])
     )
     rp = (
         cand.join(
-            nreps.select(
-                F.col("_id").alias("_nr"), F.col("_hh").alias("_sha"),
-                F.col("_mem").alias("_nmem"),
-            ),
+            nreps.select(F.col("_id").alias("_nr"), F.col("_hh").alias("_sha")),
             "_nr",
         )
         .join(
-            creps.select(
-                F.col("_id").alias("_cr"), F.col("_hh").alias("_shb"),
-                F.col("_mem").alias("_cmem"),
-            ),
+            creps.select(F.col("_id").alias("_cr"), F.col("_hh").alias("_shb")),
             "_cr",
         )
         .select(
-            "_nmem", "_cr", "_cmem",
+            "_nr", "_cr",
             F.round(jaccard(F.col("_sha"), F.col("_shb")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
     # new side always expands (admission must see every arriving id) —
-    # in-row: each rep row carries its group's member ids
-    out = rp.select(
-        F.explode("_nmem").alias("new_id"), "_cr", "_cmem", "jaccard"
+    # a join on the rep key against the threshold-filtered pair set
+    out = rp.join(
+        nrows.select(F.col("_rep").alias("_nr"), F.col("_id").alias("new_id")),
+        "_nr",
     )
     if expand_corpus:
-        return out.select(
-            "new_id", F.explode("_cmem").alias("corpus_id"), "jaccard"
-        )
-    return out.select(
-        "new_id", F.col("_cr").alias("corpus_id"), "jaccard"
-    )
+        return out.join(
+            crows.select(F.col("_rep").alias("_cr"), F.col("_id").alias("corpus_id")),
+            "_cr",
+        ).select("new_id", "corpus_id", "jaccard")
+    return out.select("new_id", F.col("_cr").alias("corpus_id"), "jaccard")
 
 
 def minhash_lsh_pairs(
@@ -673,32 +761,34 @@ def minhash_lsh_pairs(
     # exact-dup collapse: identical shingle sets share all bands, so d
     # copies would cost d² in the band join — see _collapse_exact. The
     # MinHash signature is STAGED into the collapse's single
-    # materialization (computed on rep rows only, after the rn=1
-    # filter), so the whole front half — shingle pass, collapse,
-    # signatures — costs ONE eager barrier where the r13 shape paid
-    # four (full, members, reps, base).
+    # materialization (guarded to rep rows — _hh is NULL elsewhere),
+    # so the whole front half — shingle pass, collapse, signatures —
+    # costs ONE eager barrier where the r13 shape paid four.
     members, reps, expand, spanning, grouped = _collapse_exact(
         full,
         True,
         "jaccard",
         1.0,
         stage=lambda g: g.withColumn(
-            "_sig", minhash_signature(F.col("_hh"), n_hashes)
+            "_sig",
+            F.when(
+                F.col("_id") == F.col("_rep"),
+                minhash_signature(F.col("_hh"), n_hashes),
+            ),
         ),
     )
     emit = expand if expand_pairs else spanning
     base = grouped.select("_id", "_hh", "_sig")
-    # band keys shuffle as compact strings; candidate pairs carry ids
-    # only, then the (small, blocked) candidate set joins the shingle
-    # arrays back for exact verification
-    banded = _minhash_band_rows(base, bands, rows_per_band)
+    # band keys shuffle as packed bigints (guide §2.3); candidate pairs
+    # carry ids only, then the (small, blocked) candidate set joins the
+    # shingle arrays back for exact verification
+    nk = _n_band_keys(rows_per_band)
+    banded = _minhash_band_rows_packed(base, bands, rows_per_band)
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
-            (F.col("a._b") == F.col("b._b"))
-            & (F.col("a._k") == F.col("b._k"))
-            & (F.col("a._id") < F.col("b._id")),
+            _band_join_cond(nk) & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -814,9 +904,11 @@ def connected_components(
         # ONE job for gate + collect (r15 optimization): fetch at most
         # max+1 rows — getting <= max rows proves the limit returned
         # the COMPLETE edge list, which union-find then labels without
-        # the separate count() job the r13 gate paid. An over-limit
-        # graph wastes only the bounded (~max rows) fetch before
-        # falling through to the distributed path.
+        # the separate count() job the r13 gate paid. On an over-limit
+        # graph only the FETCH is bounded (~max rows back to the
+        # driver); `edges` is a lazy checkpoint, so the probe job's
+        # doCheckpoint still materializes every partition — which the
+        # distributed path below then reuses (r15 ADVICE).
         probe = edges.limit(driver_max_edges + 1).collect()
         if len(probe) <= driver_max_edges:
             return _driver_components(edges, rows=probe)

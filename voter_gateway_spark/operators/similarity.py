@@ -355,7 +355,7 @@ def _train_centroids(
         # loop-invariant: the unique-vector set of the fixed training
         # sample — built and materialized once, re-assigned per round
         uniq = tr.select("_cv").distinct().transform(ckpt)
-    for i in range(iters):
+    for _ in range(iters):
         if uniq is not None:
             cells_u = _nearest_cells(uniq, "_cv", centroids, 1).select(
                 "_cv", "_cell"

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from voter_gateway_spark.audit import column_coverage, value_distribution
 from voter_gateway_spark.functions import registry as registry_functions
-from voter_gateway_spark.session import ckpt, ckpt_lazy, ckpt_parallel
+from voter_gateway_spark.session import ckpt, ckpt_defer, ckpt_lazy, ckpt_parallel
 from voter_gateway_spark.operators import dedup_ops, fuzzy, similarity, text
 from voter_gateway_spark.operators.multimodal import extract_features, synthetic_media
 from voter_gateway_spark.plans import DedupPlan, MatchPlan, MergePlan, linkage
@@ -7122,6 +7122,13 @@ def pipeline_daily_ingest(spark, sf_dir):
     cols = ["doc_id", "text", "lang"]
     docs = _t(spark, sf_dir, "documents").select(*cols)
     mh = dict(k=3, n_hashes=16, bands=4, threshold=0.1)
+    # bloom sizing from ONE upfront count instead of a corpus.count()
+    # job per day (r15 VERDICT ask #6, guide §1.2): batches partition
+    # `docs`, so the total is an upper bound on every day's corpus.
+    # Oversizing a bloom only LOWERS its false-positive rate — the
+    # admission output is exact for any n_bits (see bloom_admission) —
+    # so the fold is provably output-neutral.
+    bloom_bits = dedup_ops._next_pow2(int(docs.count() * 9.6))
     # genesis state: lineage truncation is all that's needed — lazy
     # checkpoints materialize inside the first consuming job instead of
     # paying a separate eager barrier each (r14 VERDICT ask #4; the
@@ -7151,16 +7158,28 @@ def pipeline_daily_ingest(spark, sf_dir):
         docs.where(F.col("doc_id") >= DAILY_INGEST_DAY1_MAX),
     ]
     for batch in batches:
-        admitted = ckpt_lazy(
-            dedup_ops.bloom_admission(state_docs, batch, "doc_id", "text")
-        )
-        # expand_corpus=False: see dedup_incremental_components
-        bp = dedup_ops.incremental_minhash_pairs(
-            admitted, state_docs, "doc_id", "text", expand_corpus=False, **mh
-        ).select("new_id", "corpus_id")
-        nn = dedup_ops.minhash_lsh_pairs(admitted, "doc_id", "text", **mh).select(
-            "id_a", "id_b"
-        )
+        # one ckpt_defer batch per day (r15 VERDICT ask #5, guide
+        # §2.6): the three frames the day's probes materialize — the
+        # batch-side and corpus-side rep frames inside
+        # incremental_minhash_pairs plus the batch-internal collapse
+        # frame inside minhash_lsh_pairs — are mutually independent,
+        # so their barriers overlap in ONE union materialization job
+        # instead of three sequential ones. `admitted` stays a lazy
+        # checkpoint shared by all three (persist-marked: computed
+        # once inside the union job, reused by every stage).
+        with ckpt_defer():
+            admitted = ckpt_lazy(
+                dedup_ops.bloom_admission(
+                    state_docs, batch, "doc_id", "text", n_bits=bloom_bits
+                )
+            )
+            # expand_corpus=False: see dedup_incremental_components
+            bp = dedup_ops.incremental_minhash_pairs(
+                admitted, state_docs, "doc_id", "text", expand_corpus=False, **mh
+            ).select("new_id", "corpus_id")
+            nn = dedup_ops.minhash_lsh_pairs(
+                admitted, "doc_id", "text", **mh
+            ).select("id_a", "id_b")
         # the day-end state handoff: the refreshed cluster map and the
         # grown corpus are independent of each other — materialize the
         # two eager checkpoints concurrently (guide §2.6) instead of

@@ -10,8 +10,10 @@ drops the views and unpersists.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 import warnings
+from contextlib import contextmanager
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,13 @@ except ImportError:  # pragma: no cover
         pass
 
 _CKPT_CUT_WARNED = False
+
+# thread-local deferred-materialization state for ckpt_defer(): while a
+# batch is open on this thread, eager ckpt()/ckpt_parallel() calls
+# enqueue lazily-checkpointed frames here instead of each paying its
+# own materialization job; the batch exit materializes every enqueued
+# frame in ONE union job (guide §2.6 — overlap independent jobs).
+_DEFER = threading.local()
 
 
 def reliable_checkpoint_dir() -> str | None:
@@ -51,7 +60,23 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
     session-construction-time conf :func:`build_spark` sets for them)
     or per-round checkpoint files accumulate for the life of the job.
+
+    Inside an open :func:`ckpt_defer` batch on this thread, an EAGER
+    request is enqueued instead: the returned frame is the identical
+    checkpoint-backed DataFrame (same plan truncation, same downstream
+    plan shapes), but its materialization job runs at batch exit,
+    united with the other enqueued frames into one job. Lazy requests
+    never enqueue — their contract is already "materialize inside the
+    first consuming job".
     """
+    pending = getattr(_DEFER, "pending", None)
+    out = _ckpt_raw(df, eager=False if (eager and pending is not None) else eager)
+    if eager and pending is not None:
+        pending.append(out)
+    return out
+
+
+def _ckpt_raw(df: DataFrame, eager: bool) -> DataFrame:
     d = reliable_checkpoint_dir()
     if not d:
         return df.localCheckpoint(eager=eager)
@@ -61,28 +86,140 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.checkpoint(eager=eager)
 
 
+def _materialize_union(outs: list[DataFrame]) -> None:
+    """Materialize several lazily-checkpointed frames with ONE Spark
+    job: union their internal RDDs JVM-side and count. The union job's
+    stage graph contains every frame's stages, so the scheduler packs
+    them together (one frame's straggler tail back-fills with another
+    frame's tasks — guide §2.6) and the per-job scheduling overhead is
+    paid once instead of once per frame. ``SparkContext.runJob`` calls
+    ``rdd.doCheckpoint()`` on completion, which finds every partition
+    already cached by the job (localCheckpoint persists at mark time),
+    so no second job runs. Falls back to concurrent per-frame jobs on
+    a thread pool (``pyspark.InheritableThread`` — plain threads don't
+    inherit JVM-local job groups under pinned-thread mode) when the
+    JVM hooks are unavailable (Spark Connect)."""
+    if not outs:
+        return
+    if len(outs) == 1:
+        outs[0].count()
+        return
+    try:
+        jrdds = [o._jdf.queryExecution().toRdd() for o in outs]
+        u = jrdds[0]
+        for r in jrdds[1:]:
+            u = u.union(r)
+        u.count()
+    except (AttributeError, Py4JError):  # pragma: no cover - Connect only
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            from pyspark import inheritable_thread_target
+
+            def trigger(o: DataFrame) -> None:
+                inheritable_thread_target(lambda: o.count())()
+        except ImportError:
+            def trigger(o: DataFrame) -> None:
+                o.count()
+
+        with ThreadPoolExecutor(max_workers=len(outs)) as pool:
+            list(pool.map(trigger, outs))
+
+
+@contextmanager
+def ckpt_defer():
+    """Defer every eager ckpt() issued on this thread inside the block
+    and materialize them ALL in one union job at block exit (guide
+    §2.6). Use around a group of operator calls whose internal eager
+    checkpoints are mutually independent — e.g. pipeline_daily_ingest's
+    per-day trio (two incremental rep frames + the batch-internal
+    collapse frame): the barriers overlap instead of running serially,
+    and N materialization jobs become one.
+
+    Frames MAY depend on each other or on shared lazy checkpoints —
+    materialization is pure, and shared upstream partitions are
+    persist-marked so concurrent stages reuse (or at worst briefly
+    duplicate) them — but dependent frames forfeit part of the overlap.
+    Do NOT run actions on the deferred frames inside the block: that
+    simply materializes them early (correct, serial)."""
+    prev = getattr(_DEFER, "pending", None)
+    _DEFER.pending = []
+    try:
+        yield
+        pending = _DEFER.pending
+        _DEFER.pending = prev
+        _materialize_union(pending)
+    finally:
+        if getattr(_DEFER, "pending", None) is not prev:
+            _DEFER.pending = prev
+
+
 def ckpt_lazy(df: DataFrame) -> DataFrame:
     """Lazy variant of :func:`ckpt` for ``.transform`` chaining."""
     return ckpt(df, eager=False)
 
 
 def ckpt_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
-    """Eagerly checkpoint several INDEPENDENT DataFrames with their
-    materialization jobs running CONCURRENTLY (optimization guide
-    §2.6: Spark happily runs several jobs at once inside one
-    application; sequential eager checkpoints leave the cluster idle
+    """Eagerly checkpoint several INDEPENDENT DataFrames with ONE
+    materialization job instead of one barrier each (optimization
+    guide §2.6: sequential eager checkpoints leave the cluster idle
     through each barrier's tail). Results are identical to calling
-    :func:`ckpt` in a loop — materialization is pure — but wall time
-    is max() of the jobs instead of their sum. Use ONLY for frames
-    with no dependency on each other (a dependent frame would simply
+    :func:`ckpt` in a loop — materialization is pure — but the frames'
+    stages run inside a single union job (see
+    :func:`_materialize_union`), so wall time is the packed max() of
+    the frames rather than their sum AND the per-job scheduler
+    round-trips collapse to one. Use ONLY for frames with no
+    dependency on each other (a dependent frame would simply
     recompute its input rather than corrupt anything, wasting the
-    win)."""
+    win).
+
+    Inside an open :func:`ckpt_defer` batch the frames are enqueued
+    onto the batch instead (materialized at batch exit with everything
+    else)."""
     if len(dfs) == 1:
         return [ckpt(dfs[0])]
+    pending = getattr(_DEFER, "pending", None)
+    outs = _lazy_ckpt_concurrent(dfs)
+    if pending is not None:
+        pending.extend(outs)
+    else:
+        _materialize_union(outs)
+    return outs
+
+
+def _lazy_ckpt_concurrent(dfs: list[DataFrame]) -> list[DataFrame]:
+    """Issue ``localCheckpoint(eager=False)`` for several frames from a
+    thread pool. The lazy-checkpoint CALL is not free: under AQE it
+    materializes the frame's exchange stages (measured: a heavy
+    groupBy's whole map stage runs inside the call), so issuing the
+    calls sequentially would serialize exactly the work ckpt_parallel
+    exists to overlap. Threads are wrapped with
+    ``pyspark.inheritable_thread_target`` so JVM thread-local
+    properties (job group/description) propagate and pinned-thread-mode
+    JVM threads are cleaned up (r15 ADVICE); the checkpoint dir is
+    pre-resolved on the calling thread so worker threads never race the
+    first ``setCheckpointDir``."""
+    d = reliable_checkpoint_dir()
+    if d:
+        sc = dfs[0].sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(d)
     from concurrent.futures import ThreadPoolExecutor
 
+    try:
+        from pyspark import inheritable_thread_target
+
+        try:
+            # Spark 4 form: passing the session also propagates job tags
+            fn = inheritable_thread_target(dfs[0].sparkSession)(
+                lambda df: _ckpt_raw(df, eager=False)
+            )
+        except Exception:  # pragma: no cover - pre-3.5 signature
+            fn = inheritable_thread_target(lambda df: _ckpt_raw(df, eager=False))
+    except ImportError:  # pragma: no cover - very old pyspark
+        fn = lambda df: _ckpt_raw(df, eager=False)  # noqa: E731
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        return list(pool.map(ckpt, dfs))
+        return list(pool.map(fn, dfs))
 
 
 def ckpt_cut(df: DataFrame) -> DataFrame:
